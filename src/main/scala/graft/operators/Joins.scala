@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Joins & merge (SURVEY.md §2.5, J1–J4).
+  *
+  * J1–J3 are the reference's planned enrichment joins against a small
+  * device-metadata dimension (Learning Guide.txt:1045 §5, :1071 §2-3); the
+  * TPC-H star schema plays that role at scale. J4 is the reference's only
+  * implemented multi-source combination: the last-write-wins key-upsert
+  * (mongo_to_postgres_sync.py:378-399), expressed here as a full-outer
+  * merge — the batch analog of `MERGE INTO`.
+  *
+  * Scale notes: dimensions (part/customer at these shapes) broadcast —
+  * zero shuffle on the fact side, the scan streams through a broadcast hash
+  * join inside one codegen stage. The fact table never moves. If the
+  * dimension outgrew the broadcast threshold, the fallback is a shuffled
+  * hash join on the equi-key, which AQE picks automatically.
+  */
+object Joins {
+
+  /** J1: broadcast equi-join fact→dim — revenue per part brand
+    * (Learning Guide.txt:1045 §5 "Broadcast join for device_metadata"). */
+  def broadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** J2: left enrichment join (Learning Guide.txt:1071 §2 Layer 2) —
+    * orders enriched with customer attributes. Customer is broadcast. */
+  def enrichmentJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("c_name"), col("c_mktsegment"))
+  }
+
+  /** J3: referential-integrity anti-join (Learning Guide.txt:1071 §3
+    * relationship test) — customers with no orders. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** J3b: semi-join companion — customers having at least one order. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** J4: last-write-wins key-upsert merge
+    * (mongo_to_postgres_sync.py:378-399; streaming_job.py:497-509).
+    * Base snapshot = first 3 weeks of per-user aggregates; update batch =
+    * the rest; merged = full-outer coalesce(update, base) keyed by user_id —
+    * the pure-Spark `MERGE INTO`. The streaming foreachBatch upsert sink
+    * (graft.streaming.UpsertSink) reuses this merge. */
+  def upsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val cutoff = "2024-01-22 00:00:00"
+    def snap(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(round(sum("value"), 2).as("total_value"),
+          count(lit(1)).as("cnt"), max("ts").as("last_ts"))
+    val base    = snap(events.filter(col("ts") <  lit(cutoff)))
+      .withColumnRenamed("total_value", "b_total").withColumnRenamed("cnt", "b_cnt")
+      .withColumnRenamed("last_ts", "b_last").withColumnRenamed("user_id", "b_user")
+    val updates = snap(events.filter(col("ts") >= lit(cutoff)))
+    merge(base, updates)
+  }
+
+  /** Full-outer merge: rows from `updates` win, `base` fills the gaps. */
+  private def merge(base: DataFrame, updates: DataFrame): DataFrame =
+    base.join(updates, col("b_user") === col("user_id"), "full_outer")
+      .select(
+        coalesce(col("user_id"), col("b_user")).as("user_id"),
+        coalesce(col("total_value"), col("b_total")).as("total_value"),
+        coalesce(col("cnt"), col("b_cnt")).as("cnt"),
+        coalesce(col("last_ts"), col("b_last")).as("last_ts"),
+        when(col("user_id").isNotNull && col("b_user").isNotNull, "updated")
+          .when(col("user_id").isNotNull, "inserted")
+          .otherwise("unchanged").as("merge_action"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j1_broadcast_join" -> broadcastJoin,
+    "j2_enrichment_join" -> enrichmentJoin,
+    "j3_anti_join"      -> antiJoin,
+    "j3b_semi_join"     -> semiJoin,
+    "j4_upsert_merge"   -> upsertMerge)
+
+  val oracles: Map[String, String] = Map(
+    "j1_broadcast_join" ->
+      """SELECT p_brand,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         count(*) AS cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1""",
+    "j2_enrichment_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",
+    "j3_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "j3b_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "j4_upsert_merge" ->
+      """WITH base AS (
+           SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS cnt,
+                  max(ts) AS last_ts
+           FROM events WHERE ts < TIMESTAMP '2024-01-22 00:00:00' GROUP BY 1),
+         updates AS (
+           SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS cnt,
+                  max(ts) AS last_ts
+           FROM events WHERE ts >= TIMESTAMP '2024-01-22 00:00:00' GROUP BY 1)
+         SELECT
+           coalesce(u.user_id, b.user_id) AS user_id,
+           coalesce(u.total_value, b.total_value) AS total_value,
+           coalesce(u.cnt, b.cnt) AS cnt,
+           coalesce(u.last_ts, b.last_ts) AS last_ts,
+           CASE WHEN u.user_id IS NOT NULL AND b.user_id IS NOT NULL THEN 'updated'
+                WHEN u.user_id IS NOT NULL THEN 'inserted'
+                ELSE 'unchanged' END AS merge_action
+         FROM base b FULL OUTER JOIN updates u ON b.user_id = u.user_id""")
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sorts / limits / serving-layer query shapes (SURVEY.md §2.7 O1–O3 and
+  * §7.1 M5 — the dbt-marts / FastAPI analog queries, Learning
+  * Guide.txt:1071, :1084).
+  *
+  * Order-by + limit compiles to Spark's TakeOrderedAndProject: each partition
+  * keeps only its local top-N and the driver merges N×partitions rows — no
+  * global sort, no full shuffle, which is the shape that survives 100 TB.
+  * Every sort key includes a unique tiebreaker so limits are deterministic.
+  */
+object Serving {
+
+  /** O1: incremental-sync read ordering + limit
+    * (mongo_to_postgres_sync.py:139). */
+  def sortLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .orderBy(col("ts"), col("event_id"))
+      .limit(1000)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+
+  /** O2: failure-type top-10 (validation_consumer.py:621-626). */
+  def topkHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("event_type"))
+      .limit(10)
+
+  /** S7: incremental watermark read — rows newer than the last sync point,
+    * ordered, batched (mongo_to_postgres_sync.py:109-143). The predicate
+    * pushes down to the parquet scan (→ partition pruning on a
+    * date-partitioned layout at scale). */
+  def incrementalRead(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts") >= lit("2024-01-25 00:00:00"))
+      .orderBy(col("ts"), col("event_id"))
+      .limit(1000)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+
+  /** M5a: per-key time series between dates at hourly granularity
+    * (API `GET /sensors/{id}/analytics`, Learning Guide.txt:1084 §2). */
+  def timeSeries(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts") >= lit("2024-01-10 00:00:00") &&
+              col("ts") <  lit("2024-01-20 00:00:00"))
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(round(avg("value"), 4).as("avg_value"),
+        round(max("value"), 2).as("max_value"),
+        count(lit(1)).as("cnt"))
+
+  /** M5b: staging-layer transform (Learning Guide.txt:1071 §2 Layer 1) —
+    * rename / cast / time-feature extraction. */
+  def stagingTransform(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id").as("reading_id"),
+        col("user_id").as("sensor_key"),
+        col("ts").as("event_timestamp"),
+        col("value").cast("double").as("reading_value"),
+        to_date(col("ts")).as("event_date"),
+        hour(col("ts")).as("event_hour"),
+        dayofweek(col("ts")).as("event_dow"))
+
+  /** M5c: sensor-status CASE classification (Learning Guide.txt:1071 §2
+    * intermediate layer: sensor_status) over latest-per-key readings. */
+  def sensorStatus(spark: SparkSession, dir: String): DataFrame =
+    AnalyticWindows.latestPerKey(spark, dir)
+      .select(
+        col("user_id"), col("latest_ts"), col("value"),
+        when(col("value") > 400, "critical")
+          .when(col("value") > 200, "warning")
+          .otherwise("normal").as("sensor_status"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o1_sort_limit"       -> sortLimit,
+    "o2_topk_histogram"   -> topkHistogram,
+    "s7_incremental_read" -> incrementalRead,
+    "m5a_time_series"     -> timeSeries,
+    "m5b_staging_transform" -> stagingTransform,
+    "m5c_sensor_status"   -> sensorStatus)
+
+  val oracles: Map[String, String] = Map(
+    "o1_sort_limit" ->
+      """SELECT event_id, ts, user_id, value FROM events
+         ORDER BY ts, event_id LIMIT 1000""",
+    "o2_topk_histogram" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+         GROUP BY 1 ORDER BY cnt DESC, event_type LIMIT 10""",
+    "s7_incremental_read" ->
+      """SELECT event_id, ts, user_id, value FROM events
+         WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+         ORDER BY ts, event_id LIMIT 1000""",
+    "m5a_time_series" ->
+      """SELECT user_id, date_trunc('hour', ts) AS hour,
+         round(avg(value), 4) AS avg_value,
+         round(max(value), 2) AS max_value,
+         count(*) AS cnt
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+         GROUP BY 1, 2""",
+    "m5b_staging_transform" ->
+      """SELECT event_id AS reading_id, user_id AS sensor_key,
+         ts AS event_timestamp, CAST(value AS DOUBLE) AS reading_value,
+         CAST(ts AS DATE) AS event_date,
+         CAST(hour(ts) AS INTEGER) AS event_hour,
+         CAST(dayofweek(ts) + 1 AS INTEGER) AS event_dow
+         FROM events""",
+    "m5c_sensor_status" ->
+      """SELECT user_id, ts AS latest_ts, value,
+         CASE WHEN value > 400 THEN 'critical'
+              WHEN value > 200 THEN 'warning'
+              ELSE 'normal' END AS sensor_status
+         FROM (SELECT user_id, ts, value,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events) t WHERE rn = 1""")
+}

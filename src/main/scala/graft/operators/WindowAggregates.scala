@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-bucketed aggregations (SURVEY.md §2.4, A1–A5).
+  *
+  * A1 is the reference's flagship streaming aggregation
+  * (reference spark_streaming/streaming_job.py:278-353): 5-minute tumbling
+  * window per sensor with avg/max/min/sum/count and `max()` abused as
+  * "any non-null" for group-constant metadata. Here in batch form over
+  * `events` (user_id ≙ sensor_id, value ≙ temperature); the streaming twin
+  * reusing the same plan is in graft.streaming.StreamingJobs.
+  *
+  * Scale notes: a single hash aggregation — Catalyst plans partial (map-side)
+  * + final agg, so the shuffle carries one row per (user_id, window) per map
+  * task, not per input row. Group-key cardinality (≈ users × windows) stays
+  * tiny relative to input, which is exactly the shape that scales to 100 TB.
+  * Float outputs are rounded so the DuckDB oracle hash-matches bit-for-bit.
+  */
+object WindowAggregates {
+
+  /** A1: 5-minute tumbling window aggregate per user (batch form). */
+  def windowAgg(spark: SparkSession, dir: String): DataFrame =
+    aggregateWindows(Projections.nullFilter(spark, dir))
+
+  /** The A1 aggregation body, shared verbatim with the streaming twin —
+    * identical logical plan in batch and micro-batch execution. */
+  def aggregateWindows(readings: DataFrame): DataFrame =
+    readings
+      .groupBy(col("user_id"), window(col("ts"), "5 minutes"))
+      .agg(
+        round(Exact.avgD("value"), 4).as("avg_value"),
+        round(max("value"), 2).as("max_value"),
+        round(min("value"), 2).as("min_value"),
+        round(Exact.sumD("value"), 2).as("total_value"),
+        count(lit(1)).as("cnt"))
+      .select(
+        col("user_id"),
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("avg_value"), col("max_value"), col("min_value"),
+        col("total_value"), col("cnt"))
+
+  /** A2: hourly batch aggregate with stddev (Learning Guide.txt:1045 §3). */
+  def hourlyAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        round(Exact.avgD("value"), 4).as("avg_value"),
+        round(max("value"), 2).as("max_value"),
+        round(min("value"), 2).as("min_value"),
+        round(stddev_samp("value"), 4).as("stddev_value"),
+        round(Exact.sumD("value"), 2).as("total_value"),
+        count(lit(1)).as("cnt"))
+
+  /** A3: daily mart — one row per user per day (Learning Guide.txt:1071 §2). */
+  def dailyMart(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(
+        round(Exact.avgD("value"), 4).as("avg_value"),
+        round(max("value"), 2).as("max_value"),
+        round(min("value"), 2).as("min_value"),
+        count(lit(1)).as("cnt"))
+
+  /** A3b: location stats — one row per event_type per day across users
+    * (≙ mart_iot_location_stats, Learning Guide.txt:1071 §2 Layer 3). */
+  def locationStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(
+        round(Exact.avgD("value"), 4).as("avg_value"),
+        count(lit(1)).as("cnt"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  /** A4: data-quality ratio aggregates (Learning Guide.txt:1058 §5-6) —
+    * daily % completeness / validity as conditional-avg ratios. */
+  def qualityRatios(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        round(avg(when(col("value").isNotNull, 1.0).otherwise(0.0)) * 100, 4)
+          .as("completeness_pct"),
+        round(avg(when(col("value").between(0, 100), 1.0).otherwise(0.0)) * 100, 4)
+          .as("validity_pct"),
+        count(lit(1)).as("cnt"))
+
+  /** A5: failure-type histogram with share-of-total
+    * (≙ validation metric counters, validation_consumer.py:590-629). The
+    * grand total comes from a single-partition window over the tiny
+    * aggregated result (5 rows), not over the raw input. */
+  def failureHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    counts.withColumn(
+      "pct",
+      round(col("cnt") * 100.0 / sum("cnt").over(Window.partitionBy()), 4))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_window_agg"        -> windowAgg,
+    "a2_hourly_agg"        -> hourlyAgg,
+    "a3_daily_mart"        -> dailyMart,
+    "a3_location_stats"    -> locationStats,
+    "a4_quality_ratios"    -> qualityRatios,
+    "a5_failure_histogram" -> failureHistogram)
+
+  val oracles: Map[String, String] = Map(
+    "a1_window_agg" ->
+      """SELECT user_id,
+         time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+         time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value,
+         round(max(value), 2) AS max_value,
+         round(min(value), 2) AS min_value,
+         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
+         count(*) AS cnt
+         FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         GROUP BY 1, 2, 3""",
+    "a2_hourly_agg" ->
+      """SELECT user_id, date_trunc('hour', ts) AS hour,
+         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value,
+         round(max(value), 2) AS max_value,
+         round(min(value), 2) AS min_value,
+         round(stddev_samp(value), 4) AS stddev_value,
+         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
+         count(*) AS cnt
+         FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         GROUP BY 1, 2""",
+    "a3_daily_mart" ->
+      """SELECT user_id, CAST(ts AS DATE) AS day,
+         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value,
+         round(max(value), 2) AS max_value,
+         round(min(value), 2) AS min_value,
+         count(*) AS cnt
+         FROM events GROUP BY 1, 2""",
+    "a3_location_stats" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value,
+         count(*) AS cnt,
+         count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1, 2""",
+    "a4_quality_ratios" ->
+      """SELECT CAST(ts AS DATE) AS day,
+         round(avg(CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END) * 100, 4) AS completeness_pct,
+         round(avg(CASE WHEN value BETWEEN 0 AND 100 THEN 1.0 ELSE 0.0 END) * 100, 4) AS validity_pct,
+         count(*) AS cnt
+         FROM events GROUP BY 1""",
+    "a5_failure_histogram" ->
+      """SELECT event_type, cnt,
+         round(cnt * 100.0 / sum(cnt) OVER (), 4) AS pct
+         FROM (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1) t""")
+}
