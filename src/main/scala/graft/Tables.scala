@@ -15,12 +15,17 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read it as raw nanos (legacy conf) and convert
-    * with integer division — nanos values (~1.7e18) overflow double's exact
-    * range, so no float math on the way to micros. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  /** Session confs every entry point (Verify/Bench/tests) sets once at
+    * bootstrap — not inside table loaders, which would mutate shared session
+    * state as a query-construction side effect. */
+  def bootstrap(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects outright. Read it as raw nanos (legacy conf, set at
+    * bootstrap) and convert with integer division — nanos values (~1.7e18)
+    * overflow double's exact range, so no float math on the way to micros. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
     load(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .select(col("event_id"), col("ts"), col("user_id"),

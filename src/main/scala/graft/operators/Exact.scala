@@ -6,39 +6,60 @@ import org.apache.spark.sql.functions._
 
 /** Bit-exact aggregate helpers.
   *
-  * Float sums are order-dependent, and the test data's money-like columns
-  * (2-decimal doubles) make aggregate averages land *exactly* on 4th-decimal
-  * rounding midpoints, where a 1-ulp engine difference flips the rounded
-  * digit. Summing through DECIMAL is exact and order-independent; casting
-  * the exact sum to double and dividing by the count is then bit-identical
-  * across engines, so a final `round()` can never disagree with the oracle.
+  * Two cross-engine hazards are handled here:
+  *
+  * 1. Float sums are order-dependent. Summing through DECIMAL is exact and
+  *    order-independent; casting the exact sum to double then dividing by the
+  *    count is bit-identical across engines.
+  *
+  * 2. `round(x, n)` itself diverges between engines when the quotient's
+  *    shortest decimal repr lands on a midpoint: Spark rounds HALF_UP on the
+  *    shortest repr (BigDecimal) while DuckDB rounds the raw binary double.
+  *    `rnd` sidesteps the problem with pure IEEE-754 arithmetic —
+  *    `floor(x * 10^n + 0.5) / 10^n` — which both engines evaluate
+  *    identically given the same double input. On already-exact k-decimal
+  *    values it is the identity, for any sign.
   *
   * This is also the right 100 TB semantics: decimal partial aggregation is
   * still a map-side-combined hash agg, and exact money sums don't drift with
   * partition count or AQE re-planning.
   */
 object Exact {
-  private val Dec = "decimal(18,2)"
+  private val Dec = "decimal(28,2)"
+
+  /** Cross-engine-deterministic round to n decimals (half-up, toward +inf).
+    * All-double arithmetic: bit-identical in any IEEE-754 engine. */
+  def rnd(c: Column, n: Int): Column = {
+    val p = math.pow(10, n)
+    floor(c * p + 0.5) / p
+  }
 
   /** Exact sum of a 2-decimal double column, as double. */
   def sumD(c: String): Column = sum(col(c).cast(Dec)).cast("double")
 
-  /** Exact average (decimal sum / count), as double. */
-  def avgD(c: String): Column = sumD(c) / count(lit(1))
+  /** Exact ANSI average (decimal sum / non-null count), as double. NULLs are
+    * excluded from the denominator, matching standard AVG and the
+    * reference's avg("temperature") semantics. */
+  def avgD(c: String): Column = sumD(c) / count(col(c))
 
   /** Windowed exact sum. */
   def sumOver(c: String, w: WindowSpec): Column =
     sum(col(c).cast(Dec)).over(w).cast("double")
 
-  /** Windowed exact average. */
+  /** Windowed exact ANSI average. */
   def avgOver(c: String, w: WindowSpec): Column =
-    sumOver(c, w) / count(lit(1)).over(w)
+    sumOver(c, w) / count(col(c)).over(w)
 
-  /** DuckDB oracle fragments for the same expressions. */
-  def sqlSum(c: String): String = s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
-  def sqlAvg(c: String): String = s"${sqlSum(c)} / count(*)"
+  // ---- DuckDB oracle fragments for the same expressions ----
+
+  def sqlRnd(e: String, n: Int): String = {
+    val p = "1" + ("0" * n)
+    s"floor(($e) * $p + 0.5) / $p"
+  }
+  def sqlSum(c: String): String = s"CAST(sum(CAST($c AS DECIMAL(28,2))) AS DOUBLE)"
+  def sqlAvg(c: String): String = s"${sqlSum(c)} / count($c)"
   def sqlSumOver(c: String, w: String): String =
-    s"CAST(sum(CAST($c AS DECIMAL(18,2))) OVER $w AS DOUBLE)"
+    s"CAST(sum(CAST($c AS DECIMAL(28,2))) OVER $w AS DOUBLE)"
   def sqlAvgOver(c: String, w: String): String =
-    s"${sqlSumOver(c, w)} / count(*) OVER $w"
+    s"${sqlSumOver(c, w)} / count($c) OVER $w"
 }

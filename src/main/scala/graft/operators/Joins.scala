@@ -22,15 +22,19 @@ import org.apache.spark.sql.functions._
 object Joins {
 
   /** J1: broadcast equi-join fact→dim — revenue per part brand
-    * (Learning Guide.txt:1045 §5 "Broadcast join for device_metadata"). */
+    * (Learning Guide.txt:1045 §5 "Broadcast join for device_metadata").
+    * The revenue sum runs in DECIMAL end to end (price and discount are
+    * exact 2-decimal values) so it is order-independent and cross-engine
+    * exact — a double sum here drifts with partition count. */
   def broadcastJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val p  = Tables.part(spark, dir)
+    val lineRevenue = li("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1.0) - li("l_discount")).cast("decimal(8,4)")
     li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"),
+        Exact.rnd(sum(lineRevenue).cast("double"), 2).as("revenue"),
         count(lit(1)).as("cnt"))
   }
 
@@ -66,13 +70,13 @@ object Joins {
     * Base snapshot = first 3 weeks of per-user aggregates; update batch =
     * the rest; merged = full-outer coalesce(update, base) keyed by user_id —
     * the pure-Spark `MERGE INTO`. The streaming foreachBatch upsert sink
-    * (graft.streaming.UpsertSink) reuses this merge. */
+    * (graft.streaming.UpsertSink) applies the same last-write-wins rule. */
   def upsertMerge(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(spark, dir)
     val cutoff = "2024-01-22 00:00:00"
     def snap(df: DataFrame): DataFrame =
       df.groupBy(col("user_id"))
-        .agg(round(sum("value"), 2).as("total_value"),
+        .agg(Exact.rnd(Exact.sumD("value"), 2).as("total_value"),
           count(lit(1)).as("cnt"), max("ts").as("last_ts"))
     val base    = snap(events.filter(col("ts") <  lit(cutoff)))
       .withColumnRenamed("total_value", "b_total").withColumnRenamed("cnt", "b_cnt")
@@ -102,8 +106,8 @@ object Joins {
 
   val oracles: Map[String, String] = Map(
     "j1_broadcast_join" ->
-      """SELECT p_brand,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      s"""SELECT p_brand,
+         ${Exact.sqlRnd("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE)", 2)} AS revenue,
          count(*) AS cnt
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY 1""",
@@ -117,12 +121,12 @@ object Joins {
       """SELECT c_custkey, c_name FROM customer
          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
     "j4_upsert_merge" ->
-      """WITH base AS (
-           SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS cnt,
+      s"""WITH base AS (
+           SELECT user_id, ${Exact.sqlRnd(Exact.sqlSum("value"), 2)} AS total_value, count(*) AS cnt,
                   max(ts) AS last_ts
            FROM events WHERE ts < TIMESTAMP '2024-01-22 00:00:00' GROUP BY 1),
          updates AS (
-           SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS cnt,
+           SELECT user_id, ${Exact.sqlRnd(Exact.sqlSum("value"), 2)} AS total_value, count(*) AS cnt,
                   max(ts) AS last_ts
            FROM events WHERE ts >= TIMESTAMP '2024-01-22 00:00:00' GROUP BY 1)
          SELECT

@@ -48,8 +48,8 @@ object Serving {
       .filter(col("ts") >= lit("2024-01-10 00:00:00") &&
               col("ts") <  lit("2024-01-20 00:00:00"))
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
-      .agg(round(avg("value"), 4).as("avg_value"),
-        round(max("value"), 2).as("max_value"),
+      .agg(Exact.rnd(Exact.avgD("value"), 4).as("avg_value"),
+        Exact.rnd(max("value"), 2).as("max_value"),
         count(lit(1)).as("cnt"))
 
   /** M5b: staging-layer transform (Learning Guide.txt:1071 §2 Layer 1) —
@@ -95,9 +95,9 @@ object Serving {
          WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
          ORDER BY ts, event_id LIMIT 1000""",
     "m5a_time_series" ->
-      """SELECT user_id, date_trunc('hour', ts) AS hour,
-         round(avg(value), 4) AS avg_value,
-         round(max(value), 2) AS max_value,
+      s"""SELECT user_id, date_trunc('hour', ts) AS hour,
+         ${Exact.sqlRnd(Exact.sqlAvg("value"), 4)} AS avg_value,
+         ${Exact.sqlRnd("max(value)", 2)} AS max_value,
          count(*) AS cnt
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'

@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import Exact.{rnd, sqlRnd}
 
 /** Time-bucketed aggregations (SURVEY.md §2.4, A1–A5).
   *
@@ -12,13 +13,14 @@ import org.apache.spark.sql.functions._
   * window per sensor with avg/max/min/sum/count and `max()` abused as
   * "any non-null" for group-constant metadata. Here in batch form over
   * `events` (user_id ≙ sensor_id, value ≙ temperature); the streaming twin
-  * reusing the same plan is in graft.streaming.StreamingJobs.
+  * reusing the same plan is graft.streaming.StreamingJobs.streamWindowAgg.
   *
   * Scale notes: a single hash aggregation — Catalyst plans partial (map-side)
   * + final agg, so the shuffle carries one row per (user_id, window) per map
   * task, not per input row. Group-key cardinality (≈ users × windows) stays
   * tiny relative to input, which is exactly the shape that scales to 100 TB.
-  * Float outputs are rounded so the DuckDB oracle hash-matches bit-for-bit.
+  * Float outputs go through Exact.rnd so the DuckDB oracle hash-matches
+  * bit-for-bit.
   */
 object WindowAggregates {
 
@@ -32,10 +34,10 @@ object WindowAggregates {
     readings
       .groupBy(col("user_id"), window(col("ts"), "5 minutes"))
       .agg(
-        round(Exact.avgD("value"), 4).as("avg_value"),
-        round(max("value"), 2).as("max_value"),
-        round(min("value"), 2).as("min_value"),
-        round(Exact.sumD("value"), 2).as("total_value"),
+        rnd(Exact.avgD("value"), 4).as("avg_value"),
+        rnd(max("value"), 2).as("max_value"),
+        rnd(min("value"), 2).as("min_value"),
+        rnd(Exact.sumD("value"), 2).as("total_value"),
         count(lit(1)).as("cnt"))
       .select(
         col("user_id"),
@@ -50,11 +52,11 @@ object WindowAggregates {
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
       .agg(
-        round(Exact.avgD("value"), 4).as("avg_value"),
-        round(max("value"), 2).as("max_value"),
-        round(min("value"), 2).as("min_value"),
-        round(stddev_samp("value"), 4).as("stddev_value"),
-        round(Exact.sumD("value"), 2).as("total_value"),
+        rnd(Exact.avgD("value"), 4).as("avg_value"),
+        rnd(max("value"), 2).as("max_value"),
+        rnd(min("value"), 2).as("min_value"),
+        rnd(stddev_samp("value"), 4).as("stddev_value"),
+        rnd(Exact.sumD("value"), 2).as("total_value"),
         count(lit(1)).as("cnt"))
 
   /** A3: daily mart — one row per user per day (Learning Guide.txt:1071 §2). */
@@ -62,9 +64,9 @@ object WindowAggregates {
     Tables.events(spark, dir)
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(
-        round(Exact.avgD("value"), 4).as("avg_value"),
-        round(max("value"), 2).as("max_value"),
-        round(min("value"), 2).as("min_value"),
+        rnd(Exact.avgD("value"), 4).as("avg_value"),
+        rnd(max("value"), 2).as("max_value"),
+        rnd(min("value"), 2).as("min_value"),
         count(lit(1)).as("cnt"))
 
   /** A3b: location stats — one row per event_type per day across users
@@ -73,7 +75,7 @@ object WindowAggregates {
     Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(
-        round(Exact.avgD("value"), 4).as("avg_value"),
+        rnd(Exact.avgD("value"), 4).as("avg_value"),
         count(lit(1)).as("cnt"),
         countDistinct(col("user_id")).as("n_users"))
 
@@ -83,9 +85,9 @@ object WindowAggregates {
     Tables.events(spark, dir)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(
-        round(avg(when(col("value").isNotNull, 1.0).otherwise(0.0)) * 100, 4)
+        rnd(avg(when(col("value").isNotNull, 1.0).otherwise(0.0)) * 100, 4)
           .as("completeness_pct"),
-        round(avg(when(col("value").between(0, 100), 1.0).otherwise(0.0)) * 100, 4)
+        rnd(avg(when(col("value").between(0, 100), 1.0).otherwise(0.0)) * 100, 4)
           .as("validity_pct"),
         count(lit(1)).as("cnt"))
 
@@ -98,7 +100,7 @@ object WindowAggregates {
       .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
     counts.withColumn(
       "pct",
-      round(col("cnt") * 100.0 / sum("cnt").over(Window.partitionBy()), 4))
+      rnd(col("cnt") * 100.0 / sum("cnt").over(Window.partitionBy()), 4))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -109,49 +111,52 @@ object WindowAggregates {
     "a4_quality_ratios"    -> qualityRatios,
     "a5_failure_histogram" -> failureHistogram)
 
+  private val avgV  = Exact.sqlAvg("value")
+  private val sumV  = Exact.sqlSum("value")
+
   val oracles: Map[String, String] = Map(
     "a1_window_agg" ->
-      """SELECT user_id,
+      s"""SELECT user_id,
          time_bucket(INTERVAL '5 minutes', ts) AS window_start,
          time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
-         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value,
-         round(max(value), 2) AS max_value,
-         round(min(value), 2) AS min_value,
-         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
+         ${sqlRnd(avgV, 4)} AS avg_value,
+         ${sqlRnd("max(value)", 2)} AS max_value,
+         ${sqlRnd("min(value)", 2)} AS min_value,
+         ${sqlRnd(sumV, 2)} AS total_value,
          count(*) AS cnt
          FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
          GROUP BY 1, 2, 3""",
     "a2_hourly_agg" ->
-      """SELECT user_id, date_trunc('hour', ts) AS hour,
-         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value,
-         round(max(value), 2) AS max_value,
-         round(min(value), 2) AS min_value,
-         round(stddev_samp(value), 4) AS stddev_value,
-         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
+      s"""SELECT user_id, date_trunc('hour', ts) AS hour,
+         ${sqlRnd(avgV, 4)} AS avg_value,
+         ${sqlRnd("max(value)", 2)} AS max_value,
+         ${sqlRnd("min(value)", 2)} AS min_value,
+         ${sqlRnd("stddev_samp(value)", 4)} AS stddev_value,
+         ${sqlRnd(sumV, 2)} AS total_value,
          count(*) AS cnt
          FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
          GROUP BY 1, 2""",
     "a3_daily_mart" ->
-      """SELECT user_id, CAST(ts AS DATE) AS day,
-         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value,
-         round(max(value), 2) AS max_value,
-         round(min(value), 2) AS min_value,
+      s"""SELECT user_id, CAST(ts AS DATE) AS day,
+         ${sqlRnd(avgV, 4)} AS avg_value,
+         ${sqlRnd("max(value)", 2)} AS max_value,
+         ${sqlRnd("min(value)", 2)} AS min_value,
          count(*) AS cnt
          FROM events GROUP BY 1, 2""",
     "a3_location_stats" ->
-      """SELECT event_type, CAST(ts AS DATE) AS day,
-         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value,
+      s"""SELECT event_type, CAST(ts AS DATE) AS day,
+         ${sqlRnd(avgV, 4)} AS avg_value,
          count(*) AS cnt,
          count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1, 2""",
     "a4_quality_ratios" ->
-      """SELECT CAST(ts AS DATE) AS day,
-         round(avg(CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END) * 100, 4) AS completeness_pct,
-         round(avg(CASE WHEN value BETWEEN 0 AND 100 THEN 1.0 ELSE 0.0 END) * 100, 4) AS validity_pct,
+      s"""SELECT CAST(ts AS DATE) AS day,
+         ${sqlRnd("avg(CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END) * 100", 4)} AS completeness_pct,
+         ${sqlRnd("avg(CASE WHEN value BETWEEN 0 AND 100 THEN 1.0 ELSE 0.0 END) * 100", 4)} AS validity_pct,
          count(*) AS cnt
          FROM events GROUP BY 1""",
     "a5_failure_histogram" ->
-      """SELECT event_type, cnt,
-         round(cnt * 100.0 / sum(cnt) OVER (), 4) AS pct
+      s"""SELECT event_type, cnt,
+         ${sqlRnd("cnt * 100.0 / sum(cnt) OVER ()", 4)} AS pct
          FROM (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1) t""")
 }
