@@ -25,7 +25,8 @@ object SparkEntry {
       (Validation.queries, Validation.oracles),
       (AnalyticWindows.queries, AnalyticWindows.oracles),
       (Joins.queries, Joins.oracles),
-      (Serving.queries, Serving.oracles))
+      (Serving.queries, Serving.oracles),
+      (graft.streaming.StreamingJobs.queries, graft.streaming.StreamingJobs.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

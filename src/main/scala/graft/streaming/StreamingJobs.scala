@@ -1,0 +1,241 @@
+package graft.streaming
+
+import graft.Tables
+import graft.operators.WindowAggregates
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import java.nio.file.Files
+
+/** The Structured Streaming runtime (SURVEY.md §2.10 — the heart of the
+  * reference, spark_streaming/streaming_job.py).
+  *
+  * Shape-for-shape mapping:
+  *   - source: file-stream `readStream.parquet` (Kafka is the same plan with
+  *     `format("kafka")` + the envelope projections P1/P2; no broker exists
+  *     in this environment, so the test surface is the file source —
+  *     reference read path streaming_job.py:205-230)
+  *   - watermark: `withWatermark("ts", "1 minute")` (streaming_job.py:303)
+  *   - window agg: WindowAggregates.aggregateWindows — the batch A1 plan
+  *     reused verbatim (streaming_job.py:278-353)
+  *   - output mode: update, dashboard-style latest window values
+  *     (streaming_job.py:733-739)
+  *   - sink: `foreachBatch` → UpsertSink key-upsert keyed by
+  *     (user_id, window_start) (streaming_job.py:461-533)
+  *   - state store: RocksDB provider + checkpointing
+  *     (streaming_job.py:174-182)
+  *   - monitoring: graft.streaming.Metrics listener (streaming_job.py:632-687)
+  *   - dedup: dropDuplicatesWithinWatermark — the reference's 5-second
+  *     bucket suppression with 1-minute state GC (validation_consumer.py:353-409)
+  *   - exact-vs-near classification: flatMapGroupsWithState with event-time
+  *     TTL — the one operator needing hand-written state (SURVEY §7.2)
+  *
+  * Correctness harness: each registered query stages the events table into
+  * time-ordered files, drains them with Trigger.AvailableNow through the
+  * full streaming machinery, and the drained final state must hash-match the
+  * batch oracle — bounded-drain equivalence (SURVEY §5). Files are staged in
+  * event-time order (the generator's Kafka writes are likewise in-order per
+  * sensor), so the drain drops nothing at the watermark and the final state
+  * equals the batch answer; the *late/out-of-order* paths are covered by
+  * ScalaTest, where DuckDB can't follow.
+  */
+object StreamingJobs {
+
+  /** Streaming session confs (reference streaming_job.py:174-182). RocksDB
+    * keeps per-executor state off-heap and incremental-checkpointed — at
+    * 100 TB the state for (sensor × window) keys outgrows the in-memory
+    * HDFS-backed provider long before it outgrows RocksDB. */
+  def configureStreaming(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "100")
+    spark.conf.set("spark.sql.streaming.stopGracefullyOnShutdown", "true")
+  }
+
+  /** Stage the events table as n time-ordered parquet files in a fresh temp
+    * dir. Buckets are contiguous event-time ranges written sequentially
+    * (increasing modification time), so the file source replays them as an
+    * in-order stream — same delivery contract as the reference's per-sensor
+    * ordered Kafka partitions (producer.py:227-243). Harness-only code: the
+    * global ntile sort is the staging cost, not part of any query plan. */
+  def stage(spark: SparkSession, dir: String, nFiles: Int): String = {
+    val src = Files.createTempDirectory("graft-stream-src-").toString
+    val events = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+    val bucketed = events.withColumn(
+      "_file", ntile(nFiles).over(Window.orderBy(col("ts"), col("event_id"))))
+    (1 to nFiles).foreach { i =>
+      bucketed.filter(col("_file") === i).drop("_file")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    src
+  }
+
+  /** File-stream source over a staged dir; maxFilesPerTrigger bounds each
+    * micro-batch like the reference's maxOffsetsPerTrigger rate limit
+    * (streaming_job.py:227 — note the reference misspells the option with a
+    * `kafka.` prefix, making it inert; here it is real). */
+  def readEventStream(spark: SparkSession, srcDir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+  }
+
+  /** The streaming twin of batch A1: watermark + the shared aggregation
+    * body. Identical logical plan, micro-batch execution. */
+  def streamWindowAgg(stream: DataFrame): DataFrame =
+    WindowAggregates.aggregateWindows(stream.withWatermark("ts", "1 minute"))
+
+  /** Drain a bounded stream to completion through update mode + the
+    * key-upsert sink; returns the sink dir. */
+  def drainUpdate(df: DataFrame, sinkDir: String): Unit = {
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt-").toString
+    val q = df.writeStream
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(UpsertSink.appendBatch(sinkDir) _)
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Drain an append-mode bounded stream (dedup / stateful classify). */
+  def drainAppend(df: DataFrame, sinkDir: String): Unit = {
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt-").toString
+    val q = df.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(UpsertSink.appendBatch(sinkDir) _)
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Continuous production form (reference main, streaming_job.py:733-767):
+    * 10 s processing-time trigger, checkpointed, graceful shutdown via
+    * stopGracefullyOnShutdown + awaitTermination. Not part of the bounded
+    * correctness harness — tests drive it with processAllAvailable. */
+  def runContinuous(df: DataFrame, sinkDir: String, ckpt: String) = {
+    df.writeStream
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.ProcessingTime("10 seconds"))
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(UpsertSink.appendBatch(sinkDir) _)
+      .start()
+  }
+
+  // ---- registered bounded-drain queries ----------------------------------
+
+  /** M4: the full reference pipeline — file stream → watermark → 5-min
+    * tumbling window agg → update mode → foreachBatch key-upsert — drained
+    * and served as the last-write-wins state. Hash-matches the batch A1
+    * oracle. */
+  def streamWindowAggQuery(spark: SparkSession, dir: String): DataFrame = {
+    configureStreaming(spark)
+    val src = stage(spark, dir, 4)
+    val sink = Files.createTempDirectory("graft-stream-sink-").toString
+    drainUpdate(streamWindowAgg(readEventStream(spark, src)), sink)
+    UpsertSink.lastWriteWins(spark, sink, Seq("user_id", "window_start"))
+  }
+
+  /** M4b: streaming near-duplicate suppression — the reference's
+    * (sensor_id, 5-second bucket) dedup with watermark-driven state GC
+    * (validation_consumer.py:353-409, 77). Emits the surviving keys; which
+    * physical row survives inside a micro-batch is nondeterministic by
+    * design (the reference keeps "first seen", arrival-order dependent), so
+    * the deterministic surface is the key set. */
+  def streamDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    configureStreaming(spark)
+    val src = stage(spark, dir, 4)
+    val sink = Files.createTempDirectory("graft-stream-sink-").toString
+    val deduped = readEventStream(spark, src)
+      .withColumn("bucket", expr("(unix_micros(ts) div 5000000) * 5"))
+      .withWatermark("ts", "1 minute")
+      .dropDuplicatesWithinWatermark("user_id", "bucket")
+      .select(col("user_id"), col("bucket"))
+    drainAppend(deduped, sink)
+    UpsertSink.appended(spark, sink)
+  }
+
+  // M4c: stateful exact-vs-near duplicate classification.
+
+  // `ts` stays in the Dataset: the event-time watermark is attached to that
+  // column and must survive into the stateful operator.
+  final case class Reading(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+      tsMicros: Long, bucket: Long)
+  final case class BucketState(seenTs: Seq[Long])
+  final case class Classified(event_id: Long, user_id: Long, bucket: Long, dup_class: String)
+
+  /** Per-(sensor, bucket) classification (validation_consumer.py:353-409):
+    * first row in the bucket is `unique`, a row repeating an already-seen
+    * event timestamp is `exact_dup`, anything else in a non-empty bucket is
+    * `near_dup`. State carries the seen timestamps and dies 60 s (event
+    * time) after the bucket closes — the reference's 1-minute GC (:77).
+    * Rows inside a batch are sorted by (ts, event_id) so the classification
+    * is deterministic and batch-replayable. */
+  private def classify(key: (Long, Long), rows: Iterator[Reading],
+      state: GroupState[BucketState]): Iterator[Classified] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val sorted = rows.toSeq.sortBy(r => (r.tsMicros, r.event_id))
+      var seen = state.getOption.map(_.seenTs).getOrElse(Seq.empty)
+      val out = sorted.map { r =>
+        val cls =
+          if (seen.contains(r.tsMicros)) "exact_dup"
+          else if (seen.nonEmpty) "near_dup"
+          else "unique"
+        seen = seen :+ r.tsMicros
+        Classified(r.event_id, r.user_id, r.bucket, cls)
+      }
+      state.update(BucketState(seen))
+      state.setTimeoutTimestamp((key._2 + 5 + 60) * 1000L)
+      out.iterator
+    }
+  }
+
+  def classifyDups(stream: DataFrame): Dataset[Classified] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .withColumn("tsMicros", unix_micros(col("ts")))
+      .withColumn("bucket", expr("(unix_micros(ts) div 5000000) * 5"))
+      .withWatermark("ts", "1 minute")
+      .select(col("event_id"), col("user_id"), col("ts"), col("tsMicros"), col("bucket"))
+      .as[Reading]
+      .groupByKey(r => (r.user_id, r.bucket))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(classify _)
+  }
+
+  def statefulDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    configureStreaming(spark)
+    val src = stage(spark, dir, 4)
+    val sink = Files.createTempDirectory("graft-stream-sink-").toString
+    drainAppend(classifyDups(readEventStream(spark, src)).toDF(), sink)
+    UpsertSink.appended(spark, sink)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m4_stream_window_agg" -> streamWindowAggQuery,
+    "m4b_stream_dedup"     -> streamDedupQuery,
+    "m4c_stateful_dedup"   -> statefulDedupQuery)
+
+  val oracles: Map[String, String] = Map(
+    // Identical to the batch a1 oracle: bounded-drain equivalence.
+    "m4_stream_window_agg" -> WindowAggregates.oracles("a1_window_agg"),
+    "m4b_stream_dedup" ->
+      """SELECT DISTINCT user_id,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 5) * 5 AS bucket
+         FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL""",
+    "m4c_stateful_dedup" ->
+      """SELECT event_id, user_id, bucket,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, bucket ORDER BY ts, event_id) = 1 THEN 'unique'
+              WHEN row_number() OVER (PARTITION BY user_id, bucket, ts ORDER BY event_id) > 1 THEN 'exact_dup'
+              ELSE 'near_dup' END AS dup_class
+         FROM (SELECT event_id, user_id, ts,
+                 (CAST(floor(epoch(ts)) AS BIGINT) // 5) * 5 AS bucket
+               FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL) t""")
+}

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Idempotent key-upsert sink for `foreachBatch`, the Spark-native analog of
+  * the reference's per-partition bulk `UpdateOne(..., upsert=True)` MongoDB
+  * writer (reference spark_streaming/streaming_job.py:461-533) and its
+  * Postgres `INSERT ... ON CONFLICT DO UPDATE` twin
+  * (mongo_to_postgres_sync.py:315-418).
+  *
+  * Design: each micro-batch appends its rows stamped with `batch_id`; the
+  * served "table" is the last-write-wins view per key — the same
+  * effective-once contract as the reference (idempotent producer + checkpoint
+  * + key-upsert, docs/architecture.md:333-360), expressed as append + merge
+  * view instead of random-access updates. Appends are executor-side and
+  * distributed (no driver collect); re-delivered batches (after restart
+  * mid-batch) overwrite themselves because batch_id is part of the
+  * last-write-wins order — the classic idempotent-sink trick. At cluster
+  * scale the same code writes a partitioned table and the view compacts via
+  * a scheduled merge, exactly like a Delta/Iceberg MERGE.
+  */
+object UpsertSink {
+
+  /** foreachBatch hook: append the micro-batch stamped with its id. Skips
+    * empty batches like the reference's `df.rdd.isEmpty()` guard
+    * (streaming_job.py:566-568). */
+  def appendBatch(sinkDir: String)(batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty)
+      batch.withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(sinkDir)
+
+  /** Last-write-wins view over everything appended: latest batch's row per
+    * key. One shuffle on the key — the same shape as W8 latest-per-key. */
+  def lastWriteWins(spark: SparkSession, sinkDir: String, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("batch_id").desc)
+    spark.read.parquet(sinkDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "batch_id")
+  }
+
+  /** Union-of-appends view, for append-mode streams where every row is
+    * emitted exactly once (dedup, flatMapGroupsWithState). */
+  def appended(spark: SparkSession, sinkDir: String): DataFrame =
+    spark.read.parquet(sinkDir).drop("batch_id")
+}

@@ -1,0 +1,141 @@
+package graft
+
+import graft.streaming.{Metrics, StreamingJobs, UpsertSink}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Streaming semantics the DuckDB oracle cannot express: watermark-driven
+  * late-data drops, listener metrics, and the idempotent upsert sink
+  * (SURVEY.md §5 — "targeted late-data unit tests"). */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Build an events-shaped DataFrame from (event_id, minuteOffset, value). */
+  private def eventsDf(rows: Seq[(Long, Int, Double)]): DataFrame = {
+    import spark.implicits._
+    val base = 1699999800L // fixed epoch anchor, aligned to a 5-min boundary
+    rows.map { case (id, mins, v) =>
+      (id, new Timestamp((base + mins * 60L) * 1000L), 1L, "reading", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("row arriving after watermark evicted its window is dropped, not re-aggregated") {
+    // Spark's watermark guarantee is one-directional: within-watermark data is
+    // never dropped; beyond-watermark data is dropped once the window's state
+    // has been evicted. Eviction happens in the batch whose watermark passes
+    // the window end — so the late row arrives two batches after its window.
+    val src = tmp("late-src-")
+    val sink = tmp("late-sink-")
+    // batch 0: minutes 0..10 → windows [0,5) [5,10) [20,25); max = minute 10
+    eventsDf(Seq((1L, 0, 10.0), (2L, 5, 20.0), (3L, 10, 30.0)))
+      .coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1200)
+    // batch 1: minute 11 — watermark now minute 9, evicts window [0,5)
+    eventsDf(Seq((5L, 11, 40.0)))
+      .coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1200)
+    // batch 2: minute 2 is beyond-watermark for the evicted window → dropped
+    eventsDf(Seq((4L, 2, 99.0), (6L, 12, 50.0)))
+      .coalesce(1).write.mode("append").parquet(src)
+
+    StreamingJobs.drainUpdate(
+      StreamingJobs.streamWindowAgg(StreamingJobs.readEventStream(spark, src)),
+      sink)
+    val state = UpsertSink.lastWriteWins(spark, sink, Seq("user_id", "window_start"))
+
+    // the late row (minute 2, window [0,5)) must NOT appear in its window
+    val w0 = state.filter(col("window_start") === lit(new Timestamp(1699999800L * 1000L)))
+      .select("cnt", "total_value").collect()
+    assert(w0.length == 1)
+    assert(w0(0).getLong(0) == 1L, "late row was wrongly merged into the evicted window")
+    assert(w0(0).getDouble(1) == 10.0)
+    // and no resurrected-window duplicate emission for the same key
+    val emissions = spark.read.parquet(sink)
+      .filter(col("window_start") === lit(new Timestamp(1699999800L * 1000L)))
+    assert(emissions.count() == 1L)
+  }
+
+  test("in-watermark late row updates its window (update mode re-emission)") {
+    val src = tmp("upd-src-")
+    val sink = tmp("upd-sink-")
+    // file 1: minutes 0 and 4 → window [0,5) has cnt=2; max ts = minute 4
+    eventsDf(Seq((1L, 0, 10.0), (2L, 4, 20.0)))
+      .coalesce(1).write.mode("append").parquet(src)
+    // file 2: minute 4 again (within watermark) → window [0,5) updated to cnt=3
+    eventsDf(Seq((3L, 4, 30.0)))
+      .coalesce(1).write.mode("append").parquet(src)
+
+    StreamingJobs.drainUpdate(
+      StreamingJobs.streamWindowAgg(StreamingJobs.readEventStream(spark, src)),
+      sink)
+    val state = UpsertSink.lastWriteWins(spark, sink, Seq("user_id", "window_start"))
+    val row = state.collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Long]("cnt") == 3L)
+    assert(row(0).getAs[Double]("total_value") == 60.0)
+  }
+
+  test("StreamingQueryListener records batches and input rows") {
+    val src = tmp("metrics-src-")
+    val sink = tmp("metrics-sink-")
+    eventsDf(Seq((1L, 0, 1.0), (2L, 1, 2.0))).coalesce(1).write.mode("append").parquet(src)
+    eventsDf(Seq((3L, 2, 3.0))).coalesce(1).write.mode("append").parquet(src)
+
+    val metrics = new Metrics(slowBatchMillis = 5000L)
+    spark.streams.addListener(metrics)
+    try {
+      StreamingJobs.drainUpdate(
+        StreamingJobs.streamWindowAgg(StreamingJobs.readEventStream(spark, src)),
+        sink)
+      // listener events are async — wait for the bus to drain
+      val deadline = System.currentTimeMillis() + 10000
+      while (metrics.totalInputRows < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(metrics.started >= 1)
+      assert(metrics.totalInputRows == 3L)
+      assert(metrics.batches.nonEmpty)
+      // maxFilesPerTrigger=1 must split the two staged files into two batches
+      assert(metrics.batches.count(_.numInputRows > 0) >= 2,
+        s"expected 2+ micro-batches, got: ${metrics.batches}")
+      assert(metrics.batches.forall(_.stateRows >= 0))
+    } finally spark.streams.removeListener(metrics)
+  }
+
+  test("UpsertSink is last-write-wins per key and idempotent on batch replay") {
+    import spark.implicits._
+    val sink = tmp("upsert-sink-")
+    val b0 = Seq((1L, "v0"), (2L, "v0")).toDF("k", "v")
+    val b1 = Seq((1L, "v1")).toDF("k", "v")
+    UpsertSink.appendBatch(sink)(b0, 0L)
+    UpsertSink.appendBatch(sink)(b1, 1L)
+    UpsertSink.appendBatch(sink)(b1, 1L) // replayed batch (restart mid-commit)
+    val out = UpsertSink.lastWriteWins(spark, sink, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "v1", 2L -> "v0"))
+  }
+
+  test("empty micro-batch is skipped by the sink") {
+    val sink = tmp("empty-sink-")
+    UpsertSink.appendBatch(sink)(eventsDf(Seq.empty), 0L)
+    assert(!Files.list(java.nio.file.Paths.get(sink)).findFirst().isPresent)
+  }
+
+  test("continuous mode drains with processing-time trigger and stops gracefully") {
+    val src = tmp("cont-src-")
+    val sink = tmp("cont-sink-")
+    val ckpt = tmp("cont-ckpt-")
+    eventsDf(Seq((1L, 0, 5.0), (2L, 1, 7.0))).coalesce(1).write.mode("append").parquet(src)
+    val q = StreamingJobs.runContinuous(
+      StreamingJobs.streamWindowAgg(StreamingJobs.readEventStream(spark, src)),
+      sink, ckpt)
+    try q.processAllAvailable()
+    finally q.stop()
+    val state = UpsertSink.lastWriteWins(spark, sink, Seq("user_id", "window_start"))
+    assert(state.agg(sum("cnt")).collect()(0).getLong(0) == 2L)
+  }
+}
