@@ -26,6 +26,10 @@ object SparkEntry {
       (AnalyticWindows.queries, AnalyticWindows.oracles),
       (Joins.queries, Joins.oracles),
       (Serving.queries, Serving.oracles),
+      (TextAnalysis.queries, TextAnalysis.oracles),
+      (Dedup.queries, Dedup.oracles),
+      (Similarity.queries, Similarity.oracles),
+      (Multimodal.queries, Multimodal.oracles),
       (graft.streaming.StreamingJobs.queries, graft.streaming.StreamingJobs.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */

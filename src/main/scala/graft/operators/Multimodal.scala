@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators (builder brief; SURVEY.md §7.1 M6): media
+  * payloads as opaque `binary` columns with typed metadata, plus a
+  * decode / feature-extract stage.
+  *
+  * No media codecs exist in this environment, so the decode step is a
+  * clearly-marked deterministic STUB — but everything Spark-side is real and
+  * load-bearing: the binary column, the metadata projection, the typed
+  * `Dataset` schema, and the partition-iterator batch shape (decoder
+  * initialized once per partition, rows streamed through it — exactly how a
+  * real model/codec rides `mapPartitions`, and the Scala analog of a
+  * `mapInPandas` batch UDF).
+  *
+  * The `documents` table stands in for a media corpus: its UTF-8 bytes are
+  * the "media payload". At 100 TB the payload column dominates I/O — the
+  * metadata projection reads only the bytes it needs, and feature extraction
+  * is a narrow map (no shuffle at all until features feed a downstream
+  * join/ANN stage).
+  */
+object Multimodal {
+
+  /** M7: binary ingest + metadata projection — payload byte length, content
+    * digest, fake-decoded dimensions and a frame-sampling plan derived
+    * arithmetically from the payload size (oracle-replayable). */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame = {
+    val blob = encode(col("text"), "UTF-8")
+    val byteLen = octet_length(blob)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      byteLen.as("byte_len"),
+      sha2(blob, 256).as("checksum"),
+      (pmod(byteLen, lit(64)) + 16).as("width"),
+      (pmod(byteLen, lit(48)) + 16).as("height"),
+      (floor(byteLen / 100) + 1).cast("int").as("n_frames"))
+  }
+
+  final case class MediaIn(doc_id: Long, payload: Array[Byte])
+  final case class MediaFeatures(
+      doc_id: Long, width: Int, height: Int,
+      n_features: Int, f0: Double, f1: Double, f2: Double, f3: Double)
+
+  /** STUB decoder — stands in for an image/audio codec (none exists in this
+    * container). Deterministic: "features" are byte-content checksums folded
+    * per stripe. A real implementation would replace only this object. */
+  object StubDecoder {
+    def decode(in: MediaIn): MediaFeatures = {
+      val bytes = in.payload
+      val w = bytes.length % 64 + 16
+      val h = bytes.length % 48 + 16
+      def stripe(k: Int): Double = {
+        var acc = 0L
+        var i = k
+        while (i < bytes.length) { acc = acc * 31 + (bytes(i) & 0xff); i += 4 }
+        Math.floorMod(acc, 10000L) / 10000.0 // floorMod: acc may be negative after overflow
+      }
+      MediaFeatures(in.doc_id, w, h, 4, stripe(0), stripe(1), stripe(2), stripe(3))
+    }
+  }
+
+  /** M7: typed decode / feature-extract pipeline over the binary column.
+    * `mapPartitions` so decoder setup happens once per partition and rows
+    * stream through it in batch — the shape a real codec/model needs. */
+  def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaIn] = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaIn]
+    media.mapPartitions { rows =>
+      val decoder = StubDecoder // per-partition init point for a real codec
+      rows.map(decoder.decode)
+    }.toDF()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_binary_meta"    -> binaryMeta,
+    "m7_decode_features" -> decodeFeatures)
+
+  val oracles: Map[String, String] = Map(
+    // sha256 of the text's UTF-8 bytes == sha256 of the encoded blob.
+    "m7_binary_meta" ->
+      """SELECT doc_id,
+         octet_length(encode(text)) AS byte_len,
+         sha256(text) AS checksum,
+         octet_length(encode(text)) % 64 + 16 AS width,
+         octet_length(encode(text)) % 48 + 16 AS height,
+         CAST(octet_length(encode(text)) // 100 + 1 AS INTEGER) AS n_frames
+         FROM documents""")
+    // m7_decode_features: stubbed decoder is Scala-side → rows-only check +
+    // MultimodalSpec determinism test.
+}

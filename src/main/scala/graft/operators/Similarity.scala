@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Exact.{rnd, sqlRnd}
+
+/** Similarity search over `embeddings.embedding` (Array[Float], 64-dim) —
+  * the ANN surface of a training-data pipeline (builder brief; SURVEY.md
+  * §7.1 M6).
+  *
+  * Two paths:
+  *   - brute-force exact cosine top-k: the correctness baseline. Queries are
+  *     broadcast; the corpus never shuffles; the dot product is a
+  *     higher-order `zip_with`/`aggregate` fold — codegen'd, no UDF.
+  *   - sign-LSH bucketed ANN: the 100 TB path. Each vector lands in a bucket
+  *     keyed by the sign pattern of its leading dimensions (a fixed
+  *     random-hyperplane LSH with axis-aligned planes); queries probe only
+  *     their bucket, so the join is equi-keyed on bucket and work scales
+  *     with bucket size, not corpus size. Recall-vs-exact is ScalaTest'd.
+  *
+  * Determinism note: all arithmetic folds run left-to-right in double on
+  * both engines (Spark `aggregate`, DuckDB `list_reduce`), so similarity
+  * values are bit-identical and oracle-able.
+  */
+object Similarity {
+
+  /** Fold-based dot product of two double arrays — explicit left-to-right
+    * accumulation, bit-reproducible across engines. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def base(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+
+  private def probes(b: DataFrame): DataFrame =
+    b.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+
+  /** M6: exact cosine top-10 per probe vector (brute force baseline). */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir)
+    val sims = b.crossJoin(broadcast(probes(b)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("norm") * col("qnorm")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("vec_id"), col("rnk"), rnd(col("sim"), 4).as("sim"))
+  }
+
+  /** Sign-pattern LSH bucket of a double vector: one bit per leading
+    * dimension. For cosine similarity this is random-hyperplane LSH with
+    * axis-aligned planes — deterministic and engine-reproducible. */
+  private def signBucket(v: Column, bits: Int): Column =
+    (0 until bits).map(i =>
+      when(element_at(v, i + 1) >= 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce[Column](_ + _)
+
+  /** M6: bucketed ANN — probe only the query's sign-LSH bucket (256 buckets).
+    * Equi-join on bucket: work per query ∝ bucket size (~corpus/256), and the
+    * shuffle key is the bucket — this is the IVF-style plan that survives a
+    * corpus that no longer broadcasts. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir).withColumn("bucket", signBucket(col("v"), 8))
+    val q = probes(b.drop("bucket"))
+      .withColumn("bucket", signBucket(col("qv"), 8))
+    val sims = b.join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("norm") * col("qnorm")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("vec_id"), col("rnk"), rnd(col("sim"), 4).as("sim"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_cosine_topk" -> cosineTopK,
+    "m6_ann_lsh"     -> annLsh)
+
+  private val vSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+  private val normSql = "sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b))"
+  private val dotSql =
+    "list_reduce(list_prepend(0.0, list_transform(list_zip(qv, v), p -> p[1] * p[2])), (a, b) -> a + b)"
+  private val bucketSql = (v: String) =>
+    (0 until 8).map(i => s"(CASE WHEN $v[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "m6_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          n AS (SELECT vec_id, v, $normSql AS nrm FROM e),
+          q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 50 = 0),
+          p AS (SELECT q_id, vec_id, $dotSql / (nrm * qnrm) AS sim
+                FROM n CROSS JOIN q WHERE vec_id <> q_id)
+          SELECT q_id, vec_id, rnk, ${sqlRnd("sim", 4)} AS sim FROM (
+            SELECT q_id, vec_id, sim,
+              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+            FROM p) t
+          WHERE rnk <= 10""",
+    "m6_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          n AS (SELECT vec_id, v, $normSql AS nrm, ${bucketSql("v")} AS bucket FROM e),
+          q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, bucket FROM n WHERE vec_id % 50 = 0),
+          p AS (SELECT q_id, n.vec_id, $dotSql / (nrm * qnrm) AS sim
+                FROM n JOIN q USING (bucket) WHERE n.vec_id <> q.q_id)
+          SELECT q_id, vec_id, rnk, ${sqlRnd("sim", 4)} AS sim FROM (
+            SELECT q_id, vec_id, sim,
+              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+            FROM p) t
+          WHERE rnk <= 10""")
+}

@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Exact.{rnd, sqlRnd}
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline surface (builder brief; SURVEY.md §7.1 M6): token statistics,
+  * quality scoring, language profiling/identification, fingerprinting.
+  *
+  * Everything is Column expressions and higher-order array functions — no
+  * UDFs, fully codegen'd, and every operator is a narrow map or a single
+  * keyed aggregation, so the plans scale linearly: tokenization happens once
+  * per document on the map side; only small aggregates (token counts,
+  * profiles) shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the document body. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Word k-shingles (k consecutive tokens joined by space) — the unit for
+    * fingerprinting and near-dup detection. With a small vocabulary,
+    * single-token sets collide on everything; k-gram sequences don't. */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (1 to k).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array())
+
+  /** DuckDB fragment for the same k-shingles of a token list `t`. */
+  def sqlShingles(t: String, k: Int): String = {
+    val parts = (0 until k).map(j => s"$t[i + $j]").mkString(" || ' ' || ")
+    s"CASE WHEN len($t) >= $k THEN list_transform(range(1, len($t) - ${k - 2}), i -> $parts) ELSE [] END"
+  }
+
+  // ---- registered queries -------------------------------------------------
+
+  /** M6: corpus term frequency — explode/groupBy, the canonical text-to-table
+    * pivot. Share-of-corpus via a scalar subquery-style broadcast. */
+  def tokenTf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    tf.withColumn("share_pct",
+      rnd(col("tf") * 100.0 / sum("tf").over(Window.partitionBy()), 4))
+  }
+
+  /** M6: per-document quality score — length, lexical diversity, stopword
+    * ratio (quality-filter features of LLM data pipelines). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "in", "to")
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val distinctRatio = size(array_distinct(toks)) / nTok
+    val stopRatio = size(filter(toks, t => t.isInCollection(stop))) / nTok
+    val avgTokLen = (length(col("text")) - size(toks) + 1) / nTok
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      size(toks).as("n_tokens"),
+      rnd(distinctRatio, 4).as("distinct_ratio"),
+      rnd(stopRatio, 4).as("stopword_ratio"),
+      rnd(avgTokLen, 4).as("avg_token_len"),
+      rnd(lit(0.4) * distinctRatio + lit(0.3) * (lit(1.0) - stopRatio) +
+        lit(0.3) * least(nTok / 100.0, lit(1.0)), 4).as("quality_score"))
+  }
+
+  /** M6: language token profile — top-10 tokens per language by frequency. */
+  def langProfile(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("lang").orderBy(col("tf").desc, col("token"))
+    counts.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+  }
+
+  /** M6: n-gram-profile language identification — score each document
+    * against every language's top-20 token profile (built from the corpus
+    * itself), predict the argmax. Profile is tiny → broadcast; the join is
+    * doc-tokens × profile with no skew. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("tf"))
+    val wProf = Window.partitionBy("lang").orderBy(col("tf").desc, col("token"))
+    val profile = counts.withColumn("rnk", row_number().over(wProf))
+      .filter(col("rnk") <= 20)
+      .select(col("lang").as("cand_lang"), col("token"))
+    val docTokens = docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(tokens(col("text")))).as("token"))
+    val scored = docTokens.join(broadcast(profile), Seq("token"))
+      .groupBy(col("doc_id"), col("lang"), col("cand_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val wBest = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("cand_lang"))
+    scored.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("cand_lang").as("predicted_lang"),
+        col("hits"))
+  }
+
+  /** M6: token counting — whitespace tokens, regex word tokens (a BPE-ish
+    * pre-tokenizer pass), characters. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+")).as("word_tokens"),
+      length(col("text")).as("n_chars"))
+
+  /** M6: document fingerprint — winnowing-style: the minimum hash over the
+    * document's 3-shingles (md5 so the oracle can replay it bit-for-bit).
+    * Equal fingerprints ⇒ near-identical prefix content; used as a cheap
+    * first-pass dedup key. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(tokens(col("text")), 3)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      array_min(transform(sh, s => md5(s))).as("fingerprint"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_token_tf"      -> tokenTf,
+    "m6_quality_score" -> qualityScore,
+    "m6_lang_profile"  -> langProfile,
+    "m6_lang_id"       -> langId,
+    "m6_token_count"   -> tokenCount,
+    "m6_fingerprint"   -> fingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "m6_token_tf" ->
+      s"""SELECT token, tf,
+          ${sqlRnd("tf * 100.0 / sum(tf) OVER ()", 4)} AS share_pct
+          FROM (SELECT token, count(*) AS tf
+                FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) u
+                GROUP BY 1) t""",
+    "m6_quality_score" ->
+      s"""WITH t AS (
+            SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents)
+          SELECT doc_id, lang,
+            len(toks) AS n_tokens,
+            ${sqlRnd("len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)", 4)} AS distinct_ratio,
+            ${sqlRnd("len(list_filter(toks, x -> x IN ('the','a','of','and','in','to'))) / CAST(len(toks) AS DOUBLE)", 4)} AS stopword_ratio,
+            ${sqlRnd("(length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE)", 4)} AS avg_token_len,
+            ${sqlRnd("0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) + 0.3 * (1.0 - len(list_filter(toks, x -> x IN ('the','a','of','and','in','to'))) / CAST(len(toks) AS DOUBLE)) + 0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)", 4)} AS quality_score
+          FROM t""",
+    "m6_lang_profile" ->
+      """SELECT lang, token, tf, rnk FROM (
+           SELECT lang, token, tf,
+             row_number() OVER (PARTITION BY lang ORDER BY tf DESC, token) AS rnk
+           FROM (SELECT lang, token, count(*) AS tf
+                 FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+                       FROM documents) u
+                 GROUP BY 1, 2) c) t
+         WHERE rnk <= 10""",
+    "m6_lang_id" ->
+      """WITH counts AS (
+           SELECT lang, token, count(*) AS tf
+           FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents) u
+           GROUP BY 1, 2),
+         profile AS (
+           SELECT lang AS cand_lang, token FROM (
+             SELECT lang, token,
+               row_number() OVER (PARTITION BY lang ORDER BY tf DESC, token) AS rnk
+             FROM counts) t WHERE rnk <= 20),
+         doc_tokens AS (
+           SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS token
+           FROM documents),
+         scored AS (
+           SELECT doc_id, lang, cand_lang, count(*) AS hits
+           FROM doc_tokens JOIN profile USING (token)
+           GROUP BY 1, 2, 3)
+         SELECT doc_id, lang, cand_lang AS predicted_lang, hits FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
+           FROM scored) t WHERE rn = 1""",
+    "m6_token_count" ->
+      """SELECT doc_id,
+         len(string_split(text, ' ')) AS ws_tokens,
+         len(regexp_extract_all(text, '[a-z]+')) AS word_tokens,
+         length(text) AS n_chars
+         FROM documents""",
+    "m6_fingerprint" ->
+      s"""SELECT doc_id,
+          list_min(list_transform(${TextAnalysis.sqlShingles("string_split(text, ' ')", 3)}, s -> md5(s))) AS fingerprint
+          FROM documents""")
+}

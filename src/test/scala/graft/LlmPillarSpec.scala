@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Correctness for the engine-hash-based operators the DuckDB oracle cannot
+  * replay (xxhash64 / Scala-side decode): recall against exact baselines,
+  * determinism, and structural invariants. Runs at sf0.01 (500 docs/vecs). */
+class LlmPillarSpec extends AnyFunSuite with SparkFixture {
+  private val dir = "/root/testdata/sf0.01"
+
+  test("minhash LSH recalls every exact near-dup pair at jaccard >= 0.8") {
+    val exact = Dedup.ngramJaccard(spark, dir)
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashDedup(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dup pairs")
+    assert(exact.subsetOf(lsh),
+      s"LSH missed pairs: ${exact -- lsh}")
+  }
+
+  test("minhash pairs are verified: every reported pair really has jaccard >= 0.8") {
+    val bad = Dedup.minhashDedup(spark, dir).filter(col("jaccard") < 0.8).count()
+    assert(bad == 0)
+  }
+
+  test("simhash chunk blocking finds exactly the brute-force hamming<=7 pairs") {
+    val simPairs = Dedup.simhashPairs(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force spec: all-pairs hamming over the signatures
+    val sigs = Dedup.simhashSignatures(spark, dir)
+    val a = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
+    val brute = a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 7)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture should contain simhash-near pairs")
+    assert(simPairs == brute,
+      s"missed: ${brute -- simPairs}; spurious: ${simPairs -- brute}")
+  }
+
+  test("exact dedup collapses injected copies and nothing else") {
+    val out = Dedup.exactDedup(spark, dir)
+    val docs = Tables.documents(spark, dir).count()
+    assert(out.count() == docs) // all texts distinct → one group per original
+    val dupGroups = out.filter(col("n_copies") === 2).count()
+    assert(dupGroups == docs / 10) // the injected tenth
+    // keeper is always the original id, not the +1000000 copy
+    assert(out.filter(col("keeper_id") >= 1000000L).count() == 0)
+  }
+
+  test("ANN probes only its sign bucket and agrees with brute force on shared pairs") {
+    val ann = Similarity.annLsh(spark, dir)
+      .select(col("q_id"), col("vec_id"), col("sim").as("ann_sim"))
+    val exact = Similarity.cosineTopK(spark, dir)
+      .select(col("q_id"), col("vec_id"), col("sim").as("bf_sim"))
+    // where both report a pair, the similarity must be identical (same fold)
+    val joined = ann.join(exact, Seq("q_id", "vec_id"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("ann_sim") =!= col("bf_sim")).count() == 0)
+    // and brute force returns a full top-10 per probe
+    val probes = Tables.embeddings(spark, dir).filter(col("vec_id") % 50 === 0).count()
+    assert(exact.count() == probes * 10)
+  }
+
+  test("stub media decode is deterministic and batch-shaped") {
+    val a = Multimodal.decodeFeatures(spark, dir).orderBy("doc_id").collect()
+    val b = Multimodal.decodeFeatures(spark, dir).orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+    assert(a.length == Tables.documents(spark, dir).count())
+    // features are normalized stripes in [0, 1)
+    val feats = Multimodal.decodeFeatures(spark, dir)
+      .filter(col("f0") < 0 || col("f0") >= 1 || col("f3") < 0 || col("f3") >= 1)
+    assert(feats.count() == 0)
+  }
+}
