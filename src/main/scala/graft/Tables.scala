@@ -31,6 +31,16 @@ object Tables {
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props"))
   }
+  /** Fan a CPU-bound stage out to every core. A 100 TB scan arrives as
+    * thousands of splits and never needs this; the kilobyte-scale test files
+    * are a single parquet split, which would serialize hash/shingle/fold
+    * work onto one of 32 cores. Spark only auto-rebalances *shuffle* stages
+    * (AQE), not scan-fed map stages, so the round-robin repartition is
+    * explicit — its cost is proportional to the (tiny) input, its benefit to
+    * the per-row CPU. */
+  def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")

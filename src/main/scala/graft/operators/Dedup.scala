@@ -12,17 +12,32 @@ import TextAnalysis.{shingles, sqlShingles, tokens}
   * Scale design: nothing here is all-pairs. Exact dedup is one hash
   * aggregation on the content digest. Near-dup candidate generation is
   * always *bucketed* — length-window blocking for the exact-Jaccard
-  * baseline, MinHash band buckets for LSH, 16-bit chunk buckets for
+  * baseline, MinHash band buckets for LSH, 8-bit chunk buckets for
   * SimHash — so every join is equi-keyed and shuffles only bucket-sized
   * groups. The pair-verification joins carry small arrays, never the
   * documents themselves.
+  *
+  * Representation: shingle *sets* travel as `array<long>` (xxhash64 of each
+  * shingle), not `array<string>`. Set intersection/union over fixed-width
+  * longs is several times cheaper than over strings, and |A∩B|/|A∪B| is
+  * unchanged as long as xxhash64 is collision-free within a pair's union
+  * (~100 elements against 2^64 — p < 1e-15). The DuckDB oracle verifies the
+  * same Jaccard values over the raw string shingles, so the hashed
+  * representation is itself under test.
   */
 object Dedup {
 
+  /** doc_id + distinct 3-shingle set, as raw strings (`sh`). */
   private def withShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+    Tables.fanout(Tables.documents(spark, dir)).select(
       col("doc_id"), col("lang"), col("n_chars"),
       array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+
+  /** doc_id + distinct 3-shingle set hashed to longs (`hs`). */
+  private def withHashedShingles(spark: SparkSession, dir: String): DataFrame =
+    withShingles(spark, dir)
+      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
+      .drop("sh")
 
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)) / size(array_union(a, b)).cast("double")
@@ -44,21 +59,21 @@ object Dedup {
     * output predicate — block first, verify after: the LSH pattern even in
     * the exact query). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val base = withShingles(spark, dir)
+    val base = withHashedShingles(spark, dir)
     val left = base
       .withColumn("bucket", floor(col("n_chars") / 50))
       .select(col("doc_id").as("doc_a"), col("lang"), col("bucket"),
-        col("n_chars").as("na"), col("sh").as("sha"))
+        col("n_chars").as("na"), col("hs").as("hsa"))
     val right = base
       .withColumn("bucket", explode(array(
         floor(col("n_chars") / 50) - 1,
         floor(col("n_chars") / 50),
         floor(col("n_chars") / 50) + 1)))
       .select(col("doc_id").as("doc_b"), col("lang"), col("bucket"),
-        col("n_chars").as("nb"), col("sh").as("shb"))
+        col("n_chars").as("nb"), col("hs").as("hsb"))
     left.join(right, Seq("lang", "bucket"))
       .filter(col("doc_a") < col("doc_b") && abs(col("na") - col("nb")) <= 50)
-      .withColumn("jac", jaccard(col("sha"), col("shb")))
+      .withColumn("jac", jaccard(col("hsa"), col("hsb")))
       .filter(col("jac") >= 0.5)
       .select(col("doc_a"), col("doc_b"), rnd(col("jac"), 4).as("jaccard"))
   }
@@ -67,14 +82,21 @@ object Dedup {
     * document, 8 bands × 2 rows; a pair is a candidate iff it collides in
     * some band (P ≈ 1−(1−j²)⁸ — ~1.0 at j=0.9), then verified with exact
     * Jaccard. Hash seeds are fixed → fully deterministic, but xxhash64 is
-    * engine-specific, so correctness is ScalaTest recall-vs-baseline rather
-    * than a DuckDB oracle. */
+    * engine-specific, so correctness is ScalaTest recall-vs-baseline
+    * (LlmPillarSpec) rather than a DuckDB oracle.
+    *
+    * Signature plan: explode the shingle set once and take 16 `min` aggregates
+    * over seeded xxhash64 — whole-stage codegen'd with map-side partial mins,
+    * so the shuffle carries 16 longs per document regardless of document
+    * size. (The alternative — 16 `transform` higher-order passes per row —
+    * is interpreted and rescans the array 16×.) */
   def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val K = 16
-    val base = withShingles(spark, dir)
-    val sigCols = (0 until K).map(j =>
-      array_min(transform(col("sh"), s => xxhash64(lit(j), s))).as(s"h$j"))
-    val sigs = base.select(col("doc_id") +: sigCols: _*)
+    val base = withHashedShingles(spark, dir).persist()
+    val exploded = base.select(col("doc_id"), explode(col("hs")).as("h"))
+    val sigs = exploded.groupBy("doc_id").agg(
+      min(xxhash64(lit(0), col("h"))).as("h0"),
+      (1 until K).map(j => min(xxhash64(lit(j), col("h"))).as(s"h$j")): _*)
     val bands = (0 until K / 2).map(b =>
       struct(lit(b).as("band"), xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bkey")))
     val buckets = sigs.select(col("doc_id"), explode(array(bands: _*)).as("bd"))
@@ -84,22 +106,23 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val sh = base.select(col("doc_id"), col("sh"))
+    val hs = base.select(col("doc_id"), col("hs"))
     cands
-      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sha"), Seq("doc_a"))
-      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb"), Seq("doc_b"))
-      .withColumn("jac", jaccard(col("sha"), col("shb")))
+      .join(hs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hsa"), Seq("doc_a"))
+      .join(hs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hsb"), Seq("doc_b"))
+      .withColumn("jac", jaccard(col("hsa"), col("hsb")))
       .filter(col("jac") >= 0.8)
       .select(col("doc_a"), col("doc_b"), rnd(col("jac"), 4).as("jaccard"))
   }
 
   /** Per-document 64-bit SimHash signature: shingle-hash bit voting — one
-    * explode + one wide (64-column) hash aggregation, map-side combined. */
+    * explode + one wide (64-column) hash aggregation, map-side combined.
+    * MinHash seed-0 shingle hashes and SimHash shingle hashes share the same
+    * xxhash64(shingle) base, so the two signature pipelines could share one
+    * scan in a combined job. */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val hashed = docs
-      .select(col("doc_id"), explode(array_distinct(shingles(tokens(col("text")), 3))).as("s"))
-      .withColumn("h", xxhash64(col("s")))
+    val hashed = withHashedShingles(spark, dir)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
     val voteCols = (0 until 64).map(i =>
       sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i"))
     val votes = hashed.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
@@ -110,12 +133,16 @@ object Dedup {
 
   /** M6: SimHash near-dup pairs — candidates collide in one of eight 8-bit
     * chunks (pigeonhole: any pair within Hamming distance 7 has an untouched
-    * chunk, so recall at the ≤7 output bound is exact — DedupSpec proves it
-    * against brute force), verified with bit_count(xor) ≤ 7. At much larger
-    * corpora the 8-bit chunks get dense: widen to 16-bit chunks with
-    * multi-probe, trading recall bound for bucket sparsity. */
+    * chunk, so recall at the ≤7 output bound is exact — LlmPillarSpec proves
+    * it against brute force), verified with bit_count(xor) ≤ 7. At much
+    * larger corpora the 8-bit chunks get dense: widen to 16-bit chunks with
+    * multi-probe, trading recall bound for bucket sparsity.
+    *
+    * The signature table is persisted before the self-join — it is the
+    * product of the corpus-wide explode/aggregate, and both join sides need
+    * it; without the persist the whole signature pipeline runs twice. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val signatures = simhashSignatures(spark, dir)
+    val signatures = simhashSignatures(spark, dir).persist()
     val chunks = signatures.select(col("doc_id"), col("simhash"),
       explode(array((0 until 8).map(c =>
         struct(lit(c).as("c"),
@@ -155,6 +182,6 @@ object Dedup {
              AND abs(a.n_chars - b.n_chars) <= 50) p
           WHERE jac >= 0.5""")
     // m6_minhash_dedup / m6_simhash_pairs: engine-specific hash (xxhash64) →
-    // no SQL oracle; verified by DedupSpec recall tests against the
+    // no SQL oracle; verified by LlmPillarSpec recall tests against the
     // m6_ngram_jaccard baseline.
 }

@@ -91,5 +91,5 @@ object Multimodal {
          CAST(octet_length(encode(text)) // 100 + 1 AS INTEGER) AS n_frames
          FROM documents""")
     // m7_decode_features: stubbed decoder is Scala-side → rows-only check +
-    // MultimodalSpec determinism test.
+    // LlmPillarSpec determinism test.
 }

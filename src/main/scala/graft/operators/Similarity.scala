@@ -12,30 +12,32 @@ import Exact.{rnd, sqlRnd}
   *
   * Two paths:
   *   - brute-force exact cosine top-k: the correctness baseline. Queries are
-  *     broadcast; the corpus never shuffles; the dot product is a
-  *     higher-order `zip_with`/`aggregate` fold — codegen'd, no UDF.
+  *     broadcast; the corpus never shuffles; the dot product is the engine's
+  *     native codegen'd `graft_dot` expression (graft.functions.DotProduct) —
+  *     one fused double loop inside whole-stage codegen, no UDF, no
+  *     interpreted higher-order lambda.
   *   - sign-LSH bucketed ANN: the 100 TB path. Each vector lands in a bucket
   *     keyed by the sign pattern of its leading dimensions (a fixed
   *     random-hyperplane LSH with axis-aligned planes); queries probe only
   *     their bucket, so the join is equi-keyed on bucket and work scales
   *     with bucket size, not corpus size. Recall-vs-exact is ScalaTest'd.
   *
-  * Determinism note: all arithmetic folds run left-to-right in double on
-  * both engines (Spark `aggregate`, DuckDB `list_reduce`), so similarity
-  * values are bit-identical and oracle-able.
+  * Determinism note: all dot-product folds run left-to-right in double on
+  * both engines (graft_dot, DuckDB `list_reduce`), so similarity values are
+  * bit-identical and oracle-able.
   */
 object Similarity {
 
-  /** Fold-based dot product of two double arrays — explicit left-to-right
-    * accumulation, bit-reproducible across engines. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Left-to-right double-fold dot product — the native expression. */
+  private def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  private def base(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir).select(
+  private def base(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.fanout(Tables.embeddings(spark, dir)).select(
       col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+  }
 
   private def probes(b: DataFrame): DataFrame =
     b.filter(col("vec_id") % 50 === 0)

@@ -113,13 +113,18 @@ object TextAnalysis {
   /** M6: document fingerprint — winnowing-style: the minimum hash over the
     * document's 3-shingles (md5 so the oracle can replay it bit-for-bit).
     * Equal fingerprints ⇒ near-identical prefix content; used as a cheap
-    * first-pass dedup key. */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(tokens(col("text")), 3)
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      array_min(transform(sh, s => md5(s))).as("fingerprint"))
-  }
+    * first-pass dedup key.
+    *
+    * Plan shape: materialize the shingle array in its own projection, then
+    * hash+min in a second — nesting the shingle constructor inside the md5
+    * transform makes one giant interpreted HOF tree; splitting it lets each
+    * stage evaluate once. `fanout` spreads the per-row md5 work across cores
+    * (single-split test file). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanout(Tables.documents(spark, dir))
+      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+      .select(col("doc_id"),
+        array_min(transform(col("sh"), s => md5(s))).as("fingerprint"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m6_token_tf"      -> tokenTf,

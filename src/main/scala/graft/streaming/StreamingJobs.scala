@@ -51,6 +51,26 @@ object StreamingJobs {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark.conf.set("spark.sql.streaming.minBatchesToRetain", "100")
     spark.conf.set("spark.sql.streaming.stopGracefullyOnShutdown", "true")
+    // Checkpoint the RocksDB changelog instead of re-snapshotting the full
+    // store every commit — the per-batch checkpoint cost becomes O(delta),
+    // which is what keeps 10 s triggers viable once state is GBs.
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+  }
+
+  /** Run `body` with the session's shuffle parallelism pinned to `n` — the
+    * stateful-operator partition count is fixed by the first micro-batch's
+    * shuffle setting, and each state partition opens its own RocksDB store
+    * per batch. 32 partitions × a handful of micro-batches of test data is
+    * pure constant overhead; production sizing is state volume / executor
+    * count, picked at first deployment (it is frozen into the checkpoint).
+    * The streaming query clones the session conf at `start()`, so the pin
+    * only needs to cover query startup. */
+  private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
   }
 
   /** Stage the events table as n time-ordered parquet files in a fresh temp
@@ -65,10 +85,13 @@ object StreamingJobs {
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
     val bucketed = events.withColumn(
       "_file", ntile(nFiles).over(Window.orderBy(col("ts"), col("event_id"))))
-    (1 to nFiles).foreach { i =>
-      bucketed.filter(col("_file") === i).drop("_file")
-        .coalesce(1).write.mode("append").parquet(src)
-    }
+      .persist() // one global sort, reused by every per-file filter pass
+    try {
+      (1 to nFiles).foreach { i =>
+        bucketed.filter(col("_file") === i).drop("_file")
+          .coalesce(1).write.mode("append").parquet(src)
+      }
+    } finally bucketed.unpersist()
     src
   }
 
@@ -92,28 +115,30 @@ object StreamingJobs {
 
   /** Drain a bounded stream to completion through update mode + the
     * key-upsert sink; returns the sink dir. */
-  def drainUpdate(df: DataFrame, sinkDir: String): Unit = {
-    val ckpt = Files.createTempDirectory("graft-stream-ckpt-").toString
-    val q = df.writeStream
-      .outputMode(OutputMode.Update)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt)
-      .foreachBatch(UpsertSink.appendBatch(sinkDir) _)
-      .start()
-    q.awaitTermination()
-  }
+  def drainUpdate(df: DataFrame, sinkDir: String): Unit =
+    withShufflePartitions(df.sparkSession, 8) {
+      val ckpt = Files.createTempDirectory("graft-stream-ckpt-").toString
+      val q = df.writeStream
+        .outputMode(OutputMode.Update)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(UpsertSink.appendBatch(sinkDir) _)
+        .start()
+      q.awaitTermination()
+    }
 
   /** Drain an append-mode bounded stream (dedup / stateful classify). */
-  def drainAppend(df: DataFrame, sinkDir: String): Unit = {
-    val ckpt = Files.createTempDirectory("graft-stream-ckpt-").toString
-    val q = df.writeStream
-      .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt)
-      .foreachBatch(UpsertSink.appendBatch(sinkDir) _)
-      .start()
-    q.awaitTermination()
-  }
+  def drainAppend(df: DataFrame, sinkDir: String): Unit =
+    withShufflePartitions(df.sparkSession, 8) {
+      val ckpt = Files.createTempDirectory("graft-stream-ckpt-").toString
+      val q = df.writeStream
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(UpsertSink.appendBatch(sinkDir) _)
+        .start()
+      q.awaitTermination()
+    }
 
   /** Continuous production form (reference main, streaming_job.py:733-767):
     * 10 s processing-time trigger, checkpointed, graceful shutdown via

@@ -25,11 +25,18 @@ object UpsertSink {
 
   /** foreachBatch hook: append the micro-batch stamped with its id. Skips
     * empty batches like the reference's `df.rdd.isEmpty()` guard
-    * (streaming_job.py:566-568). */
-  def appendBatch(sinkDir: String)(batch: DataFrame, batchId: Long): Unit =
-    if (!batch.isEmpty)
-      batch.withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(sinkDir)
+    * (streaming_job.py:566-568). The batch is persisted across the
+    * guard + write — a foreachBatch DataFrame re-runs the whole micro-batch
+    * plan (including the state-store read) on every action, so an unpersisted
+    * isEmpty probe would double each batch's work. */
+  def appendBatch(sinkDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    batch.persist()
+    try {
+      if (!batch.isEmpty)
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(sinkDir)
+    } finally batch.unpersist()
+  }
 
   /** Last-write-wins view over everything appended: latest batch's row per
     * key. One shuffle on the key — the same shape as W8 latest-per-key. */
