@@ -22,6 +22,8 @@ object SparkEntry {
     Seq(
       (Projections.queries, Projections.oracles),
       (WindowAggregates.queries, WindowAggregates.oracles),
+      (Generator.queries, Generator.oracles),
+      (Connectors.queries, Connectors.oracles),
       (Validation.queries, Validation.oracles),
       (AnalyticWindows.queries, AnalyticWindows.oracles),
       (Joins.queries, Joins.oracles),

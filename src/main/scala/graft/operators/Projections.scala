@@ -54,11 +54,24 @@ object Projections {
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
 
+  /** P6: batch-constant `processed_at` column (streaming_job.py:346-349 —
+    * the reference stamps ONE driver-side constant per query start, not a
+    * per-row clock). The deterministic stand-in for "now" is max(ts) over
+    * the batch, computed once and broadcast — same single-constant
+    * semantics, oracle-able. */
+  def processedAt(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val now = events.agg(max("ts").as("processed_at"))
+    events.crossJoin(broadcast(now))
+      .select(col("event_id"), col("ts"), col("processed_at"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_json_projection" -> jsonProjection,
     "p2_struct_flatten"  -> structFlatten,
     "p3_timestamp_parse" -> timestampParse,
-    "p4_null_filter"     -> nullFilter)
+    "p4_null_filter"     -> nullFilter,
+    "p6_processed_at"    -> processedAt)
 
   val oracles: Map[String, String] = Map(
     "p1_json_projection" ->
@@ -71,5 +84,8 @@ object Projections {
          date_trunc('milliseconds', ts) AS parsed
          FROM events""",
     "p4_null_filter" ->
-      "SELECT event_id, user_id, ts, value FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL")
+      "SELECT event_id, user_id, ts, value FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL",
+    "p6_processed_at" ->
+      """SELECT event_id, ts, (SELECT max(ts) FROM events) AS processed_at
+         FROM events""")
 }

@@ -41,6 +41,18 @@ object Serving {
       .limit(1000)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
 
+  /** O3: API pagination — page 2 (size 10) of the newest-first listing
+    * (docs/topic3_usage_guide.md:187-189 `ORDER BY window_start DESC LIMIT`,
+    * Learning Guide.txt:1084 `limit` param). Offset pagination matches the
+    * reference's API shape; at depth the scale-safe variant is keyset
+    * pagination (`WHERE ts < last_seen ORDER BY ts DESC LIMIT n`), which
+    * this plan degrades to by swapping the offset for the pushed filter. */
+  def apiPagination(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .offset(10).limit(10)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+
   /** M5a: per-key time series between dates at hourly granularity
     * (API `GET /sensors/{id}/analytics`, Learning Guide.txt:1084 §2). */
   def timeSeries(spark: SparkSession, dir: String): DataFrame =
@@ -78,6 +90,7 @@ object Serving {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o1_sort_limit"       -> sortLimit,
     "o2_topk_histogram"   -> topkHistogram,
+    "o3_api_pagination"   -> apiPagination,
     "s7_incremental_read" -> incrementalRead,
     "m5a_time_series"     -> timeSeries,
     "m5b_staging_transform" -> stagingTransform,
@@ -90,6 +103,9 @@ object Serving {
     "o2_topk_histogram" ->
       """SELECT event_type, count(*) AS cnt FROM events
          GROUP BY 1 ORDER BY cnt DESC, event_type LIMIT 10""",
+    "o3_api_pagination" ->
+      """SELECT event_id, ts, user_id, value FROM events
+         ORDER BY ts DESC, event_id DESC LIMIT 10 OFFSET 10""",
     "s7_incremental_read" ->
       """SELECT event_id, ts, user_id, value FROM events
          WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'

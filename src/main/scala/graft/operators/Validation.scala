@@ -139,6 +139,32 @@ object Validation {
       .select(col("event_id"), col("user_id"), col("bucket"))
   }
 
+  /** V6: dedicated completeness check — critical fields present and not
+    * null-strings (validation_consumer.py:324-350; CRITICAL_FIELDS :76). */
+  def completenessCheck(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      col("user_id").isNotNull.as("user_id_present"),
+      col("value").isNotNull.as("value_present"),
+      (col("event_type").isNotNull &&
+        !lower(trim(col("event_type"))).isin("null", "none", "n/a", ""))
+        .as("event_type_complete"))
+
+  /** V9: producer-side lightweight gate (producer.py:109-164) — the cheap
+    * pre-serialization checks: required fields non-null, identifier shape
+    * sane. Rows failing the gate are dropped before the envelope is built
+    * (Connectors.kafkaEnvelope), like the reference's pre-send validation. */
+  def producerGate(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("value").isNotNull && col("event_type").isNotNull &&
+        col("event_type").rlike("^[a-z]"))
+
+  /** V9 registered view: the gated stream. */
+  def producerGateQuery(spark: SparkSession, dir: String): DataFrame =
+    producerGate(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
   /** V8: full validation split — all rows with reasons + flag. */
   def validationSplit(spark: SparkSession, dir: String): DataFrame =
     withFailures(Tables.events(spark, dir), eventRules)
@@ -156,7 +182,9 @@ object Validation {
     "v3_range_check"      -> rangeCheck,
     "v4_format_check"     -> formatCheck,
     "v5_freshness_check"  -> freshnessCheck,
+    "v6_completeness"     -> completenessCheck,
     "v7_dedup_bucket"     -> dedupBucket,
+    "v9_producer_gate"    -> producerGateQuery,
     "v8_validation_split" -> validationSplit,
     "v8b_dlq_branch"      -> dlqBranch)
 
@@ -196,6 +224,17 @@ object Validation {
          ts > m.now AS is_future,
          ts < m.now - INTERVAL 5 MINUTE AS is_stale
          FROM events, (SELECT max(ts) AS now FROM events) m""",
+    "v6_completeness" ->
+      """SELECT event_id,
+         user_id IS NOT NULL AS user_id_present,
+         value IS NOT NULL AS value_present,
+         (event_type IS NOT NULL AND
+          lower(trim(event_type)) NOT IN ('null','none','n/a','')) AS event_type_complete
+         FROM events""",
+    "v9_producer_gate" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+           AND event_type IS NOT NULL AND regexp_matches(event_type, '^[a-z]')""",
     "v7_dedup_bucket" ->
       """SELECT event_id, user_id, bucket FROM (
            SELECT event_id, user_id,
