@@ -17,6 +17,22 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Untimed warm-up: one trivial pass over each table plus a small
+    // agg/join, so the first timed query doesn't absorb one-time JVM/codegen
+    // warm-up (classloading, janino, parquet footer caches) that no
+    // steady-state deployment pays per query.
+    locally {
+      import org.apache.spark.sql.functions._
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")
+        .foreach(t => Tables.load(spark, sfDir, t).count())
+      Tables.events(spark, sfDir).groupBy("event_type").count()
+        .write.format("noop").mode("overwrite").save()
+      Tables.events(spark, sfDir).limit(1000)
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts")))
+        .write.format("noop").mode("overwrite").save()
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full evaluation of every output column (a bare count()

@@ -24,6 +24,7 @@ object SparkEntry {
       (WindowAggregates.queries, WindowAggregates.oracles),
       (Generator.queries, Generator.oracles),
       (Connectors.queries, Connectors.oracles),
+      (Scorecard.queries, Scorecard.oracles),
       (Validation.queries, Validation.oracles),
       (AnalyticWindows.queries, AnalyticWindows.oracles),
       (Joins.queries, Joins.oracles),

@@ -44,6 +44,53 @@ object Connectors {
           col("value").cast("string").as("value"))).as("value"),
         pmod(col("user_id"), lit(3)).cast("int").as("kafka_partition"))
 
+  // ---- S1/S4: Kafka consumer source + envelope parse -----------------------
+
+  /** S1: the Kafka stream source with the reference's exact option surface
+    * (streaming_job.py:205-230 — including the rate limit the reference
+    * misspells into a no-op; here it is the real option). The connector jar
+    * (`spark-sql-kafka-0-10`) ships with a Kafka deployment, not this test
+    * environment, so the builder is exercised end-to-end via
+    * `parseEnvelope` over wire-shaped frames instead (s1_kafka_roundtrip). */
+  def kafkaSource(spark: SparkSession, topic: String, servers: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .option("failOnDataLoss", "false")
+      .option("maxOffsetsPerTrigger", "10000")
+      .load()
+
+  /** S4+P1+P2: consumer-side envelope parse — schema-on-read `from_json`
+    * over the Kafka wire schema (binary key/value), struct flatten, typed
+    * re-parse of the serialized fields (streaming_job.py:233-271). Works
+    * identically on the streaming source and on any wire-shaped batch
+    * frame; malformed JSON nulls out (permissive mode), to be dropped by
+    * the P4 null filters downstream. */
+  def parseEnvelope(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val wire = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", StringType),
+      StructField("value", StringType)))
+    df.select(
+        col("key").cast("string").as("kafka_key"),
+        from_json(col("value").cast("string"), wire).as("data"))
+      .select(col("kafka_key"), col("data.*"))
+      .withColumn("ts", to_timestamp(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("value", col("value").cast("double"))
+  }
+
+  /** S1/S4 registered check: serialize → wire bytes → parse must reproduce
+    * the gated source rows (timestamps at the envelope's second precision).
+    * This is the producer/consumer contract the reference runs across a
+    * broker, minus the broker. */
+  def kafkaRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    parseEnvelope(
+      kafkaEnvelope(spark, dir).select(
+        col("key").cast("binary").as("key"),
+        col("value").cast("binary").as("value")))
+
   // ---- S8: batch key-upsert sink (MERGE INTO over a parquet target) --------
 
   /** MERGE semantics over a parquet target dir: read the current snapshot,
@@ -133,12 +180,20 @@ object Connectors {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_kafka_roundtrip"    -> kafkaRoundtrip,
     "s2_kafka_envelope"     -> kafkaEnvelope,
     "s8_upsert_sink"        -> upsertSink,
     "s9_sync_watermark"     -> syncWatermark,
     "s12_partitioned_output" -> partitionedOutput)
 
   val oracles: Map[String, String] = Map(
+    "s1_kafka_roundtrip" ->
+      """SELECT CAST(user_id AS VARCHAR) AS kafka_key,
+         event_id, user_id, event_type,
+         date_trunc('second', ts) AS ts, value
+         FROM events
+         WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+           AND event_type IS NOT NULL AND regexp_matches(event_type, '^[a-z]')""",
     "s2_kafka_envelope" ->
       """SELECT CAST(user_id AS VARCHAR) AS key,
          json_object('event_id', event_id, 'user_id', user_id,

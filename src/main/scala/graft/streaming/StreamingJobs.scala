@@ -79,6 +79,17 @@ object StreamingJobs {
     * in-order stream — same delivery contract as the reference's per-sensor
     * ordered Kafka partitions (producer.py:227-243). Harness-only code: the
     * global ntile sort is the staging cost, not part of any query plan. */
+  private val stagedDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+
+  /** Memoized staging: the three registered drain queries replay the same
+    * bounded stream, so the staged files are built once per (table, nFiles)
+    * and shared. Staging is harness scaffolding (the "broker"), not part of
+    * any query's plan — sharing it changes no semantics: each drain still
+    * runs its own checkpoint, state store, and sink. */
+  def stagedEvents(spark: SparkSession, dir: String, nFiles: Int): String =
+    stagedDirs.getOrElseUpdate((dir, nFiles), stage(spark, dir, nFiles))
+
   def stage(spark: SparkSession, dir: String, nFiles: Int): String = {
     val src = Files.createTempDirectory("graft-stream-src-").toString
     val events = Tables.events(spark, dir)
@@ -161,7 +172,7 @@ object StreamingJobs {
     * oracle. */
   def streamWindowAggQuery(spark: SparkSession, dir: String): DataFrame = {
     configureStreaming(spark)
-    val src = stage(spark, dir, 4)
+    val src = stagedEvents(spark, dir, 4)
     val sink = Files.createTempDirectory("graft-stream-sink-").toString
     drainUpdate(streamWindowAgg(readEventStream(spark, src)), sink)
     UpsertSink.lastWriteWins(spark, sink, Seq("user_id", "window_start"))
@@ -175,7 +186,7 @@ object StreamingJobs {
     * the deterministic surface is the key set. */
   def streamDedupQuery(spark: SparkSession, dir: String): DataFrame = {
     configureStreaming(spark)
-    val src = stage(spark, dir, 4)
+    val src = stagedEvents(spark, dir, 4)
     val sink = Files.createTempDirectory("graft-stream-sink-").toString
     val deduped = readEventStream(spark, src)
       .withColumn("bucket", expr("(unix_micros(ts) div 5000000) * 5"))
@@ -237,7 +248,7 @@ object StreamingJobs {
 
   def statefulDedupQuery(spark: SparkSession, dir: String): DataFrame = {
     configureStreaming(spark)
-    val src = stage(spark, dir, 4)
+    val src = stagedEvents(spark, dir, 4)
     val sink = Files.createTempDirectory("graft-stream-sink-").toString
     drainAppend(classifyDups(readEventStream(spark, src)).toDF(), sink)
     UpsertSink.appended(spark, sink)
