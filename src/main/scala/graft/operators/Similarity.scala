@@ -80,9 +80,47 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rnk"), rnd(col("sim"), 4).as("sim"))
   }
 
+  /** M6: embedding-cosine near-duplicate pairs — the semantic-dedup
+    * complement of the lexical MinHash/SimHash paths: bucket-blocked
+    * all-pairs within each sign-LSH bucket, verified at cosine ≥ 0.95,
+    * first-id-wins keeper. Same scale story as annLsh: the join is
+    * equi-keyed on bucket, never corpus × corpus. Near-identical vectors
+    * agree on every sign bit, so true near-dups share a bucket by
+    * construction (a boundary-straddling pair needs multi-probe — the
+    * documented recall trade, identical in both engines).
+    *
+    * The synthetic corpus has no natural near-dups (max pairwise cosine
+    * ≈ 0.51), so — like exactDedup — every 20th vector is re-injected with
+    * its first coordinate scaled 1.1×, deterministically in both engines:
+    * cosine(v, v′) ≈ 0.999 and the sign pattern is unchanged, so each
+    * planted pair must surface through its shared bucket. */
+  def embedDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val orig = Tables.fanout(Tables.embeddings(spark, dir)).select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val copies = orig.filter(col("vec_id") % 20 === 0).select(
+      (col("vec_id") + 1000000).as("vec_id"),
+      transform(col("v"), (x, i) => when(i === 0, x * 1.1).otherwise(x)).as("v"))
+    val b = orig.unionAll(copies)
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("bucket", signBucket(col("v"), 8))
+    val x = b.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("norm").as("na"))
+    val y = b.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("norm").as("nb"))
+    x.join(y, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= 0.95)
+      .select(col("vec_a"), col("vec_b"), rnd(col("sim"), 4).as("sim"),
+        least(col("vec_a"), col("vec_b")).as("keeper_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m6_cosine_topk" -> cosineTopK,
-    "m6_ann_lsh"     -> annLsh)
+    "m6_ann_lsh"     -> annLsh,
+    "m6_embed_dedup" -> embedDedup)
 
   private val vSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
   private val normSql = "sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b))"
@@ -103,6 +141,20 @@ object Similarity {
               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
             FROM p) t
           WHERE rnk <= 10""",
+    "m6_embed_dedup" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          u AS (SELECT vec_id, v FROM e
+                UNION ALL
+                SELECT vec_id + 1000000, list_prepend(v[1] * 1.1, v[2:]) FROM e
+                WHERE vec_id % 20 = 0),
+          n AS (SELECT vec_id, v, $normSql AS nrm, ${bucketSql("v")} AS bucket FROM u),
+          p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, b.v), q -> q[1] * q[2])), (x, y) -> x + y)
+                    / (a.nrm * b.nrm) AS sim
+                FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+          SELECT vec_a, vec_b, ${sqlRnd("sim", 4)} AS sim,
+                 least(vec_a, vec_b) AS keeper_id
+          FROM p WHERE sim >= 0.95""",
     "m6_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
           n AS (SELECT vec_id, v, $normSql AS nrm, ${bucketSql("v")} AS bucket FROM e),

@@ -103,8 +103,28 @@ object WindowAggregates {
       rnd(col("cnt") * 100.0 / sum("cnt").over(Window.partitionBy()), 4))
   }
 
+  /** A7: salted two-stage aggregation — the skew pattern for hot keys.
+    * `event_type` has ~5 distinct values, the degenerate skew case: a plain
+    * groupBy routes 1/5 of a 100 TB table through single reducers. Stage 1
+    * aggregates (key, salt) with 16 salts — hot keys fan out 16-way; stage 2
+    * collapses the salts per key, shuffling 16 tiny partial rows per key.
+    * Decimal partial sums keep the two-stage total bit-equal to the
+    * single-stage oracle regardless of how rows land in salts. (Spark's
+    * partial/final agg does this automatically when the map side combines
+    * well; explicit salting is for when hot-key *reduce* partitions are the
+    * bottleneck — this operator is that plan, written out.) */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), pmod(col("event_id"), lit(16)).as("salt"))
+      .agg(sum(col("value").cast("decimal(28,2)")).as("psum"),
+        count(lit(1)).as("pcnt"))
+      .groupBy(col("event_type"))
+      .agg(rnd(sum("psum").cast("double"), 2).as("total_value"),
+        sum("pcnt").as("cnt"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_window_agg"        -> windowAgg,
+    "a7_salted_agg"        -> saltedAgg,
     "a2_hourly_agg"        -> hourlyAgg,
     "a3_daily_mart"        -> dailyMart,
     "a3_location_stats"    -> locationStats,
@@ -126,6 +146,12 @@ object WindowAggregates {
          count(*) AS cnt
          FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
          GROUP BY 1, 2, 3""",
+    // The salted two-stage plan must equal the plain one-stage aggregate.
+    "a7_salted_agg" ->
+      s"""SELECT event_type,
+         ${sqlRnd(Exact.sqlSum("value"), 2)} AS total_value,
+         count(*) AS cnt
+         FROM events GROUP BY 1""",
     "a2_hourly_agg" ->
       s"""SELECT user_id, date_trunc('hour', ts) AS hour,
          ${sqlRnd(avgV, 4)} AS avg_value,
