@@ -5,7 +5,7 @@ import graft.operators.WindowAggregates
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import java.nio.file.Files
 
 /** The Structured Streaming runtime (SURVEY.md §2.10 — the heart of the
@@ -254,10 +254,74 @@ object StreamingJobs {
     UpsertSink.appended(spark, sink)
   }
 
+  // M4d: the same classification on the transformWithState API (arbitrary
+  // stateful processing v2, Spark 4) — explicit ValueState + an event-time
+  // timer for the 1-minute state GC, instead of the flatMapGroupsWithState
+  // timeout. Both forms stay registered: same semantics, same oracle, the
+  // legacy and current state APIs verified against each other.
+
+  /** Per-(sensor, bucket) classifier. State lifecycle: created on the
+    * bucket's first row, GC'd by the timer 60 s (event time) after the
+    * bucket closes — the reference's 1-minute cleanup
+    * (validation_consumer.py:77, 353-409). */
+  class DupClassifier extends StatefulProcessor[(Long, Long), Reading, Classified] {
+    @transient private var seen: ValueState[BucketState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[BucketState]("seen",
+        org.apache.spark.sql.Encoders.product[BucketState], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, Long), rows: Iterator[Reading],
+        timerValues: TimerValues): Iterator[Classified] = {
+      val sorted = rows.toSeq.sortBy(r => (r.tsMicros, r.event_id))
+      val fresh = !seen.exists()
+      var s = if (fresh) Seq.empty[Long] else seen.get().seenTs
+      val out = sorted.map { r =>
+        val cls =
+          if (s.contains(r.tsMicros)) "exact_dup"
+          else if (s.nonEmpty) "near_dup"
+          else "unique"
+        s = s :+ r.tsMicros
+        Classified(r.event_id, r.user_id, r.bucket, cls)
+      }
+      seen.update(BucketState(s))
+      if (fresh) getHandle.registerTimer((key._2 + 5 + 60) * 1000L)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: (Long, Long), timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Classified] = {
+      seen.clear()
+      Iterator.empty
+    }
+  }
+
+  def classifyDupsTws(stream: DataFrame): Dataset[Classified] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .withColumn("tsMicros", unix_micros(col("ts")))
+      .withColumn("bucket", expr("(unix_micros(ts) div 5000000) * 5"))
+      .withWatermark("ts", "1 minute")
+      .select(col("event_id"), col("user_id"), col("ts"), col("tsMicros"), col("bucket"))
+      .as[Reading]
+      .groupByKey(r => (r.user_id, r.bucket))
+      .transformWithState(new DupClassifier, TimeMode.EventTime, OutputMode.Append)
+  }
+
+  def statefulDedupTwsQuery(spark: SparkSession, dir: String): DataFrame = {
+    configureStreaming(spark)
+    val src = stagedEvents(spark, dir, 4)
+    val sink = Files.createTempDirectory("graft-stream-sink-").toString
+    drainAppend(classifyDupsTws(readEventStream(spark, src)).toDF(), sink)
+    UpsertSink.appended(spark, sink)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m4_stream_window_agg" -> streamWindowAggQuery,
     "m4b_stream_dedup"     -> streamDedupQuery,
-    "m4c_stateful_dedup"   -> statefulDedupQuery)
+    "m4c_stateful_dedup"   -> statefulDedupQuery,
+    "m4d_stateful_dedup_tws" -> statefulDedupTwsQuery)
 
   val oracles: Map[String, String] = Map(
     // Identical to the batch a1 oracle: bounded-drain equivalence.
@@ -267,6 +331,15 @@ object StreamingJobs {
          (CAST(floor(epoch(ts)) AS BIGINT) // 5) * 5 AS bucket
          FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL""",
     "m4c_stateful_dedup" ->
+      """SELECT event_id, user_id, bucket,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, bucket ORDER BY ts, event_id) = 1 THEN 'unique'
+              WHEN row_number() OVER (PARTITION BY user_id, bucket, ts ORDER BY event_id) > 1 THEN 'exact_dup'
+              ELSE 'near_dup' END AS dup_class
+         FROM (SELECT event_id, user_id, ts,
+                 (CAST(floor(epoch(ts)) AS BIGINT) // 5) * 5 AS bucket
+               FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL) t""")
+    .updated("m4d_stateful_dedup_tws",
+      // Same semantics as m4c through the transformWithState API.
       """SELECT event_id, user_id, bucket,
          CASE WHEN row_number() OVER (PARTITION BY user_id, bucket ORDER BY ts, event_id) = 1 THEN 'unique'
               WHEN row_number() OVER (PARTITION BY user_id, bucket, ts ORDER BY event_id) > 1 THEN 'exact_dup'
