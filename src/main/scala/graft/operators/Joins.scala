@@ -97,8 +97,50 @@ object Joins {
           .when(col("user_id").isNotNull, "inserted")
           .otherwise("unchanged").as("merge_action"))
 
+  /** J5: bucketed co-located join — the "pre-partition both sides on the
+    * join key" layout (builder brief; Learning Guide.txt:1045 §5 partition
+    * advice generalized to joins). Both tables are written `bucketBy` the
+    * order key into the session catalog once; the sort-merge join then reads
+    * bucket-aligned files with NO shuffle exchange on either side
+    * (JoinsSpec asserts it). This is the layout that makes a repeated
+    * fact-to-fact join at 100 TB pay its shuffle once at write time instead
+    * of on every query; `hint("merge")` pins SMJ so the demo doesn't degrade
+    * to a broadcast at toy scale. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val db = "graft_buckets"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    // session-catalog tables at a fresh path per (session, sf dir) — the
+    // in-memory catalog dies with the session but managed-table locations
+    // would not, so the bucketed files live in session-scoped temp dirs
+    if (!spark.catalog.tableExists(s"$db.lineitem_b") ||
+        BucketedTables.dirFor.get(spark) != Some(dir)) {
+      val loc = java.nio.file.Files.createTempDirectory("graft-buckets-").toString
+      Tables.lineitem(spark, dir).write
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$loc/lineitem_b")
+        .mode("overwrite").saveAsTable(s"$db.lineitem_b")
+      Tables.orders(spark, dir).write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$loc/orders_b")
+        .mode("overwrite").saveAsTable(s"$db.orders_b")
+      BucketedTables.dirFor.put(spark, dir)
+    }
+    val li = spark.table(s"$db.lineitem_b").hint("merge")
+    val o  = spark.table(s"$db.orders_b").hint("merge")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        Exact.rnd(Exact.sumD("l_quantity"), 2).as("total_qty"),
+        count(lit(1)).as("cnt"))
+  }
+
+  private object BucketedTables {
+    val dirFor = scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_broadcast_join" -> broadcastJoin,
+    "j5_bucketed_join"  -> bucketedJoin,
     "j2_enrichment_join" -> enrichmentJoin,
     "j3_anti_join"      -> antiJoin,
     "j3b_semi_join"     -> semiJoin,
@@ -110,6 +152,13 @@ object Joins {
          ${Exact.sqlRnd("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE)", 2)} AS revenue,
          count(*) AS cnt
          FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1""",
+    // Bucketed layout must answer identically to the direct join.
+    "j5_bucketed_join" ->
+      s"""SELECT o_orderpriority,
+         ${Exact.sqlRnd(Exact.sqlSum("l_quantity"), 2)} AS total_qty,
+         count(*) AS cnt
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1""",
     "j2_enrichment_join" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment

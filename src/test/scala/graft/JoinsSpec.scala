@@ -1,0 +1,28 @@
+package graft
+
+import graft.operators.Joins
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape guarantees for the join family (the part the value-comparing
+  * oracle cannot see). */
+class JoinsSpec extends AnyFunSuite with SparkFixture {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed join plans a sort-merge join with no shuffle exchange") {
+    val df = Joins.bucketedJoin(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+    // the join inputs are bucket-aligned: the only exchange allowed in the
+    // whole plan is the post-join aggregation shuffle, which hashes on the
+    // group key, not the join key
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(_.contains("o_orderpriority")),
+      s"join-side shuffle found:\n${exchanges.mkString("\n")}")
+    assert(df.count() > 0)
+  }
+
+  test("broadcast join plans a broadcast hash join on the dimension side") {
+    val plan = Joins.broadcastJoin(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}
