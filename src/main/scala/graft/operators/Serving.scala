@@ -87,8 +87,25 @@ object Serving {
           .when(col("value") > 200, "warning")
           .otherwise("normal").as("sensor_status"))
 
+  /** M5d: the `spark.sql` entry surface — the same engine driven by SQL text
+    * over registered views instead of the DataFrame DSL (both compile to the
+    * same Catalyst plan; this registers the proof). TPC-H Q1-shaped pricing
+    * summary with the engine's exact-arithmetic conventions inline. */
+  def sqlPricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+           floor(CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_qty,
+           floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_price,
+           count(*) AS cnt
+         FROM lineitem_v
+         WHERE l_shipdate <= TIMESTAMP '1998-06-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o1_sort_limit"       -> sortLimit,
+    "m5d_sql_pricing_summary" -> sqlPricingSummary,
     "o2_topk_histogram"   -> topkHistogram,
     "o3_api_pagination"   -> apiPagination,
     "s7_incremental_read" -> incrementalRead,
@@ -103,6 +120,14 @@ object Serving {
     "o2_topk_histogram" ->
       """SELECT event_type, count(*) AS cnt FROM events
          GROUP BY 1 ORDER BY cnt DESC, event_type LIMIT 10""",
+    "m5d_sql_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         floor(CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_qty,
+         floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_price,
+         count(*) AS cnt
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-06-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
     "o3_api_pagination" ->
       """SELECT event_id, ts, user_id, value FROM events
          ORDER BY ts DESC, event_id DESC LIMIT 10 OFFSET 10""",

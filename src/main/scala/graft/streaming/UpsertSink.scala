@@ -38,6 +38,36 @@ object UpsertSink {
     } finally batch.unpersist()
   }
 
+  /** Retry-on-sink-failure (reference streaming_job.py:90-93, 535-550:
+    * tenacity exponential backoff 2 s → 300 s). The reference retries
+    * forever; `maxAttempts` bounds it here so a misconfigured sink fails
+    * loudly instead of wedging the stream — set it high for the
+    * retry-forever semantics. Retrying the whole batch write is safe
+    * because the sink is idempotent per (key, batch_id). */
+  def withRetry[T](maxAttempts: Int = 8, firstDelayMs: Long = 2000,
+      maxDelayMs: Long = 300000)(body: => T): T = {
+    var attempt = 1
+    var delay = firstDelayMs
+    var result = Option.empty[T]
+    while (result.isEmpty) {
+      try result = Some(body)
+      catch {
+        case e: Exception if attempt < maxAttempts =>
+          attempt += 1
+          Thread.sleep(delay)
+          delay = math.min(delay * 2, maxDelayMs)
+      }
+    }
+    result.get
+  }
+
+  /** appendBatch wrapped in the reference's sink retry envelope. */
+  def appendBatchWithRetry(sinkDir: String, firstDelayMs: Long = 2000)(
+      batch: DataFrame, batchId: Long): Unit =
+    withRetry(firstDelayMs = firstDelayMs) {
+      appendBatch(sinkDir)(batch, batchId)
+    }
+
   /** Last-write-wins view over everything appended: latest batch's row per
     * key. One shuffle on the key — the same shape as W8 latest-per-key. */
   def lastWriteWins(spark: SparkSession, sinkDir: String, keys: Seq[String]): DataFrame = {

@@ -119,6 +119,37 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(out == Map(1L -> "v1", 2L -> "v0"))
   }
 
+  test("sink retry backs off and succeeds after transient failures") {
+    import spark.implicits._
+    val sink = tmp("retry-sink-")
+    var attempts = 0
+    val out = UpsertSink.withRetry(maxAttempts = 5, firstDelayMs = 1) {
+      attempts += 1
+      if (attempts < 3) sys.error("transient sink outage")
+      attempts
+    }
+    assert(out == 3)
+    // and the wrapped batch writer lands the data after flaky starts
+    attempts = 0
+    val flakyDir = sink + "/sub"
+    UpsertSink.withRetry(maxAttempts = 5, firstDelayMs = 1) {
+      attempts += 1
+      if (attempts < 2) sys.error("transient")
+      UpsertSink.appendBatch(flakyDir)(Seq((1L, "v")).toDF("k", "v"), 0L)
+    }
+    assert(spark.read.parquet(flakyDir).count() == 1)
+  }
+
+  test("sink retry gives up after maxAttempts") {
+    var attempts = 0
+    intercept[RuntimeException] {
+      UpsertSink.withRetry(maxAttempts = 3, firstDelayMs = 1) {
+        attempts += 1; sys.error("permanent outage")
+      }
+    }
+    assert(attempts == 3)
+  }
+
   test("empty micro-batch is skipped by the sink") {
     val sink = tmp("empty-sink-")
     UpsertSink.appendBatch(sink)(eventsDf(Seq.empty), 0L)
