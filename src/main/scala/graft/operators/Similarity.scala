@@ -80,6 +80,38 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rnk"), rnd(col("sim"), 4).as("sim"))
   }
 
+  /** M6: IVF-Flat ANN — the inverted-file index structure: a small coarse
+    * quantizer (here 1/125th of the corpus by fixed id rule — deterministic
+    * in both engines; a production build would k-means them) partitions the
+    * corpus into cells; a query probes only its nearest cell's list
+    * (nprobe=1). The 100 TB shape: centroids broadcast everywhere,
+    * assignment is a narrow argmax over ~√N centroids (no shuffle), and the
+    * search join is equi-keyed on cell id — like annLsh but with
+    * data-adaptive cells instead of fixed hyperplanes, trading recall at
+    * cell boundaries for balanced lists. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir)
+    val cents = b.filter(col("vec_id") % 125 === 0).select(
+      col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    def assign(df: DataFrame): DataFrame = {
+      val scored = df.crossJoin(broadcast(cents))
+        .withColumn("csim", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+      val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+      scored.withColumn("crn", row_number().over(w)).filter(col("crn") === 1)
+        .select(col("vec_id"), col("v"), col("norm"), col("cent_id").as("cell"))
+    }
+    val corpus = assign(b)
+    val probes = assign(b.filter(col("vec_id") % 50 === 0)).select(
+      col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"), col("cell"))
+    val sims = corpus.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("norm") * col("qnorm")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("vec_id"), col("rnk"), rnd(col("sim"), 4).as("sim"))
+  }
+
   /** M6: embedding-cosine near-duplicate pairs — the semantic-dedup
     * complement of the lexical MinHash/SimHash paths: bucket-blocked
     * all-pairs within each sign-LSH bucket, verified at cosine ≥ 0.95,
@@ -120,6 +152,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m6_cosine_topk" -> cosineTopK,
     "m6_ann_lsh"     -> annLsh,
+    "m6_ann_ivf"     -> annIvf,
     "m6_embed_dedup" -> embedDedup)
 
   private val vSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -136,6 +169,29 @@ object Similarity {
           q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 50 = 0),
           p AS (SELECT q_id, vec_id, $dotSql / (nrm * qnrm) AS sim
                 FROM n CROSS JOIN q WHERE vec_id <> q_id)
+          SELECT q_id, vec_id, rnk, ${sqlRnd("sim", 4)} AS sim FROM (
+            SELECT q_id, vec_id, sim,
+              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+            FROM p) t
+          WHERE rnk <= 10""",
+    "m6_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          n AS (SELECT vec_id, v, $normSql AS nrm FROM e),
+          cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+                    WHERE vec_id % 125 = 0),
+          assigned AS (
+            SELECT vec_id, v, nrm, cent_id AS cell FROM (
+              SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+                row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                  list_reduce(list_prepend(0.0, list_transform(list_zip(n.v, c.cv), p -> p[1] * p[2])), (a, b) -> a + b)
+                    / (n.nrm * c.cnrm) DESC, c.cent_id) AS crn
+              FROM n CROSS JOIN cents c) t WHERE crn = 1),
+          q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cell FROM assigned
+                WHERE vec_id % 50 = 0),
+          p AS (SELECT q_id, a.vec_id,
+                  list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, a.v), r -> r[1] * r[2])), (x, y) -> x + y)
+                    / (a.nrm * q.qnrm) AS sim
+                FROM assigned a JOIN q USING (cell) WHERE a.vec_id <> q.q_id)
           SELECT q_id, vec_id, rnk, ${sqlRnd("sim", 4)} AS sim FROM (
             SELECT q_id, vec_id, sim,
               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk

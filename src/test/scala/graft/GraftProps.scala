@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Generator
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck properties for the pure invariants the operators lean on
+  * (SURVEY.md §5 — the property-based layer; DataFrame-backed behavior is
+  * covered by the ScalaTest suites and the DuckDB oracle). */
+object GraftProps extends Properties("graft") {
+
+  // ---- SimHash chunk blocking (Dedup.simhashPairs) -------------------------
+  // Pigeonhole guarantee: any pair within Hamming distance 7 shares at least
+  // one aligned 8-bit chunk, so chunk-bucket candidate generation has exact
+  // recall at the <=7 output bound — for EVERY signature and flip pattern.
+  property("simhash: hamming<=7 pairs always collide in some 8-bit chunk") =
+    forAll(Gen.long, Gen.listOfN(7, Gen.choose(0, 63))) { (sig, bits) =>
+      val other = bits.distinct.foldLeft(sig)((s, b) => s ^ (1L << b))
+      (0 until 8).exists(c => ((sig >>> (8 * c)) & 0xFF) == ((other >>> (8 * c)) & 0xFF))
+    }
+
+  property("simhash: converse — equal chunk does not require hamming<=7 (blocking only filters, never decides)") =
+    forAll(Gen.long) { sig =>
+      // flipping all 56 bits outside one chunk keeps that chunk equal while
+      // hamming = 56: candidates beyond the bound MUST still be verified
+      val other = sig ^ ~0xFFL
+      val sameChunk = ((sig >>> 0) & 0xFF) == ((other >>> 0) & 0xFF)
+      val hamming = java.lang.Long.bitCount(sig ^ other)
+      sameChunk && hamming > 7
+    }
+
+  // ---- Exact.rnd (the cross-engine round) ----------------------------------
+  private def rnd(x: Double, n: Int): Double = {
+    val p = math.pow(10, n)
+    math.floor(x * p + 0.5) / p
+  }
+
+  property("rnd: idempotent") =
+    forAll(Gen.choose(-1e6, 1e6)) { x => rnd(rnd(x, 4), 4) == rnd(x, 4) }
+
+  property("rnd: within half-step of the input") =
+    forAll(Gen.choose(-1e6, 1e6)) { x => math.abs(rnd(x, 4) - x) <= 0.5e-4 + 1e-9 }
+
+  property("rnd: exact 2-decimal doubles are fixed points") =
+    forAll(Gen.choose(-100000000L, 100000000L)) { cents =>
+      val x = cents / 100.0
+      rnd(x, 2) == x
+    }
+
+  // ---- Generator corruption bands (Generator.withIssues) -------------------
+  property("generator: bands are disjoint and cover their declared rates") = {
+    val occupied = Generator.classes.flatMap { case (_, lo, hi) => lo until hi }
+    Prop(occupied.distinct.size == occupied.size) :| "bands overlap" &&
+      Prop(Generator.classes.forall { case (_, lo, hi) => lo < hi && hi <= 100 }) :| "band out of range"
+  }
+
+  property("generator: every event id lands in exactly one class or clean") =
+    forAll(Gen.choose(0L, Long.MaxValue - 1)) { id =>
+      val band = id % 100
+      val hits = Generator.classes.count { case (_, lo, hi) => band >= lo && band < hi }
+      hits <= 1
+    }
+
+  // ---- 5-second dedup bucket (Validation.dedupBucket / StreamingJobs) ------
+  property("dedup bucket contains its timestamp and aligns to 5s") =
+    forAll(Gen.choose(0L, 4102444800000000L)) { micros => // through year 2100
+      val bucket = (micros / 5000000L) * 5L // seconds, floor to 5s
+      val sec = micros / 1000000L
+      bucket % 5 == 0 && bucket <= sec && sec < bucket + 5
+    }
+}
