@@ -76,8 +76,22 @@ object Multimodal {
     }.toDF()
   }
 
+  /** M7: frame sampling — every 4th frame of each payload's decode plan,
+    * exploded to one row per sampled frame with its byte offset. The
+    * video-frame-extraction shape: a narrow explode whose fan-out is bounded
+    * by the sampling stride, so downstream per-frame feature work
+    * parallelizes by frame, not by file. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    val meta = binaryMeta(spark, dir)
+    meta.select(col("doc_id"), col("byte_len"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(4))).as("frame_no"))
+      .withColumn("frame_offset", col("frame_no") * 100)
+      .select(col("doc_id"), col("frame_no"), col("frame_offset"), col("byte_len"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m7_binary_meta"    -> binaryMeta,
+    "m7_frame_sample"   -> frameSample,
     "m7_decode_features" -> decodeFeatures)
 
   val oracles: Map[String, String] = Map(
@@ -89,7 +103,14 @@ object Multimodal {
          octet_length(encode(text)) % 64 + 16 AS width,
          octet_length(encode(text)) % 48 + 16 AS height,
          CAST(octet_length(encode(text)) // 100 + 1 AS INTEGER) AS n_frames
-         FROM documents""")
+         FROM documents""",
+    "m7_frame_sample" ->
+      """SELECT doc_id, frame_no, frame_no * 100 AS frame_offset, byte_len
+         FROM (SELECT doc_id,
+                 octet_length(encode(text)) AS byte_len,
+                 CAST(octet_length(encode(text)) // 100 + 1 AS INTEGER) AS n_frames
+               FROM documents) m,
+              LATERAL unnest(range(0, CAST(n_frames AS BIGINT), 4)) AS u(frame_no)""")
     // m7_decode_features: stubbed decoder is Scala-side → rows-only check +
     // LlmPillarSpec determinism test.
 }

@@ -82,7 +82,7 @@ object StreamingJobs {
   private val stagedDirs =
     scala.collection.concurrent.TrieMap.empty[(String, Int), String]
 
-  /** Memoized staging: the three registered drain queries replay the same
+  /** Memoized staging: the registered drain queries replay the same
     * bounded stream, so the staged files are built once per (table, nFiles)
     * and shared. Staging is harness scaffolding (the "broker"), not part of
     * any query's plan — sharing it changes no semantics: each drain still
