@@ -126,7 +126,38 @@ object TextAnalysis {
       .select(col("doc_id"),
         array_min(transform(col("sh"), s => md5(s))).as("fingerprint"))
 
+  /** M6: per-language vocabulary size via HLL sketch — the scale path for
+    * COUNT(DISTINCT token): approx_count_distinct aggregates a constant-size
+    * sketch per group (map-side combined, mergeable across partitions),
+    * where exact distinct would shuffle every token. At 100 TB the sketch is
+    * the only viable plan; the exact twin rides along here so the
+    * LlmPillarSpec error-bound check (±5%) is self-contained. HLL internals
+    * are engine-specific → rows-only driver check + ScalaTest bound. */
+  def vocabHll(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"))
+      .agg(
+        approx_count_distinct(col("token"), 0.02).as("vocab_approx"),
+        countDistinct(col("token")).as("vocab_exact"),
+        count(lit(1)).as("n_tokens"))
+
+  /** M6: deterministic data mixing — per-language sampling rates (the
+    * corpus-balancing step of a training-data pipeline: downsample the
+    * dominant language, keep the rest). The keep-decision is a pure function
+    * of doc_id, so the mix is reproducible run-over-run and engine-over-
+    * engine — the property a 100 TB pipeline needs so re-runs and backfills
+    * select identical rows (a seeded RNG sample is engine-specific; an
+    * id-hash band is portable). */
+  def sampleMix(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(100)) <
+        when(col("lang") === "en", lit(30)).otherwise(lit(100)))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_vocab_hll"     -> vocabHll,
+    "m6_sample_mix"    -> sampleMix,
     "m6_token_tf"      -> tokenTf,
     "m6_quality_score" -> qualityScore,
     "m6_lang_profile"  -> langProfile,
@@ -135,6 +166,12 @@ object TextAnalysis {
     "m6_fingerprint"   -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    // m6_vocab_hll: HLL sketch internals are engine-specific → rows-only
+    // driver check; the ±2% rsd bound is asserted in LlmPillarSpec against
+    // the exact twin column.
+    "m6_sample_mix" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id % 100 < CASE WHEN lang = 'en' THEN 30 ELSE 100 END""",
     "m6_token_tf" ->
       s"""SELECT token, tf,
           ${sqlRnd("tf * 100.0 / sum(tf) OVER ()", 4)} AS share_pct

@@ -66,6 +66,17 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     assert(exact.count() == probes * 10)
   }
 
+  test("HLL vocabulary estimate stays within 5% of exact per language") {
+    val rows = graft.operators.TextAnalysis.vocabHll(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("vocab_approx").toDouble
+      val exact = r.getAs[Long]("vocab_exact").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"lang=${r.getAs[String]("lang")}: approx=$approx exact=$exact")
+    }
+  }
+
   test("stub media decode is deterministic and batch-shaped") {
     val a = Multimodal.decodeFeatures(spark, dir).orderBy("doc_id").collect()
     val b = Multimodal.decodeFeatures(spark, dir).orderBy("doc_id").collect()
