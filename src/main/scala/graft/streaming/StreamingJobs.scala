@@ -217,19 +217,32 @@ object StreamingJobs {
       state: GroupState[BucketState]): Iterator[Classified] = {
     if (state.hasTimedOut) { state.remove(); Iterator.empty }
     else {
-      val sorted = rows.toSeq.sortBy(r => (r.tsMicros, r.event_id))
-      var seen = state.getOption.map(_.seenTs).getOrElse(Seq.empty)
-      val out = sorted.map { r =>
-        val cls =
-          if (seen.contains(r.tsMicros)) "exact_dup"
-          else if (seen.nonEmpty) "near_dup"
-          else "unique"
-        seen = seen :+ r.tsMicros
-        Classified(r.event_id, r.user_id, r.bucket, cls)
+      // Unlike windowed aggregates, flatMapGroupsWithState does NOT filter
+      // beyond-watermark input — the watermark only drives timeouts, and a
+      // late row would otherwise resurrect a GC'd bucket (and make its
+      // timeout land before the watermark, which Spark rejects). Enforcing
+      // the reference's 1-minute lateness bound on the input is the
+      // operator's job.
+      val wm = state.getCurrentWatermarkMs()
+      val live = rows.toSeq.filter(r => r.tsMicros / 1000L >= wm)
+        .sortBy(r => (r.tsMicros, r.event_id))
+      if (live.isEmpty) Iterator.empty
+      else {
+        var seen = state.getOption.map(_.seenTs).getOrElse(Seq.empty)
+        val out = live.map { r =>
+          val cls =
+            if (seen.contains(r.tsMicros)) "exact_dup"
+            else if (seen.nonEmpty) "near_dup"
+            else "unique"
+          seen = seen :+ r.tsMicros
+          Classified(r.event_id, r.user_id, r.bucket, cls)
+        }
+        state.update(BucketState(seen))
+        // live rows are >= watermark, so the bucket deadline (+65 s) is
+        // always a legal (future-of-watermark) timeout
+        state.setTimeoutTimestamp((key._2 + 5 + 60) * 1000L)
+        out.iterator
       }
-      state.update(BucketState(seen))
-      state.setTimeoutTimestamp((key._2 + 5 + 60) * 1000L)
-      out.iterator
     }
   }
 
@@ -273,20 +286,27 @@ object StreamingJobs {
 
     override def handleInputRows(key: (Long, Long), rows: Iterator[Reading],
         timerValues: TimerValues): Iterator[Classified] = {
-      val sorted = rows.toSeq.sortBy(r => (r.tsMicros, r.event_id))
-      val fresh = !seen.exists()
-      var s = if (fresh) Seq.empty[Long] else seen.get().seenTs
-      val out = sorted.map { r =>
-        val cls =
-          if (s.contains(r.tsMicros)) "exact_dup"
-          else if (s.nonEmpty) "near_dup"
-          else "unique"
-        s = s :+ r.tsMicros
-        Classified(r.event_id, r.user_id, r.bucket, cls)
+      // transformWithState likewise delivers beyond-watermark rows to the
+      // operator — drop them here (see classify above for the rationale)
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val live = rows.toSeq.filter(r => r.tsMicros / 1000L >= wm)
+        .sortBy(r => (r.tsMicros, r.event_id))
+      if (live.isEmpty) Iterator.empty
+      else {
+        val fresh = !seen.exists()
+        var s = if (fresh) Seq.empty[Long] else seen.get().seenTs
+        val out = live.map { r =>
+          val cls =
+            if (s.contains(r.tsMicros)) "exact_dup"
+            else if (s.nonEmpty) "near_dup"
+            else "unique"
+          s = s :+ r.tsMicros
+          Classified(r.event_id, r.user_id, r.bucket, cls)
+        }
+        seen.update(BucketState(s))
+        if (fresh) getHandle.registerTimer((key._2 + 5 + 60) * 1000L)
+        out.iterator
       }
-      seen.update(BucketState(s))
-      if (fresh) getHandle.registerTimer((key._2 + 5 + 60) * 1000L)
-      out.iterator
     }
 
     override def handleExpiredTimer(key: (Long, Long), timerValues: TimerValues,

@@ -80,6 +80,35 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(row(0).getAs[Double]("total_value") == 60.0)
   }
 
+  test("stateful classifiers drop rows arriving after their bucket's watermark window") {
+    // both state APIs must agree: a row for a long-closed bucket, arriving
+    // after the watermark passed it, is filtered before the operator — its
+    // bucket's state has been GC'd and must not resurrect
+    StreamingJobs.configureStreaming(spark) // transformWithState needs RocksDB
+    for (classify <- Seq(
+        StreamingJobs.classifyDups(_: org.apache.spark.sql.DataFrame).toDF(),
+        StreamingJobs.classifyDupsTws(_: org.apache.spark.sql.DataFrame).toDF())) {
+      val src = tmp("cls-late-src-")
+      val sink = tmp("cls-late-sink-")
+      // batch 0: two rows in bucket B (minute 0); batch 1: minute 10 advances
+      // the watermark far past B+TTL; batch 2: a late exact-dup of row 1
+      eventsDf(Seq((1L, 0, 1.0), (2L, 0, 2.0))).coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1200)
+      eventsDf(Seq((3L, 10, 3.0))).coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1200)
+      eventsDf(Seq((4L, 0, 1.0))).coalesce(1).write.mode("append").parquet(src)
+      StreamingJobs.drainAppend(classify(StreamingJobs.readEventStream(spark, src)), sink)
+      val out = UpsertSink.appended(spark, sink)
+      // the late row 4 must be absent; rows 1-3 classified exactly once
+      assert(out.filter(col("event_id") === 4L).count() == 0,
+        "late row slipped past the watermark into the stateful operator")
+      assert(out.count() == 3)
+      assert(out.filter(col("dup_class") === "unique").count() == 2) // row 1 and row 3
+      // row 2 re-sends row 1's timestamp inside the same 5 s bucket
+      assert(out.filter(col("dup_class") === "exact_dup").count() == 1)
+    }
+  }
+
   test("StreamingQueryListener records batches and input rows") {
     val src = tmp("metrics-src-")
     val sink = tmp("metrics-sink-")
