@@ -188,7 +188,9 @@ object Validation {
     "v8_validation_split" -> validationSplit,
     "v8b_dlq_branch"      -> dlqBranch)
 
-  private val failuresSql =
+  /** DuckDB fragment of the full rule set (shared with the streaming
+    * pipeline oracle). */
+  val failuresSql =
     """concat_ws(';',
        CASE WHEN event_id IS NULL THEN 'Missing required field: event_id' END,
        CASE WHEN ts IS NULL THEN 'Missing required field: ts' END,

@@ -337,8 +337,29 @@ object StreamingJobs {
     UpsertSink.appended(spark, sink)
   }
 
+  /** M4e: the reference's FULL fused topology as one streaming query —
+    * validate (V1–V6 rule set inline, stateless Column exprs) → route (keep
+    * the valid branch; the DLQ branch is the complementary filter) →
+    * watermark → 5-min tumbling window agg → update mode → key-upsert sink.
+    * The reference runs these as two processes bridged by a Kafka topic
+    * (validation_consumer.py → streaming_job.py); fused here, Catalyst
+    * pipelines validation into the scan of the stateful stage — no
+    * intermediate hop, one shuffle total (the window agg's). */
+  def validatedPipelineQuery(spark: SparkSession, dir: String): DataFrame = {
+    configureStreaming(spark)
+    val src = stagedEvents(spark, dir, 4)
+    val sink = Files.createTempDirectory("graft-stream-sink-").toString
+    val valid = graft.operators.Validation
+      .withFailures(readEventStream(spark, src), graft.operators.Validation.eventRules)
+      .filter(col("data_quality_flag") === "valid")
+      .drop("validation_failures", "data_quality_flag")
+    drainUpdate(streamWindowAgg(valid), sink)
+    UpsertSink.lastWriteWins(spark, sink, Seq("user_id", "window_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m4_stream_window_agg" -> streamWindowAggQuery,
+    "m4e_validated_pipeline" -> validatedPipelineQuery,
     "m4b_stream_dedup"     -> streamDedupQuery,
     "m4c_stateful_dedup"   -> statefulDedupQuery,
     "m4d_stateful_dedup_tws" -> statefulDedupTwsQuery)
@@ -346,6 +367,11 @@ object StreamingJobs {
   val oracles: Map[String, String] = Map(
     // Identical to the batch a1 oracle: bounded-drain equivalence.
     "m4_stream_window_agg" -> WindowAggregates.oracles("a1_window_agg"),
+    // a1 restricted to rows the V1-V6 rule set passes — the fused topology
+    // must equal "batch-validate then batch-aggregate".
+    "m4e_validated_pipeline" -> WindowAggregates.oracles("a1_window_agg").replace(
+      "WHERE ts IS NOT NULL AND user_id IS NOT NULL",
+      s"WHERE ts IS NOT NULL AND user_id IS NOT NULL AND (${graft.operators.Validation.failuresSql}) = ''"),
     "m4b_stream_dedup" ->
       """SELECT DISTINCT user_id,
          (CAST(floor(epoch(ts)) AS BIGINT) // 5) * 5 AS bucket
