@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Exact.{rnd, sqlRnd}
 
@@ -80,8 +79,10 @@ object Generator {
   def issueStats(spark: SparkSession, dir: String): DataFrame = {
     val counts = withIssues(Tables.events(spark, dir))
       .groupBy(col("issue_type")).agg(count(lit(1)).as("cnt"))
-    counts.withColumn("pct",
-      rnd(col("cnt") * 100.0 / sum("cnt").over(Window.partitionBy()), 4))
+    val total = counts.agg(sum("cnt").as("_total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("pct", rnd(col("cnt") * 100.0 / col("_total"), 4))
+      .drop("_total")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -110,7 +110,36 @@ object Multimodal {
                  octet_length(encode(text)) AS byte_len,
                  CAST(octet_length(encode(text)) // 100 + 1 AS INTEGER) AS n_frames
                FROM documents) m,
-              LATERAL unnest(range(0, CAST(n_frames AS BIGINT), 4)) AS u(frame_no)""")
-    // m7_decode_features: stubbed decoder is Scala-side → rows-only check +
-    // LlmPillarSpec determinism test.
+              LATERAL unnest(range(0, CAST(n_frames AS BIGINT), 4)) AS u(frame_no)""",
+    // The stub decoder's stripes are pure byte arithmetic (acc = acc*31 + b
+    // with Java 64-bit wraparound), so DuckDB can replay them: the fold runs
+    // in HUGEINT mod 2^64, then converts to the signed interpretation for
+    // Java's floorMod. `unicode(text[i])` equals the payload byte because the
+    // corpus is pure ASCII (verified: length == octet_length corpus-wide).
+    "m7_decode_features" ->
+      s"""WITH folds AS (
+            SELECT doc_id, octet_length(encode(text)) AS blen,
+                   ${(0 until 4).map(k => s"${stripeFoldSql(k)} AS sm$k").mkString(", ")}
+            FROM documents)
+          SELECT doc_id,
+            CAST(blen % 64 + 16 AS INTEGER) AS width,
+            CAST(blen % 48 + 16 AS INTEGER) AS height,
+            CAST(4 AS INTEGER) AS n_features,
+            ${(0 until 4).map(k => s"${stripeValSql(s"sm$k")} AS f$k").mkString(", ")}
+          FROM folds""")
+
+  /** DuckDB fragment: the stripe-k fold over byte positions k, k+4, …
+    * (1-based SQL indices k+1, k+5, …) in HUGEINT mod 2^64 — Java long
+    * overflow semantics, exactly. */
+  private def stripeFoldSql(k: Int): String =
+    s"""list_reduce(list_prepend(0::HUGEINT,
+        list_transform(range(${k + 1}, length(text) + 1, 4), i -> unicode(text[i])::HUGEINT)),
+        (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT)"""
+
+  /** DuckDB fragment: Math.floorMod(signed(acc), 10000) / 10000.0 over a
+    * mod-2^64 fold value. */
+  private def stripeValSql(acc: String): String =
+    s"""CAST(((CASE WHEN $acc >= 9223372036854775808::HUGEINT
+         THEN $acc - 18446744073709551616::HUGEINT ELSE $acc END) % 10000
+         + 10000) % 10000 AS DOUBLE) / 10000.0"""
 }

@@ -39,14 +39,20 @@ object TextAnalysis {
   // ---- registered queries -------------------------------------------------
 
   /** M6: corpus term frequency — explode/groupBy, the canonical text-to-table
-    * pivot. Share-of-corpus via a scalar subquery-style broadcast. */
+    * pivot. The corpus total rides a 1-row broadcast crossJoin, not an
+    * unpartitioned window: `Window.partitionBy()` funnels the entire
+    * vocabulary (10⁷–10⁸ rows at 100 TB) through a single task, while the
+    * scalar agg is a tree-reduced one-row exchange and the broadcast is free.
+    * (Same pattern as Projections.processedAt / Validation.freshnessCheck.) */
   def tokenTf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val tf = docs
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("tf"))
-    tf.withColumn("share_pct",
-      rnd(col("tf") * 100.0 / sum("tf").over(Window.partitionBy()), 4))
+    val total = tf.agg(sum("tf").as("_total"))
+    tf.crossJoin(broadcast(total))
+      .withColumn("share_pct", rnd(col("tf") * 100.0 / col("_total"), 4))
+      .drop("_total")
   }
 
   /** M6: per-document quality score — length, lexical diversity, stopword
@@ -131,9 +137,8 @@ object TextAnalysis {
     * sketch per group (map-side combined, mergeable across partitions),
     * where exact distinct would shuffle every token. At 100 TB the sketch is
     * the only viable plan; the exact twin rides along here so the
-    * LlmPillarSpec error-bound check (±5%) is self-contained. HLL internals
-    * are engine-specific → rows-only driver check + ScalaTest bound. */
-  def vocabHll(spark: SparkSession, dir: String): DataFrame =
+    * error-bound check (±5%) is self-contained. */
+  def vocabHllFull(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("lang"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("lang"))
@@ -141,6 +146,19 @@ object TextAnalysis {
         approx_count_distinct(col("token"), 0.02).as("vocab_approx"),
         countDistinct(col("token")).as("vocab_exact"),
         count(lit(1)).as("n_tokens"))
+
+  /** The registered (oracle-able) surface of the HLL sketch: HLL internals
+    * are engine-specific, so the *sketch value* can't hash-match DuckDB —
+    * but its error bound can. The query emits the exact twin plus
+    * `approx_ok` = |approx−exact|/exact ≤ 0.05; the oracle asserts the same
+    * columns with `approx_ok` constant-true, so a sketch drifting out of
+    * bound fails the hash compare. (Raw approx values: vocabHllFull +
+    * LlmPillarSpec.) */
+  def vocabHll(spark: SparkSession, dir: String): DataFrame =
+    vocabHllFull(spark, dir).select(
+      col("lang"), col("vocab_exact"), col("n_tokens"),
+      (abs(col("vocab_approx") - col("vocab_exact")) / col("vocab_exact") <= 0.05)
+        .as("approx_ok"))
 
   /** M6: deterministic data mixing — per-language sampling rates (the
     * corpus-balancing step of a training-data pipeline: downsample the
@@ -166,9 +184,12 @@ object TextAnalysis {
     "m6_fingerprint"   -> fingerprint)
 
   val oracles: Map[String, String] = Map(
-    // m6_vocab_hll: HLL sketch internals are engine-specific → rows-only
-    // driver check; the ±2% rsd bound is asserted in LlmPillarSpec against
-    // the exact twin column.
+    "m6_vocab_hll" ->
+      """SELECT lang, count(DISTINCT token) AS vocab_exact,
+         count(*) AS n_tokens, TRUE AS approx_ok
+         FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+               FROM documents) u
+         GROUP BY 1""",
     "m6_sample_mix" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id % 100 < CASE WHEN lang = 'en' THEN 30 ELSE 100 END""",

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Exact.{rnd, sqlRnd}
 
@@ -93,14 +92,16 @@ object WindowAggregates {
 
   /** A5: failure-type histogram with share-of-total
     * (≙ validation metric counters, validation_consumer.py:590-629). The
-    * grand total comes from a single-partition window over the tiny
-    * aggregated result (5 rows), not over the raw input. */
+    * grand total is a scalar agg broadcast back over the (tiny) histogram —
+    * uniform with tokenTf's pattern, and never a single-task window even if
+    * the group count grows. */
   def failureHistogram(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.events(spark, dir)
       .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
-    counts.withColumn(
-      "pct",
-      rnd(col("cnt") * 100.0 / sum("cnt").over(Window.partitionBy()), 4))
+    val total = counts.agg(sum("cnt").as("_total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("pct", rnd(col("cnt") * 100.0 / col("_total"), 4))
+      .drop("_total")
   }
 
   /** A7: salted two-stage aggregation — the skew pattern for hot keys.

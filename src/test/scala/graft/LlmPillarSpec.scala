@@ -67,7 +67,7 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("HLL vocabulary estimate stays within 5% of exact per language") {
-    val rows = graft.operators.TextAnalysis.vocabHll(spark, dir).collect()
+    val rows = graft.operators.TextAnalysis.vocabHllFull(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val approx = r.getAs[Long]("vocab_approx").toDouble
