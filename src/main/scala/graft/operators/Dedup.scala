@@ -17,15 +17,27 @@ import TextAnalysis.{shingles, sqlShingles, tokens}
   * groups. The pair-verification joins carry small arrays, never the
   * documents themselves.
   *
-  * Representation: shingle *sets* travel as `array<long>` (xxhash64 of each
-  * shingle), not `array<string>`. Set intersection/union over fixed-width
-  * longs is several times cheaper than over strings, and |A∩B|/|A∪B| is
-  * unchanged as long as xxhash64 is collision-free within a pair's union
-  * (~100 elements against 2^64 — p < 1e-15). The DuckDB oracle verifies the
-  * same Jaccard values over the raw string shingles, so the hashed
-  * representation is itself under test.
+  * Representation: shingle *sets* travel as `array<long>` — the leading 60
+  * bits of each shingle's md5, parsed base-16. Set intersection/union over
+  * fixed-width longs is several times cheaper than over strings, and
+  * |A∩B|/|A∪B| is unchanged as long as the hash is collision-free within a
+  * pair's union (~100 elements against 2^60 — p < 1e-14). md5 rather than
+  * xxhash64 so that every derived value — signatures, band keys, Hamming
+  * distances, Jaccard scores — replays bit-for-bit in the DuckDB oracle
+  * (the m6_fingerprint precedent); the hashed representation is itself
+  * under test via the string-based m6_ngram_jaccard oracle.
   */
 object Dedup {
+
+  /** Portable 60-bit string hash: leading 15 hex chars of md5, parsed
+    * base-16. Identical in Spark (`conv`) and DuckDB (`'0x…'::BIGINT`), and
+    * always non-negative (60 < 63 bits). */
+  private def md5Fold60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB fragment of the same fold. */
+  private def sqlMd5Fold60(e: String): String =
+    s"('0x' || substring(md5($e), 1, 15))::BIGINT"
 
   /** doc_id + distinct 3-shingle set, as raw strings (`sh`). */
   private def withShingles(spark: SparkSession, dir: String): DataFrame =
@@ -33,10 +45,10 @@ object Dedup {
       col("doc_id"), col("lang"), col("n_chars"),
       array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
 
-  /** doc_id + distinct 3-shingle set hashed to longs (`hs`). */
+  /** doc_id + distinct 3-shingle set hashed to 60-bit longs (`hs`). */
   private def withHashedShingles(spark: SparkSession, dir: String): DataFrame =
     withShingles(spark, dir)
-      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
+      .withColumn("hs", transform(col("sh"), s => md5Fold60(s)))
       .drop("sh")
 
   private def jaccard(a: Column, b: Column): Column =
@@ -78,31 +90,52 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), rnd(col("jac"), 4).as("jaccard"))
   }
 
+  /** 16 fixed 60-bit seed constants (md5 folds of the labeled strings
+    * "graft-minhash-seed-0" … "-15", precomputed). Seeded hash j of a
+    * shingle is `h XOR seed(j)` — XOR by a constant is a bijection on the
+    * 60-bit space, so `min` over the XORed set is a valid min-hash, and
+    * unlike a multiply-mix it can't overflow (DuckDB BIGINT arithmetic
+    * traps on overflow where Java wraps, so portable seeding must stay in
+    * the closed 60-bit space). Over md5-uniform inputs the family behaves
+    * like K independent permutations — the LlmPillarSpec full-recall test
+    * is the evidence. */
+  private val MinhashSeeds: Seq[Long] = Seq(
+    368668074902938470L, 503308711148817440L, 450733781062510100L,
+    39895129003038287L, 59085833860066412L, 612818671747303880L,
+    1017128387380279556L, 560584678017946125L, 113564005840921273L,
+    1126933404566375857L, 87294872125405469L, 49575436028117281L,
+    593912392119572144L, 161392729458965159L, 149695091444534988L,
+    373670151712934387L)
+
   /** M6: MinHash + LSH banding — the 100 TB near-dup path. 16 min-hashes per
     * document, 8 bands × 2 rows; a pair is a candidate iff it collides in
     * some band (P ≈ 1−(1−j²)⁸ — ~1.0 at j=0.9), then verified with exact
-    * Jaccard. Hash seeds are fixed → fully deterministic, but xxhash64 is
-    * engine-specific, so correctness is ScalaTest recall-vs-baseline
-    * (LlmPillarSpec) rather than a DuckDB oracle.
+    * Jaccard. Hash seeds are fixed and every value is an md5 fold → fully
+    * deterministic AND oracle-replayable: the DuckDB oracle re-runs the
+    * whole pipeline (signatures, banding, verification) and hash-compares.
     *
-    * Signature plan: explode the shingle set once and take 16 `min` aggregates
-    * over seeded xxhash64 — whole-stage codegen'd with map-side partial mins,
-    * so the shuffle carries 16 longs per document regardless of document
-    * size. (The alternative — 16 `transform` higher-order passes per row —
-    * is interpreted and rescans the array 16×.) */
+    * Signature plan: explode the shingle set once and take 16 `min`
+    * aggregates over the XOR-seeded folds — whole-stage codegen'd with
+    * map-side partial mins, so the shuffle carries 16 longs per document
+    * regardless of document size. (The alternative — 16 `transform`
+    * higher-order passes per row — is interpreted and rescans the array
+    * 16×.) Band keys are the raw (band, h_even, h_odd) pairs: band
+    * collision IS pair equality, no second-level hash needed. */
   def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val K = 16
     val base = withHashedShingles(spark, dir).persist()
     val exploded = base.select(col("doc_id"), explode(col("hs")).as("h"))
     val sigs = exploded.groupBy("doc_id").agg(
-      min(xxhash64(lit(0), col("h"))).as("h0"),
-      (1 until K).map(j => min(xxhash64(lit(j), col("h"))).as(s"h$j")): _*)
+      min(col("h").bitwiseXOR(lit(MinhashSeeds(0)))).as("h0"),
+      (1 until K).map(j =>
+        min(col("h").bitwiseXOR(lit(MinhashSeeds(j)))).as(s"h$j")): _*)
     val bands = (0 until K / 2).map(b =>
-      struct(lit(b).as("band"), xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bkey")))
+      struct(lit(b).as("band"), col(s"h${2 * b}").as("k1"), col(s"h${2 * b + 1}").as("k2")))
     val buckets = sigs.select(col("doc_id"), explode(array(bands: _*)).as("bd"))
-      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+      .select(col("doc_id"), col("bd.band").as("band"),
+        col("bd.k1").as("k1"), col("bd.k2").as("k2"))
     val cands = buckets.as("x")
-      .join(buckets.as("y"), Seq("band", "bkey"))
+      .join(buckets.as("y"), Seq("band", "k1", "k2"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
@@ -115,43 +148,59 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), rnd(col("jac"), 4).as("jaccard"))
   }
 
-  /** Per-document 64-bit SimHash signature: shingle-hash bit voting — one
-    * explode + one wide (64-column) hash aggregation, map-side combined.
-    * MinHash seed-0 shingle hashes and SimHash shingle hashes share the same
-    * xxhash64(shingle) base, so the two signature pipelines could share one
-    * scan in a combined job. */
+  /** Per-document 64-bit SimHash signature as two 32-bit halves (`sim_hi`,
+    * `sim_lo`): shingle-hash bit voting — one explode + one wide (64-column)
+    * sum aggregation, map-side combined. The halves come from md5 hex chars
+    * 1-8 / 9-16, so both engines derive identical bits; two 32-bit columns
+    * rather than one 64-bit value because bit 63 of a combined signature
+    * would need unsigned arithmetic that Java wraps and DuckDB rejects. */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = withHashedShingles(spark, dir)
-      .select(col("doc_id"), explode(col("hs")).as("h"))
-    val voteCols = (0 until 64).map(i =>
-      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i"))
+    val hashed = withShingles(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), md5(col("s")).as("m"))
+      .select(col("doc_id"),
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("lo"))
+    val voteCols =
+      (0 until 32).map(i =>
+        sum(shiftright(col("hi"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i")) ++
+      (0 until 32).map(i =>
+        sum(shiftright(col("lo"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"c$i"))
     val votes = hashed.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-    val sim = (0 until 64).map(i =>
+    val simHi = (0 until 32).map(i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-    votes.select(col("doc_id"), sim.as("simhash"))
+    val simLo = (0 until 32).map(i =>
+      when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    votes.select(col("doc_id"), simHi.as("sim_hi"), simLo.as("sim_lo"))
   }
 
   /** M6: SimHash near-dup pairs — candidates collide in one of eight 8-bit
     * chunks (pigeonhole: any pair within Hamming distance 7 has an untouched
     * chunk, so recall at the ≤7 output bound is exact — LlmPillarSpec proves
-    * it against brute force), verified with bit_count(xor) ≤ 7. At much
-    * larger corpora the 8-bit chunks get dense: widen to 16-bit chunks with
-    * multi-probe, trading recall bound for bucket sparsity.
+    * it against brute force), verified with summed bit_count(xor) ≤ 7. At
+    * much larger corpora the 8-bit chunks get dense: widen to 16-bit chunks
+    * with multi-probe, trading recall bound for bucket sparsity.
     *
     * The signature table is persisted before the self-join — it is the
     * product of the corpus-wide explode/aggregate, and both join sides need
     * it; without the persist the whole signature pipeline runs twice. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val signatures = simhashSignatures(spark, dir).persist()
-    val chunks = signatures.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 8).map(c =>
-        struct(lit(c).as("c"),
-          shiftright(col("simhash"), 8 * c).bitwiseAND(lit(0xFFL)).as("chunk"))): _*)).as("ck"))
-      .select(col("doc_id"), col("simhash"), col("ck.c").as("c"), col("ck.chunk").as("chunk"))
+    val chunkCols = (0 until 8).map { c =>
+      val src = if (c < 4) col("sim_hi") else col("sim_lo")
+      struct(lit(c).as("c"),
+        shiftright(src, 8 * (c % 4)).bitwiseAND(lit(0xFFL)).as("chunk"))
+    }
+    val chunks = signatures
+      .select(col("doc_id"), col("sim_hi"), col("sim_lo"),
+        explode(array(chunkCols: _*)).as("ck"))
+      .select(col("doc_id"), col("sim_hi"), col("sim_lo"),
+        col("ck.c").as("c"), col("ck.chunk").as("chunk"))
     chunks.as("x").join(chunks.as("y"), Seq("c", "chunk"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        (bit_count(col("x.sim_hi").bitwiseXOR(col("y.sim_hi"))) +
+         bit_count(col("x.sim_lo").bitwiseXOR(col("y.sim_lo")))).as("hamming"))
       .filter(col("hamming") <= 7)
       .dropDuplicates("doc_a", "doc_b")
   }
@@ -172,6 +221,8 @@ object Dedup {
                UNION ALL
                SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0) u
          GROUP BY 1""",
+    // The oracle verifies over the RAW STRING shingles, so the 60-bit hashed
+    // representation the engine joins on is itself under test here.
     "m6_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, lang, n_chars, $shSql AS s FROM documents)
           SELECT doc_a, doc_b, ${sqlRnd("jac", 4)} AS jaccard FROM (
@@ -180,8 +231,59 @@ object Dedup {
             FROM sh a JOIN sh b
               ON a.lang = b.lang AND a.doc_id < b.doc_id
              AND abs(a.n_chars - b.n_chars) <= 50) p
-          WHERE jac >= 0.5""")
-    // m6_minhash_dedup / m6_simhash_pairs: engine-specific hash (xxhash64) →
-    // no SQL oracle; verified by LlmPillarSpec recall tests against the
-    // m6_ngram_jaccard baseline.
+          WHERE jac >= 0.5""",
+    // Full replay of the MinHash pipeline: same folds, same XOR seeds, same
+    // banding, same verification — every intermediate is portable by
+    // construction.
+    "m6_minhash_dedup" ->
+      s"""WITH sh AS (SELECT doc_id, $shSql AS s FROM documents),
+          hs AS (SELECT doc_id, list_transform(s, x -> ${sqlMd5Fold60("x")}) AS h FROM sh),
+          sigs AS (SELECT doc_id,
+            ${MinhashSeeds.zipWithIndex.map { case (s, j) =>
+              s"list_min(list_transform(h, x -> xor(x, $s))) AS h$j" }.mkString(", ")}
+            FROM hs),
+          bands AS (
+            ${(0 until 8).map(b =>
+              s"SELECT doc_id, $b AS band, h${2 * b} AS k1, h${2 * b + 1} AS k2 FROM sigs")
+              .mkString(" UNION ALL ")}),
+          cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                    FROM bands x JOIN bands y
+                      ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2
+                    WHERE x.doc_id < y.doc_id),
+          pairs AS (SELECT doc_a, doc_b,
+                      len(list_intersect(a.h, b.h)) / CAST(len(list_distinct(a.h || b.h)) AS DOUBLE) AS jac
+                    FROM cands
+                    JOIN hs a ON a.doc_id = cands.doc_a
+                    JOIN hs b ON b.doc_id = cands.doc_b)
+          SELECT doc_a, doc_b, ${sqlRnd("jac", 4)} AS jaccard
+          FROM pairs WHERE jac >= 0.8""",
+    // Full replay of the SimHash pipeline: same bit votes, same chunk
+    // blocking, same Hamming verification.
+    "m6_simhash_pairs" ->
+      s"""WITH sh AS (SELECT doc_id, $shSql AS s FROM documents),
+          ex AS (SELECT doc_id, unnest(s) AS s FROM sh),
+          hx AS (SELECT doc_id,
+                   ('0x' || substring(md5(s), 1, 8))::BIGINT AS hi,
+                   ('0x' || substring(md5(s), 9, 8))::BIGINT AS lo
+                 FROM ex),
+          votes AS (SELECT doc_id,
+            ${(0 until 32).map(i => s"sum(((hi >> $i) & 1) * 2 - 1) AS b$i").mkString(", ")},
+            ${(0 until 32).map(i => s"sum(((lo >> $i) & 1) * 2 - 1) AS c$i").mkString(", ")}
+            FROM hx GROUP BY 1),
+          sigs AS (SELECT doc_id,
+            ${(0 until 32).map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS sim_hi,
+            ${(0 until 32).map(i => s"(CASE WHEN c$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS sim_lo
+            FROM votes),
+          chunks AS (
+            ${(0 until 8).map { c =>
+              val src = if (c < 4) "sim_hi" else "sim_lo"
+              s"SELECT doc_id, sim_hi, sim_lo, $c AS c, ($src >> ${8 * (c % 4)}) & 255 AS chunk FROM sigs"
+            }.mkString(" UNION ALL ")})
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+            CAST(bit_count(xor(x.sim_hi, y.sim_hi))
+               + bit_count(xor(x.sim_lo, y.sim_lo)) AS INTEGER) AS hamming
+          FROM chunks x JOIN chunks y ON x.c = y.c AND x.chunk = y.chunk
+          WHERE x.doc_id < y.doc_id
+            AND bit_count(xor(x.sim_hi, y.sim_hi))
+              + bit_count(xor(x.sim_lo, y.sim_lo)) <= 7""")
 }

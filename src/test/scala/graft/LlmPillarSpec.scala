@@ -29,13 +29,16 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
   test("simhash chunk blocking finds exactly the brute-force hamming<=7 pairs") {
     val simPairs = Dedup.simhashPairs(spark, dir)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // brute-force spec: all-pairs hamming over the signatures
+    // brute-force spec: all-pairs hamming over the (hi, lo) signatures
     val sigs = Dedup.simhashSignatures(spark, dir)
-    val a = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
-    val b = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
+    val a = sigs.select(col("doc_id").as("doc_a"),
+      col("sim_hi").as("ha"), col("sim_lo").as("la"))
+    val b = sigs.select(col("doc_id").as("doc_b"),
+      col("sim_hi").as("hb"), col("sim_lo").as("lb"))
     val brute = a.crossJoin(b)
       .filter(col("doc_a") < col("doc_b"))
-      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 7)
+      .filter((bit_count(col("ha").bitwiseXOR(col("hb"))) +
+               bit_count(col("la").bitwiseXOR(col("lb")))) <= 7)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(brute.nonEmpty, "fixture should contain simhash-near pairs")
     assert(simPairs == brute,
