@@ -165,6 +165,68 @@ object Validation {
     producerGate(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
 
+  // ---- V1b: closed-schema enforcement over the wire envelope ---------------
+
+  /** The producer envelope's closed key set — the whitelist of
+    * validation_consumer.py:151-153, translated to the events schema. */
+  val EnvelopeWhitelist: Seq[String] =
+    Seq("event_id", "user_id", "event_type", "ts", "value")
+
+  /** V1b fixture: the gated producer envelope as a JSON wire document, with
+    * the reference generator's three JSON-level schema corruptions injected
+    * deterministically on the schema_violation band (event_id % 100 ∈
+    * [47,51) — Generator.classes): 47-48 drop a required key ("incomplete
+    * transmission", generator.py:409-415), 49 adds unexpected_field
+    * ("schema evolution issue", :417-419), 50 typos value→vaue ("incorrect
+    * field name", :421-424 — one corruption, two findings: a missing
+    * required key AND an unexpected key, like temperature→temprature). */
+  def closedSchemaEnvelope(spark: SparkSession, dir: String): DataFrame = {
+    val envelope = map(
+      lit("event_id"), col("event_id").cast("string"),
+      lit("user_id"), col("user_id").cast("string"),
+      lit("event_type"), col("event_type"),
+      lit("ts"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+      lit("value"), col("value").cast("string"))
+    val band = pmod(col("event_id"), lit(100))
+    val corrupted =
+      when(band.isin(47, 48), map_filter(envelope, (k, _) => k =!= "event_type"))
+        .when(band === 49,
+          map_concat(envelope, map(lit("unexpected_field"), lit("random_value"))))
+        .when(band === 50, map_concat(
+          map_filter(envelope, (k, _) => k =!= "value"),
+          map(lit("vaue"), col("value").cast("string"))))
+        .otherwise(envelope)
+    producerGate(spark, dir).select(col("event_id"), to_json(corrupted).as("wire"))
+  }
+
+  /** V1b: closed-schema validation (validation_consumer.py:142-155) — the
+    * consumer parses the wire value as an *open* `map<string,string>`
+    * (schema-on-read: a struct parse would silently drop unknown keys, so a
+    * closed-schema check must parse open) and rejects key sets that stray
+    * from the whitelist in either direction. Key lists are sorted before
+    * joining so the reasons are deterministic regardless of JSON key order.
+    * Pure Column expressions — one codegen'd projection, no shuffle. */
+  def closedSchemaCheck(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val wl = array(EnvelopeWhitelist.map(lit): _*)
+    val parsed = closedSchemaEnvelope(spark, dir)
+      .withColumn("keys", map_keys(from_json(col("wire"), MapType(StringType, StringType))))
+      .withColumn("unexpected", array_sort(array_except(col("keys"), wl)))
+      .withColumn("missing", array_sort(array_except(wl, col("keys"))))
+    val rules = Seq(
+      Rule("closed_schema_unexpected",
+        when(size(col("unexpected")) > 0,
+          concat(lit("Unexpected fields: "), array_join(col("unexpected"), ", ")))),
+      Rule("closed_schema_missing",
+        when(size(col("missing")) > 0,
+          concat(lit("Missing required field: "), array_join(col("missing"), ", ")))))
+    withFailures(parsed, rules)
+      .select(col("event_id"),
+        array_join(col("unexpected"), ",").as("unexpected_keys"),
+        array_join(col("missing"), ",").as("missing_keys"),
+        col("validation_failures"), col("data_quality_flag"))
+  }
+
   /** V8: full validation split — all rows with reasons + flag. */
   def validationSplit(spark: SparkSession, dir: String): DataFrame =
     withFailures(Tables.events(spark, dir), eventRules)
@@ -178,6 +240,7 @@ object Validation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_schema_presence"  -> schemaPresence,
+    "v1b_closed_schema"   -> closedSchemaCheck,
     "v2_type_check"       -> typeCheck,
     "v3_range_check"      -> rangeCheck,
     "v4_format_check"     -> formatCheck,
@@ -207,6 +270,46 @@ object Validation {
          event_type IS NOT NULL AS has_event_type,
          value IS NOT NULL AS has_value
          FROM events""",
+    // The oracle rebuilds the wire JSON (json_merge_patch injects/removes the
+    // same keys the Spark fixture does) and re-derives the key-set verdicts
+    // from json_keys — a genuine JSON replay, not a band-rule shortcut.
+    "v1b_closed_schema" ->
+      """WITH gated AS (
+           SELECT event_id, user_id, event_type, ts, value FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+             AND event_type IS NOT NULL AND regexp_matches(event_type, '^[a-z]')),
+         wire AS (
+           SELECT event_id, json_merge_patch(
+             json_object('event_id', CAST(event_id AS VARCHAR),
+                         'user_id', CAST(user_id AS VARCHAR),
+                         'event_type', event_type,
+                         'ts', strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                         'value', CAST(value AS VARCHAR)),
+             CASE WHEN event_id % 100 IN (47, 48) THEN '{"event_type": null}'
+                  WHEN event_id % 100 = 49 THEN '{"unexpected_field": "random_value"}'
+                  WHEN event_id % 100 = 50 THEN
+                    json_merge_patch('{"value": null}', json_object('vaue', CAST(value AS VARCHAR)))
+                  ELSE '{}' END) AS j
+           FROM gated),
+         ks AS (
+           SELECT event_id,
+             list_sort(list_filter(json_keys(j),
+               k -> k NOT IN ('event_id','user_id','event_type','ts','value'))) AS unex,
+             list_sort(list_filter(['event_id','user_id','event_type','ts','value'],
+               k -> NOT list_contains(json_keys(j), k))) AS miss
+           FROM wire)
+         SELECT event_id,
+           coalesce(list_aggregate(unex, 'string_agg', ','), '') AS unexpected_keys,
+           coalesce(list_aggregate(miss, 'string_agg', ','), '') AS missing_keys,
+           concat_ws(';',
+             CASE WHEN len(unex) > 0
+               THEN 'Unexpected fields: ' || list_aggregate(unex, 'string_agg', ', ') END,
+             CASE WHEN len(miss) > 0
+               THEN 'Missing required field: ' || list_aggregate(miss, 'string_agg', ', ') END)
+             AS validation_failures,
+           CASE WHEN len(unex) = 0 AND len(miss) = 0 THEN 'valid' ELSE 'invalid' END
+             AS data_quality_flag
+         FROM ks""",
     "v2_type_check" ->
       """SELECT event_id,
          json_extract_string(props, '$.k') AS k_raw,

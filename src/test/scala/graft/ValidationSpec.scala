@@ -78,6 +78,28 @@ class ValidationSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("closed-schema check routes every corrupted-key band to the DLQ, nothing else") {
+    val out = Validation.closedSchemaCheck(spark, dir).cache()
+    val band = pmod(col("event_id"), lit(100))
+    // bands 47-50 carry injected key corruption → all invalid
+    assert(out.filter(band.isin(47, 48, 49, 50) &&
+      col("data_quality_flag") === "valid").count() == 0)
+    // every other gated row has exactly the whitelisted keys → all valid
+    assert(out.filter(!band.isin(47, 48, 49, 50) &&
+      col("data_quality_flag") === "invalid").count() == 0)
+    // extra-key rows name the unexpected field (validation_consumer.py:155)
+    val extra = out.filter(band === 49).collect()
+    assert(extra.nonEmpty)
+    assert(extra.forall(_.getAs[String]("validation_failures")
+      .contains("Unexpected fields: unexpected_field")))
+    // the typo band is both a missing required key and an unexpected key
+    val typo = out.filter(band === 50).collect()
+    assert(typo.nonEmpty)
+    assert(typo.forall(r => r.getAs[String]("unexpected_keys") == "vaue" &&
+      r.getAs[String]("missing_keys") == "value"))
+    out.unpersist()
+  }
+
   test("issue stats are deterministic across reruns") {
     val a = Generator.issueStats(spark, dir).orderBy("issue_type").collect()
     val b = Generator.issueStats(spark, dir).orderBy("issue_type").collect()
