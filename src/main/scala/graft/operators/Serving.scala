@@ -87,6 +87,26 @@ object Serving {
           .when(col("value") > 200, "warning")
           .otherwise("normal").as("sensor_status"))
 
+  /** M5e: health/freshness probe — the API's health endpoint with
+    * data-freshness check (Learning Guide.txt:1084 §2/§4): per sensor, the
+    * newest reading, its lag behind the pipeline's frontier, and a stale
+    * flag at 1 hour. "Now" is the deterministic corpus frontier max(ts)
+    * (same substitution as V5 freshness — wall-clock would not be
+    * oracle-able); it rides a 1-row broadcast, the per-sensor agg is one
+    * map-side-combined hash aggregation. */
+  def healthProbe(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir).filter(col("ts").isNotNull)
+    val now = events.agg(max("ts").as("now"))
+    events.groupBy(col("user_id"))
+      .agg(max("ts").as("latest_ts"), count(lit(1)).as("n_readings"))
+      .crossJoin(broadcast(now))
+      .select(col("user_id"), col("latest_ts"), col("n_readings"),
+        (unix_timestamp(col("now")) - unix_timestamp(col("latest_ts")))
+          .as("lag_seconds"),
+        ((unix_timestamp(col("now")) - unix_timestamp(col("latest_ts"))) > 3600)
+          .as("is_stale"))
+  }
+
   /** M5d: the `spark.sql` entry surface — the same engine driven by SQL text
     * over registered views instead of the DataFrame DSL (both compile to the
     * same Catalyst plan; this registers the proof). TPC-H Q1-shaped pricing
@@ -111,7 +131,8 @@ object Serving {
     "s7_incremental_read" -> incrementalRead,
     "m5a_time_series"     -> timeSeries,
     "m5b_staging_transform" -> stagingTransform,
-    "m5c_sensor_status"   -> sensorStatus)
+    "m5c_sensor_status"   -> sensorStatus,
+    "m5e_health_probe"    -> healthProbe)
 
   val oracles: Map[String, String] = Map(
     "o1_sort_limit" ->
@@ -151,6 +172,17 @@ object Serving {
          CAST(hour(ts) AS INTEGER) AS event_hour,
          CAST(dayofweek(ts) + 1 AS INTEGER) AS event_dow
          FROM events""",
+    "m5e_health_probe" ->
+      """WITH e AS (SELECT user_id, ts FROM events WHERE ts IS NOT NULL),
+         agg AS (SELECT user_id, max(ts) AS latest_ts, count(*) AS n_readings
+                 FROM e GROUP BY 1),
+         m AS (SELECT max(ts) AS now FROM e)
+         SELECT user_id, latest_ts, n_readings,
+           CAST(floor(epoch(m.now)) AS BIGINT)
+             - CAST(floor(epoch(latest_ts)) AS BIGINT) AS lag_seconds,
+           (CAST(floor(epoch(m.now)) AS BIGINT)
+             - CAST(floor(epoch(latest_ts)) AS BIGINT)) > 3600 AS is_stale
+         FROM agg, m""",
     "m5c_sensor_status" ->
       """SELECT user_id, ts AS latest_ts, value,
          CASE WHEN value > 400 THEN 'critical'

@@ -90,6 +90,31 @@ object WindowAggregates {
           .as("validity_pct"),
         count(lit(1)).as("cnt"))
 
+  /** A4b: threshold evaluation over the daily quality ratios — the
+    * reference's planned monitoring rules (Learning Guide.txt:1058 §6;
+    * monitoring/alerts.py placeholder): alert when >10% of a day's rows
+    * would land in the DLQ, or a quality metric drops below 95%. The DLQ
+    * rate comes from the real V1-V6 rule set (withFailures), so this is the
+    * validator's own verdict being monitored, not a proxy. One hash
+    * aggregation; the threshold predicates are free column expressions. */
+  def qualityAlerts(spark: SparkSession, dir: String): DataFrame =
+    Validation.withFailures(Tables.events(spark, dir), Validation.eventRules)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        rnd(avg(when(col("value").isNotNull, 1.0).otherwise(0.0)) * 100, 4)
+          .as("completeness_pct"),
+        rnd(avg(when(col("value").between(0, 100), 1.0).otherwise(0.0)) * 100, 4)
+          .as("validity_pct"),
+        rnd(avg(when(col("data_quality_flag") === "invalid", 1.0).otherwise(0.0)) * 100, 4)
+          .as("dlq_pct"),
+        count(lit(1)).as("cnt"))
+      .withColumn("completeness_alert", col("completeness_pct") < 95.0)
+      .withColumn("validity_alert", col("validity_pct") < 95.0)
+      .withColumn("dlq_alert", col("dlq_pct") > 10.0)
+      .withColumn("alert_level",
+        when(col("dlq_alert") || col("completeness_alert") || col("validity_alert"),
+          lit("alert")).otherwise(lit("ok")))
+
   /** A5: failure-type histogram with share-of-total
     * (≙ validation metric counters, validation_consumer.py:590-629). The
     * grand total is a scalar agg broadcast back over the (tiny) histogram —
@@ -125,6 +150,7 @@ object WindowAggregates {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_window_agg"        -> windowAgg,
+    "a4b_quality_alerts"   -> qualityAlerts,
     "a7_salted_agg"        -> saltedAgg,
     "a2_hourly_agg"        -> hourlyAgg,
     "a3_daily_mart"        -> dailyMart,
@@ -182,6 +208,19 @@ object WindowAggregates {
          ${sqlRnd("avg(CASE WHEN value BETWEEN 0 AND 100 THEN 1.0 ELSE 0.0 END) * 100", 4)} AS validity_pct,
          count(*) AS cnt
          FROM events GROUP BY 1""",
+    "a4b_quality_alerts" ->
+      s"""SELECT day, completeness_pct, validity_pct, dlq_pct, cnt,
+         completeness_pct < 95.0 AS completeness_alert,
+         validity_pct < 95.0 AS validity_alert,
+         dlq_pct > 10.0 AS dlq_alert,
+         CASE WHEN dlq_pct > 10.0 OR completeness_pct < 95.0 OR validity_pct < 95.0
+              THEN 'alert' ELSE 'ok' END AS alert_level
+         FROM (SELECT CAST(ts AS DATE) AS day,
+           ${sqlRnd("avg(CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END) * 100", 4)} AS completeness_pct,
+           ${sqlRnd("avg(CASE WHEN value BETWEEN 0 AND 100 THEN 1.0 ELSE 0.0 END) * 100", 4)} AS validity_pct,
+           ${sqlRnd(s"avg(CASE WHEN (${Validation.failuresSql}) <> '' THEN 1.0 ELSE 0.0 END) * 100", 4)} AS dlq_pct,
+           count(*) AS cnt
+           FROM events GROUP BY 1) t""",
     "a5_failure_histogram" ->
       s"""SELECT event_type, cnt,
          ${sqlRnd("cnt * 100.0 / sum(cnt) OVER ()", 4)} AS pct
