@@ -80,20 +80,34 @@ object StreamingJobs {
     * ordered Kafka partitions (producer.py:227-243). Harness-only code: the
     * global ntile sort is the staging cost, not part of any query plan. */
   private val stagedDirs =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, String), String]
 
   /** Memoized staging: the registered drain queries replay the same
-    * bounded stream, so the staged files are built once per (table, nFiles)
-    * and shared. Staging is harness scaffolding (the "broker"), not part of
-    * any query's plan — sharing it changes no semantics: each drain still
-    * runs its own checkpoint, state store, and sink. */
+    * bounded stream, so the staged files are built once per (table, nFiles,
+    * fixture) and shared. Staging is harness scaffolding (the "broker"), not
+    * part of any query's plan — sharing it changes no semantics: each drain
+    * still runs its own checkpoint, state store, and sink. */
   def stagedEvents(spark: SparkSession, dir: String, nFiles: Int): String =
-    stagedDirs.getOrElseUpdate((dir, nFiles), stage(spark, dir, nFiles))
+    stagedDirs.getOrElseUpdate((dir, nFiles, "events"),
+      stage(Tables.events(spark, dir), nFiles))
 
-  def stage(spark: SparkSession, dir: String, nFiles: Int): String = {
+  /** The corrupted producer replay for the dedup classifiers: the generator's
+    * corruption fixture (duplicate band re-sent, late band shifted) with the
+    * reference's `message_id` identity stamped on — re-sends of the same
+    * record carry the same message_id (producer.py:189; the duplicate class
+    * re-sends verbatim, generator.py:226-255), distinct readings never
+    * share one. */
+  def stagedCorrupted(spark: SparkSession, dir: String, nFiles: Int): String =
+    stagedDirs.getOrElseUpdate((dir, nFiles, "corrupted"),
+      stage(
+        graft.operators.Generator.withIssues(Tables.events(spark, dir))
+          .withColumn("message_id", col("event_id"))
+          .select("event_id", "message_id", "user_id", "ts", "value", "event_type"),
+        nFiles))
+
+  def stage(df: DataFrame, nFiles: Int): String = {
     val src = Files.createTempDirectory("graft-stream-src-").toString
-    val events = Tables.events(spark, dir)
-      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+    val events = df.filter(col("ts").isNotNull && col("user_id").isNotNull)
     val bucketed = events.withColumn(
       "_file", ntile(nFiles).over(Window.orderBy(col("ts"), col("event_id"))))
       .persist() // one global sort, reused by every per-file filter pass
@@ -201,18 +215,20 @@ object StreamingJobs {
 
   // `ts` stays in the Dataset: the event-time watermark is attached to that
   // column and must survive into the stateful operator.
-  final case class Reading(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
-      tsMicros: Long, bucket: Long)
-  final case class BucketState(seenTs: Seq[Long])
+  final case class Reading(event_id: Long, message_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, tsMicros: Long, bucket: Long)
+  final case class BucketState(seenIds: Seq[Long])
   final case class Classified(event_id: Long, user_id: Long, bucket: Long, dup_class: String)
 
   /** Per-(sensor, bucket) classification (validation_consumer.py:353-409):
     * first row in the bucket is `unique`, a row repeating an already-seen
-    * event timestamp is `exact_dup`, anything else in a non-empty bucket is
-    * `near_dup`. State carries the seen timestamps and dies 60 s (event
-    * time) after the bucket closes — the reference's 1-minute GC (:77).
-    * Rows inside a batch are sorted by (ts, event_id) so the classification
-    * is deterministic and batch-replayable. */
+    * `message_id` is `exact_dup` (:381-383 — the reference keys exact
+    * duplicates on the producer's message identity, not the payload), and
+    * anything else in a non-empty bucket is `near_dup` (:386-391 — same
+    * sensor and window). State carries the seen message ids and dies 60 s
+    * (event time) after the bucket closes — the reference's 1-minute GC
+    * (:77). Rows inside a batch are sorted by (ts, message_id, event_id) so
+    * the classification is deterministic and batch-replayable. */
   private def classify(key: (Long, Long), rows: Iterator[Reading],
       state: GroupState[BucketState]): Iterator[Classified] = {
     if (state.hasTimedOut) { state.remove(); Iterator.empty }
@@ -225,16 +241,16 @@ object StreamingJobs {
       // operator's job.
       val wm = state.getCurrentWatermarkMs()
       val live = rows.toSeq.filter(r => r.tsMicros / 1000L >= wm)
-        .sortBy(r => (r.tsMicros, r.event_id))
+        .sortBy(r => (r.tsMicros, r.message_id, r.event_id))
       if (live.isEmpty) Iterator.empty
       else {
-        var seen = state.getOption.map(_.seenTs).getOrElse(Seq.empty)
+        var seen = state.getOption.map(_.seenIds).getOrElse(Seq.empty)
         val out = live.map { r =>
           val cls =
-            if (seen.contains(r.tsMicros)) "exact_dup"
+            if (seen.contains(r.message_id)) "exact_dup"
             else if (seen.nonEmpty) "near_dup"
             else "unique"
-          seen = seen :+ r.tsMicros
+          seen = seen :+ r.message_id
           Classified(r.event_id, r.user_id, r.bucket, cls)
         }
         state.update(BucketState(seen))
@@ -246,22 +262,36 @@ object StreamingJobs {
     }
   }
 
-  def classifyDups(stream: DataFrame): Dataset[Classified] = {
+  /** Shared prelude of both classifier forms. Streams without a message_id
+    * column (the ScalaTest harness feeds raw event rows) default it to
+    * event_id — a fresh identity per record, the reference's uuid4 default
+    * (producer.py:189). */
+  private def readingStream(stream: DataFrame): Dataset[Reading] = {
     val spark = stream.sparkSession
     import spark.implicits._
-    stream
+    val withMid =
+      if (stream.columns.contains("message_id")) stream
+      else stream.withColumn("message_id", col("event_id"))
+    withMid
       .withColumn("tsMicros", unix_micros(col("ts")))
       .withColumn("bucket", expr("(unix_micros(ts) div 5000000) * 5"))
       .withWatermark("ts", "1 minute")
-      .select(col("event_id"), col("user_id"), col("ts"), col("tsMicros"), col("bucket"))
+      .select(col("event_id"), col("message_id"), col("user_id"), col("ts"),
+        col("tsMicros"), col("bucket"))
       .as[Reading]
+  }
+
+  def classifyDups(stream: DataFrame): Dataset[Classified] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    readingStream(stream)
       .groupByKey(r => (r.user_id, r.bucket))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(classify _)
   }
 
   def statefulDedupQuery(spark: SparkSession, dir: String): DataFrame = {
     configureStreaming(spark)
-    val src = stagedEvents(spark, dir, 4)
+    val src = stagedCorrupted(spark, dir, 4)
     val sink = Files.createTempDirectory("graft-stream-sink-").toString
     drainAppend(classifyDups(readEventStream(spark, src)).toDF(), sink)
     UpsertSink.appended(spark, sink)
@@ -276,7 +306,8 @@ object StreamingJobs {
   /** Per-(sensor, bucket) classifier. State lifecycle: created on the
     * bucket's first row, GC'd by the timer 60 s (event time) after the
     * bucket closes — the reference's 1-minute cleanup
-    * (validation_consumer.py:77, 353-409). */
+    * (validation_consumer.py:77, 353-409). Exact-dup keys on `message_id`
+    * like `classify` above. */
   class DupClassifier extends StatefulProcessor[(Long, Long), Reading, Classified] {
     @transient private var seen: ValueState[BucketState] = _
 
@@ -290,17 +321,17 @@ object StreamingJobs {
       // operator — drop them here (see classify above for the rationale)
       val wm = timerValues.getCurrentWatermarkInMs()
       val live = rows.toSeq.filter(r => r.tsMicros / 1000L >= wm)
-        .sortBy(r => (r.tsMicros, r.event_id))
+        .sortBy(r => (r.tsMicros, r.message_id, r.event_id))
       if (live.isEmpty) Iterator.empty
       else {
         val fresh = !seen.exists()
-        var s = if (fresh) Seq.empty[Long] else seen.get().seenTs
+        var s = if (fresh) Seq.empty[Long] else seen.get().seenIds
         val out = live.map { r =>
           val cls =
-            if (s.contains(r.tsMicros)) "exact_dup"
+            if (s.contains(r.message_id)) "exact_dup"
             else if (s.nonEmpty) "near_dup"
             else "unique"
-          s = s :+ r.tsMicros
+          s = s :+ r.message_id
           Classified(r.event_id, r.user_id, r.bucket, cls)
         }
         seen.update(BucketState(s))
@@ -319,19 +350,14 @@ object StreamingJobs {
   def classifyDupsTws(stream: DataFrame): Dataset[Classified] = {
     val spark = stream.sparkSession
     import spark.implicits._
-    stream
-      .withColumn("tsMicros", unix_micros(col("ts")))
-      .withColumn("bucket", expr("(unix_micros(ts) div 5000000) * 5"))
-      .withWatermark("ts", "1 minute")
-      .select(col("event_id"), col("user_id"), col("ts"), col("tsMicros"), col("bucket"))
-      .as[Reading]
+    readingStream(stream)
       .groupByKey(r => (r.user_id, r.bucket))
       .transformWithState(new DupClassifier, TimeMode.EventTime, OutputMode.Append)
   }
 
   def statefulDedupTwsQuery(spark: SparkSession, dir: String): DataFrame = {
     configureStreaming(spark)
-    val src = stagedEvents(spark, dir, 4)
+    val src = stagedCorrupted(spark, dir, 4)
     val sink = Files.createTempDirectory("graft-stream-sink-").toString
     drainAppend(classifyDupsTws(readEventStream(spark, src)).toDF(), sink)
     UpsertSink.appended(spark, sink)
@@ -376,21 +402,39 @@ object StreamingJobs {
       """SELECT DISTINCT user_id,
          (CAST(floor(epoch(ts)) AS BIGINT) // 5) * 5 AS bucket
          FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL""",
-    "m4c_stateful_dedup" ->
-      """SELECT event_id, user_id, bucket,
-         CASE WHEN row_number() OVER (PARTITION BY user_id, bucket ORDER BY ts, event_id) = 1 THEN 'unique'
-              WHEN row_number() OVER (PARTITION BY user_id, bucket, ts ORDER BY event_id) > 1 THEN 'exact_dup'
-              ELSE 'near_dup' END AS dup_class
-         FROM (SELECT event_id, user_id, ts,
-                 (CAST(floor(epoch(ts)) AS BIGINT) // 5) * 5 AS bucket
-               FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL) t""")
+    "m4c_stateful_dedup" -> StatefulDedupOracle)
     .updated("m4d_stateful_dedup_tws",
       // Same semantics as m4c through the transformWithState API.
-      """SELECT event_id, user_id, bucket,
-         CASE WHEN row_number() OVER (PARTITION BY user_id, bucket ORDER BY ts, event_id) = 1 THEN 'unique'
-              WHEN row_number() OVER (PARTITION BY user_id, bucket, ts ORDER BY event_id) > 1 THEN 'exact_dup'
+      StatefulDedupOracle)
+
+  /** Batch replay of the corrupted-fixture classification: rebuild the
+    * generator's duplicate re-sends (same message_id twice) and late shifts,
+    * then classify per (sensor, 5 s bucket) in (ts, message_id, occurrence)
+    * order — `occ` makes the order total so the two row_number windows agree
+    * on identical re-sent rows; the engine/oracle *multiset* is identical
+    * either way (the two physical copies are indistinguishable). */
+  private lazy val StatefulDedupOracle: String =
+    """WITH tagged AS (
+         SELECT event_id, user_id,
+           CASE WHEN event_id % 100 >= 20 AND event_id % 100 < 30
+                THEN ts - INTERVAL 2 HOUR ELSE ts END AS ts,
+           event_id % 100 >= 15 AND event_id % 100 < 20 AS is_dup
+         FROM events),
+       doubled AS (
+         SELECT event_id, user_id, ts, 0 AS occ FROM tagged
+         UNION ALL
+         SELECT event_id, user_id, ts, 1 AS occ FROM tagged WHERE is_dup),
+       base AS (
+         SELECT event_id, user_id, ts, occ, event_id AS message_id,
+           (CAST(floor(epoch(ts)) AS BIGINT) // 5) * 5 AS bucket
+         FROM doubled WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+       SELECT event_id, user_id, bucket,
+         CASE WHEN row_number() OVER (
+                PARTITION BY user_id, bucket ORDER BY ts, message_id, occ) = 1
+              THEN 'unique'
+              WHEN row_number() OVER (
+                PARTITION BY user_id, bucket, message_id ORDER BY ts, occ) > 1
+              THEN 'exact_dup'
               ELSE 'near_dup' END AS dup_class
-         FROM (SELECT event_id, user_id, ts,
-                 (CAST(floor(epoch(ts)) AS BIGINT) // 5) * 5 AS bucket
-               FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL) t""")
+       FROM base"""
 }

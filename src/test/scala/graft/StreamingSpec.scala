@@ -90,22 +90,28 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         StreamingJobs.classifyDupsTws(_: org.apache.spark.sql.DataFrame).toDF())) {
       val src = tmp("cls-late-src-")
       val sink = tmp("cls-late-sink-")
-      // batch 0: two rows in bucket B (minute 0); batch 1: minute 10 advances
-      // the watermark far past B+TTL; batch 2: a late exact-dup of row 1
-      eventsDf(Seq((1L, 0, 1.0), (2L, 0, 2.0))).coalesce(1).write.mode("append").parquet(src)
+      // batch 0: bucket B (minute 0) gets row 1, an exact re-send of row 1
+      // (same message_id — the producer's duplicate), and row 2 at the SAME
+      // timestamp but a different message_id (a distinct reading → near-dup,
+      // validation_consumer.py:381-391); batch 1: minute 10 advances the
+      // watermark far past B+TTL; batch 2: a late row for the GC'd bucket
+      eventsDf(Seq((1L, 0, 1.0), (1L, 0, 1.0), (2L, 0, 2.0)))
+        .coalesce(1).write.mode("append").parquet(src)
       Thread.sleep(1200)
       eventsDf(Seq((3L, 10, 3.0))).coalesce(1).write.mode("append").parquet(src)
       Thread.sleep(1200)
       eventsDf(Seq((4L, 0, 1.0))).coalesce(1).write.mode("append").parquet(src)
       StreamingJobs.drainAppend(classify(StreamingJobs.readEventStream(spark, src)), sink)
       val out = UpsertSink.appended(spark, sink)
-      // the late row 4 must be absent; rows 1-3 classified exactly once
+      // the late row 4 must be absent; the four live rows classified once each
       assert(out.filter(col("event_id") === 4L).count() == 0,
         "late row slipped past the watermark into the stateful operator")
-      assert(out.count() == 3)
+      assert(out.count() == 4)
       assert(out.filter(col("dup_class") === "unique").count() == 2) // row 1 and row 3
-      // row 2 re-sends row 1's timestamp inside the same 5 s bucket
+      // the verbatim re-send (same message_id) is the exact duplicate ...
       assert(out.filter(col("dup_class") === "exact_dup").count() == 1)
+      // ... while same timestamp + different message_id is only a near-dup
+      assert(out.filter(col("event_id") === 2L && col("dup_class") === "near_dup").count() == 1)
     }
   }
 
