@@ -95,32 +95,74 @@ object Connectors {
 
   /** MERGE semantics over a parquet target dir: read the current snapshot,
     * full-outer join with `updates` on `keys` (updates win, snapshot fills
-    * the gaps), rewrite, swap atomically. This is the engine's analog of the
-    * reference's `INSERT ... ON CONFLICT (keys) DO UPDATE` batch sink
+    * the gaps), rewrite. This is the engine's analog of the reference's
+    * `INSERT ... ON CONFLICT (keys) DO UPDATE` batch sink
     * (mongo_to_postgres_sync.py:315-418) — and mechanically what a
     * copy-on-write Delta/Iceberg MERGE does: the join and rewrite are
-    * distributed; only the directory swap is a driver-side metadata step.
-    * At scale the rewrite is limited to touched partitions via partition
-    * pruning on the join keys. */
+    * distributed; only directory bookkeeping is driver-side.
+    *
+    * Two layouts:
+    *   - `partitionCol = Some(p)` (p ∈ keys): the 100 TB path. The update
+    *     batch's partition values are collected driver-side — a
+    *     metadata-sized list, the same thing a table format reads from its
+    *     manifest — the snapshot is read partition-PRUNED to those values,
+    *     and the rewrite replaces only those partition directories (dynamic
+    *     partition overwrite). Untouched partitions are never read, never
+    *     rewritten (ConnectorsSpec asserts byte-identity).
+    *   - `None`: unpartitioned small-table fallback — full rewrite into a
+    *     temp dir, then a rename-aside swap (old → .merge-old, tmp →
+    *     target, delete old) so a crash between steps never leaves the
+    *     target missing. A reader racing the two renames can still observe
+    *     the switchover; a table format's atomic metadata commit is the
+    *     production answer to that, not a filesystem trick. */
   def mergeInto(spark: SparkSession, targetDir: String, updates: DataFrame,
-      keys: Seq[String]): Unit = {
+      keys: Seq[String], partitionCol: Option[String] = None): Unit = {
     val current = spark.read.parquet(targetDir)
     val dataCols = current.columns.filterNot(keys.contains)
     val u = updates.columns.foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"u_$c"))
     val joinCond = keys.map(k => col(k) <=> col(s"u_$k")).reduce(_ && _)
-    val merged = current.join(u, joinCond, "full_outer")
+    def merged(snapshot: DataFrame): DataFrame = snapshot.join(u, joinCond, "full_outer")
       .select(
         keys.map(k => coalesce(col(s"u_$k"), col(k)).as(k)) ++
         dataCols.map(c => coalesce(col(s"u_$c"), col(c)).as(c)): _*)
-    val tmp = targetDir + ".merge-tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    deleteRecursively(Paths.get(targetDir))
-    Files.move(Paths.get(tmp), Paths.get(targetDir))
+    partitionCol match {
+      case Some(p) =>
+        require(keys.contains(p), s"partition column $p must be a merge key")
+        val touched = updates.select(col(p)).distinct().collect().map(_.get(0))
+        val vals = touched.filterNot(_ == null)
+        val pruned = Seq(
+          Option.when(vals.nonEmpty)(col(p).isin(vals: _*)),
+          Option.when(touched.contains(null))(col(p).isNull))
+          .flatten.reduceOption(_ || _).getOrElse(lit(false))
+        // stage the merged slice out-of-place: Spark refuses to overwrite a
+        // path its own plan is reading, so the touched partitions are
+        // written twice (still only the touched ones — copy-on-write)
+        val tmp = Files.createTempDirectory("graft-merge-slice-").toString + "/slice"
+        merged(current.filter(pruned)).write.partitionBy(p).parquet(tmp)
+        val conf = "spark.sql.sources.partitionOverwriteMode"
+        val prev = spark.conf.get(conf)
+        spark.conf.set(conf, "dynamic")
+        try spark.read.parquet(tmp).write.mode("overwrite")
+          .partitionBy(p).parquet(targetDir)
+        finally spark.conf.set(conf, prev)
+        deleteRecursively(Paths.get(tmp))
+      case None =>
+        val tmp = targetDir + ".merge-tmp"
+        merged(current).write.mode("overwrite").parquet(tmp)
+        val old = Paths.get(targetDir + ".merge-old")
+        deleteRecursively(old) // leftover of a crash between the renames
+        Files.move(Paths.get(targetDir), old)
+        Files.move(Paths.get(tmp), Paths.get(targetDir))
+        deleteRecursively(old)
+    }
   }
 
   private def deleteRecursively(p: Path): Unit =
-    Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-      .forEach(f => Files.delete(f))
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally walk.close()
+    }
 
   private val SyncCutoff = "2024-01-21 12:00:00"
 
@@ -130,19 +172,23 @@ object Connectors {
         count(lit(1)).as("cnt"))
 
   /** S8: initial load + incremental upsert through the merge sink, served
-    * back from the target. The mid-day cutoff makes the boundary day exist
-    * in both batches, so the merge exercises all three actions: unchanged
-    * (old days), updated (boundary day — the incremental batch's version
-    * wins, the reference's re-sync overwrite), inserted (new days). */
+    * back from the target. The target is day-partitioned (the S12 layout),
+    * so the merge takes the partition-pruned path: only the boundary day and
+    * the new days are read and rewritten; the old days' files are untouched
+    * (ConnectorsSpec). The mid-day cutoff makes the boundary day exist in
+    * both batches, so the merge exercises all three actions: unchanged (old
+    * days), updated (boundary day — the incremental batch's version wins,
+    * the reference's re-sync overwrite), inserted (new days). */
   def upsertSink(spark: SparkSession, dir: String): DataFrame = {
     val target = Files.createTempDirectory("graft-upsert-target-").toString
     val events = Tables.events(spark, dir)
     dailyTotals(events.filter(col("ts") < lit(SyncCutoff)))
-      .write.mode("overwrite").parquet(target)
+      .write.partitionBy("day").mode("overwrite").parquet(target)
     mergeInto(spark, target,
       dailyTotals(events.filter(col("ts") >= lit(SyncCutoff))),
-      Seq("user_id", "day"))
+      Seq("user_id", "day"), partitionCol = Some("day"))
     spark.read.parquet(target)
+      .select(col("user_id"), col("day"), col("total_value"), col("cnt"))
   }
 
   /** S9: sync-watermark bookkeeping (mongo_to_postgres_sync.py:241-294):
@@ -218,7 +264,8 @@ object Connectors {
                 coalesce(u.total_value, base.total_value) AS total_value,
                 coalesce(u.cnt, base.cnt) AS cnt
          FROM base FULL OUTER JOIN u
-           ON base.user_id = u.user_id AND base.day = u.day""",
+           ON base.user_id IS NOT DISTINCT FROM u.user_id
+          AND base.day IS NOT DISTINCT FROM u.day""",
     "s9_sync_watermark" ->
       s"""SELECT TIMESTAMP '$SyncCutoff' AS prev_watermark,
           max(ts) AS next_watermark, count(*) AS rows_to_sync

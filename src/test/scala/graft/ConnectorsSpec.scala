@@ -33,6 +33,27 @@ class ConnectorsSpec extends AnyFunSuite with SparkFixture {
     assert(out.toSeq == Seq((1L, 2.0), (2L, 5.0)))
   }
 
+  test("partition-pruned merge rewrites only touched partitions, byte-identically elsewhere") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("merge-part-").toString
+    Seq((1L, "d1", 10.0), (2L, "d2", 20.0)).toDF("k", "day", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(target)
+    def partFiles(day: String) =
+      new java.io.File(s"$target/day=$day").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map(f => (f.getName, f.lastModified,
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq)).toSeq
+    val before = partFiles("d1")
+    Connectors.mergeInto(spark, target,
+      Seq((2L, "d2", 99.0), (3L, "d3", 30.0)).toDF("k", "day", "v"),
+      Seq("k", "day"), partitionCol = Some("day"))
+    val out = spark.read.parquet(target).select("k", "day", "v")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "d1", 10.0), (2L, "d2", 99.0), (3L, "d3", 30.0)))
+    // the untouched partition's files were neither rewritten nor re-stamped
+    assert(partFiles("d1") == before)
+  }
+
   test("partitioned output lays out one compacted file per day and prunes on read") {
     val out = Files.createTempDirectory("part-test-").toString
     operators.WindowAggregates.dailyMart(spark, dir)
