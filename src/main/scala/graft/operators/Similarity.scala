@@ -57,20 +57,41 @@ object Similarity {
 
   /** Sign-pattern LSH bucket of a double vector: one bit per leading
     * dimension. For cosine similarity this is random-hyperplane LSH with
-    * axis-aligned planes — deterministic and engine-reproducible. */
-  private def signBucket(v: Column, bits: Int): Column =
+    * axis-aligned planes — deterministic and engine-reproducible.
+    *
+    * Sizing `bits`: bucket population ≈ N / 2^bits, and the within-bucket
+    * work of a blocked self-join is Θ(N²/2^bits) — so bits must GROW with
+    * the corpus, ≈ log₂(N / targetBucketSize), or the quadratic term
+    * returns. The registered queries pin bits = 8 (≈ corpus/256 at test
+    * scale) because their oracle SQL is static; the operators take it as a
+    * parameter, and LlmPillarSpec asserts the max bucket share and that
+    * widening bits only refines buckets. */
+  private[graft] def signBucket(v: Column, bits: Int): Column =
     (0 until bits).map(i =>
       when(element_at(v, i + 1) >= 0, lit(1 << i)).otherwise(lit(0)))
       .reduce[Column](_ + _)
 
-  /** M6: bucketed ANN — probe only the query's sign-LSH bucket (256 buckets).
-    * Equi-join on bucket: work per query ∝ bucket size (~corpus/256), and the
-    * shuffle key is the bucket — this is the IVF-style plan that survives a
-    * corpus that no longer broadcasts. */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val b = base(spark, dir).withColumn("bucket", signBucket(col("v"), 8))
+  /** Default probe set for multi-probe LSH: the vector's own bucket plus
+    * every bucket reachable by flipping one LOW-CONFIDENCE bit — a dimension
+    * whose magnitude is within `eps` of the hyperplane. A near-identical
+    * pair can only straddle buckets on such a dimension, so probing the
+    * flips recovers the boundary pairs that single-bucket blocking loses,
+    * at fan-out ≤ 1 + (#low-confidence dims) per vector instead of 2^bits. */
+  private[graft] def probeBuckets(v: Column, bucket: Column, bits: Int,
+      eps: Double): Column =
+    array_compact(array(
+      bucket +: (0 until bits).map(i =>
+        when(abs(element_at(v, i + 1)) < eps,
+          bucket.bitwiseXOR(lit(1 << i)))): _*))
+
+  /** M6: bucketed ANN — probe only the query's sign-LSH bucket (2^bits
+    * buckets). Equi-join on bucket: work per query ∝ bucket size
+    * (~corpus/2^bits), and the shuffle key is the bucket — this is the
+    * IVF-style plan that survives a corpus that no longer broadcasts. */
+  def annLsh(spark: SparkSession, dir: String, bits: Int = 8): DataFrame = {
+    val b = base(spark, dir).withColumn("bucket", signBucket(col("v"), bits))
     val q = probes(b.drop("bucket"))
-      .withColumn("bucket", signBucket(col("qv"), 8))
+      .withColumn("bucket", signBucket(col("qv"), bits))
     val sims = b.join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", dot(col("qv"), col("v")) / (col("norm") * col("qnorm")))
@@ -114,19 +135,23 @@ object Similarity {
 
   /** M6: embedding-cosine near-duplicate pairs — the semantic-dedup
     * complement of the lexical MinHash/SimHash paths: bucket-blocked
-    * all-pairs within each sign-LSH bucket, verified at cosine ≥ 0.95,
+    * pairs within each sign-LSH bucket, verified at cosine ≥ 0.95,
     * first-id-wins keeper. Same scale story as annLsh: the join is
-    * equi-keyed on bucket, never corpus × corpus. Near-identical vectors
-    * agree on every sign bit, so true near-dups share a bucket by
-    * construction (a boundary-straddling pair needs multi-probe — the
-    * documented recall trade, identical in both engines).
+    * equi-keyed on (multi-)probe buckets, never corpus × corpus, and the
+    * quadratic within-bucket term is bounded by sizing `bits` ∝ log₂ N
+    * (see signBucket). Boundary-straddling pairs — sign patterns differing
+    * on a dimension that sits within `eps` of a hyperplane — are recovered
+    * by multi-probing the one-bit flips of low-confidence dimensions; the
+    * pair is emitted id-sorted and deduped, since both directions of a
+    * probe can find it.
     *
     * The synthetic corpus has no natural near-dups (max pairwise cosine
     * ≈ 0.51), so — like exactDedup — every 20th vector is re-injected with
     * its first coordinate scaled 1.1×, deterministically in both engines:
     * cosine(v, v′) ≈ 0.999 and the sign pattern is unchanged, so each
     * planted pair must surface through its shared bucket. */
-  def embedDedup(spark: SparkSession, dir: String): DataFrame = {
+  def embedDedup(spark: SparkSession, dir: String, bits: Int = 8,
+      eps: Double = 0.1): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val orig = Tables.fanout(Tables.embeddings(spark, dir)).select(
       col("vec_id"),
@@ -136,24 +161,29 @@ object Similarity {
       transform(col("v"), (x, i) => when(i === 0, x * 1.1).otherwise(x)).as("v"))
     val b = orig.unionAll(copies)
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-      .withColumn("bucket", signBucket(col("v"), 8))
-    val x = b.select(col("bucket"), col("vec_id").as("vec_a"),
-      col("v").as("va"), col("norm").as("na"))
-    val y = b.select(col("bucket"), col("vec_id").as("vec_b"),
-      col("v").as("vb"), col("norm").as("nb"))
-    x.join(y, Seq("bucket"))
-      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("bucket", signBucket(col("v"), bits))
+    // left side fans out to its probe set; right side stays on its own bucket
+    val probed = b.select(col("vec_id").as("xid"), col("v").as("va"),
+        col("norm").as("na"),
+        explode(probeBuckets(col("v"), col("bucket"), bits, eps)).as("bucket"))
+    val target = b.select(col("vec_id").as("yid"), col("v").as("vb"),
+      col("norm").as("nb"), col("bucket"))
+    probed.join(target, Seq("bucket"))
+      .filter(col("xid") =!= col("yid"))
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") >= 0.95)
-      .select(col("vec_a"), col("vec_b"), rnd(col("sim"), 4).as("sim"),
-        least(col("vec_a"), col("vec_b")).as("keeper_id"))
+      .select(least(col("xid"), col("yid")).as("vec_a"),
+        greatest(col("xid"), col("yid")).as("vec_b"),
+        rnd(col("sim"), 4).as("sim"),
+        least(col("xid"), col("yid")).as("keeper_id"))
+      .dropDuplicates("vec_a", "vec_b")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m6_cosine_topk" -> cosineTopK,
-    "m6_ann_lsh"     -> annLsh,
+    "m6_ann_lsh"     -> ((s, d) => annLsh(s, d)),
     "m6_ann_ivf"     -> annIvf,
-    "m6_embed_dedup" -> embedDedup)
+    "m6_embed_dedup" -> ((s, d) => embedDedup(s, d)))
 
   private val vSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
   private val normSql = "sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b))"
@@ -197,6 +227,9 @@ object Similarity {
               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
             FROM p) t
           WHERE rnk <= 10""",
+    // Multi-probe replay: the probe set is the own bucket plus one-bit flips
+    // of dimensions within eps=0.1 of their hyperplane, exactly as
+    // probeBuckets builds it.
     "m6_embed_dedup" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
           u AS (SELECT vec_id, v FROM e
@@ -204,12 +237,17 @@ object Similarity {
                 SELECT vec_id + 1000000, list_prepend(v[1] * 1.1, v[2:]) FROM e
                 WHERE vec_id % 20 = 0),
           n AS (SELECT vec_id, v, $normSql AS nrm, ${bucketSql("v")} AS bucket FROM u),
-          p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          pr AS (SELECT vec_id, v, nrm, unnest(list_prepend(bucket,
+                   list_transform(list_filter(range(0, 8), i -> abs(v[i + 1]) < 0.1),
+                     i -> xor(bucket, 1 << i)))) AS probe
+                 FROM n),
+          p AS (SELECT least(a.vec_id, b.vec_id) AS vec_a,
+                  greatest(a.vec_id, b.vec_id) AS vec_b,
                   list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, b.v), q -> q[1] * q[2])), (x, y) -> x + y)
                     / (a.nrm * b.nrm) AS sim
-                FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-          SELECT vec_a, vec_b, ${sqlRnd("sim", 4)} AS sim,
-                 least(vec_a, vec_b) AS keeper_id
+                FROM pr a JOIN n b ON a.probe = b.bucket AND a.vec_id <> b.vec_id)
+          SELECT DISTINCT vec_a, vec_b, ${sqlRnd("sim", 4)} AS sim,
+                 vec_a AS keeper_id
           FROM p WHERE sim >= 0.95""",
     "m6_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),

@@ -69,6 +69,29 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     assert(exact.count() == probes * 10)
   }
 
+  test("sign-LSH bucket load is bounded and widening bits only refines it") {
+    val vecs = Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val total = vecs.count().toDouble
+    def maxShare(bits: Int): Double =
+      vecs.withColumn("b", Similarity.signBucket(col("v"), bits))
+        .groupBy("b").count().agg(max("count")).collect()(0).getLong(0) / total
+    // no 8-bit bucket may hold a quadratic-blowup share of the corpus
+    assert(maxShare(8) < 0.05, s"hottest 8-bit bucket holds ${maxShare(8)}")
+    // more bits strictly refine buckets, so the hottest bucket only shrinks —
+    // the knob that keeps within-bucket work bounded as the corpus grows
+    assert(maxShare(12) <= maxShare(8))
+  }
+
+  test("embed dedup surfaces every planted near-identical pair through its bucket") {
+    val out = Similarity.embedDedup(spark, dir)
+    val planted = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 20 === 0).count()
+    assert(planted > 0)
+    assert(out.filter(col("vec_b") === col("vec_a") + 1000000).count() == planted)
+  }
+
   test("HLL vocabulary estimate stays within 5% of exact per language") {
     val rows = graft.operators.TextAnalysis.vocabHllFull(spark, dir).collect()
     assert(rows.nonEmpty)
