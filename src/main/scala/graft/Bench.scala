@@ -20,18 +20,23 @@ object Bench {
     // Untimed warm-up: one trivial pass over each table plus a small
     // agg/join, so the first timed query doesn't absorb one-time JVM/codegen
     // warm-up (classloading, janino, parquet footer caches) that no
-    // steady-state deployment pays per query.
+    // steady-state deployment pays per query. Missing tables (a custom sf
+    // dir) just skip their pass instead of failing the whole bench.
     locally {
       import org.apache.spark.sql.functions._
+      def has(t: String) =
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings")
-        .foreach(t => Tables.load(spark, sfDir, t).count())
-      Tables.events(spark, sfDir).groupBy("event_type").count()
-        .write.format("noop").mode("overwrite").save()
-      Tables.events(spark, sfDir).limit(1000)
-        .withColumn("r", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts")))
-        .write.format("noop").mode("overwrite").save()
+        .filter(has).foreach(t => Tables.load(spark, sfDir, t).count())
+      if (has("events")) {
+        Tables.events(spark, sfDir).groupBy("event_type").count()
+          .write.format("noop").mode("overwrite").save()
+        Tables.events(spark, sfDir).limit(1000)
+          .withColumn("r", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts")))
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -39,7 +44,13 @@ object Bench {
       // would let Catalyst prune the projections away), zero write cost.
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // per-query cache isolation: operators may persist() shared subplans
+      // (minhash/simhash signature bases); dropping them between entries
+      // keeps attribution honest and the 75-query session from accumulating
+      // every cache for its lifetime
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

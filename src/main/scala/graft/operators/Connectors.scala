@@ -49,9 +49,13 @@ object Connectors {
   /** S1: the Kafka stream source with the reference's exact option surface
     * (streaming_job.py:205-230 — including the rate limit the reference
     * misspells into a no-op; here it is the real option). The connector jar
-    * (`spark-sql-kafka-0-10`) ships with a Kafka deployment, not this test
-    * environment, so the builder is exercised end-to-end via
-    * `parseEnvelope` over wire-shaped frames instead (s1_kafka_roundtrip). */
+    * (`spark-sql-kafka-0-10`) ships with a Kafka deployment; it is absent
+    * from this zero-egress environment (not in /opt/spark/jars nor the
+    * offline dependency cache), and without it even `.load()` fails at
+    * DataSource resolution — so a plan-level analysis test is not possible
+    * here, and the builder is exercised end-to-end via `parseEnvelope` over
+    * wire-shaped frames instead (s1_kafka_roundtrip), which covers
+    * everything the engine owns. */
   def kafkaSource(spark: SparkSession, topic: String, servers: String): DataFrame =
     spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", servers)

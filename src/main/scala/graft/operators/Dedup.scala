@@ -120,7 +120,13 @@ object Dedup {
     * regardless of document size. (The alternative — 16 `transform`
     * higher-order passes per row — is interpreted and rescans the array
     * 16×.) Band keys are the raw (band, h_even, h_odd) pairs: band
-    * collision IS pair equality, no second-level hash needed. */
+    * collision IS pair equality, no second-level hash needed.
+    *
+    * The persisted base feeds both the signature agg and the verification
+    * join; the returned plan keeps referencing it, so it cannot be
+    * unpersisted here — Verify/Bench clear the cache after materializing
+    * each query (a long-lived service session should do the same or scope
+    * a persist around an eager write). */
   def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val K = 16
     val base = withHashedShingles(spark, dir).persist()

@@ -113,7 +113,7 @@ object Joins {
     // in-memory catalog dies with the session but managed-table locations
     // would not, so the bucketed files live in session-scoped temp dirs
     if (!spark.catalog.tableExists(s"$db.lineitem_b") ||
-        BucketedTables.dirFor.get(spark) != Some(dir)) {
+        BucketedTables.dirFor.get(spark) != dir) {
       val loc = java.nio.file.Files.createTempDirectory("graft-buckets-").toString
       Tables.lineitem(spark, dir).write
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
@@ -135,7 +135,12 @@ object Joins {
   }
 
   private object BucketedTables {
-    val dirFor = scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+    // weak keys: a closed session's entry is collectable — a strong
+    // SparkSession-keyed map would pin every session a long-lived service
+    // ever opened
+    val dirFor: java.util.Map[SparkSession, String] =
+      java.util.Collections.synchronizedMap(
+        new java.util.WeakHashMap[SparkSession, String])
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -43,22 +43,42 @@ object UpsertSink {
     * forever; `maxAttempts` bounds it here so a misconfigured sink fails
     * loudly instead of wedging the stream — set it high for the
     * retry-forever semantics. Retrying the whole batch write is safe
-    * because the sink is idempotent per (key, batch_id). */
+    * because the sink is idempotent per (key, batch_id).
+    *
+    * Only `retryable` failures re-enter the ladder (default: transient
+    * IO/Spark-runtime errors) — a deterministic failure like a schema
+    * mismatch surfaces immediately instead of sleeping through ~8.5 min of
+    * backoff first. Every failed attempt is logged with its cause, so
+    * intermediate outages are visible, not swallowed. */
   def withRetry[T](maxAttempts: Int = 8, firstDelayMs: Long = 2000,
-      maxDelayMs: Long = 300000)(body: => T): T = {
+      maxDelayMs: Long = 300000,
+      retryable: Throwable => Boolean = defaultRetryable)(body: => T): T = {
     var attempt = 1
     var delay = firstDelayMs
     var result = Option.empty[T]
     while (result.isEmpty) {
       try result = Some(body)
       catch {
-        case e: Exception if attempt < maxAttempts =>
+        case e: Exception if attempt < maxAttempts && retryable(e) =>
+          System.err.println(s"[graft-sink] attempt $attempt/$maxAttempts failed " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}); retrying in $delay ms")
           attempt += 1
           Thread.sleep(delay)
           delay = math.min(delay * 2, maxDelayMs)
       }
     }
     result.get
+  }
+
+  /** Transient = an IO or Spark-runtime failure anywhere in the cause chain,
+    * and no deterministic AnalysisException wrapping it. */
+  def defaultRetryable(t: Throwable): Boolean = {
+    val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    !chain.exists(_.isInstanceOf[org.apache.spark.sql.AnalysisException]) &&
+    chain.exists(c =>
+      c.isInstanceOf[java.io.IOException] ||
+      c.isInstanceOf[java.io.UncheckedIOException] ||
+      c.isInstanceOf[org.apache.spark.SparkException])
   }
 
   /** appendBatch wrapped in the reference's sink retry envelope. */

@@ -160,7 +160,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     var attempts = 0
     val out = UpsertSink.withRetry(maxAttempts = 5, firstDelayMs = 1) {
       attempts += 1
-      if (attempts < 3) sys.error("transient sink outage")
+      if (attempts < 3) throw new java.io.IOException("transient sink outage")
       attempts
     }
     assert(out == 3)
@@ -169,7 +169,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val flakyDir = sink + "/sub"
     UpsertSink.withRetry(maxAttempts = 5, firstDelayMs = 1) {
       attempts += 1
-      if (attempts < 2) sys.error("transient")
+      if (attempts < 2) throw new java.io.IOException("transient")
       UpsertSink.appendBatch(flakyDir)(Seq((1L, "v")).toDF("k", "v"), 0L)
     }
     assert(spark.read.parquet(flakyDir).count() == 1)
@@ -177,12 +177,24 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
 
   test("sink retry gives up after maxAttempts") {
     var attempts = 0
-    intercept[RuntimeException] {
+    intercept[java.io.IOException] {
       UpsertSink.withRetry(maxAttempts = 3, firstDelayMs = 1) {
-        attempts += 1; sys.error("permanent outage")
+        attempts += 1; throw new java.io.IOException("permanent outage")
       }
     }
     assert(attempts == 3)
+  }
+
+  test("sink retry does not sleep through deterministic failures") {
+    var attempts = 0
+    intercept[IllegalStateException] {
+      UpsertSink.withRetry(maxAttempts = 8, firstDelayMs = 60000) {
+        attempts += 1; throw new IllegalStateException("schema mismatch")
+      }
+    }
+    // a non-retryable error must surface on the FIRST attempt, not after
+    // the backoff ladder
+    assert(attempts == 1)
   }
 
   test("empty micro-batch is skipped by the sink") {
