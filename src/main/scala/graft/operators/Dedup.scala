@@ -71,7 +71,9 @@ object Dedup {
     * output predicate — block first, verify after: the LSH pattern even in
     * the exact query). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val base = withHashedShingles(spark, dir)
+    // both join sides read the hashed base; persisting it halves the
+    // shingle+hash work (the harness clears the cache after each query)
+    val base = withHashedShingles(spark, dir).persist()
     val left = base
       .withColumn("bucket", floor(col("n_chars") / 50))
       .select(col("doc_id").as("doc_a"), col("lang"), col("bucket"),
@@ -161,9 +163,13 @@ object Dedup {
     * rather than one 64-bit value because bit 63 of a combined signature
     * would need unsigned arithmetic that Java wraps and DuckDB rejects. */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    // the md5 transform runs INSIDE the array before the explode: handing
+    // the generator a raw column of an already-projected HOF keeps the
+    // shingle-constructor tree out of the Generate operator — inlining it
+    // there re-enters the nested-interpreted-HOF path (measured 10×: the
+    // same m6_fingerprint lesson, staged projections over fused ones)
     val hashed = withShingles(spark, dir)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), md5(col("s")).as("m"))
+      .select(col("doc_id"), explode(transform(col("sh"), s => md5(s))).as("m"))
       .select(col("doc_id"),
         conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("hi"),
         conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("lo"))
