@@ -103,6 +103,16 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("harness cache clearing drains every persisted block") {
+    spark.catalog.clearCache()
+    Dedup.minhashDedup(spark, dir).write.format("noop").mode("overwrite").save()
+    // the query persisted its shared base while running…
+    spark.catalog.clearCache()
+    // …and the harness's per-query clear leaves nothing resident
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
+
   test("stub media decode is deterministic and batch-shaped") {
     val a = Multimodal.decodeFeatures(spark, dir).orderBy("doc_id").collect()
     val b = Multimodal.decodeFeatures(spark, dir).orderBy("doc_id").collect()
