@@ -29,15 +29,7 @@ import TextAnalysis.{shingles, sqlShingles, tokens}
   */
 object Dedup {
 
-  /** Portable 60-bit string hash: leading 15 hex chars of md5, parsed
-    * base-16. Identical in Spark (`conv`) and DuckDB (`'0x…'::BIGINT`), and
-    * always non-negative (60 < 63 bits). */
-  private def md5Fold60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-
-  /** DuckDB fragment of the same fold. */
-  private def sqlMd5Fold60(e: String): String =
-    s"('0x' || substring(md5($e), 1, 15))::BIGINT"
+  import Exact.{fold60 => md5Fold60, sqlFold60 => sqlMd5Fold60}
 
   /** doc_id + distinct 3-shingle set, as raw strings (`sh`). */
   private def withShingles(spark: SparkSession, dir: String): DataFrame =
@@ -217,13 +209,51 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** M6: benchmark decontamination — the eval-leak scan every LLM training
+    * pipeline runs before a data release: flag training documents sharing
+    * any 8-token shingle with the held-out set (doc_id % 97 == 0 stands in
+    * for the benchmark suite), with the shared-shingle count as evidence.
+    * 8-grams rather than 3-grams: long shingles are near-unique, so overlap
+    * means real contamination, not vocabulary coincidence.
+    *
+    * Scale shape: both sides explode to (60-bit shingle hash, doc) rows and
+    * meet in ONE equi hash join on the hash — work ∝ shingle volume, never
+    * docs × docs; the held-out side is small and broadcasts. The hashes are
+    * the portable md5 fold, so the oracle reproduces the exact counts.
+    *
+    * The synthetic corpus has no natural 8-gram leaks (docs are independent
+    * token draws), so — like exactDedup — contamination is planted
+    * deterministically in both engines: every held-out doc is re-injected
+    * into the training side verbatim at doc_id + 2000000 (2000000 % 97 ≠ 0,
+    * so the plants are training docs), and the scan must flag exactly the
+    * plants, each sharing its whole shingle set (LlmPillarSpec). */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val leaked = docs.filter(col("doc_id") % 97 === 0)
+      .withColumn("doc_id", col("doc_id") + 2000000)
+    val base = withShingles8(docs.unionAll(leaked))
+      .select(col("doc_id"), explode(transform(col("sh"), s => md5Fold60(s))).as("h"))
+    val heldout = base.filter(col("doc_id") % 97 === 0).select("h").distinct()
+    base.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(heldout), Seq("h"))
+      .groupBy("doc_id").agg(countDistinct(col("h")).as("n_shared"))
+  }
+
+  /** doc_id + distinct 8-shingle set (decontamination granularity). */
+  private def withShingles8(docs: DataFrame): DataFrame =
+    Tables.fanout(docs).select(
+      col("doc_id"),
+      array_distinct(shingles(tokens(col("text")), 8)).as("sh"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m6_exact_dedup"   -> exactDedup,
     "m6_ngram_jaccard" -> ngramJaccard,
     "m6_minhash_dedup" -> minhashDedup,
-    "m6_simhash_pairs" -> simhashPairs)
+    "m6_simhash_pairs" -> simhashPairs,
+    "m6_decontaminate" -> decontaminate)
 
   private val shSql = s"list_distinct(${sqlShingles("string_split(text, ' ')", 3)})"
+  private val sh8Sql = s"list_distinct(${sqlShingles("string_split(text, ' ')", 8)})"
 
   val oracles: Map[String, String] = Map(
     "m6_exact_dedup" ->
@@ -244,6 +274,18 @@ object Dedup {
               ON a.lang = b.lang AND a.doc_id < b.doc_id
              AND abs(a.n_chars - b.n_chars) <= 50) p
           WHERE jac >= 0.5""",
+    "m6_decontaminate" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+                          UNION ALL
+                          SELECT doc_id + 2000000, text FROM documents
+                          WHERE doc_id % 97 = 0),
+          sh AS (SELECT doc_id, $sh8Sql AS s FROM corpus),
+          ex AS (SELECT doc_id, unnest(list_transform(s, x -> ${sqlMd5Fold60("x")})) AS h FROM sh),
+          held AS (SELECT DISTINCT h FROM ex WHERE doc_id % 97 = 0)
+          SELECT doc_id, count(DISTINCT h) AS n_shared
+          FROM ex JOIN held USING (h)
+          WHERE doc_id % 97 <> 0
+          GROUP BY 1""",
     // Full replay of the MinHash pipeline: same folds, same XOR seeds, same
     // banding, same verification — every intermediate is portable by
     // construction.

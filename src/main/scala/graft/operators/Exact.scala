@@ -50,7 +50,20 @@ object Exact {
   def avgOver(c: String, w: WindowSpec): Column =
     sumOver(c, w) / count(col(c)).over(w)
 
+  /** Portable 60-bit string hash: leading 15 hex chars of md5, parsed
+    * base-16. Bit-identical in Spark (`conv`) and DuckDB
+    * (`'0x…'::BIGINT`), always non-negative (60 < 63 bits) — the
+    * cross-engine workhorse behind MinHash/SimHash/decontamination
+    * (engine-private xxhash64 would be ~equally fast warm but never
+    * oracle-replayable). */
+  def fold60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   // ---- DuckDB oracle fragments for the same expressions ----
+
+  /** DuckDB fragment of the same 60-bit fold. */
+  def sqlFold60(e: String): String =
+    s"('0x' || substring(md5($e), 1, 15))::BIGINT"
 
   def sqlRnd(e: String, n: Int): String = {
     val p = "1" + ("0" * n)

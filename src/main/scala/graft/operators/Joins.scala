@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Joins & merge (SURVEY.md §2.5, J1–J4).
@@ -134,6 +135,53 @@ object Joins {
         count(lit(1)).as("cnt"))
   }
 
+  /** J6: as-of join — attach to each reading the most recent COMPLETED
+    * hourly aggregate of its sensor (hour close ≤ event ts): the
+    * enrich-with-latest-context shape every time-series serving layer needs
+    * (the reference's API reads "latest aggregates per sensor";
+    * Learning Guide.txt:1084) and an operator Spark's join zoo lacks.
+    *
+    * Composition, not custom physical operator (the preferred ladder):
+    * union the two streams tagged by kind, ONE hash shuffle on the key,
+    * one ordered window pass carrying the last non-null right payload
+    * forward — `last(ignoreNulls)` over rows-unbounded-preceding. No
+    * range-predicate join (which Spark plans as a broadcast/cartesian range
+    * explosion), no per-key collect. At 100 TB this is exactly one exchange
+    * of events ∪ aggregates and a linear scan per key partition — the same
+    * cost as W1's running window. Right rows sort before left at equal
+    * timestamps (kind 0 < 1), giving the ≤ bound; events before any closed
+    * hour keep NULLs (left-join semantics). DuckDB's native ASOF LEFT JOIN
+    * is the oracle — the composition must reproduce the real operator. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val hourly = WindowAggregates.hourlyAgg(spark, dir).select(
+      col("user_id"),
+      (col("hour") + expr("INTERVAL 1 HOUR")).as("close_ts"),
+      col("avg_value").as("hourly_avg"))
+    val left = events
+      .withColumn("kind", lit(1))
+      .withColumn("ats", col("ts"))
+      .withColumn("close_ts", lit(null).cast("timestamp"))
+      .withColumn("hourly_avg", lit(null).cast("double"))
+    val right = hourly
+      .withColumn("kind", lit(0))
+      .withColumn("ats", col("close_ts"))
+      .withColumn("event_id", lit(null).cast("long"))
+      .withColumn("ts", lit(null).cast("timestamp"))
+      .withColumn("value", lit(null).cast("double"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ats"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    left.unionByName(right.select(left.columns.map(col): _*))
+      .withColumn("asof_close", last(col("close_ts"), ignoreNulls = true).over(w))
+      .withColumn("asof_avg", last(col("hourly_avg"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("asof_close"), col("asof_avg"))
+  }
+
   private object BucketedTables {
     // weak keys: a closed session's entry is collectable — a strong
     // SparkSession-keyed map would pin every session a long-lived service
@@ -146,6 +194,7 @@ object Joins {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_broadcast_join" -> broadcastJoin,
     "j5_bucketed_join"  -> bucketedJoin,
+    "j6_asof_join"      -> asofJoin,
     "j2_enrichment_join" -> enrichmentJoin,
     "j3_anti_join"      -> antiJoin,
     "j3b_semi_join"     -> semiJoin,
@@ -165,6 +214,19 @@ object Joins {
          count(*) AS cnt
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1""",
+    // DuckDB's NATIVE as-of operator verifies the union+window composition.
+    "j6_asof_join" ->
+      s"""WITH e AS (SELECT event_id, user_id, ts, value FROM events
+                     WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+          hourly AS (SELECT user_id,
+                       date_trunc('hour', ts) + INTERVAL 1 HOUR AS close_ts,
+                       ${Exact.sqlRnd(Exact.sqlAvg("value"), 4)} AS asof_avg
+                     FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                     GROUP BY 1, 2)
+          SELECT e.event_id, e.user_id, e.ts, e.value,
+                 h.close_ts AS asof_close, h.asof_avg
+          FROM e ASOF LEFT JOIN hourly h
+            ON e.user_id = h.user_id AND e.ts >= h.close_ts""",
     "j2_enrichment_join" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
          FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",

@@ -173,8 +173,24 @@ object TextAnalysis {
         when(col("lang") === "en", lit(30)).otherwise(lit(100)))
       .select(col("doc_id"), col("lang"), col("n_chars"))
 
+  /** M6: deterministic train/validation/test split — band on a HASH of the
+    * id (portable md5 fold mod 100 → 90/5/5), not on the raw id like
+    * sampleMix: raw-id bands correlate with generation order (newer docs
+    * get higher ids), which leaks time into the split; the hash band is
+    * order-free, reproducible run-over-run and engine-over-engine, and
+    * stable under corpus growth — a doc keeps its split forever, so
+    * incremental re-releases never migrate training docs into test. */
+  def dataSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("band", pmod(Exact.fold60(col("doc_id").cast("string")), lit(100)))
+      .select(col("doc_id"), col("lang"), col("band").cast("int").as("band"),
+        when(col("band") < 90, "train")
+          .when(col("band") < 95, "validation")
+          .otherwise("test").as("split"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m6_vocab_hll"     -> vocabHll,
+    "m6_data_split"    -> dataSplit,
     "m6_sample_mix"    -> sampleMix,
     "m6_token_tf"      -> tokenTf,
     "m6_quality_score" -> qualityScore,
@@ -193,6 +209,14 @@ object TextAnalysis {
     "m6_sample_mix" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id % 100 < CASE WHEN lang = 'en' THEN 30 ELSE 100 END""",
+    "m6_data_split" ->
+      s"""SELECT doc_id, lang, CAST(band AS INTEGER) AS band,
+          CASE WHEN band < 90 THEN 'train'
+               WHEN band < 95 THEN 'validation'
+               ELSE 'test' END AS split
+          FROM (SELECT doc_id, lang,
+                  ${Exact.sqlFold60("CAST(doc_id AS VARCHAR)")} % 100 AS band
+                FROM documents) t""",
     "m6_token_tf" ->
       s"""SELECT token, tf,
           ${sqlRnd("tf * 100.0 / sum(tf) OVER ()", 4)} AS share_pct

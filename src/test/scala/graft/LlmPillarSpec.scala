@@ -69,6 +69,21 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     assert(exact.count() == probes * 10)
   }
 
+  test("decontamination flags every planted benchmark leak with its full shingle set") {
+    import graft.operators.TextAnalysis
+    val out = Dedup.decontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val held = Tables.documents(spark, dir).filter(col("doc_id") % 97 === 0)
+    val expected = held.select(col("doc_id"),
+        size(array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 8))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(expected.nonEmpty)
+    expected.foreach { case (id, n) =>
+      assert(out.get(id + 2000000).contains(n.toLong),
+        s"plant ${id + 2000000}: expected $n shared shingles, got ${out.get(id + 2000000)}")
+    }
+  }
+
   test("sign-LSH bucket load is bounded and widening bits only refines it") {
     val vecs = Tables.embeddings(spark, dir).select(
       col("vec_id"),
