@@ -129,6 +129,48 @@ object WindowAggregates {
       .drop("_total")
   }
 
+  /** A8: sessionization — gap-based session windows per sensor (30-minute
+    * inactivity closes a session), the visit/burst analysis shape for event
+    * streams. Spark's native `session_window` aggregation (batch here; the
+    * identical expression works under a watermark in Structured Streaming,
+    * where state merges windows incrementally). One hash aggregation —
+    * session merging happens inside the aggregation operator, no self-join,
+    * no window-function pass over raw events. The oracle rebuilds sessions
+    * as a gaps-and-islands pass: new session iff the gap is ≥ the timeout
+    * (Spark's [start, last+gap) windows are end-exclusive, so an event
+    * landing exactly at prev+gap starts a new session). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        rnd(Exact.sumD("value"), 2).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
+  /** A9: pivot / cross-tab — days × event types, the dashboard matrix view.
+    * Pivot values are pinned (the reference's five event classes) so the
+    * plan is a single pass with conditional aggregates — no extra job to
+    * discover the columns, which is what an unpinned pivot costs at 100 TB. */
+  def eventPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+
+  /** A10: rollup — the (event_type, day) hierarchy with subtotals and a
+    * grand total in one pass (GROUPING SETS family; Spark expands to one
+    * aggregation over the grouping-set union, map-side combined like any
+    * hash agg). `grouping_id` disambiguates NULL-as-subtotal from NULL
+    * data, matching DuckDB's GROUPING(). */
+  def rollupStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .rollup(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"), rnd(Exact.sumD("value"), 2).as("total_value"),
+        grouping_id().cast("int").as("gid"))
+
   /** A7: salted two-stage aggregation — the skew pattern for hot keys.
     * `event_type` has ~5 distinct values, the degenerate skew case: a plain
     * groupBy routes 1/5 of a 100 TB table through single reducers. Stage 1
@@ -151,6 +193,9 @@ object WindowAggregates {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_window_agg"        -> windowAgg,
     "a4b_quality_alerts"   -> qualityAlerts,
+    "a8_sessionize"        -> sessionize,
+    "a9_event_pivot"       -> eventPivot,
+    "a10_rollup"           -> rollupStats,
     "a7_salted_agg"        -> saltedAgg,
     "a2_hourly_agg"        -> hourlyAgg,
     "a3_daily_mart"        -> dailyMart,
@@ -221,6 +266,38 @@ object WindowAggregates {
            ${sqlRnd(s"avg(CASE WHEN (${Validation.failuresSql}) <> '' THEN 1.0 ELSE 0.0 END) * 100", 4)} AS dlq_pct,
            count(*) AS cnt
            FROM events GROUP BY 1) t""",
+    "a8_sessionize" ->
+      s"""WITH e AS (SELECT user_id, ts, value FROM events
+                     WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+          marked AS (SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          sess AS (SELECT user_id, ts, value,
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked)
+          SELECT user_id,
+            min(ts) AS session_start,
+            max(ts) + INTERVAL 30 MINUTE AS session_end,
+            count(*) AS n_events,
+            ${sqlRnd(sumV, 2)} AS total_value
+          FROM sess GROUP BY user_id, sid""",
+    "a9_event_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+         count(*) FILTER (event_type = 'click') AS click,
+         count(*) FILTER (event_type = 'error') AS error,
+         count(*) FILTER (event_type = 'purchase') AS purchase,
+         count(*) FILTER (event_type = 'signup') AS signup,
+         count(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY 1""",
+    "a10_rollup" ->
+      s"""SELECT event_type, CAST(ts AS DATE) AS day,
+          count(*) AS cnt,
+          ${sqlRnd(sumV, 2)} AS total_value,
+          CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS INTEGER) AS gid
+          FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))""",
     "a5_failure_histogram" ->
       s"""SELECT event_type, cnt,
          ${sqlRnd("cnt * 100.0 / sum(cnt) OVER ()", 4)} AS pct
