@@ -171,6 +171,22 @@ object WindowAggregates {
       .agg(count(lit(1)).as("cnt"), rnd(Exact.sumD("value"), 2).as("total_value"),
         grouping_id().cast("int").as("gid"))
 
+  /** A11: exact distribution percentiles per event class — the latency/SLA
+    * quantile shape. Spark's `percentile` is the exact distributed form
+    * (per-group sorted buffer; for 100 TB cardinalities swap in
+    * `percentile_approx`, whose sketch merges map-side like HLL — same
+    * query, one function swap). Spark's linear interpolation at rank
+    * (n−1)·p is bit-identical to DuckDB's quantile_cont (verified on this
+    * corpus), so the oracle compares exact doubles. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        rnd(expr("percentile(value, 0.5)"), 4).as("p50"),
+        rnd(expr("percentile(value, 0.95)"), 4).as("p95"),
+        rnd(expr("percentile(value, 0.99)"), 4).as("p99"),
+        count(col("value")).as("n"))
+
   /** A7: salted two-stage aggregation — the skew pattern for hot keys.
     * `event_type` has ~5 distinct values, the degenerate skew case: a plain
     * groupBy routes 1/5 of a 100 TB table through single reducers. Stage 1
@@ -194,6 +210,7 @@ object WindowAggregates {
     "a1_window_agg"        -> windowAgg,
     "a4b_quality_alerts"   -> qualityAlerts,
     "a8_sessionize"        -> sessionize,
+    "a11_percentiles"      -> percentiles,
     "a9_event_pivot"       -> eventPivot,
     "a10_rollup"           -> rollupStats,
     "a7_salted_agg"        -> saltedAgg,
@@ -284,6 +301,13 @@ object WindowAggregates {
             count(*) AS n_events,
             ${sqlRnd(sumV, 2)} AS total_value
           FROM sess GROUP BY user_id, sid""",
+    "a11_percentiles" ->
+      s"""SELECT event_type,
+          ${sqlRnd("quantile_cont(value, 0.5)", 4)} AS p50,
+          ${sqlRnd("quantile_cont(value, 0.95)", 4)} AS p95,
+          ${sqlRnd("quantile_cont(value, 0.99)", 4)} AS p99,
+          count(value) AS n
+          FROM events GROUP BY 1""",
     "a9_event_pivot" ->
       """SELECT CAST(ts AS DATE) AS day,
          count(*) FILTER (event_type = 'click') AS click,

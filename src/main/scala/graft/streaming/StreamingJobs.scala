@@ -152,6 +152,21 @@ object StreamingJobs {
       q.awaitTermination()
     }
 
+  /** Drain a complete-mode bounded stream (session windows reject update
+    * mode; complete re-emits the whole session state each micro-batch, and
+    * the last-write-wins view keeps each key's final version). */
+  def drainComplete(df: DataFrame, sinkDir: String): Unit =
+    withShufflePartitions(df.sparkSession, 8) {
+      val ckpt = Files.createTempDirectory("graft-stream-ckpt-").toString
+      val q = df.writeStream
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(UpsertSink.appendBatch(sinkDir) _)
+        .start()
+      q.awaitTermination()
+    }
+
   /** Drain an append-mode bounded stream (dedup / stateful classify). */
   def drainAppend(df: DataFrame, sinkDir: String): Unit =
     withShufflePartitions(df.sparkSession, 8) {
@@ -383,8 +398,40 @@ object StreamingJobs {
     UpsertSink.lastWriteWins(spark, sink, Seq("user_id", "window_start"))
   }
 
+  /** M4f: streaming sessionization — the batch A8 `session_window`
+    * expression under a watermark, drained in update mode through the
+    * key-upsert sink. Session state MERGES windows (unlike tumbling
+    * windows' disjoint keys), which is why it gets its own drain query: the
+    * state store holds open sessions and extends them across micro-batches.
+    * Session aggregations reject update mode (a merge would have to retract
+    * the pre-merge rows), and append mode would hold back every session the
+    * final watermark hasn't passed — so the bounded drain runs in COMPLETE
+    * mode: each micro-batch re-emits the full session state and the
+    * last-write-wins view keeps each key's final version. With the in-order
+    * replay a session's start is pinned by its first event — merges only
+    * ever extend the end and no later event can bridge two already-separated
+    * sessions backwards — so (user_id, session_start) is a stable upsert key
+    * and the drained state must equal the batch sessions (a8's oracle). */
+  def streamSessionizeQuery(spark: SparkSession, dir: String): DataFrame = {
+    configureStreaming(spark)
+    val src = stagedEvents(spark, dir, 4)
+    val sink = Files.createTempDirectory("graft-stream-sink-").toString
+    val sessions = readEventStream(spark, src)
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.operators.Exact.rnd(graft.operators.Exact.sumD("value"), 2).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+    drainComplete(sessions, sink)
+    UpsertSink.lastWriteWins(spark, sink, Seq("user_id", "session_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m4_stream_window_agg" -> streamWindowAggQuery,
+    "m4f_stream_sessionize" -> streamSessionizeQuery,
     "m4e_validated_pipeline" -> validatedPipelineQuery,
     "m4b_stream_dedup"     -> streamDedupQuery,
     "m4c_stateful_dedup"   -> statefulDedupQuery,
@@ -393,6 +440,9 @@ object StreamingJobs {
   val oracles: Map[String, String] = Map(
     // Identical to the batch a1 oracle: bounded-drain equivalence.
     "m4_stream_window_agg" -> WindowAggregates.oracles("a1_window_agg"),
+    // Identical to the batch a8 oracle: the streaming session store's final
+    // state must equal the batch gaps-and-islands sessions.
+    "m4f_stream_sessionize" -> WindowAggregates.oracles("a8_sessionize"),
     // a1 restricted to rows the V1-V6 rule set passes — the fused topology
     // must equal "batch-validate then batch-aggregate".
     "m4e_validated_pipeline" -> WindowAggregates.oracles("a1_window_agg").replace(

@@ -25,4 +25,19 @@ class JoinsSpec extends AnyFunSuite with SparkFixture {
     val plan = Joins.broadcastJoin(spark, dir).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("as-of join plans no join operator at all — one key shuffle, one window pass") {
+    val df = Joins.asofJoin(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the whole point of the union+window composition: no range join, no
+    // cartesian/broadcast-nested-loop explosion
+    assert(!plan.contains("Join"), s"unexpected join operator in:\n$plan")
+    assert(plan.contains("Window"), "expected the ordered window pass")
+    // every exchange hashes on the as-of key (user_id) — events and
+    // aggregates co-shuffle once and never again
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("user_id")),
+      s"non-key exchange found:\n${exchanges.mkString("\n")}")
+    assert(df.count() > 0)
+  }
 }
