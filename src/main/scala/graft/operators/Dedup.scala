@@ -229,21 +229,26 @@ object Dedup {
     * plants, each sharing its whole shingle set (LlmPillarSpec). */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val leaked = docs.filter(col("doc_id") % 97 === 0)
-      .withColumn("doc_id", col("doc_id") + 2000000)
-    val base = withShingles8(docs.unionAll(leaked))
-      .select(col("doc_id"), explode(transform(col("sh"), s => md5Fold60(s))).as("h"))
-    val heldout = base.filter(col("doc_id") % 97 === 0).select("h").distinct()
-    base.filter(col("doc_id") % 97 =!= 0)
+    val held = docs.filter(col("doc_id") % 97 === 0)
+    val leaked = held.withColumn("doc_id", col("doc_id") + 2000000)
+    // each side is filtered BEFORE shingling: the held-out set is tiny, so
+    // its shingle pass is ~free, and the training corpus is shingled exactly
+    // once — not "shingle everything, filter the exploded rows twice"
+    val heldout = shingleHashes(held).select("h").distinct()
+    shingleHashes(docs.filter(col("doc_id") % 97 =!= 0).unionAll(leaked))
       .join(broadcast(heldout), Seq("h"))
       .groupBy("doc_id").agg(countDistinct(col("h")).as("n_shared"))
   }
 
-  /** doc_id + distinct 8-shingle set (decontamination granularity). */
-  private def withShingles8(docs: DataFrame): DataFrame =
+  /** (doc_id, 60-bit hash) per distinct 8-shingle (decontamination
+    * granularity) — hashed inside the array, exploded after (see
+    * simhashSignatures for why the order matters). */
+  private def shingleHashes(docs: DataFrame): DataFrame =
     Tables.fanout(docs).select(
       col("doc_id"),
       array_distinct(shingles(tokens(col("text")), 8)).as("sh"))
+      .select(col("doc_id"),
+        explode(transform(col("sh"), s => md5Fold60(s))).as("h"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m6_exact_dedup"   -> exactDedup,
