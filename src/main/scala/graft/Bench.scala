@@ -15,7 +15,13 @@ object Bench {
     // runs always leave it unset → full registry).
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Batch queries first (alphabetical), streaming drains (m4*) last: a
+    // drain leaves RocksDB native state, checkpoint scratch and dozens of
+    // micro-batch artifacts in the session, which taxes every later query —
+    // measured ~50% inflation on the m6 family when drains precede it. The
+    // drains themselves are unaffected by position.
+    val selected = SparkEntry.queries.toSeq
+      .sortBy { case (n, _) => (n.startsWith("m4"), n) }
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // Untimed warm-up: one trivial pass over each table plus a small
     // agg/join, so the first timed query doesn't absorb one-time JVM/codegen
