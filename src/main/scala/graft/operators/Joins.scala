@@ -156,10 +156,16 @@ object Joins {
     val events = Tables.events(spark, dir)
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-    val hourly = WindowAggregates.hourlyAgg(spark, dir).select(
-      col("user_id"),
-      (col("hour") + expr("INTERVAL 1 HOUR")).as("close_ts"),
-      col("avg_value").as("hourly_avg"))
+    // hours whose readings are all NULL-valued have no average to carry;
+    // dropping them keeps asof_close and asof_avg pointing at the SAME hour
+    // (last(ignoreNulls) would otherwise skip such an hour for the avg but
+    // not for the close marker)
+    val hourly = WindowAggregates.hourlyAgg(spark, dir)
+      .filter(col("avg_value").isNotNull)
+      .select(
+        col("user_id"),
+        (col("hour") + expr("INTERVAL 1 HOUR")).as("close_ts"),
+        col("avg_value").as("hourly_avg"))
     val left = events
       .withColumn("kind", lit(1))
       .withColumn("ats", col("ts"))
@@ -222,7 +228,8 @@ object Joins {
                        date_trunc('hour', ts) + INTERVAL 1 HOUR AS close_ts,
                        ${Exact.sqlRnd(Exact.sqlAvg("value"), 4)} AS asof_avg
                      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
-                     GROUP BY 1, 2)
+                     GROUP BY 1, 2
+                     HAVING ${Exact.sqlRnd(Exact.sqlAvg("value"), 4)} IS NOT NULL)
           SELECT e.event_id, e.user_id, e.ts, e.value,
                  h.close_ts AS asof_close, h.asof_avg
           FROM e ASOF LEFT JOIN hourly h

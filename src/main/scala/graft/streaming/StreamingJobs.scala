@@ -429,9 +429,40 @@ object StreamingJobs {
     UpsertSink.lastWriteWins(spark, sink, Seq("user_id", "session_start"))
   }
 
+  /** M4g: stream-static enrichment join — the reference's planned
+    * "broadcast join for device_metadata" inside the streaming topology
+    * (Learning Guide.txt:1045 §5): every micro-batch hash-joins the stream
+    * against the broadcast static dimension (stateless — the dimension is
+    * re-read per batch, so a dimension update is picked up on the next
+    * trigger), then feeds the watermarked window aggregation — the
+    * segment-level live dashboard. The stateful stage still shuffles only
+    * its (segment, window) group keys; the fact stream never shuffles for
+    * the join. */
+  def streamEnrichedQuery(spark: SparkSession, dir: String): DataFrame = {
+    configureStreaming(spark)
+    val src = stagedEvents(spark, dir, 4)
+    val sink = Files.createTempDirectory("graft-stream-sink-").toString
+    val dim = broadcast(Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val enriched = readEventStream(spark, src)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("c_mktsegment"), window(col("ts"), "5 minutes"))
+      .agg(
+        graft.operators.Exact.rnd(graft.operators.Exact.avgD("value"), 4).as("avg_value"),
+        count(lit(1)).as("cnt"))
+      .select(col("c_mktsegment"),
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("avg_value"), col("cnt"))
+    drainUpdate(enriched, sink)
+    UpsertSink.lastWriteWins(spark, sink, Seq("c_mktsegment", "window_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m4_stream_window_agg" -> streamWindowAggQuery,
     "m4f_stream_sessionize" -> streamSessionizeQuery,
+    "m4g_stream_enriched"  -> streamEnrichedQuery,
     "m4e_validated_pipeline" -> validatedPipelineQuery,
     "m4b_stream_dedup"     -> streamDedupQuery,
     "m4c_stateful_dedup"   -> statefulDedupQuery,
@@ -443,6 +474,16 @@ object StreamingJobs {
     // Identical to the batch a8 oracle: the streaming session store's final
     // state must equal the batch gaps-and-islands sessions.
     "m4f_stream_sessionize" -> WindowAggregates.oracles("a8_sessionize"),
+    // Batch twin of the enriched topology: join then window-aggregate.
+    "m4g_stream_enriched" ->
+      s"""SELECT c_mktsegment,
+          time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+          time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+          ${graft.operators.Exact.sqlRnd(graft.operators.Exact.sqlAvg("value"), 4)} AS avg_value,
+          count(*) AS cnt
+          FROM events JOIN customer ON user_id = c_custkey
+          WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          GROUP BY 1, 2, 3""",
     // a1 restricted to rows the V1-V6 rule set passes — the fused topology
     // must equal "batch-validate then batch-aggregate".
     "m4e_validated_pipeline" -> WindowAggregates.oracles("a1_window_agg").replace(
