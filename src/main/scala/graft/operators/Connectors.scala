@@ -115,50 +115,59 @@ object Connectors {
     *     rewritten (ConnectorsSpec asserts byte-identity).
     *   - `None`: unpartitioned small-table fallback — full rewrite into a
     *     temp dir, then a rename-aside swap (old → .merge-old, tmp →
-    *     target, delete old) so a crash between steps never leaves the
-    *     target missing. A reader racing the two renames can still observe
-    *     the switchover; a table format's atomic metadata commit is the
-    *     production answer to that, not a filesystem trick. */
-  def mergeInto(spark: SparkSession, targetDir: String, updates: DataFrame,
+    *     target, delete old). A crash between the two renames can leave the
+    *     target path briefly absent, but the data always survives in one of
+    *     the sibling dirs (recovery = rename `.merge-old` back); a table
+    *     format's atomic metadata commit is the production answer, not a
+    *     filesystem trick. */
+  def mergeInto(spark: SparkSession, targetDir: String, updates0: DataFrame,
       keys: Seq[String], partitionCol: Option[String] = None): Unit = {
-    val current = spark.read.parquet(targetDir)
-    val dataCols = current.columns.filterNot(keys.contains)
-    val u = updates.columns.foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"u_$c"))
-    val joinCond = keys.map(k => col(k) <=> col(s"u_$k")).reduce(_ && _)
-    def merged(snapshot: DataFrame): DataFrame = snapshot.join(u, joinCond, "full_outer")
-      .select(
-        keys.map(k => coalesce(col(s"u_$k"), col(k)).as(k)) ++
-        dataCols.map(c => coalesce(col(s"u_$c"), col(c)).as(c)): _*)
-    partitionCol match {
-      case Some(p) =>
-        require(keys.contains(p), s"partition column $p must be a merge key")
-        val touched = updates.select(col(p)).distinct().collect().map(_.get(0))
-        val vals = touched.filterNot(_ == null)
-        val pruned = Seq(
-          Option.when(vals.nonEmpty)(col(p).isin(vals: _*)),
-          Option.when(touched.contains(null))(col(p).isNull))
-          .flatten.reduceOption(_ || _).getOrElse(lit(false))
-        // stage the merged slice out-of-place: Spark refuses to overwrite a
-        // path its own plan is reading, so the touched partitions are
-        // written twice (still only the touched ones — copy-on-write)
-        val tmp = Files.createTempDirectory("graft-merge-slice-").toString + "/slice"
-        merged(current.filter(pruned)).write.partitionBy(p).parquet(tmp)
-        val conf = "spark.sql.sources.partitionOverwriteMode"
-        val prev = spark.conf.get(conf)
-        spark.conf.set(conf, "dynamic")
-        try spark.read.parquet(tmp).write.mode("overwrite")
-          .partitionBy(p).parquet(targetDir)
-        finally spark.conf.set(conf, prev)
-        deleteRecursively(Paths.get(tmp))
-      case None =>
-        val tmp = targetDir + ".merge-tmp"
-        merged(current).write.mode("overwrite").parquet(tmp)
-        val old = Paths.get(targetDir + ".merge-old")
-        deleteRecursively(old) // leftover of a crash between the renames
-        Files.move(Paths.get(targetDir), old)
-        Files.move(Paths.get(tmp), Paths.get(targetDir))
-        deleteRecursively(old)
-    }
+    // the updates plan feeds the touched-partition collect AND the merge
+    // join; persist so an expensive upstream (a full aggregation in
+    // upsertSink's case) runs once
+    val updates = updates0.persist()
+    try {
+      val current = spark.read.parquet(targetDir)
+      val dataCols = current.columns.filterNot(keys.contains)
+      val u = updates.columns.foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"u_$c"))
+      val joinCond = keys.map(k => col(k) <=> col(s"u_$k")).reduce(_ && _)
+      def merged(snapshot: DataFrame): DataFrame = snapshot.join(u, joinCond, "full_outer")
+        .select(
+          keys.map(k => coalesce(col(s"u_$k"), col(k)).as(k)) ++
+          dataCols.map(c => coalesce(col(s"u_$c"), col(c)).as(c)): _*)
+      partitionCol match {
+        case Some(p) =>
+          require(keys.contains(p), s"partition column $p must be a merge key")
+          val touched = updates.select(col(p)).distinct().collect().map(_.get(0))
+          // empty incremental batch: nothing to merge, target untouched
+          if (touched.isEmpty) return
+          val vals = touched.filterNot(_ == null)
+          val pruned = Seq(
+            Option.when(vals.nonEmpty)(col(p).isin(vals: _*)),
+            Option.when(touched.contains(null))(col(p).isNull))
+            .flatten.reduce(_ || _)
+          // stage the merged slice out-of-place: Spark refuses to overwrite a
+          // path its own plan is reading, so the touched partitions are
+          // written twice (still only the touched ones — copy-on-write)
+          val tmp = Files.createTempDirectory("graft-merge-slice-").toString + "/slice"
+          merged(current.filter(pruned)).write.partitionBy(p).parquet(tmp)
+          val conf = "spark.sql.sources.partitionOverwriteMode"
+          val prev = spark.conf.get(conf)
+          spark.conf.set(conf, "dynamic")
+          try spark.read.parquet(tmp).write.mode("overwrite")
+            .partitionBy(p).parquet(targetDir)
+          finally spark.conf.set(conf, prev)
+          deleteRecursively(Paths.get(tmp))
+        case None =>
+          val tmp = targetDir + ".merge-tmp"
+          merged(current).write.mode("overwrite").parquet(tmp)
+          val old = Paths.get(targetDir + ".merge-old")
+          deleteRecursively(old) // leftover of a crash between the renames
+          Files.move(Paths.get(targetDir), old)
+          Files.move(Paths.get(tmp), Paths.get(targetDir))
+          deleteRecursively(old)
+      }
+    } finally updates.unpersist()
   }
 
   private def deleteRecursively(p: Path): Unit =

@@ -125,10 +125,14 @@ object Dedup {
     val K = 16
     val base = withHashedShingles(spark, dir).persist()
     val exploded = base.select(col("doc_id"), explode(col("hs")).as("h"))
+    // persisted: the band self-join reads the signature table on both sides,
+    // and without the persist each side re-runs the corpus-wide explode +
+    // 16-min aggregation (same reason simhashPairs persists its signatures)
     val sigs = exploded.groupBy("doc_id").agg(
       min(col("h").bitwiseXOR(lit(MinhashSeeds(0)))).as("h0"),
       (1 until K).map(j =>
         min(col("h").bitwiseXOR(lit(MinhashSeeds(j)))).as(s"h$j")): _*)
+      .persist()
     val bands = (0 until K / 2).map(b =>
       struct(lit(b).as("band"), col(s"h${2 * b}").as("k1"), col(s"h${2 * b + 1}").as("k2")))
     val buckets = sigs.select(col("doc_id"), explode(array(bands: _*)).as("bd"))

@@ -50,6 +50,18 @@ object Exact {
   def avgOver(c: String, w: WindowSpec): Column =
     sumOver(c, w) / count(col(c)).over(w)
 
+  /** Share-of-total over an aggregated counts frame: the grand total rides
+    * a 1-row broadcast crossJoin, never an unpartitioned window (which
+    * funnels every group through a single task at scale). Shared by
+    * tokenTf / failureHistogram / issueStats. */
+  def withSharePct(counts: org.apache.spark.sql.DataFrame, cntCol: String,
+      outCol: String): org.apache.spark.sql.DataFrame = {
+    val total = counts.agg(sum(cntCol).as("_total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn(outCol, rnd(col(cntCol) * 100.0 / col("_total"), 4))
+      .drop("_total")
+  }
+
   /** Portable 60-bit string hash: leading 15 hex chars of md5, parsed
     * base-16. Bit-identical in Spark (`conv`) and DuckDB
     * (`'0x…'::BIGINT`), always non-negative (60 < 63 bits) — the

@@ -76,14 +76,11 @@ object Generator {
   /** A6: generator issue statistics — count + share per injected class
     * (generator.py:591-641), over the corrupted stream (duplicates counted
     * twice, as the reference's producer re-send does). */
-  def issueStats(spark: SparkSession, dir: String): DataFrame = {
-    val counts = withIssues(Tables.events(spark, dir))
-      .groupBy(col("issue_type")).agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum("cnt").as("_total"))
-    counts.crossJoin(broadcast(total))
-      .withColumn("pct", rnd(col("cnt") * 100.0 / col("_total"), 4))
-      .drop("_total")
-  }
+  def issueStats(spark: SparkSession, dir: String): DataFrame =
+    Exact.withSharePct(
+      withIssues(Tables.events(spark, dir))
+        .groupBy(col("issue_type")).agg(count(lit(1)).as("cnt")),
+      "cnt", "pct")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a6_issue_stats" -> issueStats)

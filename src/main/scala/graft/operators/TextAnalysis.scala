@@ -39,21 +39,17 @@ object TextAnalysis {
   // ---- registered queries -------------------------------------------------
 
   /** M6: corpus term frequency — explode/groupBy, the canonical text-to-table
-    * pivot. The corpus total rides a 1-row broadcast crossJoin, not an
-    * unpartitioned window: `Window.partitionBy()` funnels the entire
+    * pivot. The corpus total rides a 1-row broadcast (Exact.withSharePct),
+    * not an unpartitioned window: `Window.partitionBy()` funnels the entire
     * vocabulary (10⁷–10⁸ rows at 100 TB) through a single task, while the
-    * scalar agg is a tree-reduced one-row exchange and the broadcast is free.
-    * (Same pattern as Projections.processedAt / Validation.freshnessCheck.) */
-  def tokenTf(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val tf = docs
-      .select(explode(tokens(col("text"))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
-    val total = tf.agg(sum("tf").as("_total"))
-    tf.crossJoin(broadcast(total))
-      .withColumn("share_pct", rnd(col("tf") * 100.0 / col("_total"), 4))
-      .drop("_total")
-  }
+    * scalar agg is a tree-reduced one-row exchange and the broadcast is
+    * free. */
+  def tokenTf(spark: SparkSession, dir: String): DataFrame =
+    Exact.withSharePct(
+      Tables.documents(spark, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("tf")),
+      "tf", "share_pct")
 
   /** M6: per-document quality score — length, lexical diversity, stopword
     * ratio (quality-filter features of LLM data pipelines). */

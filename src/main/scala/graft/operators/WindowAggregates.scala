@@ -116,18 +116,14 @@ object WindowAggregates {
           lit("alert")).otherwise(lit("ok")))
 
   /** A5: failure-type histogram with share-of-total
-    * (≙ validation metric counters, validation_consumer.py:590-629). The
-    * grand total is a scalar agg broadcast back over the (tiny) histogram —
-    * uniform with tokenTf's pattern, and never a single-task window even if
-    * the group count grows. */
-  def failureHistogram(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.events(spark, dir)
-      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum("cnt").as("_total"))
-    counts.crossJoin(broadcast(total))
-      .withColumn("pct", rnd(col("cnt") * 100.0 / col("_total"), 4))
-      .drop("_total")
-  }
+    * (≙ validation metric counters, validation_consumer.py:590-629) —
+    * Exact.withSharePct keeps the grand total a broadcast, never a
+    * single-task window even if the group count grows. */
+  def failureHistogram(spark: SparkSession, dir: String): DataFrame =
+    Exact.withSharePct(
+      Tables.events(spark, dir)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt")),
+      "cnt", "pct")
 
   /** A8: sessionization — gap-based session windows per sensor (30-minute
     * inactivity closes a session), the visit/burst analysis shape for event
@@ -153,12 +149,18 @@ object WindowAggregates {
   /** A9: pivot / cross-tab — days × event types, the dashboard matrix view.
     * Pivot values are pinned (the reference's five event classes) so the
     * plan is a single pass with conditional aggregates — no extra job to
-    * discover the columns, which is what an unpinned pivot costs at 100 TB. */
-  def eventPivot(spark: SparkSession, dir: String): DataFrame =
+    * discover the columns, which is what an unpinned pivot costs at 100 TB.
+    * Empty cells coalesce to 0: Spark's pivot yields NULL for a (day, type)
+    * with no rows where a conditional count yields 0 — the count semantics
+    * (and the oracle's FILTER counts) are the zeros. */
+  def eventPivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
     Tables.events(spark, dir)
       .groupBy(to_date(col("ts")).as("day"))
-      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .pivot("event_type", types)
       .agg(count(lit(1)))
+      .select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+  }
 
   /** A10: rollup — the (event_type, day) hierarchy with subtotals and a
     * grand total in one pass (GROUPING SETS family; Spark expands to one

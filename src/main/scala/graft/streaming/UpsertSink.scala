@@ -70,15 +70,18 @@ object UpsertSink {
     result.get
   }
 
-  /** Transient = an IO or Spark-runtime failure anywhere in the cause chain,
-    * and no deterministic AnalysisException wrapping it. */
+  /** Transient = an IO failure somewhere in the cause chain (a raw
+    * IOException, or a SparkException wrapping one — the shuffle-fetch /
+    * storage-outage shape). A bare SparkException does NOT qualify: Spark
+    * wraps deterministic task failures (bad cast, codegen error, corrupt
+    * record) the same way, and those should surface on attempt one, not
+    * after the backoff ladder. */
   def defaultRetryable(t: Throwable): Boolean = {
     val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
     !chain.exists(_.isInstanceOf[org.apache.spark.sql.AnalysisException]) &&
     chain.exists(c =>
       c.isInstanceOf[java.io.IOException] ||
-      c.isInstanceOf[java.io.UncheckedIOException] ||
-      c.isInstanceOf[org.apache.spark.SparkException])
+      c.isInstanceOf[java.io.UncheckedIOException])
   }
 
   /** appendBatch wrapped in the reference's sink retry envelope. */
