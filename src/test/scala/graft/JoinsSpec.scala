@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Joins
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape guarantees for the join family (the part the value-comparing
@@ -24,6 +25,25 @@ class JoinsSpec extends AnyFunSuite with SparkFixture {
   test("broadcast join plans a broadcast hash join on the dimension side") {
     val plan = Joins.broadcastJoin(spark, dir).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("as-of semantics at the boundaries: inclusive close, no-history nulls") {
+    val out = Joins.asofJoin(spark, dir).cache()
+    try {
+      // an event landing exactly AT an hour's close gets that hour (<= bound)
+      val atClose = out.filter(col("ts") === col("asof_close"))
+      atClose.collect().foreach { r =>
+        assert(r.getAs[java.sql.Timestamp]("asof_close") != null)
+      }
+      // events before any completed hour carry nulls, not dropped rows
+      // (left-join semantics): each sensor's earliest event predates its
+      // first hour close by construction
+      val noHistory = out.filter(col("asof_close").isNull)
+      assert(noHistory.count() > 0)
+      // and whenever a close is attached, the avg from that hour came along
+      assert(out.filter(col("asof_close").isNotNull && col("asof_avg").isNull)
+        .count() == 0)
+    } finally out.unpersist()
   }
 
   test("as-of join plans no join operator at all — one key shuffle, one window pass") {
