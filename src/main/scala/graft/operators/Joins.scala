@@ -188,6 +188,41 @@ object Joins {
         col("asof_close"), col("asof_avg"))
   }
 
+  /** J7: range join — each event matched to the (variable-length) session
+    * interval containing it: the point-in-interval shape (IP→range,
+    * event→maintenance-window, reading→calibration-period) that Spark's
+    * planner turns into a broadcast-nested-loop scan of every (point,
+    * interval) pair.
+    *
+    * Scalable composition: a time GRID. Intervals explode to the 30-min
+    * grid cells they overlap (fan-out ≈ span/cell + 1, and the cell width
+    * equals the session gap so a session's fan-out is proportional to its
+    * real duration); points map to their one cell; candidates meet in an
+    * equi-join on (key, cell) and the exact containment predicate verifies.
+    * Work ∝ overlapping candidates, never points × intervals — the same
+    * block-then-verify ladder as every LSH family in this repo, applied to
+    * the time axis. Sessions partition a sensor's events, so the result is
+    * exactly one interval per event (the oracle's plain range join must
+    * agree row-for-row). */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cell = 1800L // seconds — the session gap
+    val sessions = WindowAggregates.sessionize(spark, dir)
+      .select(col("user_id"), col("session_start"), col("session_end"))
+    val sessionCells = sessions.select(
+      col("user_id"), col("session_start"), col("session_end"),
+      explode(sequence(
+        floor(unix_timestamp(col("session_start")) / cell).cast("long"),
+        floor(unix_timestamp(col("session_end")) / cell).cast("long"))).as("cell"))
+    val points = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("cell", floor(unix_timestamp(col("ts")) / cell).cast("long"))
+    points.join(sessionCells, Seq("user_id", "cell"))
+      .filter(col("ts") >= col("session_start") && col("ts") < col("session_end"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("session_start"), col("session_end"))
+  }
+
   private object BucketedTables {
     // weak keys: a closed session's entry is collectable — a strong
     // SparkSession-keyed map would pin every session a long-lived service
@@ -201,6 +236,7 @@ object Joins {
     "j1_broadcast_join" -> broadcastJoin,
     "j5_bucketed_join"  -> bucketedJoin,
     "j6_asof_join"      -> asofJoin,
+    "j7_range_join"     -> rangeJoin,
     "j2_enrichment_join" -> enrichmentJoin,
     "j3_anti_join"      -> antiJoin,
     "j3b_semi_join"     -> semiJoin,
@@ -234,6 +270,27 @@ object Joins {
                  h.close_ts AS asof_close, h.asof_avg
           FROM e ASOF LEFT JOIN hourly h
             ON e.user_id = h.user_id AND e.ts >= h.close_ts""",
+    // The oracle's PLAIN range join (DuckDB plans IEJoin) must agree with
+    // the grid-bucketed composition row-for-row.
+    "j7_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, ts, value FROM events
+                    WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         marked AS (SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sess AS (SELECT user_id, ts,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+           FROM marked),
+         intervals AS (SELECT user_id, min(ts) AS session_start,
+                         max(ts) + INTERVAL 30 MINUTE AS session_end
+                       FROM sess GROUP BY user_id, sid)
+         SELECT event_id, e.user_id, e.ts, session_start, session_end
+         FROM e JOIN intervals i
+           ON e.user_id = i.user_id
+          AND e.ts >= i.session_start AND e.ts < i.session_end""",
     "j2_enrichment_join" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
          FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",

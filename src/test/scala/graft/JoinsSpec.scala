@@ -46,6 +46,19 @@ class JoinsSpec extends AnyFunSuite with SparkFixture {
     } finally out.unpersist()
   }
 
+  test("range join plans an equi hash join on the grid, never a nested-loop scan") {
+    val df = Joins.rangeJoin(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range predicate leaked into a nested-loop join:\n$plan")
+    // candidates meet on the grid: the join itself is an equi-join
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
+    // sessions partition a sensor's events: exactly one interval per event
+    val events = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull).count()
+    assert(df.count() == events)
+  }
+
   test("as-of join plans no join operator at all — one key shuffle, one window pass") {
     val df = Joins.asofJoin(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
