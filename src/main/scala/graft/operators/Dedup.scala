@@ -254,8 +254,32 @@ object Dedup {
       .select(col("doc_id"),
         explode(transform(col("sh"), s => md5Fold60(s))).as("h"))
 
+  /** M6: the end-to-end corpus build — the composition every piece above
+    * exists for: quality-filter (≥ 0.5), deterministic language mix
+    * (downsample the dominant language), near-dup removal (drop the
+    * higher-id side of every MinHash-verified pair), and the hash-banded
+    * split stamp, in ONE declarative plan. The mix and split predicates are
+    * pure functions of the row, so Catalyst fuses them into the quality
+    * scan; the only join is a broadcast ANTI join against the (small)
+    * near-dup loser set — at 100 TB the build is one corpus pass plus the
+    * dedup pipeline that feeds it. */
+  def corpusBuild(spark: SparkSession, dir: String): DataFrame = {
+    val losers = minhashDedup(spark, dir).select(col("doc_b").as("doc_id")).distinct()
+    TextAnalysis.qualityScore(spark, dir)
+      .filter(col("quality_score") >= 0.5)
+      .filter(pmod(col("doc_id"), lit(100)) <
+        when(col("lang") === "en", lit(30)).otherwise(lit(100)))
+      .join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .withColumn("band", pmod(Exact.fold60(col("doc_id").cast("string")), lit(100)))
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        when(col("band") < 90, "train")
+          .when(col("band") < 95, "validation")
+          .otherwise("test").as("split"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m6_exact_dedup"   -> exactDedup,
+    "m6_corpus_build"  -> corpusBuild,
     "m6_ngram_jaccard" -> ngramJaccard,
     "m6_minhash_dedup" -> minhashDedup,
     "m6_simhash_pairs" -> simhashPairs,
@@ -263,6 +287,31 @@ object Dedup {
 
   private val shSql = s"list_distinct(${sqlShingles("string_split(text, ' ')", 3)})"
   private val sh8Sql = s"list_distinct(${sqlShingles("string_split(text, ' ')", 8)})"
+
+  /** The MinHash pipeline's DuckDB replay — shared by its own oracle and
+    * the corpus-build composition. */
+  private lazy val minhashOracleSql: String =
+    s"""WITH sh AS (SELECT doc_id, $shSql AS s FROM documents),
+        hs AS (SELECT doc_id, list_transform(s, x -> ${sqlMd5Fold60("x")}) AS h FROM sh),
+        sigs AS (SELECT doc_id,
+          ${MinhashSeeds.zipWithIndex.map { case (s, j) =>
+            s"list_min(list_transform(h, x -> xor(x, $s))) AS h$j" }.mkString(", ")}
+          FROM hs),
+        bands AS (
+          ${(0 until 8).map(b =>
+            s"SELECT doc_id, $b AS band, h${2 * b} AS k1, h${2 * b + 1} AS k2 FROM sigs")
+            .mkString(" UNION ALL ")}),
+        cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                  FROM bands x JOIN bands y
+                    ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2
+                  WHERE x.doc_id < y.doc_id),
+        pairs AS (SELECT doc_a, doc_b,
+                    len(list_intersect(a.h, b.h)) / CAST(len(list_distinct(a.h || b.h)) AS DOUBLE) AS jac
+                  FROM cands
+                  JOIN hs a ON a.doc_id = cands.doc_a
+                  JOIN hs b ON b.doc_id = cands.doc_b)
+        SELECT doc_a, doc_b, ${sqlRnd("jac", 4)} AS jaccard
+        FROM pairs WHERE jac >= 0.8"""
 
   val oracles: Map[String, String] = Map(
     "m6_exact_dedup" ->
@@ -298,28 +347,22 @@ object Dedup {
     // Full replay of the MinHash pipeline: same folds, same XOR seeds, same
     // banding, same verification — every intermediate is portable by
     // construction.
-    "m6_minhash_dedup" ->
-      s"""WITH sh AS (SELECT doc_id, $shSql AS s FROM documents),
-          hs AS (SELECT doc_id, list_transform(s, x -> ${sqlMd5Fold60("x")}) AS h FROM sh),
-          sigs AS (SELECT doc_id,
-            ${MinhashSeeds.zipWithIndex.map { case (s, j) =>
-              s"list_min(list_transform(h, x -> xor(x, $s))) AS h$j" }.mkString(", ")}
-            FROM hs),
-          bands AS (
-            ${(0 until 8).map(b =>
-              s"SELECT doc_id, $b AS band, h${2 * b} AS k1, h${2 * b + 1} AS k2 FROM sigs")
-              .mkString(" UNION ALL ")}),
-          cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-                    FROM bands x JOIN bands y
-                      ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2
-                    WHERE x.doc_id < y.doc_id),
-          pairs AS (SELECT doc_a, doc_b,
-                      len(list_intersect(a.h, b.h)) / CAST(len(list_distinct(a.h || b.h)) AS DOUBLE) AS jac
-                    FROM cands
-                    JOIN hs a ON a.doc_id = cands.doc_a
-                    JOIN hs b ON b.doc_id = cands.doc_b)
-          SELECT doc_a, doc_b, ${sqlRnd("jac", 4)} AS jaccard
-          FROM pairs WHERE jac >= 0.8""",
+    "m6_minhash_dedup" -> minhashOracleSql,
+    // Composed from the quality and minhash oracles — the build must equal
+    // "filter ∘ mix ∘ dedup ∘ split" applied via plain SQL.
+    "m6_corpus_build" ->
+      s"""WITH q AS (${TextAnalysis.oracles("m6_quality_score")}),
+          losers AS (SELECT DISTINCT doc_b FROM ($minhashOracleSql) m)
+          SELECT doc_id, lang, quality_score,
+            CASE WHEN band < 90 THEN 'train'
+                 WHEN band < 95 THEN 'validation'
+                 ELSE 'test' END AS split
+          FROM (SELECT doc_id, lang, quality_score,
+                  ${Exact.sqlFold60("CAST(doc_id AS VARCHAR)")} % 100 AS band
+                FROM q
+                WHERE quality_score >= 0.5
+                  AND doc_id % 100 < CASE WHEN lang = 'en' THEN 30 ELSE 100 END
+                  AND doc_id NOT IN (SELECT doc_b FROM losers)) t""",
     // Full replay of the SimHash pipeline: same bit votes, same chunk
     // blocking, same Hamming verification.
     "m6_simhash_pairs" ->

@@ -459,10 +459,44 @@ object StreamingJobs {
     UpsertSink.lastWriteWins(spark, sink, Seq("c_mktsegment", "window_start"))
   }
 
+  /** M4h: stream-stream time-interval join — purchases attributed to a
+    * preceding view by the same user within one hour: the two-sided stateful
+    * join Structured Streaming is famous for. Both sides carry watermarks
+    * and the join predicate carries the time bound, which is what lets the
+    * state store evict a buffered row once the other side's watermark
+    * passes its match window — without the bound, both sides buffer
+    * forever. Inner-join matches emit in the micro-batch that finds them
+    * (nothing is held for the watermark), so the bounded drain captures
+    * every pair and must equal the batch interval join. The two legs read
+    * the same staged replay as independent file sources of one query. */
+  def streamStreamJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    configureStreaming(spark)
+    val src = stagedEvents(spark, dir, 4)
+    val sink = Files.createTempDirectory("graft-stream-sink-").toString
+    val views = readEventStream(spark, src)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 minute")
+    val purchases = readEventStream(spark, src)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 minute")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") < col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        col("view_ts"), col("purchase_ts"))
+    drainAppend(joined, sink)
+    UpsertSink.appended(spark, sink)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m4_stream_window_agg" -> streamWindowAggQuery,
     "m4f_stream_sessionize" -> streamSessionizeQuery,
     "m4g_stream_enriched"  -> streamEnrichedQuery,
+    "m4h_stream_join"      -> streamStreamJoinQuery,
     "m4e_validated_pipeline" -> validatedPipelineQuery,
     "m4b_stream_dedup"     -> streamDedupQuery,
     "m4c_stateful_dedup"   -> statefulDedupQuery,
@@ -474,6 +508,17 @@ object StreamingJobs {
     // Identical to the batch a8 oracle: the streaming session store's final
     // state must equal the batch gaps-and-islands sessions.
     "m4f_stream_sessionize" -> WindowAggregates.oracles("a8_sessionize"),
+    // Batch twin of the interval join: the streaming state machinery must
+    // find exactly the pairs a plain batch range join finds.
+    "m4h_stream_join" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+         v.user_id, v.ts AS view_ts, p.ts AS purchase_ts
+         FROM events v JOIN events p
+           ON v.user_id = p.user_id
+          AND v.event_type = 'view' AND p.event_type = 'purchase'
+          AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+         WHERE v.ts IS NOT NULL AND v.user_id IS NOT NULL
+           AND p.ts IS NOT NULL""",
     // Batch twin of the enriched topology: join then window-aggregate.
     "m4g_stream_enriched" ->
       s"""SELECT c_mktsegment,
