@@ -61,6 +61,28 @@ object GraftProps extends Properties("graft") {
       hits <= 1
     }
 
+  // ---- time-grid range join (Joins.rangeJoin) ------------------------------
+  // Candidate-generation completeness: a point inside [start, end) always
+  // lands in one of the interval's grid cells, for EVERY cell width and
+  // alignment — the lemma that makes grid blocking safe to verify-after.
+  property("range grid: a contained point's cell is always among the interval's cells") =
+    forAll(Gen.choose(0L, 1L << 40), Gen.choose(0L, 1L << 20), Gen.choose(1L, 1L << 20),
+      Gen.choose(60L, 86400L)) { (start, ofs, len, cell) =>
+      val ts = start + (ofs % math.max(len, 1))  // start <= ts < end
+      val end = start + len
+      val (c0, c1, cp) = (start / cell, end / cell, ts / cell)
+      c0 <= cp && cp <= c1
+    }
+
+  // ---- portable md5 fold (Exact.fold60) ------------------------------------
+  property("fold60: 15 hex chars parse to a non-negative 60-bit long") =
+    forAll(Gen.alphaNumStr) { s =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      val v = java.lang.Long.parseLong(hex, 16)
+      v >= 0L && v < (1L << 60)
+    }
+
   // ---- 5-second dedup bucket (Validation.dedupBucket / StreamingJobs) ------
   property("dedup bucket contains its timestamp and aligns to 5s") =
     forAll(Gen.choose(0L, 4102444800000000L)) { micros => // through year 2100
