@@ -15,11 +15,14 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Session confs every entry point (Verify/Bench/tests) sets once at
-    * bootstrap — not inside table loaders, which would mutate shared session
-    * state as a query-construction side effect. */
-  def bootstrap(spark: SparkSession): Unit =
+  /** Session confs + native-function registry every entry point
+    * (Verify/Bench/tests) sets once at bootstrap — not inside table
+    * loaders, which would mutate shared session state as a
+    * query-construction side effect. */
+  def bootstrap(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.GraftFunctions.register(spark)
+  }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects outright. Read it as raw nanos (legacy conf, set at

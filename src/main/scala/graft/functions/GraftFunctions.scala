@@ -15,7 +15,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object GraftFunctions {
 
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot" -> (es => DotProduct(es(0), es(1))))
+    "graft_dot" -> (es => DotProduct(es(0), es(1))),
+    "graft_fold60" -> (es => Fold60(es(0))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>

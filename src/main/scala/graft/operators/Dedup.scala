@@ -38,10 +38,12 @@ object Dedup {
       array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
 
   /** doc_id + distinct 3-shingle set hashed to 60-bit longs (`hs`). */
-  private def withHashedShingles(spark: SparkSession, dir: String): DataFrame =
+  private def withHashedShingles(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     withShingles(spark, dir)
       .withColumn("hs", transform(col("sh"), s => md5Fold60(s)))
       .drop("sh")
+  }
 
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)) / size(array_union(a, b)).cast("double")
@@ -247,12 +249,14 @@ object Dedup {
   /** (doc_id, 60-bit hash) per distinct 8-shingle (decontamination
     * granularity) — hashed inside the array, exploded after (see
     * simhashSignatures for why the order matters). */
-  private def shingleHashes(docs: DataFrame): DataFrame =
+  private def shingleHashes(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     Tables.fanout(docs).select(
       col("doc_id"),
       array_distinct(shingles(tokens(col("text")), 8)).as("sh"))
       .select(col("doc_id"),
         explode(transform(col("sh"), s => md5Fold60(s))).as("h"))
+  }
 
   /** M6: the end-to-end corpus build — the composition every piece above
     * exists for: quality-filter (≥ 0.5), deterministic language mix
@@ -264,6 +268,7 @@ object Dedup {
     * near-dup loser set — at 100 TB the build is one corpus pass plus the
     * dedup pipeline that feeds it. */
   def corpusBuild(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val losers = minhashDedup(spark, dir).select(col("doc_b").as("doc_id")).distinct()
     TextAnalysis.qualityScore(spark, dir)
       .filter(col("quality_score") >= 0.5)

@@ -63,13 +63,16 @@ object Exact {
   }
 
   /** Portable 60-bit string hash: leading 15 hex chars of md5, parsed
-    * base-16. Bit-identical in Spark (`conv`) and DuckDB
-    * (`'0x…'::BIGINT`), always non-negative (60 < 63 bits) — the
-    * cross-engine workhorse behind MinHash/SimHash/decontamination
-    * (engine-private xxhash64 would be ~equally fast warm but never
-    * oracle-replayable). */
-  def fold60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    * base-16. Bit-identical in Spark and DuckDB (`'0x…'::BIGINT`), always
+    * non-negative (60 < 63 bits) — the cross-engine workhorse behind
+    * MinHash/decontamination/splits (engine-private xxhash64 would be
+    * ~equally fast but never oracle-replayable). Computed by the native
+    * `graft_fold60` expression (graft.functions.Fold60): digest bytes
+    * straight to a long, no hex-string round trip — FunctionsSpec asserts
+    * bit-equality with the `conv(substring(md5(s),1,15),16,10)`
+    * formulation. Callers must have GraftFunctions registered
+    * (Tables.bootstrap does; query builders register defensively). */
+  def fold60(c: Column): Column = call_function("graft_fold60", c)
 
   // ---- DuckDB oracle fragments for the same expressions ----
 

@@ -176,13 +176,15 @@ object TextAnalysis {
     * order-free, reproducible run-over-run and engine-over-engine, and
     * stable under corpus growth — a doc keeps its split forever, so
     * incremental re-releases never migrate training docs into test. */
-  def dataSplit(spark: SparkSession, dir: String): DataFrame =
+  def dataSplit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
       .withColumn("band", pmod(Exact.fold60(col("doc_id").cast("string")), lit(100)))
       .select(col("doc_id"), col("lang"), col("band").cast("int").as("band"),
         when(col("band") < 90, "train")
           .when(col("band") < 95, "validation")
           .otherwise("test").as("split"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m6_vocab_hll"     -> vocabHll,

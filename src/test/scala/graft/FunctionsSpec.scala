@@ -1,0 +1,27 @@
+package graft
+
+import graft.functions.Fold60
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bit-equality guarantees for the native expressions against the
+  * formulations they replace. */
+class FunctionsSpec extends AnyFunSuite with SparkFixture {
+
+  test("graft_fold60 equals the hex conv formulation, in plan and in direct eval") {
+    // whole-column comparison through the real codegen path
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cmp = docs.select(
+      call_function("graft_fold60", col("text")).as("native"),
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("hex"))
+    assert(cmp.filter(col("native") =!= col("hex")).count() == 0)
+    // adversarial strings (empty, multi-byte UTF-8, long) via direct eval
+    for (s <- Seq("", "a", "hello world", "é漢字", "x" * 10000)) {
+      val expected = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+      assert(Fold60.fold(UTF8String.fromString(s)) == expected, s"mismatch for '$s'")
+    }
+  }
+}
