@@ -89,9 +89,33 @@ object Multimodal {
       .select(col("doc_id"), col("frame_no"), col("frame_offset"), col("byte_len"))
   }
 
+  /** M7: resize planning — per payload, the downscale geometry to the
+    * model's 224×224 input: aspect-preserving scale factor, the resulting
+    * pre-crop dimensions, and the decoded-output byte size. The pixel work
+    * belongs to the stub decoder's successor; the geometry is pure
+    * arithmetic over the metadata projection (narrow map, no payload read
+    * beyond what binaryMeta already projects), which is exactly the part a
+    * 100 TB pipeline plans centrally before shipping batches to codec
+    * executors. */
+  def resizePlan(spark: SparkSession, dir: String): DataFrame = {
+    // scaled dims in INTEGER arithmetic — ceil(dim·224/min) as
+    // (dim·224 + min − 1) div min. A float form (ceil(dim * rounded_scale))
+    // is boundary-fragile: products land exactly on the integer in one
+    // engine and epsilon above it in the other, flipping the ceil.
+    binaryMeta(spark, dir).select(
+      col("doc_id"), col("width"), col("height"),
+      Exact.rnd(lit(224.0) / least(col("width"), col("height")), 4).as("scale"),
+      expr("CAST((width * 224 + least(width, height) - 1) DIV least(width, height) AS INT)")
+        .as("scaled_w"),
+      expr("CAST((height * 224 + least(width, height) - 1) DIV least(width, height) AS INT)")
+        .as("scaled_h"),
+      lit(224 * 224 * 3).as("out_bytes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m7_binary_meta"    -> binaryMeta,
     "m7_frame_sample"   -> frameSample,
+    "m7_resize_plan"    -> resizePlan,
     "m7_decode_features" -> decodeFeatures)
 
   val oracles: Map[String, String] = Map(
@@ -111,6 +135,17 @@ object Multimodal {
                  CAST(octet_length(encode(text)) // 100 + 1 AS INTEGER) AS n_frames
                FROM documents) m,
               LATERAL unnest(range(0, CAST(n_frames AS BIGINT), 4)) AS u(frame_no)""",
+    "m7_resize_plan" ->
+      s"""WITH m AS (SELECT doc_id,
+             CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
+             CAST(octet_length(encode(text)) % 48 + 16 AS INTEGER) AS height
+           FROM documents)
+          SELECT doc_id, width, height,
+            ${Exact.sqlRnd("224.0 / CAST(least(width, height) AS DOUBLE)", 4)} AS scale,
+            CAST((width * 224 + least(width, height) - 1) // least(width, height) AS INTEGER) AS scaled_w,
+            CAST((height * 224 + least(width, height) - 1) // least(width, height) AS INTEGER) AS scaled_h,
+            CAST(150528 AS INTEGER) AS out_bytes
+          FROM m""",
     // The stub decoder's stripes are pure byte arithmetic (acc = acc*31 + b
     // with Java 64-bit wraparound), so DuckDB can replay them: the fold runs
     // in HUGEINT mod 2^64, then converts to the signed interpretation for
