@@ -16,7 +16,9 @@ object GraftFunctions {
 
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
-    "graft_fold60" -> (es => Fold60(es(0))))
+    "graft_fold60" -> (es => Fold60(es(0))),
+    "graft_md5_hi32" -> (es => Md5Half(es(0), hi = true)),
+    "graft_md5_lo32" -> (es => Md5Half(es(0), hi = false)))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>

@@ -161,16 +161,18 @@ object Dedup {
     * rather than one 64-bit value because bit 63 of a combined signature
     * would need unsigned arithmetic that Java wraps and DuckDB rejects. */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    // the md5 transform runs INSIDE the array before the explode: handing
-    // the generator a raw column of an already-projected HOF keeps the
-    // shingle-constructor tree out of the Generate operator — inlining it
-    // there re-enters the nested-interpreted-HOF path (measured 10×: the
-    // same m6_fingerprint lesson, staged projections over fused ones)
+    graft.functions.GraftFunctions.register(spark)
+    // explode the raw shingles first, then hash in a scalar projection: the
+    // native halves (graft.functions.Md5Half — digest bytes straight to a
+    // long) replace the md5 hex round trip (32-char alloc + two substring
+    // parses per shingle: the hot loop at corpus scale), and keeping the
+    // shingle-constructor tree out of the Generate operator avoids the
+    // nested-interpreted-HOF path (measured 10×: the m6_fingerprint lesson)
     val hashed = withShingles(spark, dir)
-      .select(col("doc_id"), explode(transform(col("sh"), s => md5(s))).as("m"))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"),
-        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("hi"),
-        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("lo"))
+        Exact.md5Hi32(col("s")).as("hi"),
+        Exact.md5Lo32(col("s")).as("lo"))
     val voteCols =
       (0 until 32).map(i =>
         sum(shiftright(col("hi"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i")) ++

@@ -74,11 +74,22 @@ object Exact {
     * (Tables.bootstrap does; query builders register defensively). */
   def fold60(c: Column): Column = call_function("graft_fold60", c)
 
+  /** Portable 32-bit md5 half-words (hex chars 1-8 / 9-16 parsed base-16),
+    * computed natively (graft.functions.Md5Half) — the SimHash bit source. */
+  def md5Hi32(c: Column): Column = call_function("graft_md5_hi32", c)
+  def md5Lo32(c: Column): Column = call_function("graft_md5_lo32", c)
+
   // ---- DuckDB oracle fragments for the same expressions ----
 
   /** DuckDB fragment of the same 60-bit fold. */
   def sqlFold60(e: String): String =
     s"('0x' || substring(md5($e), 1, 15))::BIGINT"
+
+  /** DuckDB fragments of the same 32-bit md5 half-words. */
+  def sqlMd5Hi32(e: String): String =
+    s"('0x' || substring(md5($e), 1, 8))::BIGINT"
+  def sqlMd5Lo32(e: String): String =
+    s"('0x' || substring(md5($e), 9, 8))::BIGINT"
 
   def sqlRnd(e: String, n: Int): String = {
     val p = "1" + ("0" * n)

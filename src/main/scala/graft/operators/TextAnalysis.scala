@@ -113,20 +113,25 @@ object TextAnalysis {
       length(col("text")).as("n_chars"))
 
   /** M6: document fingerprint — winnowing-style: the minimum hash over the
-    * document's 3-shingles (md5 so the oracle can replay it bit-for-bit).
-    * Equal fingerprints ⇒ near-identical prefix content; used as a cheap
-    * first-pass dedup key.
+    * document's 3-shingles (the portable 60-bit md5 fold, so the oracle
+    * replays it bit-for-bit). Equal fingerprints ⇒ near-identical prefix
+    * content; used as a cheap first-pass dedup key.
     *
     * Plan shape: materialize the shingle array in its own projection, then
-    * hash+min in a second — nesting the shingle constructor inside the md5
+    * hash+min in a second — nesting the shingle constructor inside the hash
     * transform makes one giant interpreted HOF tree; splitting it lets each
-    * stage evaluate once. `fanout` spreads the per-row md5 work across cores
+    * stage evaluate once. The hash itself is the native `graft_fold60`
+    * (digest bytes straight to a long), not hex-string md5: min over fixed-
+    * width longs beats min over 32-char strings, with no per-shingle hex
+    * alloc+parse. `fanout` spreads the per-row digest work across cores
     * (single-split test file). */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.fanout(Tables.documents(spark, dir))
       .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
       .select(col("doc_id"),
-        array_min(transform(col("sh"), s => md5(s))).as("fingerprint"))
+        array_min(transform(col("sh"), s => Exact.fold60(s))).as("fingerprint"))
+  }
 
   /** M6: per-language vocabulary size via HLL sketch — the scale path for
     * COUNT(DISTINCT token): approx_count_distinct aggregates a constant-size
@@ -269,6 +274,6 @@ object TextAnalysis {
          FROM documents""",
     "m6_fingerprint" ->
       s"""SELECT doc_id,
-          list_min(list_transform(${TextAnalysis.sqlShingles("string_split(text, ' ')", 3)}, s -> md5(s))) AS fingerprint
+          list_min(list_transform(${TextAnalysis.sqlShingles("string_split(text, ' ')", 3)}, s -> ${Exact.sqlFold60("s")})) AS fingerprint
           FROM documents""")
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.Fold60
+import graft.functions.{Fold60, Md5Half}
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
@@ -22,6 +22,25 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
         java.security.MessageDigest.getInstance("MD5")
           .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
       assert(Fold60.fold(UTF8String.fromString(s)) == expected, s"mismatch for '$s'")
+    }
+  }
+
+  test("graft_md5_hi32/_lo32 equal the hex conv formulations, in plan and direct eval") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cmp = docs.select(
+      call_function("graft_md5_hi32", col("text")).as("nhi"),
+      call_function("graft_md5_lo32", col("text")).as("nlo"),
+      conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long").as("xhi"),
+      conv(substring(md5(col("text")), 9, 8), 16, 10).cast("long").as("xlo"))
+    assert(cmp.filter(col("nhi") =!= col("xhi") || col("nlo") =!= col("xlo")).count() == 0)
+    for (s <- Seq("", "a", "hello world", "é漢字", "x" * 10000)) {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u = UTF8String.fromString(s)
+      assert(Md5Half.half(u, hi = true) == java.lang.Long.parseLong(hex.take(8), 16))
+      assert(Md5Half.half(u, hi = false) == java.lang.Long.parseLong(hex.slice(8, 16), 16))
+      // halves stay within unsigned 32-bit range (sign-safe in both engines)
+      assert(Md5Half.half(u, hi = true) >= 0L && Md5Half.half(u, hi = true) < (1L << 32))
     }
   }
 }
