@@ -62,14 +62,36 @@ object Similarity {
     * Sizing `bits`: bucket population ≈ N / 2^bits, and the within-bucket
     * work of a blocked self-join is Θ(N²/2^bits) — so bits must GROW with
     * the corpus, ≈ log₂(N / targetBucketSize), or the quadratic term
-    * returns. The registered queries pin bits = 8 (≈ corpus/256 at test
-    * scale) because their oracle SQL is static; the operators take it as a
-    * parameter, and LlmPillarSpec asserts the max bucket share and that
-    * widening bits only refines buckets. */
+    * returns. The registered queries derive bits from the corpus size
+    * (`lshBits`) — and the oracle SQL derives the SAME width from
+    * `count(*)` in-query — so the effective width adapts per fixture while
+    * both engines stay bit-identical; LlmPillarSpec asserts the max bucket
+    * share and that widening bits only refines buckets. */
   private[graft] def signBucket(v: Column, bits: Int): Column =
     (0 until bits).map(i =>
       when(element_at(v, i + 1) >= 0, lit(1 << i)).otherwise(lit(0)))
       .reduce[Column](_ + _)
+
+  /** Corpus-adaptive LSH width: the smallest b in [4, 16] with 2^b ≥ N/16,
+    * i.e. ceil(log₂(N/16)) clamped — bucket population stays ~16 as the
+    * corpus grows, which is what keeps within-bucket work linear overall.
+    * Integer arithmetic on purpose: the oracle computes
+    * `ceil(log2(count(*)/16.0))` and n/16.0 is exact in binary (n < 2^56),
+    * so the two formulations agree for every reachable n (the only float
+    * hazard would be a log2 landing within 1 ulp of an integer while the
+    * true value is not that integer — impossible at 1/16-granular inputs
+    * except exact powers of two, where log2 is exact). */
+  private[graft] def lshBits(n: Long): Int = {
+    var b = 4
+    while (b < 16 && (16L << b) < n) b += 1
+    b
+  }
+
+  /** The registered-query entry: width from a corpus row count. A parquet
+    * count(*) is footer-metadata work, not a scan — the same cardinality a
+    * table catalog serves for free at cluster scale. */
+  private def corpusBits(spark: SparkSession, dir: String): Int =
+    lshBits(Tables.embeddings(spark, dir).count())
 
   /** Default probe set for multi-probe LSH: the vector's own bucket plus
     * every bucket reachable by flipping one LOW-CONFIDENCE bit — a dimension
@@ -181,16 +203,23 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m6_cosine_topk" -> cosineTopK,
-    "m6_ann_lsh"     -> ((s, d) => annLsh(s, d)),
+    "m6_ann_lsh"     -> ((s, d) => annLsh(s, d, corpusBits(s, d))),
     "m6_ann_ivf"     -> annIvf,
-    "m6_embed_dedup" -> ((s, d) => embedDedup(s, d)))
+    "m6_embed_dedup" -> ((s, d) => embedDedup(s, d, corpusBits(s, d))))
 
   private val vSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
   private val normSql = "sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b))"
   private val dotSql =
     "list_reduce(list_prepend(0.0, list_transform(list_zip(qv, v), p -> p[1] * p[2])), (a, b) -> a + b)"
+  /** The same corpus-adaptive width as `lshBits`, computed in-query (see
+    * lshBits for why the two formulations are exactly equal). */
+  private val bitsSql =
+    "bits AS (SELECT least(16, greatest(4, CAST(ceil(log2(count(*) / 16.0)) AS INTEGER))) AS b FROM embeddings)"
+
+  /** Sign bucket over the first (SELECT b FROM bits) dimensions. */
   private val bucketSql = (v: String) =>
-    (0 until 8).map(i => s"(CASE WHEN $v[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+    s"CAST(list_sum(list_transform(range(0, (SELECT b FROM bits)), " +
+      s"i -> CASE WHEN $v[i + 1] >= 0 THEN 1 << i ELSE 0 END)) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
     "m6_cosine_topk" ->
@@ -232,14 +261,15 @@ object Similarity {
     // probeBuckets builds it.
     "m6_embed_dedup" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          $bitsSql,
           u AS (SELECT vec_id, v FROM e
                 UNION ALL
                 SELECT vec_id + 1000000, list_prepend(v[1] * 1.1, v[2:]) FROM e
                 WHERE vec_id % 20 = 0),
           n AS (SELECT vec_id, v, $normSql AS nrm, ${bucketSql("v")} AS bucket FROM u),
           pr AS (SELECT vec_id, v, nrm, unnest(list_prepend(bucket,
-                   list_transform(list_filter(range(0, 8), i -> abs(v[i + 1]) < 0.1),
-                     i -> xor(bucket, 1 << i)))) AS probe
+                   list_transform(list_filter(range(0, (SELECT b FROM bits)), i -> abs(v[i + 1]) < 0.1),
+                     i -> xor(bucket, CAST(1 << i AS BIGINT))))) AS probe
                  FROM n),
           p AS (SELECT least(a.vec_id, b.vec_id) AS vec_a,
                   greatest(a.vec_id, b.vec_id) AS vec_b,
@@ -251,6 +281,7 @@ object Similarity {
           FROM p WHERE sim >= 0.95""",
     "m6_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          $bitsSql,
           n AS (SELECT vec_id, v, $normSql AS nrm, ${bucketSql("v")} AS bucket FROM e),
           q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, bucket FROM n WHERE vec_id % 50 = 0),
           p AS (SELECT q_id, n.vec_id, $dotSql / (nrm * qnrm) AS sim

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Exact.{rnd, sqlRnd}
 
@@ -189,6 +189,32 @@ object WindowAggregates {
         rnd(expr("percentile(value, 0.99)"), 4).as("p99"),
         count(col("value")).as("n"))
 
+  /** A11b: the 100 TB quantile path itself, under oracle. `percentile_approx`
+    * aggregates a constant-size KLL-style sketch (map-side combined,
+    * mergeable — exact `percentile` buffers every value per group, which a
+    * 100 TB group can't). Sketch internals are engine-specific, so — like
+    * m6_vocab_hll — the registered surface is the exact twin plus an
+    * `approx_ok` rank-bound flag: with accuracy 10000 the sketch's rank
+    * error is ≤1e-4, so each approx value must land within the exact
+    * [p−0.01, p+0.01] quantile band; the oracle asserts the same columns
+    * with `approx_ok` constant-true, so a sketch drifting out of bound
+    * fails the hash compare. */
+  def percentilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    def inBand(p: Double, lo: String, hi: Column): Column =
+      expr(s"percentile_approx(value, $p, 10000)")
+        .between(expr(s"percentile(value, $lo)"), hi)
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        rnd(expr("percentile(value, 0.5)"), 4).as("p50"),
+        rnd(expr("percentile(value, 0.95)"), 4).as("p95"),
+        rnd(expr("percentile(value, 0.99)"), 4).as("p99"),
+        count(col("value")).as("n"),
+        (inBand(0.5, "0.49", expr("percentile(value, 0.51)")) &&
+         inBand(0.95, "0.94", expr("percentile(value, 0.96)")) &&
+         inBand(0.99, "0.98", max(col("value")))).as("approx_ok"))
+  }
+
   /** A7: salted two-stage aggregation — the skew pattern for hot keys.
     * `event_type` has ~5 distinct values, the degenerate skew case: a plain
     * groupBy routes 1/5 of a 100 TB table through single reducers. Stage 1
@@ -213,6 +239,7 @@ object WindowAggregates {
     "a4b_quality_alerts"   -> qualityAlerts,
     "a8_sessionize"        -> sessionize,
     "a11_percentiles"      -> percentiles,
+    "a11b_percentiles_approx" -> percentilesApprox,
     "a9_event_pivot"       -> eventPivot,
     "a10_rollup"           -> rollupStats,
     "a7_salted_agg"        -> saltedAgg,
@@ -309,6 +336,13 @@ object WindowAggregates {
           ${sqlRnd("quantile_cont(value, 0.95)", 4)} AS p95,
           ${sqlRnd("quantile_cont(value, 0.99)", 4)} AS p99,
           count(value) AS n
+          FROM events GROUP BY 1""",
+    "a11b_percentiles_approx" ->
+      s"""SELECT event_type,
+          ${sqlRnd("quantile_cont(value, 0.5)", 4)} AS p50,
+          ${sqlRnd("quantile_cont(value, 0.95)", 4)} AS p95,
+          ${sqlRnd("quantile_cont(value, 0.99)", 4)} AS p99,
+          count(value) AS n, TRUE AS approx_ok
           FROM events GROUP BY 1""",
     "a9_event_pivot" ->
       """SELECT CAST(ts AS DATE) AS day,

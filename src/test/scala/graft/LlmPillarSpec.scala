@@ -107,6 +107,16 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
       "every canonical 8-shingle of the mangled copy must still collide")
   }
 
+  test("lshBits sizes the bucket width log2 with the corpus, clamped to [4,16]") {
+    assert(Similarity.lshBits(1) == 4)
+    assert(Similarity.lshBits(50) == 4)     // sf0.001
+    assert(Similarity.lshBits(500) == 5)    // sf0.01 — a different effective width
+    assert(Similarity.lshBits(5000) == 9)   // sf0.1
+    assert(Similarity.lshBits(1L << 40) == 16)
+    // boundary: exactly 16·2^b stays at b, one more row tips over
+    assert(Similarity.lshBits(512) == 5 && Similarity.lshBits(513) == 6)
+  }
+
   test("sign-LSH bucket load is bounded and widening bits only refines it") {
     val vecs = Tables.embeddings(spark, dir).select(
       col("vec_id"),
