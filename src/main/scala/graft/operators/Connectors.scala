@@ -113,13 +113,16 @@ object Connectors {
     *     and the rewrite replaces only those partition directories (dynamic
     *     partition overwrite). Untouched partitions are never read, never
     *     rewritten (ConnectorsSpec asserts byte-identity).
-    *   - `None`: unpartitioned small-table fallback — full rewrite into a
-    *     temp dir, then a rename-aside swap (old → .merge-old, tmp →
-    *     target, delete old). A crash between the two renames can leave the
-    *     target path briefly absent, but the data always survives in one of
-    *     the sibling dirs (recovery = rename `.merge-old` back); a table
-    *     format's atomic metadata commit is the production answer, not a
-    *     filesystem trick. */
+    *   - `None`: unpartitioned small-table fallback — full rewrite into the
+    *     NEXT GENERATION subdir, committed by atomically flipping the
+    *     `CURRENT` pointer file (write `CURRENT.tmp`, rename over `CURRENT`
+    *     — the single-file atomic-commit discipline every table format's
+    *     metadata pointer uses). There is no instant at which the table is
+    *     unreadable: readers resolve the pointer to whichever generation
+    *     last committed, a crash leaves at worst an orphan generation dir,
+    *     and the next merge sweeps orphans after its own commit
+    *     (ConnectorsSpec walks every crash point). A flat dir without
+    *     `CURRENT` (the pre-protocol layout) reads as generation zero. */
   def mergeInto(spark: SparkSession, targetDir: String, updates0: DataFrame,
       keys: Seq[String], partitionCol: Option[String] = None): Unit = {
     // the updates plan feeds the touched-partition collect AND the merge
@@ -127,7 +130,7 @@ object Connectors {
     // upsertSink's case) runs once
     val updates = updates0.persist()
     try {
-      val current = spark.read.parquet(targetDir)
+      val current = readTable(spark, targetDir)
       val dataCols = current.columns.filterNot(keys.contains)
       val u = updates.columns.foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"u_$c"))
       val joinCond = keys.map(k => col(k) <=> col(s"u_$k")).reduce(_ && _)
@@ -159,15 +162,51 @@ object Connectors {
           finally spark.conf.set(conf, prev)
           deleteRecursively(Paths.get(tmp))
         case None =>
-          val tmp = targetDir + ".merge-tmp"
-          merged(current).write.mode("overwrite").parquet(tmp)
-          val old = Paths.get(targetDir + ".merge-old")
-          deleteRecursively(old) // leftover of a crash between the renames
-          Files.move(Paths.get(targetDir), old)
-          Files.move(Paths.get(tmp), Paths.get(targetDir))
-          deleteRecursively(old)
+          val gen = s"gen-${System.nanoTime()}"
+          merged(current).write.parquet(s"$targetDir/$gen")
+          commitPointer(targetDir, gen)
+          sweepStale(targetDir, gen)
       }
     } finally updates.unpersist()
+  }
+
+  /** Read the committed snapshot of a merge target: `CURRENT` names the live
+    * generation subdir; a dir without the pointer (including every
+    * partitioned target) is its own data. */
+  def readTable(spark: SparkSession, targetDir: String): DataFrame =
+    spark.read.parquet(resolveCurrent(targetDir).toString)
+
+  private def resolveCurrent(targetDir: String): Path = {
+    val cur = Paths.get(targetDir, "_CURRENT")
+    if (Files.exists(cur)) Paths.get(targetDir, Files.readString(cur).trim)
+    else Paths.get(targetDir)
+  }
+
+  /** The atomic commit: stage the pointer contents, rename over `CURRENT`.
+    * Readers see the old generation until this rename and the new one after
+    * it — never neither. */
+  private def commitPointer(targetDir: String, gen: String): Unit = {
+    val tmp = Paths.get(targetDir, "_CURRENT.tmp")
+    Files.writeString(tmp, gen)
+    Files.move(tmp, Paths.get(targetDir, "_CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Post-commit sweep: orphan generations (crash leftovers, the previous
+    * live gen) and pre-protocol flat data files. Best-effort by design —
+    * anything missed is swept by the next merge; nothing here is load-
+    * bearing for readers, who only follow the pointer. */
+  private def sweepStale(targetDir: String, liveGen: String): Unit = {
+    val root = Paths.get(targetDir)
+    val list = Files.list(root)
+    try list.forEach { p =>
+      val name = p.getFileName.toString
+      val stale =
+        (Files.isDirectory(p) && name.startsWith("gen-") && name != liveGen) ||
+        (!Files.isDirectory(p) && name != "_CURRENT" && name != "_CURRENT.tmp")
+      if (stale) deleteRecursively(p)
+    } finally list.close()
   }
 
   private def deleteRecursively(p: Path): Unit =

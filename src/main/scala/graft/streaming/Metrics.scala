@@ -1,5 +1,7 @@
 package graft.streaming
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQueryListener
 import org.apache.spark.sql.streaming.StreamingQueryListener._
 import java.util.concurrent.ConcurrentLinkedQueue
@@ -27,6 +29,22 @@ final class Metrics(slowBatchMillis: Long = 5000L) extends StreamingQueryListene
   def batches: List[BatchStat] = stats.asScala.toList
   def totalInputRows: Long = batches.map(_.numInputRows).sum
   def slowBatches: List[BatchStat] = batches.filter(_.slow)
+
+  /** The collected stats as a queryable DataFrame — the reference exposes
+    * its monitor numbers for dashboards/alerting (streaming_job.py:632-687);
+    * here they are a table to filter/aggregate/join like any other. Driver-
+    * local by construction (listener stats are metadata-sized: one row per
+    * micro-batch). */
+  def toDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    batches.map(b => (b.batchId, b.numInputRows, b.durationMs, b.stateRows, b.slow))
+      .toDF("batch_id", "num_input_rows", "duration_ms", "state_rows", "slow")
+  }
+
+  /** The slow-batch alert view: batches whose trigger execution exceeded the
+    * threshold (the reference warns above 5 s, streaming_job.py:96,574-583 —
+    * its backpressure signal for raising maxOffsetsPerTrigger headroom). */
+  def alerts(spark: SparkSession): DataFrame = toDF(spark).filter(col("slow"))
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = started += 1
 

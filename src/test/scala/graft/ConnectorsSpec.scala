@@ -17,7 +17,7 @@ class ConnectorsSpec extends AnyFunSuite with SparkFixture {
       .write.mode("overwrite").parquet(target)
     Connectors.mergeInto(spark, target,
       Seq((2L, "b", 99.0), (3L, "c", 30.0)).toDF("k", "tag", "v"), Seq("k"))
-    val out = spark.read.parquet(target).as[(Long, String, Double)]
+    val out = Connectors.readTable(spark, target).as[(Long, String, Double)]
       .collect().sortBy(_._1)
     assert(out.toSeq == Seq((1L, "a", 10.0), (2L, "b", 99.0), (3L, "c", 30.0)))
   }
@@ -29,8 +29,53 @@ class ConnectorsSpec extends AnyFunSuite with SparkFixture {
     val batch = Seq((1L, 2.0), (2L, 5.0)).toDF("k", "v")
     Connectors.mergeInto(spark, target, batch, Seq("k"))
     Connectors.mergeInto(spark, target, batch, Seq("k")) // replay
-    val out = spark.read.parquet(target).as[(Long, Double)].collect().sortBy(_._1)
+    val out = Connectors.readTable(spark, target).as[(Long, Double)].collect().sortBy(_._1)
     assert(out.toSeq == Seq((1L, 2.0), (2L, 5.0)))
+  }
+
+  test("unpartitioned merge is readable at every crash point, no manual recovery") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("merge-crash-").toString
+    def read() = Connectors.readTable(spark, target)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    Seq((1L, 1.0)).toDF("k", "v").write.mode("overwrite").parquet(target)
+
+    // crash point 1: a merge died after writing its generation dir but
+    // BEFORE the pointer commit — the orphan gen must be invisible
+    Seq((1L, 9.0)).toDF("k", "v").write.parquet(s"$target/gen-111")
+    assert(read() == Seq((1L, 1.0)))
+
+    // crash point 2: died mid-pointer-stage (CURRENT.tmp written, rename
+    // never happened) — still the old snapshot
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(target, "_CURRENT.tmp"), "gen-111")
+    assert(read() == Seq((1L, 1.0)))
+
+    // a real merge now completes, swallows the update, and sweeps both the
+    // orphan generation and the pre-protocol flat files
+    Connectors.mergeInto(spark, target, Seq((2L, 5.0)).toDF("k", "v"), Seq("k"))
+    assert(read() == Seq((1L, 1.0), (2L, 5.0)))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(target, "gen-111")))
+    val live = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(target, "_CURRENT")).trim
+
+    // crash point 3: next merge dies post-commit, pre-sweep — the NEW data
+    // is live (commit happened), the old generation is merely unswept
+    Seq((1L, 1.0), (2L, 5.0), (3L, 7.0)).toDF("k", "v")
+      .write.parquet(s"$target/gen-999")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(target, "_CURRENT.tmp"), "gen-999")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(target, "_CURRENT.tmp"),
+      java.nio.file.Paths.get(target, "_CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(read() == Seq((1L, 1.0), (2L, 5.0), (3L, 7.0)))
+
+    // and the following merge sweeps the superseded generation
+    Connectors.mergeInto(spark, target, Seq((4L, 2.0)).toDF("k", "v"), Seq("k"))
+    assert(read() == Seq((1L, 1.0), (2L, 5.0), (3L, 7.0), (4L, 2.0)))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(target, live)))
   }
 
   test("partition-pruned merge rewrites only touched partitions, byte-identically elsewhere") {

@@ -141,6 +141,101 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally spark.streams.removeListener(metrics)
   }
 
+  test("slow-batch alert surfaces through the queryable metrics DataFrame") {
+    val src = tmp("alert-src-")
+    val sink = tmp("alert-sink-")
+    eventsDf(Seq((1L, 0, 1.0), (2L, 5, 2.0))).coalesce(1).write.mode("append").parquet(src)
+    eventsDf(Seq((3L, 10, 3.0))).coalesce(1).write.mode("append").parquet(src)
+    // threshold 0 ms: every real trigger exceeds it — exercises the alert
+    // path deterministically (the reference's production threshold is 5 s)
+    val metrics = new Metrics(slowBatchMillis = 0L)
+    spark.streams.addListener(metrics)
+    try {
+      StreamingJobs.drainUpdate(
+        StreamingJobs.streamWindowAgg(StreamingJobs.readEventStream(spark, src)),
+        sink)
+      val deadline = System.currentTimeMillis() + 10000
+      while (metrics.totalInputRows < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      // the metrics table is queryable like any DataFrame...
+      val df = metrics.toDF(spark)
+      assert(df.count() == metrics.batches.size.toLong)
+      assert(df.filter(col("num_input_rows") > 0).count() >= 2)
+      // ...and the alert view flags exactly the over-threshold batches
+      val alerted = metrics.alerts(spark).select("batch_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(alerted.nonEmpty)
+      assert(alerted == metrics.slowBatches.map(_.batchId).toSet)
+    } finally spark.streams.removeListener(metrics)
+  }
+
+  test("stream-stream join drains a hot-key fixture and equals its batch twin") {
+    import spark.implicits._
+    val src = tmp("skew-src-")
+    val sink = tmp("skew-sink-")
+    val base = 1699999800L
+    // one hot user owns ~90% of both streams (the skew m4h would meet in
+    // production); two cold users contribute a pair each
+    def ev(id: Long, user: Long, tpe: String, mins: Int, secs: Int) =
+      (id, new Timestamp((base + mins * 60L + secs) * 1000L), user, tpe, 1.0, "{}")
+    val rows =
+      (0 until 30).map(i => ev(1000 + i, 1L, "view", i, 0)) ++
+      (0 until 30).map(i => ev(2000 + i, 1L, "purchase", i, 30)) ++
+      Seq(ev(3001, 2L, "view", 0, 0), ev(3002, 2L, "purchase", 1, 0),
+        ev(3003, 3L, "view", 2, 0), ev(3004, 3L, "purchase", 3, 0))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    df.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(src)
+    df.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(src)
+
+    val metrics = new Metrics()
+    spark.streams.addListener(metrics)
+    try {
+      def leg(tpe: String, idAs: String, tsAs: String, userAs: String) =
+        StreamingJobs.readEventStream(spark, src)
+          .filter(col("event_type") === tpe)
+          .select(col("event_id").as(idAs), col("user_id").as(userAs),
+            col("ts").as(tsAs))
+          .withWatermark(tsAs, "1 minute")
+      val joined = leg("view", "view_id", "view_ts", "user_id")
+        .join(leg("purchase", "purchase_id", "purchase_ts", "p_user"),
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("view_ts") &&
+            col("purchase_ts") < col("view_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("view_id"), col("purchase_id"))
+      StreamingJobs.drainAppend(joined, sink)
+      val streamed = UpsertSink.appended(spark, sink)
+        .as[(Long, Long)].collect().toSet
+
+      // batch twin of the same interval join — AQE's skew-join handling
+      // (on by default, asserted here) is what splits a hot user_id's
+      // oversized shuffle partition at scale
+      assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+      val v = df.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+      val p = df.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"))
+      val batch = v.join(p,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("view_ts") &&
+            col("purchase_ts") < col("view_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("view_id"), col("purchase_id"))
+        .as[(Long, Long)].collect().toSet
+      assert(batch.size > 400, s"fixture should be join-heavy, got ${batch.size}")
+      assert(streamed == batch,
+        s"missing: ${(batch -- streamed).take(5)}; spurious: ${(streamed -- batch).take(5)}")
+
+      // bounded state: the join buffered no more than the input volume —
+      // watermark eviction keeps per-key state from accumulating the stream
+      val deadline = System.currentTimeMillis() + 10000
+      while (metrics.batches.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val maxState = metrics.batches.map(_.stateRows).max
+      assert(maxState > 0 && maxState <= rows.size.toLong,
+        s"state rows $maxState outside (0, ${rows.size}]")
+    } finally spark.streams.removeListener(metrics)
+  }
+
   test("UpsertSink is last-write-wins per key and idempotent on batch replay") {
     import spark.implicits._
     val sink = tmp("upsert-sink-")
