@@ -23,19 +23,37 @@ object Bench {
     val selected = SparkEntry.queries.toSeq
       .sortBy { case (n, _) => (n.startsWith("m4"), n) }
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // Untimed warm-up: one trivial pass over each table plus a small
-    // agg/join, so the first timed query doesn't absorb one-time JVM/codegen
-    // warm-up (classloading, janino, parquet footer caches) that no
-    // steady-state deployment pays per query. Missing tables (a custom sf
-    // dir) just skip their pass instead of failing the whole bench.
+    // Untimed warm-up: one trivial pass over each table the SELECTED queries
+    // read, plus a small agg/window probe when the events table is in play,
+    // so the first timed query doesn't absorb one-time JVM/codegen warm-up
+    // (classloading, janino, parquet footer caches) that no steady-state
+    // deployment pays per query. Scoped to the selection — a two-query dev
+    // loop doesn't warm ten tables — and missing tables (a custom sf dir)
+    // just skip their pass instead of failing the whole bench.
     locally {
       import org.apache.spark.sql.functions._
+      val names = selected.map(_._1)
+      def selectedAny(p: String => Boolean) = names.exists(p)
+      val docFamily = (n: String) => n.startsWith("m6") || n.startsWith("m7")
+      val needs: Map[String, Boolean] = Map(
+        "documents"  -> selectedAny(docFamily),
+        "embeddings" -> selectedAny(n => n.startsWith("m6_ann") ||
+          n == "m6_cosine_topk" || n == "m6_embed_dedup"),
+        "events"     -> selectedAny(n => !docFamily(n)),
+        // relational dims/facts: the join family, the SQL mart, the
+        // stream-static enrichment (customer)
+        "customer"   -> selectedAny(n => n.startsWith("j") || n == "m4g_stream_enriched"),
+        "supplier"   -> selectedAny(_.startsWith("j")),
+        "nation"     -> selectedAny(_.startsWith("j")),
+        "region"     -> selectedAny(_.startsWith("j")),
+        "part"       -> selectedAny(_.startsWith("j")),
+        "orders"     -> selectedAny(_.startsWith("j")),
+        "lineitem"   -> selectedAny(n => n.startsWith("j") || n == "m5d_sql_pricing_summary"))
       def has(t: String) =
         java.nio.file.Files.exists(java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
-      Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings")
-        .filter(has).foreach(t => Tables.load(spark, sfDir, t).count())
-      if (has("events")) {
+      needs.collect { case (t, true) if has(t) => t }
+        .foreach(t => Tables.load(spark, sfDir, t).count())
+      if (needs("events") && has("events")) {
         Tables.events(spark, sfDir).groupBy("event_type").count()
           .write.format("noop").mode("overwrite").save()
         Tables.events(spark, sfDir).limit(1000)
@@ -49,31 +67,48 @@ object Bench {
     // to the corpus). Pre-build it here as its own TIMED entry so the
     // one-time cost is visible in the report instead of silently landing on
     // whichever family query happens to run first.
+    // Wall time is the headline; process CPU time rides along per query so a
+    // loaded machine is detectable in the artifact itself (wall far above
+    // cpu/32 on a 32-thread run = external contention, not plan cost — the
+    // r4 recording was inflated exactly that way), as is the OS load
+    // average at both ends of the run.
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val loadStart = os.getSystemLoadAverage
+    def timed(body: => Unit): (Double, Double) = {
+      val w0 = System.nanoTime()
+      val c0 = os.getProcessCpuTime
+      body
+      ((System.nanoTime() - w0) / 1e9, (os.getProcessCpuTime - c0) / 1e9)
+    }
     val dedupFamily = Set("m6_ngram_jaccard", "m6_minhash_dedup",
       "m6_simhash_pairs", "m6_decontaminate", "m6_corpus_build")
     val staging = if (selected.exists { case (n, _) => dedupFamily(n) }) {
-      val t0 = System.nanoTime()
-      graft.operators.DedupStaging.ensureAll(spark, sfDir)
-      Seq("m6_stage_base" -> (System.nanoTime() - t0) / 1e9)
+      val t = timed(graft.operators.DedupStaging.ensureAll(spark, sfDir))
+      Seq(("m6_stage_base", t._1, t._2))
     } else Seq.empty
     val results = staging ++ selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // noop sink: full evaluation of every output column (a bare count()
       // would let Catalyst prune the projections away), zero write cost.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // per-query cache isolation: operators may persist() shared subplans
-      // (minhash/simhash signature bases); dropping them between entries
-      // keeps attribution honest and the 75-query session from accumulating
-      // every cache for its lifetime
+      val (wall, cpu) = timed {
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      }
+      // per-query cache isolation: operators may persist() shared subplans;
+      // dropping them between entries keeps attribution honest and the
+      // 90+-query session from accumulating every cache for its lifetime
       spark.catalog.clearCache()
-      name -> dt
+      (name, wall, cpu)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(xs: Seq[(String, Double)]) =
+      xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val cpuTotal = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${fmt(results.map(r => r._1 -> r._2))},""" +
+      s""""cpu_sec":${fmt(results.map(r => r._1 -> r._3))},""" +
+      s""""cpu_total":$cpuTotal,"load_avg_start":$loadStart,""" +
+      s""""load_avg_end":${os.getSystemLoadAverage},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
