@@ -45,8 +45,14 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("n_chars"),
         array_distinct(shingles(col("toks"), 3)).as("sh"))
 
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)) / size(array_union(a, b)).cast("double")
+  /** Jaccard over distinct-element arrays by inclusion-exclusion:
+    * |A∪B| = |A|+|B|−|A∩B|, so one array_intersect pass replaces
+    * intersect + union (the union allocates a fresh array per pair — pure
+    * waste on the pair-verification hot path, where millions of candidate
+    * pairs each carry ~50-element sets). Callers project the intersection
+    * size ONCE (`ninter`) and derive the score from sizes. */
+  private def jaccardFrom(ninter: Column, a: Column, b: Column): Column =
+    ninter / (size(a) + size(b) - ninter).cast("double")
 
   /** M6: exact dedup — group by content digest, first-id-wins keeper.
     * A tenth of the corpus is re-injected as exact copies (deterministically,
@@ -82,7 +88,8 @@ object Dedup {
         col("n_chars").as("nb"), col("hs").as("hsb"))
     left.join(right, Seq("lang", "bucket"))
       .filter(col("doc_a") < col("doc_b") && abs(col("na") - col("nb")) <= 50)
-      .withColumn("jac", jaccard(col("hsa"), col("hsb")))
+      .withColumn("ninter", size(array_intersect(col("hsa"), col("hsb"))))
+      .withColumn("jac", jaccardFrom(col("ninter"), col("hsa"), col("hsb")))
       .filter(col("jac") >= 0.5)
       .select(col("doc_a"), col("doc_b"), rnd(col("jac"), 4).as("jaccard"))
   }
@@ -140,7 +147,8 @@ object Dedup {
     cands
       .join(hs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hsa"), Seq("doc_a"))
       .join(hs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hsb"), Seq("doc_b"))
-      .withColumn("jac", jaccard(col("hsa"), col("hsb")))
+      .withColumn("ninter", size(array_intersect(col("hsa"), col("hsb"))))
+      .withColumn("jac", jaccardFrom(col("ninter"), col("hsa"), col("hsb")))
       .filter(col("jac") >= 0.8)
       .select(col("doc_a"), col("doc_b"), rnd(col("jac"), 4).as("jaccard"))
   }
@@ -307,12 +315,15 @@ object Dedup {
                     ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2
                   WHERE x.doc_id < y.doc_id),
         pairs AS (SELECT doc_a, doc_b,
-                    len(list_intersect(a.h, b.h)) / CAST(len(list_distinct(a.h || b.h)) AS DOUBLE) AS jac
+                    len(list_intersect(a.h, b.h)) AS ni,
+                    len(a.h) + len(b.h) AS ntot
                   FROM cands
                   JOIN hs a ON a.doc_id = cands.doc_a
-                  JOIN hs b ON b.doc_id = cands.doc_b)
+                  JOIN hs b ON b.doc_id = cands.doc_b),
+        scored AS (SELECT doc_a, doc_b, ni / CAST(ntot - ni AS DOUBLE) AS jac
+                   FROM pairs)
         SELECT doc_a, doc_b, ${sqlRnd("jac", 4)} AS jaccard
-        FROM pairs WHERE jac >= 0.8"""
+        FROM scored WHERE jac >= 0.8"""
 
   val oracles: Map[String, String] = Map(
     "m6_exact_dedup" ->
@@ -325,13 +336,14 @@ object Dedup {
     // The oracle verifies over the RAW STRING shingles, so the 60-bit hashed
     // representation the engine joins on is itself under test here.
     "m6_ngram_jaccard" ->
-      s"""WITH sh AS (SELECT doc_id, lang, n_chars, $shSql AS s FROM documents)
+      s"""WITH sh AS (SELECT doc_id, lang, n_chars, $shSql AS s FROM documents),
+          p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  len(list_intersect(a.s, b.s)) AS ni, len(a.s) + len(b.s) AS ntot
+                FROM sh a JOIN sh b
+                  ON a.lang = b.lang AND a.doc_id < b.doc_id
+                 AND abs(a.n_chars - b.n_chars) <= 50)
           SELECT doc_a, doc_b, ${sqlRnd("jac", 4)} AS jaccard FROM (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              len(list_intersect(a.s, b.s)) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jac
-            FROM sh a JOIN sh b
-              ON a.lang = b.lang AND a.doc_id < b.doc_id
-             AND abs(a.n_chars - b.n_chars) <= 50) p
+            SELECT doc_a, doc_b, ni / CAST(ntot - ni AS DOUBLE) AS jac FROM p) t
           WHERE jac >= 0.5""",
     "m6_decontaminate" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents

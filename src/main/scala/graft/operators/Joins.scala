@@ -109,10 +109,26 @@ object Joins {
     * to a broadcast at toy scale. */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     val db = "graft_buckets"
+    ensureBucketedTables(spark, dir)
+    val li = spark.table(s"$db.lineitem_b").hint("merge")
+    val o  = spark.table(s"$db.orders_b").hint("merge")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        Exact.rnd(Exact.sumD("l_quantity"), 2).as("total_qty"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** The one-time bucketed-layout build behind J5 — in production this is
+    * the table-creation DDL that pays the join's shuffle once at write time;
+    * Bench times it as its own `j5_stage_buckets` entry so the query entry
+    * measures the actual (shuffle-free) join. Memoized per (session, sf
+    * dir): session-catalog tables at a fresh path per build — the in-memory
+    * catalog dies with the session but managed-table locations would not,
+    * so the bucketed files live in session-scoped temp dirs. */
+  def ensureBucketedTables(spark: SparkSession, dir: String): Unit = {
+    val db = "graft_buckets"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    // session-catalog tables at a fresh path per (session, sf dir) — the
-    // in-memory catalog dies with the session but managed-table locations
-    // would not, so the bucketed files live in session-scoped temp dirs
     if (!spark.catalog.tableExists(s"$db.lineitem_b") ||
         BucketedTables.dirFor.get(spark) != dir) {
       val loc = java.nio.file.Files.createTempDirectory("graft-buckets-").toString
@@ -126,13 +142,6 @@ object Joins {
         .mode("overwrite").saveAsTable(s"$db.orders_b")
       BucketedTables.dirFor.put(spark, dir)
     }
-    val li = spark.table(s"$db.lineitem_b").hint("merge")
-    val o  = spark.table(s"$db.orders_b").hint("merge")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .groupBy(col("o_orderpriority"))
-      .agg(
-        Exact.rnd(Exact.sumD("l_quantity"), 2).as("total_qty"),
-        count(lit(1)).as("cnt"))
   }
 
   /** J6: as-of join — attach to each reading the most recent COMPLETED
