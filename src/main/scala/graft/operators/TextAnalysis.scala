@@ -144,6 +144,73 @@ object TextAnalysis {
         array_min(transform(col("sh"), s => Exact.fold60(s))).as("fingerprint"))
   }
 
+  /** M6: repetition-based quality filter — the Gopher/C4 rules that catch
+    * degenerate boilerplate lexical-diversity scores miss: the fraction of
+    * 3-grams that are repeats (1 − distinct/total) and the share of the
+    * document taken by its single most frequent 2-gram. A document fails on
+    * either (dup-3-gram ≥ 0.5 or top-2-gram ≥ 0.3 — natural prose sits an
+    * order of magnitude below both; the margins are fixture-verified in
+    * LlmPillarSpec).
+    *
+    * The synthetic corpus has no natural boilerplate, so — the exactDedup
+    * pattern — every 53rd document is deterministically replaced in-query
+    * with its own first-5-token phrase repeated 12×, in both engines, and
+    * the filter must flag exactly the plants.
+    *
+    * Plan shape: the dup fraction is a narrow map; the top-2-gram mode is
+    * explode → (doc, gram) count → max per doc — two map-side-combined
+    * aggregations, no window over raw text, work ∝ token volume. */
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val toks0 = tokens(col("text"))
+    val planted = concat_ws(" ",
+      flatten(array_repeat(slice(toks0, 1, 5), 12)))
+    val docs = Tables.fanout(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        when(col("doc_id") % 53 === 0, planted).otherwise(col("text")).as("text"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        shingles(col("toks"), 2).as("g2"), shingles(col("toks"), 3).as("g3"))
+    val dup = docs.select(col("doc_id"),
+      size(col("g2")).as("n_2grams"),
+      (lit(1.0) - size(array_distinct(col("g3"))) / size(col("g3")).cast("double"))
+        .as("dup3"))
+    val top = docs.select(col("doc_id"), explode(col("g2")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id")).agg(max(col("cnt")).as("top_cnt"))
+    dup.join(top, Seq("doc_id"))
+      .select(col("doc_id"), col("n_2grams"),
+        rnd(col("dup3"), 4).as("dup3_frac"),
+        rnd(col("top_cnt") / col("n_2grams").cast("double"), 4).as("top2_share"),
+        (col("dup3") >= 0.5 ||
+          col("top_cnt") / col("n_2grams").cast("double") >= 0.3).as("repetitive"))
+  }
+
+  /** M6: PII scrubbing — the redaction pass every corpus release runs:
+    * emails and phone-shaped numbers replaced with typed placeholders, with
+    * per-document match counts as the audit trail. Patterns stay in the
+    * regex subset Java and RE2 evaluate identically (character classes,
+    * bounded repetition — no backrefs/lookarounds, which RE2 rejects).
+    *
+    * The synthetic corpus contains no PII, so every 41st document gets a
+    * deterministic contact line appended in-query (same text in both
+    * engines); the scrub must leave zero residual matches corpus-wide
+    * (LlmPillarSpec) and count exactly the plants. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+    val phone = "[0-9]{3}-[0-9]{4}"
+    Tables.fanout(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        when(col("doc_id") % 41 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or call 555-0199")))
+          .otherwise(col("text")).as("text"))
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(email)).as("n_emails"),
+        regexp_count(col("text"), lit(phone)).as("n_phones"),
+        regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+          phone, "<PHONE>").as("scrubbed"))
+  }
+
   /** M6: per-language vocabulary size via HLL sketch — the scale path for
     * COUNT(DISTINCT token): approx_count_distinct aggregates a constant-size
     * sketch per group (map-side combined, mergeable across partitions),
@@ -211,6 +278,8 @@ object TextAnalysis {
     "m6_lang_profile"  -> langProfile,
     "m6_lang_id"       -> langId,
     "m6_token_count"   -> tokenCount,
+    "m6_repetition_filter" -> repetitionFilter,
+    "m6_pii_scrub"     -> piiScrub,
     "m6_fingerprint"   -> fingerprint)
 
   val oracles: Map[String, String] = Map(
@@ -283,6 +352,39 @@ object TextAnalysis {
          len(regexp_extract_all(text, '[a-z]+')) AS word_tokens,
          length(text) AS n_chars
          FROM documents""",
+    "m6_repetition_filter" ->
+      s"""WITH t0 AS (SELECT doc_id, text, string_split(text, ' ') AS toks0 FROM documents),
+          t AS (SELECT doc_id,
+                  CASE WHEN doc_id % 53 = 0
+                    THEN array_to_string(flatten(list_transform(range(0, 12), i -> toks0[1:5])), ' ')
+                    ELSE text END AS text
+                FROM t0),
+          tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM t),
+          g AS (SELECT doc_id, ${TextAnalysis.sqlShingles("toks", 2)} AS g2,
+                  ${TextAnalysis.sqlShingles("toks", 3)} AS g3 FROM tk),
+          dup AS (SELECT doc_id, len(g2) AS n_2grams,
+                    1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE) AS dup3
+                  FROM g),
+          cnt AS (SELECT doc_id, gr, count(*) AS c
+                  FROM (SELECT doc_id, unnest(g2) AS gr FROM g) e GROUP BY 1, 2),
+          top AS (SELECT doc_id, max(c) AS top_cnt FROM cnt GROUP BY 1)
+          SELECT d.doc_id, n_2grams,
+            ${sqlRnd("dup3", 4)} AS dup3_frac,
+            ${sqlRnd("top_cnt / CAST(n_2grams AS DOUBLE)", 4)} AS top2_share,
+            (dup3 >= 0.5 OR top_cnt / CAST(n_2grams AS DOUBLE) >= 0.3) AS repetitive
+          FROM dup d JOIN top USING (doc_id)""",
+    "m6_pii_scrub" ->
+      s"""WITH t AS (SELECT doc_id,
+            CASE WHEN doc_id % 41 = 0
+              THEN text || ' contact user' || doc_id || '@example.com or call 555-0199'
+              ELSE text END AS text
+          FROM documents)
+          SELECT doc_id,
+            len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+')) AS n_emails,
+            len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}')) AS n_phones,
+            regexp_replace(regexp_replace(text, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+', '<EMAIL>', 'g'),
+              '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+          FROM t""",
     "m6_fingerprint" ->
       s"""SELECT doc_id,
           list_min(list_transform(${TextAnalysis.sqlShingles("string_split(text, ' ')", 3)}, s -> ${Exact.sqlFold60("s")})) AS fingerprint

@@ -107,6 +107,40 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
       "every canonical 8-shingle of the mangled copy must still collide")
   }
 
+  test("repetition filter flags every planted boilerplate doc, via the dup-3gram rule") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.repetitionFilter(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val planted = Tables.documents(spark, dir).filter(col("doc_id") % 53 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      val r = out(id)
+      assert(r.getAs[Boolean]("repetitive"), s"plant $id not flagged")
+      assert(r.getAs[Double]("dup3_frac") >= 0.5, s"plant $id dup3=${r.get(2)}")
+    }
+    // natural prose stays well under the duplicate-3-gram threshold
+    val naturalMaxDup3 = (out.keySet -- planted).map(out(_).getAs[Double]("dup3_frac")).max
+    assert(naturalMaxDup3 < 0.25, s"natural dup3 max $naturalMaxDup3")
+  }
+
+  test("PII scrub leaves zero residual matches and counts exactly the plants") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.piiScrub(spark, dir)
+    // nothing email- or phone-shaped survives the scrub, corpus-wide
+    assert(out.filter(
+      regexp_count(col("scrubbed"), lit("[a-z0-9]+@[a-z0-9]+\\.[a-z]+")) > 0 ||
+      regexp_count(col("scrubbed"), lit("[0-9]{3}-[0-9]{4}")) > 0).count() == 0)
+    // the plants (and only the plants) carried PII, and kept their tokens
+    val planted = out.filter(col("doc_id") % 41 === 0)
+    assert(planted.count() > 0)
+    assert(planted.filter(col("n_emails") =!= 1 || col("n_phones") =!= 1).count() == 0)
+    assert(out.filter(col("doc_id") % 41 =!= 0)
+      .filter(col("n_emails") > 0 || col("n_phones") > 0).count() == 0)
+    assert(planted.filter(!col("scrubbed").contains("<EMAIL>") ||
+      !col("scrubbed").contains("<PHONE>")).count() == 0)
+  }
+
   test("lshBits sizes the bucket width log2 with the corpus, clamped to [4,16]") {
     assert(Similarity.lshBits(1) == 4)
     assert(Similarity.lshBits(50) == 4)     // sf0.001
