@@ -18,7 +18,8 @@ object GraftFunctions {
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
     "graft_fold60" -> (es => Fold60(es(0))),
     "graft_md5_hi32" -> (es => Md5Half(es(0), hi = true)),
-    "graft_md5_lo32" -> (es => Md5Half(es(0), hi = false)))
+    "graft_md5_lo32" -> (es => Md5Half(es(0), hi = false)),
+    "graft_md5_long64" -> (es => Md5Long64(es(0))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>

@@ -45,13 +45,51 @@ object Md5Half {
   /** Digest bytes 0-3 (hi) or 4-7 (lo) of md5(utf8 bytes), big-endian, as a
     * non-negative long in [0, 2^32). */
   def half(s: UTF8String, hi: Boolean): Long = {
-    val d = digests.get()
-    d.reset()
-    val digest = d.digest(s.getBytes)
     val off = if (hi) 0 else 4
+    val digest = digests.get()
+    digest.reset()
+    val d = digest.digest(s.getBytes)
     var acc = 0L
     var i = off
-    while (i < off + 4) { acc = (acc << 8) | (digest(i) & 0xffL); i += 1 }
+    while (i < off + 4) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
     acc
   }
+
+  /** First 8 digest bytes big-endian as one (sign-wrapping) long — both
+    * half-words from a SINGLE digest. Callers that need hi and lo together
+    * (the SimHash signature build) take this and split with
+    * `shiftrightunsigned(x, 32)` / `x & 0xFFFFFFFF` — codegen'd bit ops —
+    * instead of paying two digests through the hi32/lo32 pair. */
+  def long64(s: UTF8String): Long = {
+    val digest = digests.get()
+    digest.reset()
+    val d = digest.digest(s.getBytes)
+    var acc = 0L
+    var i = 0
+    while (i < 8) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    acc
+  }
+}
+
+/** The single-digest companion of Md5Half: all 64 leading md5 bits in one
+  * long (bit 63 may set — internal use only; the oracle-facing surfaces stay
+  * on the sign-safe halves/fold). */
+case class Md5Long64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5_long64"
+
+  override def nullSafeEval(s: Any): Any =
+    Md5Half.long64(s.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Half.long64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -162,10 +162,11 @@ object Connectors {
           finally spark.conf.set(conf, prev)
           deleteRecursively(Paths.get(tmp))
         case None =>
+          val prev = resolveCurrent(targetDir)
           val gen = s"gen-${System.nanoTime()}"
           merged(current).write.parquet(s"$targetDir/$gen")
           commitPointer(targetDir, gen)
-          sweepStale(targetDir, gen)
+          sweepStale(targetDir, gen, prev)
       }
     } finally updates.unpersist()
   }
@@ -193,18 +194,28 @@ object Connectors {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Post-commit sweep: orphan generations (crash leftovers, the previous
-    * live gen) and pre-protocol flat data files. Best-effort by design —
-    * anything missed is swept by the next merge; nothing here is load-
-    * bearing for readers, who only follow the pointer. */
-  private def sweepStale(targetDir: String, liveGen: String): Unit = {
+  /** Post-commit sweep with a ONE-MERGE retention window: the generation
+    * the pointer named just before this commit survives until the next
+    * merge, so a reader that resolved `_CURRENT` moments before the flip
+    * can still finish scanning its snapshot (pointer-resolve and file-read
+    * are not atomic — the same reason table formats retain superseded
+    * snapshots). Orphans from crashed merges and generations older than
+    * the window are deleted; pre-protocol flat files count as the previous
+    * generation on the first protocol merge. Best-effort by design —
+    * anything missed is swept by a later merge; readers only follow the
+    * pointer. */
+  private def sweepStale(targetDir: String, liveGen: String, prev: Path): Unit = {
     val root = Paths.get(targetDir)
+    val keepFlat = prev == root // first protocol merge: flat data is the previous snapshot
+    val prevGen = if (keepFlat) "" else prev.getFileName.toString
     val list = Files.list(root)
     try list.forEach { p =>
       val name = p.getFileName.toString
       val stale =
-        (Files.isDirectory(p) && name.startsWith("gen-") && name != liveGen) ||
-        (!Files.isDirectory(p) && name != "_CURRENT" && name != "_CURRENT.tmp")
+        (Files.isDirectory(p) && name.startsWith("gen-") &&
+          name != liveGen && name != prevGen) ||
+        (!Files.isDirectory(p) && !keepFlat &&
+          name != "_CURRENT" && name != "_CURRENT.tmp")
       if (stale) deleteRecursively(p)
     } finally list.close()
   }

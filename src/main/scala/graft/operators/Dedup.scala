@@ -103,6 +103,11 @@ object Dedup {
     * the closed 60-bit space). Over md5-uniform inputs the family behaves
     * like K independent permutations — the LlmPillarSpec full-recall test
     * is the evidence. */
+  /** Signature width — one source of truth for the staged signature builder
+    * (DedupStaging.minhashSigs: columns h0..h{K-1}) and the banding query
+    * that consumes those columns. */
+  private[operators] val MinhashK = 16
+
   private[operators] val MinhashSeeds: Seq[Long] = Seq(
     368668074902938470L, 503308711148817440L, 450733781062510100L,
     39895129003038287L, 59085833860066412L, 612818671747303880L,
@@ -131,7 +136,7 @@ object Dedup {
     * sides and the verification join reads the shingle base, with zero
     * recomputation and zero session-lifetime caches. */
   def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val K = 16
+    val K = MinhashK
     val sigs = DedupStaging.minhashSigs(spark, dir)
     val bands = (0 until K / 2).map(b =>
       struct(lit(b).as("band"), col(s"h${2 * b}").as("k1"), col(s"h${2 * b + 1}").as("k2")))
@@ -164,17 +169,20 @@ object Dedup {
     * (DedupStaging.simhashSigs); this is the one-time build behind it. */
   private[operators] def simhashSignaturesBuild(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    // hash INSIDE the array, explode after: the native halves
-    // (graft.functions.Md5Half — digest bytes straight to a long) replace
-    // the md5 hex round trip (32-char alloc + two substring parses per
-    // shingle: the hot loop at corpus scale). A bare explode(sh) generator
-    // lets the optimizer fuse the whole shingle-constructor tree into
-    // Generate, re-entering interpreted eval per row (measured 5×); a
-    // non-trivial generator over the bound column keeps the stages apart.
+    // hash INSIDE the array, explode after: ONE native digest per shingle
+    // (graft.functions.Md5Long64 — leading 8 digest bytes as a long)
+    // replaces the md5 hex round trip (32-char alloc + two substring parses
+    // per shingle: the hot loop at corpus scale); the halves split off with
+    // codegen'd bit ops afterward. A bare explode(sh) generator lets the
+    // optimizer fuse the whole shingle-constructor tree into Generate,
+    // re-entering interpreted eval per row (measured 5×); a non-trivial
+    // generator over the bound column keeps the stages apart.
     val hashed = withShingles(spark, dir)
       .select(col("doc_id"), explode(transform(col("sh"), s =>
-        struct(Exact.md5Hi32(s).as("hi"), Exact.md5Lo32(s).as("lo")))).as("hl"))
-      .select(col("doc_id"), col("hl.hi").as("hi"), col("hl.lo").as("lo"))
+        call_function("graft_md5_long64", s))).as("h64"))
+      .select(col("doc_id"),
+        shiftrightunsigned(col("h64"), 32).as("hi"),
+        col("h64").bitwiseAND(lit(0xFFFFFFFFL)).as("lo"))
     val voteCols =
       (0 until 32).map(i =>
         sum(shiftright(col("hi"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i")) ++

@@ -43,11 +43,21 @@ object DedupStaging {
   private def materialize(spark: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame = {
     val path = staged.getOrElseUpdate((dir, name), {
-      val p = java.nio.file.Files.createTempDirectory(s"graft-stage-$name-").toString
+      val p = java.nio.file.Files.createTempDirectory(s"graft-stage-$name-")
+      // staged tables are JVM-scoped scratch (a real deployment writes them
+      // to the warehouse next to the corpus); sweep them on exit so repeated
+      // test/bench runs don't accumulate corpus-sized tmp dirs
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          val walk = java.nio.file.Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          finally walk.close()
+        } catch { case _: Exception => () }))
       val t0 = System.nanoTime()
-      build.write.mode("overwrite").parquet(p)
+      build.write.mode("overwrite").parquet(p.toString)
       System.err.println(f"[stage] $name built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      p
+      p.toString
     })
     spark.read.parquet(path)
   }
@@ -72,7 +82,7 @@ object DedupStaging {
         .select(col("doc_id"), explode(col("hs")).as("h"))
       exploded.groupBy("doc_id").agg(
         min(col("h").bitwiseXOR(lit(Dedup.MinhashSeeds(0)))).as("h0"),
-        (1 until 16).map(j =>
+        (1 until Dedup.MinhashK).map(j =>
           min(col("h").bitwiseXOR(lit(Dedup.MinhashSeeds(j)))).as(s"h$j")): _*)
     }
 
@@ -113,12 +123,23 @@ object DedupStaging {
       Dedup.minhashDedup(spark, dir)
     }
 
-  /** Build every staged table (Bench's pre-stage hook). */
-  def ensureAll(spark: SparkSession, dir: String): Unit = {
-    shingleBase(spark, dir)
-    minhashSigs(spark, dir)
-    simhashSigs(spark, dir)
-    shingle8(spark, dir)
-    minhashPairs(spark, dir)
+  /** Build only the staged tables the named queries read — Bench's
+    * pre-stage hook, scoped so a one-query dev loop doesn't pay for the
+    * whole staging area (minhashPairs in particular runs the full LSH
+    * band-join pipeline). */
+  def ensureFor(spark: SparkSession, dir: String, names: Set[String]): Unit = {
+    val all = names.isEmpty
+    if (all || names("m6_ngram_jaccard") || names("m6_minhash_dedup") ||
+        names("m6_corpus_build"))
+      shingleBase(spark, dir)
+    if (all || names("m6_minhash_dedup") || names("m6_corpus_build"))
+      minhashSigs(spark, dir)
+    if (all || names("m6_simhash_pairs")) simhashSigs(spark, dir)
+    if (all || names("m6_decontaminate")) shingle8(spark, dir)
+    if (all || names("m6_corpus_build")) minhashPairs(spark, dir)
   }
+
+  /** Build every staged table. */
+  def ensureAll(spark: SparkSession, dir: String): Unit =
+    ensureFor(spark, dir, Set.empty)
 }

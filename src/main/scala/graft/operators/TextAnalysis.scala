@@ -170,19 +170,26 @@ object TextAnalysis {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
         shingles(col("toks"), 2).as("g2"), shingles(col("toks"), 3).as("g3"))
+    // degenerate-length guards: a ≤2-token doc has no 3-grams (and a
+    // 1-token doc no 2-grams) — score 0, never NULL/NaN, and both guards
+    // replay identically in the oracle (Spark 0/0 is NULL where DuckDB's
+    // is NaN, so the division must never happen)
     val dup = docs.select(col("doc_id"),
       size(col("g2")).as("n_2grams"),
-      (lit(1.0) - size(array_distinct(col("g3"))) / size(col("g3")).cast("double"))
-        .as("dup3"))
+      when(size(col("g3")) > 0,
+        lit(1.0) - size(array_distinct(col("g3"))) / size(col("g3")).cast("double"))
+        .otherwise(lit(0.0)).as("dup3"))
     val top = docs.select(col("doc_id"), explode(col("g2")).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id")).agg(max(col("cnt")).as("top_cnt"))
-    dup.join(top, Seq("doc_id"))
+    val share = when(col("n_2grams") > 0,
+      coalesce(col("top_cnt"), lit(0L)) / col("n_2grams").cast("double"))
+      .otherwise(lit(0.0))
+    dup.join(top, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_2grams"),
         rnd(col("dup3"), 4).as("dup3_frac"),
-        rnd(col("top_cnt") / col("n_2grams").cast("double"), 4).as("top2_share"),
-        (col("dup3") >= 0.5 ||
-          col("top_cnt") / col("n_2grams").cast("double") >= 0.3).as("repetitive"))
+        rnd(share, 4).as("top2_share"),
+        (col("dup3") >= 0.5 || share >= 0.3).as("repetitive"))
   }
 
   /** M6: PII scrubbing — the redaction pass every corpus release runs:
@@ -363,16 +370,23 @@ object TextAnalysis {
           g AS (SELECT doc_id, ${TextAnalysis.sqlShingles("toks", 2)} AS g2,
                   ${TextAnalysis.sqlShingles("toks", 3)} AS g3 FROM tk),
           dup AS (SELECT doc_id, len(g2) AS n_2grams,
-                    1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE) AS dup3
+                    CASE WHEN len(g3) > 0
+                      THEN 1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE)
+                      ELSE 0.0 END AS dup3
                   FROM g),
           cnt AS (SELECT doc_id, gr, count(*) AS c
                   FROM (SELECT doc_id, unnest(g2) AS gr FROM g) e GROUP BY 1, 2),
-          top AS (SELECT doc_id, max(c) AS top_cnt FROM cnt GROUP BY 1)
-          SELECT d.doc_id, n_2grams,
+          top AS (SELECT doc_id, max(c) AS top_cnt FROM cnt GROUP BY 1),
+          s AS (SELECT d.doc_id, n_2grams, dup3,
+                  CASE WHEN n_2grams > 0
+                    THEN coalesce(top_cnt, 0) / CAST(n_2grams AS DOUBLE)
+                    ELSE 0.0 END AS share
+                FROM dup d LEFT JOIN top USING (doc_id))
+          SELECT doc_id, n_2grams,
             ${sqlRnd("dup3", 4)} AS dup3_frac,
-            ${sqlRnd("top_cnt / CAST(n_2grams AS DOUBLE)", 4)} AS top2_share,
-            (dup3 >= 0.5 OR top_cnt / CAST(n_2grams AS DOUBLE) >= 0.3) AS repetitive
-          FROM dup d JOIN top USING (doc_id)""",
+            ${sqlRnd("share", 4)} AS top2_share,
+            (dup3 >= 0.5 OR share >= 0.3) AS repetitive
+          FROM s""",
     "m6_pii_scrub" ->
       s"""WITH t AS (SELECT doc_id,
             CASE WHEN doc_id % 41 = 0

@@ -41,6 +41,20 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
       assert(Md5Half.half(u, hi = false) == java.lang.Long.parseLong(hex.slice(8, 16), 16))
       // halves stay within unsigned 32-bit range (sign-safe in both engines)
       assert(Md5Half.half(u, hi = true) >= 0L && Md5Half.half(u, hi = true) < (1L << 32))
+      // the single-digest long64 splits into exactly those halves
+      assert((Md5Half.long64(u) >>> 32) == Md5Half.half(u, hi = true))
+      assert((Md5Half.long64(u) & 0xFFFFFFFFL) == Md5Half.half(u, hi = false))
     }
+  }
+
+  test("graft_md5_long64 bit-splits to the hi32/lo32 halves in plan") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val h64 = call_function("graft_md5_long64", col("text"))
+    val cmp = docs.select(
+      shiftrightunsigned(h64, 32).as("hi"),
+      h64.bitwiseAND(lit(0xFFFFFFFFL)).as("lo"),
+      call_function("graft_md5_hi32", col("text")).as("ehi"),
+      call_function("graft_md5_lo32", col("text")).as("elo"))
+    assert(cmp.filter(col("hi") =!= col("ehi") || col("lo") =!= col("elo")).count() == 0)
   }
 }
