@@ -161,15 +161,21 @@ object TextAnalysis {
     * explode → (doc, gram) count → max per doc — two map-side-combined
     * aggregations, no window over raw text, work ∝ token volume. */
   def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val toks0 = tokens(col("text"))
     val planted = concat_ws(" ",
       flatten(array_repeat(slice(toks0, 1, 5), 12)))
+    // persisted: the dup-fraction branch and the top-gram-mode branch both
+    // read the gram arrays; without the persist each branch re-runs the
+    // tokenize + shingle construction (the harness clears the cache after
+    // the query — this is within-query reuse, not a session cache)
     val docs = Tables.fanout(Tables.documents(spark, dir))
       .select(col("doc_id"),
         when(col("doc_id") % 53 === 0, planted).otherwise(col("text")).as("text"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"),
+      .select(col("doc_id"),
         shingles(col("toks"), 2).as("g2"), shingles(col("toks"), 3).as("g3"))
+      .persist()
     // degenerate-length guards: a ≤2-token doc has no 3-grams (and a
     // 1-token doc no 2-grams) — score 0, never NULL/NaN, and both guards
     // replay identically in the oracle (Spark 0/0 is NULL where DuckDB's
@@ -179,8 +185,16 @@ object TextAnalysis {
       when(size(col("g3")) > 0,
         lit(1.0) - size(array_distinct(col("g3"))) / size(col("g3")).cast("double"))
         .otherwise(lit(0.0)).as("dup3"))
-    val top = docs.select(col("doc_id"), explode(col("g2")).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+    // mode of the 2-grams: hash INSIDE the array before exploding — a bare
+    // explode(g2) generator lets the optimizer fuse the whole shingle tree
+    // into Generate (interpreted, the Dedup lesson), and grouping on the
+    // 60-bit fold shuffles fixed-width longs instead of gram strings; the
+    // oracle folds identically, so even a (cosmically unlikely) collision
+    // agrees across engines
+    val top = docs
+      .select(col("doc_id"),
+        explode(transform(col("g2"), g => Exact.fold60(g))).as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id")).agg(max(col("cnt")).as("top_cnt"))
     val share = when(col("n_2grams") > 0,
       coalesce(col("top_cnt"), lit(0L)) / col("n_2grams").cast("double"))
@@ -375,7 +389,8 @@ object TextAnalysis {
                       ELSE 0.0 END AS dup3
                   FROM g),
           cnt AS (SELECT doc_id, gr, count(*) AS c
-                  FROM (SELECT doc_id, unnest(g2) AS gr FROM g) e GROUP BY 1, 2),
+                  FROM (SELECT doc_id, unnest(list_transform(g2, x -> ${Exact.sqlFold60("x")})) AS gr FROM g) e
+                  GROUP BY 1, 2),
           top AS (SELECT doc_id, max(c) AS top_cnt FROM cnt GROUP BY 1),
           s AS (SELECT d.doc_id, n_2grams, dup3,
                   CASE WHEN n_2grams > 0
