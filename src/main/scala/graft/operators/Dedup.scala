@@ -231,6 +231,75 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** M6: incremental near-dup ADMISSION — the operating model the staging
+    * layer exists for: an arriving batch is deduped against the RELEASED
+    * corpus using only the staged tables. The batch computes its own
+    * shingles and signatures (work ∝ batch size), band-joins against the
+    * staged corpus signature table, and verifies against the staged shingle
+    * base — the corpus is never re-shingled, which is the entire difference
+    * between O(increment) and O(corpus) per arriving batch at 100 TB.
+    *
+    * Fixture (deterministic in both engines): every 10th document arrives
+    * as a "new" doc at doc_id + 3000000 — even 20ths re-crawled VERBATIM
+    * (identical signature ⇒ every band collides ⇒ must be rejected with
+    * best_jaccard = 1.0), odd 10ths heavily edited (every other token
+    * dropped ⇒ no 3 consecutive original tokens survive ⇒ disjoint shingle
+    * sets ⇒ must be admitted). The oracle replays the whole pipeline,
+    * corpus signatures included, from raw text. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val K = MinhashK
+    val docs = Tables.documents(spark, dir)
+    // keep positions 1,3,5,… (Spark lambda index is 0-based; the DuckDB
+    // replay's list_filter index is 1-based, so it keeps i % 2 = 1)
+    val halfText = concat_ws(" ",
+      filter(tokens(col("text")), (_, i) => i % 2 === 0))
+    val batchDocs = Tables.fanout(docs.filter(col("doc_id") % 10 === 0))
+      .select((col("doc_id") + 3000000).as("doc_id"),
+        when(col("doc_id") % 20 === 0, col("text")).otherwise(halfText).as("text"))
+    // batch-side shingle/signature build — same staged projections as the
+    // corpus build, over the increment only; persisted because it feeds
+    // both the signature agg and the verification join
+    val batchBase = batchDocs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), array_distinct(shingles(col("toks"), 3)).as("sh"))
+      .withColumn("hs", transform(col("sh"), s => md5Fold60(s)))
+      .drop("sh")
+      .persist()
+    val batchSigs = batchBase
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy("doc_id").agg(
+        min(col("h").bitwiseXOR(lit(MinhashSeeds(0)))).as("h0"),
+        (1 until K).map(j =>
+          min(col("h").bitwiseXOR(lit(MinhashSeeds(j)))).as(s"h$j")): _*)
+    def buckets(sigs: DataFrame, idAs: String): DataFrame = {
+      val bands = (0 until K / 2).map(b =>
+        struct(lit(b).as("band"), col(s"h${2 * b}").as("k1"), col(s"h${2 * b + 1}").as("k2")))
+      sigs.select(col("doc_id").as(idAs), explode(array(bands: _*)).as("bd"))
+        .select(col(idAs), col("bd.band").as("band"),
+          col("bd.k1").as("k1"), col("bd.k2").as("k2"))
+    }
+    val cands = buckets(batchSigs, "new_id")
+      .join(buckets(DedupStaging.minhashSigs(spark, dir), "corpus_id"),
+        Seq("band", "k1", "k2"))
+      .select("new_id", "corpus_id").dropDuplicates("new_id", "corpus_id")
+    val verified = cands
+      .join(batchBase.select(col("doc_id").as("new_id"), col("hs").as("hsn")), Seq("new_id"))
+      .join(DedupStaging.shingleBase(spark, dir)
+        .select(col("doc_id").as("corpus_id"), col("hs").as("hsc")), Seq("corpus_id"))
+      .withColumn("ninter", size(array_intersect(col("hsn"), col("hsc"))))
+      .withColumn("jac", jaccardFrom(col("ninter"), col("hsn"), col("hsc")))
+      .filter(col("jac") >= 0.8)
+    val matches = verified.groupBy("new_id").agg(
+      count(lit(1)).as("n_matches"), max(col("jac")).as("best"))
+    batchDocs.select(col("doc_id").as("new_id"))
+      .join(matches, Seq("new_id"), "left")
+      .select(col("new_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        rnd(coalesce(col("best"), lit(0.0)), 4).as("best_jaccard"),
+        (coalesce(col("n_matches"), lit(0L)) === 0).as("admitted"))
+  }
+
   /** M6: benchmark decontamination — the eval-leak scan every LLM training
     * pipeline runs before a data release: flag training documents sharing
     * any 8-token shingle with the held-out set (doc_id % 97 == 0 stands in
@@ -298,6 +367,7 @@ object Dedup {
     "m6_ngram_jaccard" -> ngramJaccard,
     "m6_minhash_dedup" -> minhashDedup,
     "m6_simhash_pairs" -> simhashPairs,
+    "m6_incremental_dedup" -> incrementalDedup,
     "m6_decontaminate" -> decontaminate)
 
   private val shSql = s"list_distinct(${sqlShingles("string_split(text, ' ')", 3)})"
@@ -305,19 +375,26 @@ object Dedup {
   // is staged in a CTE so the normalization expression appears once
   private val sh8Sql = s"list_distinct(${sqlShingles("toks", 8)})"
 
+  /** The 16 XOR-seeded min-hash columns over an `(doc_id, h)`-list CTE. */
+  private def sqlSigs(hsCte: String): String =
+    s"""SELECT doc_id,
+        ${MinhashSeeds.zipWithIndex.map { case (s, j) =>
+          s"list_min(list_transform(h, x -> xor(x, $s))) AS h$j" }.mkString(", ")}
+        FROM $hsCte"""
+
+  /** The 8 band rows per signature row of a sigs CTE. */
+  private def sqlBands(sigsCte: String): String =
+    (0 until 8).map(b =>
+      s"SELECT doc_id, $b AS band, h${2 * b} AS k1, h${2 * b + 1} AS k2 FROM $sigsCte")
+      .mkString(" UNION ALL ")
+
   /** The MinHash pipeline's DuckDB replay — shared by its own oracle and
     * the corpus-build composition. */
   private lazy val minhashOracleSql: String =
     s"""WITH sh AS (SELECT doc_id, $shSql AS s FROM documents),
         hs AS (SELECT doc_id, list_transform(s, x -> ${sqlMd5Fold60("x")}) AS h FROM sh),
-        sigs AS (SELECT doc_id,
-          ${MinhashSeeds.zipWithIndex.map { case (s, j) =>
-            s"list_min(list_transform(h, x -> xor(x, $s))) AS h$j" }.mkString(", ")}
-          FROM hs),
-        bands AS (
-          ${(0 until 8).map(b =>
-            s"SELECT doc_id, $b AS band, h${2 * b} AS k1, h${2 * b + 1} AS k2 FROM sigs")
-            .mkString(" UNION ALL ")}),
+        sigs AS (${sqlSigs("hs")}),
+        bands AS (${sqlBands("sigs")}),
         cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
                   FROM bands x JOIN bands y
                     ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2
@@ -370,6 +447,41 @@ object Dedup {
     // banding, same verification — every intermediate is portable by
     // construction.
     "m6_minhash_dedup" -> minhashOracleSql,
+    // Incremental admission: the oracle recomputes BOTH sides' signatures
+    // from raw text (it never sees the staged tables — they stay
+    // end-to-end verified through this replay).
+    "m6_incremental_dedup" ->
+      s"""WITH sh AS (SELECT doc_id, $shSql AS s FROM documents),
+          hs AS (SELECT doc_id, list_transform(s, x -> ${sqlMd5Fold60("x")}) AS h FROM sh),
+          csigs AS (${sqlSigs("hs")}),
+          cb AS (${sqlBands("csigs")}),
+          batch AS (SELECT doc_id + 3000000 AS doc_id,
+                      CASE WHEN doc_id % 20 = 0 THEN text
+                           ELSE array_to_string(list_filter(string_split(text, ' '), (x, i) -> i % 2 = 1), ' ')
+                      END AS text
+                    FROM documents WHERE doc_id % 10 = 0),
+          bsh AS (SELECT doc_id, $shSql AS s FROM batch),
+          bhs AS (SELECT doc_id, list_transform(s, x -> ${sqlMd5Fold60("x")}) AS h FROM bsh),
+          bsigs AS (${sqlSigs("bhs")}),
+          nb AS (${sqlBands("bsigs")}),
+          cands AS (SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS corpus_id
+                    FROM nb JOIN cb
+                      ON nb.band = cb.band AND nb.k1 = cb.k1 AND nb.k2 = cb.k2),
+          ver AS (SELECT new_id, corpus_id, ni / CAST(ntot - ni AS DOUBLE) AS jac
+                  FROM (SELECT new_id, corpus_id,
+                          len(list_intersect(n.h, c.h)) AS ni,
+                          len(n.h) + len(c.h) AS ntot
+                        FROM cands
+                        JOIN bhs n ON n.doc_id = cands.new_id
+                        JOIN hs c ON c.doc_id = cands.corpus_id) t
+                  WHERE ni / CAST(ntot - ni AS DOUBLE) >= 0.8),
+          m AS (SELECT new_id, count(*) AS n_matches, max(jac) AS best
+                FROM ver GROUP BY 1)
+          SELECT b.doc_id AS new_id,
+            coalesce(n_matches, 0) AS n_matches,
+            ${sqlRnd("coalesce(best, 0.0)", 4)} AS best_jaccard,
+            coalesce(n_matches, 0) = 0 AS admitted
+          FROM batch b LEFT JOIN m ON m.new_id = b.doc_id""",
     // Composed from the quality and minhash oracles — the build must equal
     // "filter ∘ mix ∘ dedup ∘ split" applied via plain SQL.
     "m6_corpus_build" ->

@@ -107,6 +107,26 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
       "every canonical 8-shingle of the mangled copy must still collide")
   }
 
+  test("incremental dedup rejects verbatim re-crawls and admits heavy edits") {
+    val out = Dedup.incrementalDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val origs = Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(origs.nonEmpty)
+    origs.foreach { id =>
+      val r = out(id + 3000000)
+      if (id % 20 == 0) {
+        // identical text ⇒ identical signature ⇒ every band collides with
+        // the original ⇒ rejected at jaccard exactly 1
+        assert(!r.getAs[Boolean]("admitted"), s"verbatim re-crawl $id admitted")
+        assert(r.getAs[Double]("best_jaccard") == 1.0)
+      } else {
+        // every other token dropped ⇒ no original 3-gram survives
+        assert(r.getAs[Boolean]("admitted"), s"heavily edited $id rejected: $r")
+      }
+    }
+  }
+
   test("repetition filter flags every planted boilerplate doc, via the dup-3gram rule") {
     import graft.operators.TextAnalysis
     val out = TextAnalysis.repetitionFilter(spark, dir).collect()
