@@ -74,6 +74,28 @@ object GraftProps extends Properties("graft") {
       c0 <= cp && cp <= c1
     }
 
+  // ---- inclusion-exclusion Jaccard (Dedup.jaccardFrom) ---------------------
+  // |A∪B| = |A|+|B|−|A∩B| on distinct-element sets: the identity that lets
+  // pair verification skip the array_union allocation entirely.
+  property("jaccard: inclusion-exclusion denominator equals the union size") =
+    forAll(Gen.listOf(Gen.choose(0L, 1000L)), Gen.listOf(Gen.choose(0L, 1000L))) {
+      (a0, b0) =>
+        val (a, b) = (a0.distinct, b0.distinct)
+        val i = a.toSet.intersect(b.toSet).size
+        a.size + b.size - i == a.toSet.union(b.toSet).size
+    }
+
+  // ---- corpus-adaptive LSH width (Similarity.lshBits) ----------------------
+  property("lshBits: minimal width with bucket population <= 16, monotone, clamped") =
+    forAll(Gen.choose(1L, 1L << 24)) { n =>
+      val b = graft.operators.Similarity.lshBits(n)
+      val inRange = b >= 4 && b <= 16
+      val covers = b == 16 || (16L << b) >= n          // population bound holds
+      val minimal = b == 4 || (16L << (b - 1)) < n     // and b is the least such
+      val monotone = graft.operators.Similarity.lshBits(n + 1) >= b
+      inRange && covers && minimal && monotone
+    }
+
   // ---- portable md5 fold (Exact.fold60) ------------------------------------
   property("fold60: 15 hex chars parse to a non-negative 60-bit long") =
     forAll(Gen.alphaNumStr) { s =>
