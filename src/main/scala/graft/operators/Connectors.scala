@@ -103,26 +103,28 @@ object Connectors {
     * `INSERT ... ON CONFLICT (keys) DO UPDATE` batch sink
     * (mongo_to_postgres_sync.py:315-418) — and mechanically what a
     * copy-on-write Delta/Iceberg MERGE does: the join and rewrite are
-    * distributed; only directory bookkeeping is driver-side.
+    * distributed; only metadata bookkeeping is driver-side.
     *
-    * Two layouts:
+    * Both layouts commit through the SAME atomic-pointer protocol (see the
+    * snapshot-pointer section below): data lands in a fresh hidden `_gen-*`
+    * dir, then one `_CURRENT` rename makes it live. No reader ever sees a
+    * mixed old/new snapshot, and a crash at any point leaves the previous
+    * snapshot fully readable (ConnectorsSpec walks every crash point on
+    * both paths).
+    *
     *   - `partitionCol = Some(p)` (p ∈ keys): the 100 TB path. The update
     *     batch's partition values are collected driver-side — a
     *     metadata-sized list, the same thing a table format reads from its
     *     manifest — the snapshot is read partition-PRUNED to those values,
-    *     and the rewrite replaces only those partition directories (dynamic
-    *     partition overwrite). Untouched partitions are never read, never
-    *     rewritten (ConnectorsSpec asserts byte-identity).
+    *     the merged slice is written (only the touched partitions — the
+    *     copy-on-write unit) into a new generation dir, and the commit
+    *     writes a MANIFEST mapping every live partition to the generation
+    *     dir that holds it: touched partitions point at the new generation,
+    *     untouched ones keep their old entries (their files are never read,
+    *     never rewritten — byte-identity asserted in ConnectorsSpec). The
+    *     pointer flip publishes the whole mapping at once.
     *   - `None`: unpartitioned small-table fallback — full rewrite into the
-    *     NEXT GENERATION subdir, committed by atomically flipping the
-    *     `CURRENT` pointer file (write `CURRENT.tmp`, rename over `CURRENT`
-    *     — the single-file atomic-commit discipline every table format's
-    *     metadata pointer uses). There is no instant at which the table is
-    *     unreadable: readers resolve the pointer to whichever generation
-    *     last committed, a crash leaves at worst an orphan generation dir,
-    *     and the next merge sweeps orphans after its own commit
-    *     (ConnectorsSpec walks every crash point). A flat dir without
-    *     `CURRENT` (the pre-protocol layout) reads as generation zero. */
+    *     next generation dir; the pointer names the dir itself. */
   def mergeInto(spark: SparkSession, targetDir: String, updates0: DataFrame,
       keys: Seq[String], partitionCol: Option[String] = None): Unit = {
     // the updates plan feeds the touched-partition collect AND the merge
@@ -149,73 +151,206 @@ object Connectors {
             Option.when(vals.nonEmpty)(col(p).isin(vals: _*)),
             Option.when(touched.contains(null))(col(p).isNull))
             .flatten.reduce(_ || _)
-          // stage the merged slice out-of-place: Spark refuses to overwrite a
-          // path its own plan is reading, so the touched partitions are
-          // written twice (still only the touched ones — copy-on-write)
-          val tmp = Files.createTempDirectory("graft-merge-slice-").toString + "/slice"
-          merged(current.filter(pruned)).write.partitionBy(p).parquet(tmp)
-          val conf = "spark.sql.sources.partitionOverwriteMode"
-          val prev = spark.conf.get(conf)
-          spark.conf.set(conf, "dynamic")
-          try spark.read.parquet(tmp).write.mode("overwrite")
-            .partitionBy(p).parquet(targetDir)
-          finally spark.conf.set(conf, prev)
-          deleteRecursively(Paths.get(tmp))
+          val prev = currentRef(targetDir)
+          val gen = newGenName()
+          // the merged slice goes straight into its own generation dir —
+          // never an in-place overwrite, so there is no read-vs-write
+          // conflict and no window where the target holds partial output
+          merged(current.filter(pruned)).write.partitionBy(p).parquet(s"$targetDir/$gen")
+          // fragments actually written (day=..., incl. the null-partition
+          // dir) — listed once, driver-side metadata
+          val newFrags = listFragments(Paths.get(targetDir, gen))
+          val mapping = currentMapping(targetDir) ++ newFrags.map(_ -> gen)
+          commitManifest(targetDir,
+            mapping.toSeq.sorted.map { case (frag, d) => d -> Some(frag) })
+          sweepStale(targetDir, prev)
         case None =>
-          val prev = resolveCurrent(targetDir)
-          val gen = s"gen-${System.nanoTime()}"
+          val prev = currentRef(targetDir)
+          val gen = newGenName()
           merged(current).write.parquet(s"$targetDir/$gen")
           commitPointer(targetDir, gen)
-          sweepStale(targetDir, gen, prev)
+          sweepStale(targetDir, prev)
       }
     } finally updates.unpersist()
   }
 
-  /** Read the committed snapshot of a merge target: `CURRENT` names the live
-    * generation subdir; a dir without the pointer (including every
-    * partitioned target) is its own data. */
-  def readTable(spark: SparkSession, targetDir: String): DataFrame =
-    spark.read.parquet(resolveCurrent(targetDir).toString)
-
-  private def resolveCurrent(targetDir: String): Path = {
-    val cur = Paths.get(targetDir, "_CURRENT")
-    if (Files.exists(cur)) Paths.get(targetDir, Files.readString(cur).trim)
-    else Paths.get(targetDir)
+  /** Append-only commit through the same protocol: write `rows` as a new
+    * generation dir and publish a manifest whose member list is the current
+    * snapshot's members plus the new one — the log-structured append every
+    * table format models as "add files, flip snapshot". O(increment): no
+    * existing member is read or rewritten. Used by the incremental staging
+    * catalog (DedupStaging) to admit new corpus batches. */
+  def appendTo(spark: SparkSession, targetDir: String, rows: DataFrame): Unit = {
+    Files.createDirectories(Paths.get(targetDir))
+    val prev = currentRef(targetDir)
+    val gen = newGenName()
+    rows.write.parquet(s"$targetDir/$gen")
+    val members = currentMembers(targetDir) :+ (gen -> None)
+    commitManifest(targetDir, members)
+    sweepStale(targetDir, prev)
   }
 
-  /** The atomic commit: stage the pointer contents, rename over `CURRENT`.
-    * Readers see the old generation until this rename and the new one after
-    * it — never neither. */
-  private def commitPointer(targetDir: String, gen: String): Unit = {
+  // ---- snapshot-pointer protocol ------------------------------------------
+  //
+  // `_CURRENT` at the table root is the ONLY thing a reader trusts; it is
+  // committed by staging `_CURRENT.tmp` and atomically renaming over
+  // `_CURRENT` — the single-file atomic-commit discipline every table
+  // format's metadata pointer uses. Its contents name the live snapshot:
+  //
+  //   - `_gen-<ts>`       → that subdir IS the snapshot (full-rewrite path);
+  //   - `_manifest-<ts>`  → a metadata file whose lines are the snapshot's
+  //     MEMBERS, `relDir` (read the whole dir) or `relDir\tfragment` (read
+  //     only partition dir `fragment` inside `relDir`, with `relDir` as the
+  //     discovery base path). A partitioned merge publishes one line per
+  //     live partition; an append publishes one line per member dir.
+  //   - no `_CURRENT`     → the root's own files are the snapshot
+  //     (pre-protocol layout, partitioned or flat — generation zero).
+  //
+  // Every protocol artifact is underscore-prefixed on purpose: Spark's file
+  // listing skips hidden (`_`/`.`) paths, so a crashed merge's orphan
+  // generation or half-written manifest is structurally invisible to any
+  // plain `spark.read.parquet(root)` of a pre-protocol table — not just
+  // unreferenced, unlistable.
+
+  private def newGenName(): String = s"_gen-${System.nanoTime()}"
+
+  /** Read the committed snapshot of a merge/append target. */
+  def readTable(spark: SparkSession, targetDir: String): DataFrame =
+    currentRef(targetDir) match {
+      case None => spark.read.parquet(targetDir)
+      case Some(gen) if !gen.startsWith("_manifest-") =>
+        spark.read.parquet(s"$targetDir/$gen")
+      case Some(m) =>
+        val members = readManifest(Paths.get(targetDir, m))
+        val reads = members.groupBy(_._1).toSeq.sortBy(_._1).map {
+          case (relDir, entries) =>
+            val base = if (relDir == ".") targetDir else s"$targetDir/$relDir"
+            val frags = entries.flatMap(_._2)
+            if (frags.isEmpty) spark.read.parquet(base)
+            else spark.read.option("basePath", base)
+              .parquet(frags.sorted.map(f => s"$base/$f"): _*)
+        }
+        reads.reduce(_ unionByName _)
+    }
+
+  /** The pointer's contents, if a commit ever happened. */
+  private def currentRef(targetDir: String): Option[String] = {
+    val cur = Paths.get(targetDir, "_CURRENT")
+    if (Files.exists(cur)) Some(Files.readString(cur).trim) else None
+  }
+
+  /** The live (partition fragment → member dir) mapping of a partitioned
+    * target: manifest lines if committed, else the pre-protocol root layout
+    * (each `k=v` dir is its own member, owned by the root, relDir "."). */
+  private def currentMapping(targetDir: String): Map[String, String] =
+    currentRef(targetDir) match {
+      case Some(m) if m.startsWith("_manifest-") =>
+        readManifest(Paths.get(targetDir, m))
+          .collect { case (d, Some(f)) => f -> d }.toMap
+      case Some(gen) => listFragments(Paths.get(targetDir, gen)).map(_ -> gen).toMap
+      case None => listFragments(Paths.get(targetDir)).map(_ -> ".").toMap
+    }
+
+  /** The live member list of an append target (order preserved). */
+  private def currentMembers(targetDir: String): Seq[(String, Option[String])] =
+    currentRef(targetDir) match {
+      case Some(m) if m.startsWith("_manifest-") => readManifest(Paths.get(targetDir, m))
+      case Some(gen) => Seq(gen -> None)
+      case None =>
+        // pre-protocol root data (if any) is member zero
+        if (listVisible(Paths.get(targetDir)).nonEmpty) Seq("." -> None) else Seq.empty
+    }
+
+  private def readManifest(path: Path): Seq[(String, Option[String])] = {
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(path).asScala.toSeq
+      .filter(_.nonEmpty).map { line =>
+        line.split('\t') match {
+          case Array(d)    => d -> None
+          case Array(d, f) => d -> Some(f)
+        }
+      }
+  }
+
+  /** Visible (non-protocol) entries at a dir — pre-protocol data files or
+    * `k=v` partition dirs. */
+  private def listVisible(dir: Path): Seq[Path] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val list = Files.list(dir)
+      val all = try list.iterator().asScala.toSeq finally list.close()
+      all.filterNot { p =>
+        val n = p.getFileName.toString
+        n.startsWith("_") || n.startsWith(".")
+      }
+    }
+  }
+
+  /** The `k=v` partition dir names directly under `dir`. */
+  private def listFragments(dir: Path): Seq[String] =
+    listVisible(dir).filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).filter(_.contains("="))
+
+  /** The atomic commit: stage the pointer contents, rename over `_CURRENT`.
+    * Readers see the old snapshot until this rename and the new one after
+    * it — never neither, never a mix. */
+  private def commitPointer(targetDir: String, ref: String): Unit = {
     val tmp = Paths.get(targetDir, "_CURRENT.tmp")
-    Files.writeString(tmp, gen)
+    Files.writeString(tmp, ref)
     Files.move(tmp, Paths.get(targetDir, "_CURRENT"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Post-commit sweep with a ONE-MERGE retention window: the generation
-    * the pointer named just before this commit survives until the next
-    * merge, so a reader that resolved `_CURRENT` moments before the flip
-    * can still finish scanning its snapshot (pointer-resolve and file-read
-    * are not atomic — the same reason table formats retain superseded
-    * snapshots). Orphans from crashed merges and generations older than
-    * the window are deleted; pre-protocol flat files count as the previous
-    * generation on the first protocol merge. Best-effort by design —
-    * anything missed is swept by a later merge; readers only follow the
-    * pointer. */
-  private def sweepStale(targetDir: String, liveGen: String, prev: Path): Unit = {
+  /** Write a manifest file and commit the pointer to it. The manifest itself
+    * is immutable once named — the pointer flip is the only mutation a
+    * reader can observe. */
+  private def commitManifest(targetDir: String,
+      members: Seq[(String, Option[String])]): Unit = {
+    val name = s"_manifest-${System.nanoTime()}"
+    val lines = members.map {
+      case (d, Some(f)) => s"$d\t$f"
+      case (d, None)    => d
+    }
+    Files.writeString(Paths.get(targetDir, name), lines.mkString("\n"))
+    commitPointer(targetDir, name)
+  }
+
+  /** Post-commit sweep with a ONE-COMMIT retention window: everything the
+    * pointer referenced just before this commit survives until the next
+    * one, so a reader that resolved `_CURRENT` moments before the flip can
+    * still finish scanning its snapshot (pointer-resolve and file-read are
+    * not atomic — the same reason table formats retain superseded
+    * snapshots). Orphan generations/manifests from crashed commits and
+    * members older than the window are deleted — including pre-protocol
+    * flat data (and individual flat partition dirs) once no retained
+    * snapshot references them. Best-effort by design: anything missed is
+    * swept by a later commit; readers only follow the pointer. */
+  private def sweepStale(targetDir: String, prevRef: Option[String]): Unit = {
     val root = Paths.get(targetDir)
-    val keepFlat = prev == root // first protocol merge: flat data is the previous snapshot
-    val prevGen = if (keepFlat) "" else prev.getFileName.toString
+    def refs(r: Option[String]): Seq[(String, Option[String])] = r match {
+      case None => Seq("." -> None) // pre-protocol root was the snapshot
+      case Some(m) if m.startsWith("_manifest-") =>
+        (m -> None) +: readManifest(Paths.get(root.toString, m))
+      case Some(gen) => Seq(gen -> None)
+    }
+    val live = refs(currentRef(targetDir)) ++ refs(prevRef)
+    val liveDirs = live.map(_._1).toSet
+    // flat partition dirs still referenced through a "." mapping entry
+    val liveRootFrags = live.collect { case (".", Some(f)) => f }.toSet
+    val keepRootData = live.exists { case (d, f) => d == "." && f.isEmpty }
     val list = Files.list(root)
     try list.forEach { p =>
       val name = p.getFileName.toString
+      val isProtocol = name == "_CURRENT" || name == "_CURRENT.tmp"
+      val isGen = name.startsWith("_gen-") || name.startsWith("_manifest-")
       val stale =
-        (Files.isDirectory(p) && name.startsWith("gen-") &&
-          name != liveGen && name != prevGen) ||
-        (!Files.isDirectory(p) && !keepFlat &&
-          name != "_CURRENT" && name != "_CURRENT.tmp")
+        if (isProtocol) false
+        else if (isGen) !liveDirs.contains(name)
+        else if (Files.isDirectory(p) && name.contains("="))
+          !keepRootData && !liveRootFrags.contains(name)
+        else !keepRootData
       if (stale) deleteRecursively(p)
     } finally list.close()
   }
@@ -250,7 +385,10 @@ object Connectors {
     mergeInto(spark, target,
       dailyTotals(events.filter(col("ts") >= lit(SyncCutoff))),
       Seq("user_id", "day"), partitionCol = Some("day"))
-    spark.read.parquet(target)
+    // read back through the pointer protocol: after the merge the root's
+    // superseded flat boundary-day dir is retained for one commit window,
+    // so only the manifest names the true live snapshot
+    readTable(spark, target)
       .select(col("user_id"), col("day"), col("total_value"), col("cnt"))
   }
 

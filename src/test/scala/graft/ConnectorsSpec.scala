@@ -41,30 +41,33 @@ class ConnectorsSpec extends AnyFunSuite with SparkFixture {
     Seq((1L, 1.0)).toDF("k", "v").write.mode("overwrite").parquet(target)
 
     // crash point 1: a merge died after writing its generation dir but
-    // BEFORE the pointer commit — the orphan gen must be invisible
-    Seq((1L, 9.0)).toDF("k", "v").write.parquet(s"$target/gen-111")
+    // BEFORE the pointer commit — the orphan gen must be invisible. The
+    // underscore prefix makes this a CONTRACT, not incidental listing
+    // behavior: Spark's hidden-path filter excludes `_`-prefixed children
+    // from any root-dir read.
+    Seq((1L, 9.0)).toDF("k", "v").write.parquet(s"$target/_gen-111")
     assert(read() == Seq((1L, 1.0)))
 
     // crash point 2: died mid-pointer-stage (CURRENT.tmp written, rename
     // never happened) — still the old snapshot
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(target, "_CURRENT.tmp"), "gen-111")
+      java.nio.file.Paths.get(target, "_CURRENT.tmp"), "_gen-111")
     assert(read() == Seq((1L, 1.0)))
 
     // a real merge now completes, swallows the update, and sweeps both the
     // orphan generation and the pre-protocol flat files
     Connectors.mergeInto(spark, target, Seq((2L, 5.0)).toDF("k", "v"), Seq("k"))
     assert(read() == Seq((1L, 1.0), (2L, 5.0)))
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(target, "gen-111")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(target, "_gen-111")))
     val live = java.nio.file.Files.readString(
       java.nio.file.Paths.get(target, "_CURRENT")).trim
 
     // crash point 3: next merge dies post-commit, pre-sweep — the NEW data
     // is live (commit happened), the old generation is merely unswept
     Seq((1L, 1.0), (2L, 5.0), (3L, 7.0)).toDF("k", "v")
-      .write.parquet(s"$target/gen-999")
+      .write.parquet(s"$target/_gen-999")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(target, "_CURRENT.tmp"), "gen-999")
+      java.nio.file.Paths.get(target, "_CURRENT.tmp"), "_gen-999")
     java.nio.file.Files.move(
       java.nio.file.Paths.get(target, "_CURRENT.tmp"),
       java.nio.file.Paths.get(target, "_CURRENT"),
@@ -76,6 +79,76 @@ class ConnectorsSpec extends AnyFunSuite with SparkFixture {
     Connectors.mergeInto(spark, target, Seq((4L, 2.0)).toDF("k", "v"), Seq("k"))
     assert(read() == Seq((1L, 1.0), (2L, 5.0), (3L, 7.0), (4L, 2.0)))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(target, live)))
+  }
+
+  test("partitioned merge is readable at every crash point and never shows a mixed snapshot") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("merge-part-crash-").toString
+    def read() = Connectors.readTable(spark, target)
+      .select("k", "day", "v").as[(Long, String, Double)]
+      .collect().sortBy(_._1).toSeq
+    Seq((1L, "d1", 10.0), (2L, "d2", 20.0)).toDF("k", "day", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(target)
+    val old = Seq((1L, "d1", 10.0), (2L, "d2", 20.0))
+
+    // crash point 1: generation dir fully written (new d2 + new d3), no
+    // manifest, no pointer — the whole update is invisible, not partially
+    // visible the way a directory-by-directory overwrite would be
+    Seq((2L, "d2", 99.0), (3L, "d3", 30.0)).toDF("k", "day", "v")
+      .write.partitionBy("day").parquet(s"$target/_gen-111")
+    assert(read() == old)
+
+    // crash point 2: manifest file written, pointer never flipped
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(target, "_manifest-111"),
+      "_gen-111\tday=d2\n_gen-111\tday=d3\n.\tday=d1")
+    assert(read() == old)
+
+    // crash point 3: pointer staged but not renamed
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(target, "_CURRENT.tmp"), "_manifest-111")
+    assert(read() == old)
+
+    // a real merge now commits: the update becomes visible ATOMICALLY —
+    // boundary partition replaced AND new partition added in one flip
+    Connectors.mergeInto(spark, target,
+      Seq((2L, "d2", 99.0), (3L, "d3", 30.0)).toDF("k", "day", "v"),
+      Seq("k", "day"), partitionCol = Some("day"))
+    assert(read() == Seq((1L, "d1", 10.0), (2L, "d2", 99.0), (3L, "d3", 30.0)))
+    // orphans from the crashed attempt were swept
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(target, "_gen-111")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(target, "_manifest-111")))
+    // the superseded flat day=d2 survives the one-commit retention window
+    // (an in-flight reader of the old snapshot may still be scanning it)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(target, "day=d2")))
+
+    // the NEXT merge sweeps it; the untouched flat day=d1 stays live forever
+    Connectors.mergeInto(spark, target,
+      Seq((4L, "d4", 40.0)).toDF("k", "day", "v"),
+      Seq("k", "day"), partitionCol = Some("day"))
+    assert(read() == Seq((1L, "d1", 10.0), (2L, "d2", 99.0),
+      (3L, "d3", 30.0), (4L, "d4", 40.0)))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(target, "day=d2")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(target, "day=d1")))
+  }
+
+  test("appendTo publishes increments atomically and reads as the union of members") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("append-test-").toString + "/t"
+    def read() = Connectors.readTable(spark, target)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    Connectors.appendTo(spark, target, Seq((1L, 1.0)).toDF("k", "v"))
+    assert(read() == Seq((1L, 1.0)))
+    // crashed append: orphan generation, no commit — invisible
+    Seq((9L, 9.0)).toDF("k", "v").write.parquet(s"$target/_gen-crash")
+    assert(read() == Seq((1L, 1.0)))
+    Connectors.appendTo(spark, target, Seq((2L, 2.0)).toDF("k", "v"))
+    assert(read() == Seq((1L, 1.0), (2L, 2.0)))
+    // all committed members survive (append never rewrites old data); the
+    // crashed orphan was swept by the successful append's commit
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(target, "_gen-crash")))
+    Connectors.appendTo(spark, target, Seq((3L, 3.0)).toDF("k", "v"))
+    assert(read() == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
   }
 
   test("partition-pruned merge rewrites only touched partitions, byte-identically elsewhere") {
@@ -92,7 +165,7 @@ class ConnectorsSpec extends AnyFunSuite with SparkFixture {
     Connectors.mergeInto(spark, target,
       Seq((2L, "d2", 99.0), (3L, "d3", 30.0)).toDF("k", "day", "v"),
       Seq("k", "day"), partitionCol = Some("day"))
-    val out = spark.read.parquet(target).select("k", "day", "v")
+    val out = Connectors.readTable(spark, target).select("k", "day", "v")
       .as[(Long, String, Double)].collect().sortBy(_._1)
     assert(out.toSeq == Seq((1L, "d1", 10.0), (2L, "d2", 99.0), (3L, "d3", 30.0)))
     // the untouched partition's files were neither rewritten nor re-stamped
