@@ -190,6 +190,41 @@ object Connectors {
     sweepStale(targetDir, prev)
   }
 
+  /** Append an EXTERNAL member — an absolute dir the table references
+    * without copying (how table formats point at existing data files when a
+    * table is created over them). O(1): commits metadata only. The referenced
+    * dir must be immutable for the table's lifetime — reference a committed
+    * generation dir, never a mutable root. */
+  def appendMemberRef(spark: SparkSession, targetDir: String, memberDir: String): Unit = {
+    require(memberDir.startsWith("/"), s"member ref must be absolute: $memberDir")
+    Files.createDirectories(Paths.get(targetDir))
+    val prev = currentRef(targetDir)
+    commitManifest(targetDir, currentMembers(targetDir) :+ (memberDir -> None))
+    sweepStale(targetDir, prev)
+  }
+
+  /** Publish `rows` as the complete new snapshot of `targetDir` (create or
+    * replace) through the pointer protocol — the staging catalog's
+    * build-once commit. Crash-safe like every other commit here: until the
+    * pointer flips, readers see the previous snapshot (or no table). */
+  def replaceTable(spark: SparkSession, targetDir: String, rows: DataFrame): Unit = {
+    Files.createDirectories(Paths.get(targetDir))
+    val prev = currentRef(targetDir)
+    val gen = newGenName()
+    rows.write.parquet(s"$targetDir/$gen")
+    commitPointer(targetDir, gen)
+    sweepStale(targetDir, prev)
+  }
+
+  /** Whether a commit ever published this table (readable via the pointer). */
+  def isCommitted(targetDir: String): Boolean = currentRef(targetDir).isDefined
+
+  /** The immutable data dir behind a single-generation table (replaceTable
+    * output) — the thing an external member ref may safely point at. */
+  private[operators] def currentDataDir(targetDir: String): Option[String] =
+    currentRef(targetDir).filterNot(_.startsWith("_manifest-"))
+      .map(gen => s"$targetDir/$gen")
+
   // ---- snapshot-pointer protocol ------------------------------------------
   //
   // `_CURRENT` at the table root is the ONLY thing a reader trusts; it is
@@ -224,13 +259,19 @@ object Connectors {
         val members = readManifest(Paths.get(targetDir, m))
         val reads = members.groupBy(_._1).toSeq.sortBy(_._1).map {
           case (relDir, entries) =>
-            val base = if (relDir == ".") targetDir else s"$targetDir/$relDir"
+            val base =
+              if (relDir == ".") targetDir
+              else if (relDir.startsWith("/")) relDir // external member ref
+              else s"$targetDir/$relDir"
             val frags = entries.flatMap(_._2)
             if (frags.isEmpty) spark.read.parquet(base)
             else spark.read.option("basePath", base)
               .parquet(frags.sorted.map(f => s"$base/$f"): _*)
         }
-        reads.reduce(_ unionByName _)
+        // allowMissingColumns: members appended after a schema widened (or
+        // external refs with extra columns) read as null in the gap — the
+        // additive schema evolution every table format permits
+        reads.reduce(_.unionByName(_, allowMissingColumns = true))
     }
 
   /** The pointer's contents, if a commit ever happened. */

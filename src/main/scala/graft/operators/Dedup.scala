@@ -49,8 +49,13 @@ object Dedup {
     * |A∪B| = |A|+|B|−|A∩B|, so one array_intersect pass replaces
     * intersect + union (the union allocates a fresh array per pair — pure
     * waste on the pair-verification hot path, where millions of candidate
-    * pairs each carry ~50-element sets). Callers project the intersection
-    * size ONCE (`ninter`) and derive the score from sizes. */
+    * pairs each carry ~50-element sets). The identity requires BOTH arrays
+    * duplicate-free: shingle arrays are distinct'd again AFTER the 60-bit
+    * fold (DedupStaging.shingleBase / batchBaseOf — and the oracles'
+    * matching `list_distinct` after `list_transform`), so even a
+    * within-document fold collision (~C(50,2)/2^60 per doc) cannot leave a
+    * duplicate in an input. Callers project the intersection size ONCE
+    * (`ninter`) and derive the score from sizes. */
   private def jaccardFrom(ninter: Column, a: Column, b: Column): Column =
     ninter / (size(a) + size(b) - ninter).cast("double")
 
@@ -246,47 +251,64 @@ object Dedup {
     * dropped ⇒ no 3 consecutive original tokens survive ⇒ disjoint shingle
     * sets ⇒ must be admitted). The oracle replays the whole pipeline,
     * corpus signatures included, from raw text. */
-  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val K = MinhashK
-    val docs = Tables.documents(spark, dir)
+  /** The arriving-batch fixture both incremental queries share: every 10th
+    * document re-arrives at `doc_id + offset` — even 20ths verbatim, odd
+    * 10ths with every other token dropped (no 3 consecutive original tokens
+    * survive ⇒ disjoint shingle sets). Deterministic in both engines. */
+  private def arrivingBatch(spark: SparkSession, dir: String, offset: Long,
+      halfAll: Boolean): DataFrame = {
     // keep positions 1,3,5,… (Spark lambda index is 0-based; the DuckDB
     // replay's list_filter index is 1-based, so it keeps i % 2 = 1)
     val halfText = concat_ws(" ",
       filter(tokens(col("text")), (_, i) => i % 2 === 0))
-    val batchDocs = Tables.fanout(docs.filter(col("doc_id") % 10 === 0))
-      .select((col("doc_id") + 3000000).as("doc_id"),
-        when(col("doc_id") % 20 === 0, col("text")).otherwise(halfText).as("text"))
-    // batch-side shingle/signature build — same staged projections as the
-    // corpus build, over the increment only; persisted because it feeds
-    // both the signature agg and the verification join
-    val batchBase = batchDocs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), array_distinct(shingles(col("toks"), 3)).as("sh"))
-      .withColumn("hs", transform(col("sh"), s => md5Fold60(s)))
-      .drop("sh")
-      .persist()
-    val batchSigs = batchBase
-      .select(col("doc_id"), explode(col("hs")).as("h"))
-      .groupBy("doc_id").agg(
-        min(col("h").bitwiseXOR(lit(MinhashSeeds(0)))).as("h0"),
-        (1 until K).map(j =>
-          min(col("h").bitwiseXOR(lit(MinhashSeeds(j)))).as(s"h$j")): _*)
-    def buckets(sigs: DataFrame, idAs: String): DataFrame = {
-      val bands = (0 until K / 2).map(b =>
-        struct(lit(b).as("band"), col(s"h${2 * b}").as("k1"), col(s"h${2 * b + 1}").as("k2")))
-      sigs.select(col("doc_id").as(idAs), explode(array(bands: _*)).as("bd"))
-        .select(col(idAs), col("bd.band").as("band"),
-          col("bd.k1").as("k1"), col("bd.k2").as("k2"))
-    }
-    val cands = buckets(batchSigs, "new_id")
-      .join(buckets(DedupStaging.minhashSigs(spark, dir), "corpus_id"),
-        Seq("band", "k1", "k2"))
+    val text =
+      if (halfAll) halfText
+      else when(col("doc_id") % 20 === 0, col("text")).otherwise(halfText)
+    Tables.fanout(Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0))
+      .select((col("doc_id") + offset).as("doc_id"), text.as("text"))
+  }
+
+  /** Batch-side staged shingle build — same projections as the corpus
+    * staging build, over the increment only; persisted because it feeds
+    * both the signature aggregate and the verification join. */
+  private def batchBaseOf(batchDocs: DataFrame): DataFrame = batchDocs
+    .select(col("doc_id"), tokens(col("text")).as("toks"))
+    .select(col("doc_id"), array_distinct(shingles(col("toks"), 3)).as("sh"))
+    .withColumn("hs", array_distinct(transform(col("sh"), s => md5Fold60(s))))
+    .drop("sh")
+    .persist()
+
+  /** The 16 min-hash columns of a (doc_id, hs) frame — the query-side twin
+    * of DedupStaging.minhashSigs. */
+  private def sigsOf(base: DataFrame): DataFrame = base
+    .select(col("doc_id"), explode(col("hs")).as("h"))
+    .groupBy("doc_id").agg(
+      min(col("h").bitwiseXOR(lit(MinhashSeeds(0)))).as("h0"),
+      (1 until MinhashK).map(j =>
+        min(col("h").bitwiseXOR(lit(MinhashSeeds(j)))).as(s"h$j")): _*)
+
+  private def bandsOf(sigs: DataFrame, idAs: String): DataFrame = {
+    val bands = (0 until MinhashK / 2).map(b =>
+      struct(lit(b).as("band"), col(s"h${2 * b}").as("k1"), col(s"h${2 * b + 1}").as("k2")))
+    sigs.select(col("doc_id").as(idAs), explode(array(bands: _*)).as("bd"))
+      .select(col(idAs), col("bd.band").as("band"),
+        col("bd.k1").as("k1"), col("bd.k2").as("k2"))
+  }
+
+  /** Admission decisions of a batch against a reference side: band-join the
+    * batch signatures against the reference signatures, verify candidates
+    * with exact Jaccard over the shingle sets, and report per batch doc. The
+    * reference is only ever READ (staged parquet / catalog members) — work
+    * is O(increment), never O(corpus). */
+  private def admissionDecisions(batchDocs: DataFrame, batchBase: DataFrame,
+      refSigs: DataFrame, refShingles: DataFrame): DataFrame = {
+    val cands = bandsOf(sigsOf(batchBase), "new_id")
+      .join(bandsOf(refSigs, "corpus_id"), Seq("band", "k1", "k2"))
       .select("new_id", "corpus_id").dropDuplicates("new_id", "corpus_id")
     val verified = cands
       .join(batchBase.select(col("doc_id").as("new_id"), col("hs").as("hsn")), Seq("new_id"))
-      .join(DedupStaging.shingleBase(spark, dir)
-        .select(col("doc_id").as("corpus_id"), col("hs").as("hsc")), Seq("corpus_id"))
+      .join(refShingles.select(col("doc_id").as("corpus_id"), col("hs").as("hsc")),
+        Seq("corpus_id"))
       .withColumn("ninter", size(array_intersect(col("hsn"), col("hsc"))))
       .withColumn("jac", jaccardFrom(col("ninter"), col("hsn"), col("hsc")))
       .filter(col("jac") >= 0.8)
@@ -298,6 +320,60 @@ object Dedup {
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         rnd(coalesce(col("best"), lit(0.0)), 4).as("best_jaccard"),
         (coalesce(col("n_matches"), lit(0L)) === 0).as("admitted"))
+  }
+
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val batchDocs = arrivingBatch(spark, dir, 3000000, halfAll = false)
+    admissionDecisions(batchDocs, batchBaseOf(batchDocs),
+      DedupStaging.minhashSigs(spark, dir),
+      DedupStaging.shingleBase(spark, dir).select("doc_id", "hs"))
+  }
+
+  /** M6: the incremental-staging LOOP closed — what incrementalDedup decides,
+    * this query COMMITS: batch 1's admitted documents are appended to the
+    * staged corpus catalog (signatures + shingle sets, one atomic manifest
+    * commit each — Connectors.appendTo), so batch 2 dedups against
+    * corpus + prior admissions. The catalog's base member is a ZERO-COPY
+    * reference to the released corpus staging tables
+    * (Connectors.appendMemberRef): creating the catalog costs O(1) metadata,
+    * each admitted batch costs O(batch) — the corpus is never re-shingled,
+    * never copied.
+    *
+    * Fixture: batch 1 as incrementalDedup (even 20ths verbatim → rejected;
+    * odd 10ths half-text → admitted). Batch 2 re-arrives EVERY 10th doc as
+    * half-text at +4000000: odd 10ths are verbatim copies of batch-1
+    * ADMISSIONS (must now be rejected with best_jaccard 1.0 — only possible
+    * if the commit happened), even 20ths are half-texts whose batch-1
+    * verbatim twin was REJECTED (must be admitted — rejected docs must NOT
+    * have entered the catalog). The oracle replays both batches, decisions
+    * and catalog contents included, from raw text. */
+  def incrementalCommit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // make sure the corpus release tables are committed, then build the
+    // catalog over immutable references to them (fresh target per run —
+    // the query stays idempotent; the PROTOCOL is what persists)
+    DedupStaging.minhashSigs(spark, dir); DedupStaging.shingleBase(spark, dir)
+    val cat = java.nio.file.Files.createTempDirectory("graft-inc-catalog-").toString
+    val sigsT = s"$cat/sigs"; val shT = s"$cat/shingles"
+    Connectors.appendMemberRef(spark, sigsT,
+      DedupStaging.committedDataDir(dir, "minhash_sigs").get)
+    Connectors.appendMemberRef(spark, shT,
+      DedupStaging.committedDataDir(dir, "shingle3").get)
+    def catSigs = Connectors.readTable(spark, sigsT)
+      .select(col("doc_id") +: (0 until MinhashK).map(j => col(s"h$j")): _*)
+    def catShingles = Connectors.readTable(spark, shT).select("doc_id", "hs")
+
+    val batch1 = arrivingBatch(spark, dir, 3000000, halfAll = false)
+    val b1base = batchBaseOf(batch1)
+    val d1 = admissionDecisions(batch1, b1base, catSigs, catShingles).persist()
+    val admitted1 = d1.filter(col("admitted")).select(col("new_id").as("doc_id"))
+    // the commit: O(batch) appends, one atomic pointer flip per table
+    Connectors.appendTo(spark, sigsT, sigsOf(b1base).join(admitted1, Seq("doc_id")))
+    Connectors.appendTo(spark, shT, b1base.join(admitted1, Seq("doc_id")))
+
+    val batch2 = arrivingBatch(spark, dir, 4000000, halfAll = true)
+    admissionDecisions(batch2, batchBaseOf(batch2), catSigs, catShingles)
   }
 
   /** M6: benchmark decontamination — the eval-leak scan every LLM training
@@ -368,6 +444,7 @@ object Dedup {
     "m6_minhash_dedup" -> minhashDedup,
     "m6_simhash_pairs" -> simhashPairs,
     "m6_incremental_dedup" -> incrementalDedup,
+    "m6_incremental_commit" -> incrementalCommit,
     "m6_decontaminate" -> decontaminate)
 
   private val shSql = s"list_distinct(${sqlShingles("string_split(text, ' ')", 3)})"
@@ -388,11 +465,46 @@ object Dedup {
       s"SELECT doc_id, $b AS band, h${2 * b} AS k1, h${2 * b + 1} AS k2 FROM $sigsCte")
       .mkString(" UNION ALL ")
 
+  /** The arriving-batch CTE body both incremental oracles share (the SQL
+    * twin of `arrivingBatch`). */
+  private def sqlBatch(offset: Long, halfAll: Boolean): String = {
+    val half = "array_to_string(list_filter(string_split(text, ' '), (x, i) -> i % 2 = 1), ' ')"
+    val text = if (halfAll) half
+      else s"CASE WHEN doc_id % 20 = 0 THEN text ELSE $half END"
+    s"SELECT doc_id + $offset AS doc_id, $text AS text FROM documents WHERE doc_id % 10 = 0"
+  }
+
+  /** cands/ver/m admission CTEs (the SQL twin of `admissionDecisions`):
+    * batch bands vs reference bands, candidates verified over the two
+    * (doc_id, h) shingle tables. */
+  private def sqlAdmission(tag: String, batchBands: String, refBands: String,
+      batchHs: String, refHs: String): String =
+    s"""cands$tag AS (SELECT DISTINCT b.doc_id AS new_id, r.doc_id AS corpus_id
+          FROM $batchBands b JOIN $refBands r
+            ON b.band = r.band AND b.k1 = r.k1 AND b.k2 = r.k2),
+        ver$tag AS (SELECT new_id, corpus_id, ni / CAST(ntot - ni AS DOUBLE) AS jac
+          FROM (SELECT new_id, corpus_id,
+                  len(list_intersect(n.h, c.h)) AS ni,
+                  len(n.h) + len(c.h) AS ntot
+                FROM cands$tag
+                JOIN $batchHs n ON n.doc_id = cands$tag.new_id
+                JOIN $refHs c ON c.doc_id = cands$tag.corpus_id) t
+          WHERE ni / CAST(ntot - ni AS DOUBLE) >= 0.8),
+        m$tag AS (SELECT new_id, count(*) AS n_matches, max(jac) AS best
+          FROM ver$tag GROUP BY 1)"""
+
+  private def sqlAdmissionSelect(batchCte: String, mCte: String): String =
+    s"""SELECT b.doc_id AS new_id,
+        coalesce(n_matches, 0) AS n_matches,
+        ${sqlRnd("coalesce(best, 0.0)", 4)} AS best_jaccard,
+        coalesce(n_matches, 0) = 0 AS admitted
+        FROM $batchCte b LEFT JOIN $mCte ON $mCte.new_id = b.doc_id"""
+
   /** The MinHash pipeline's DuckDB replay — shared by its own oracle and
     * the corpus-build composition. */
   private lazy val minhashOracleSql: String =
     s"""WITH sh AS (SELECT doc_id, $shSql AS s FROM documents),
-        hs AS (SELECT doc_id, list_transform(s, x -> ${sqlMd5Fold60("x")}) AS h FROM sh),
+        hs AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${sqlMd5Fold60("x")})) AS h FROM sh),
         sigs AS (${sqlSigs("hs")}),
         bands AS (${sqlBands("sigs")}),
         cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -452,36 +564,50 @@ object Dedup {
     // end-to-end verified through this replay).
     "m6_incremental_dedup" ->
       s"""WITH sh AS (SELECT doc_id, $shSql AS s FROM documents),
-          hs AS (SELECT doc_id, list_transform(s, x -> ${sqlMd5Fold60("x")}) AS h FROM sh),
+          hs AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${sqlMd5Fold60("x")})) AS h FROM sh),
           csigs AS (${sqlSigs("hs")}),
           cb AS (${sqlBands("csigs")}),
-          batch AS (SELECT doc_id + 3000000 AS doc_id,
-                      CASE WHEN doc_id % 20 = 0 THEN text
-                           ELSE array_to_string(list_filter(string_split(text, ' '), (x, i) -> i % 2 = 1), ' ')
-                      END AS text
-                    FROM documents WHERE doc_id % 10 = 0),
+          batch AS (${sqlBatch(3000000, halfAll = false)}),
           bsh AS (SELECT doc_id, $shSql AS s FROM batch),
-          bhs AS (SELECT doc_id, list_transform(s, x -> ${sqlMd5Fold60("x")}) AS h FROM bsh),
+          bhs AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${sqlMd5Fold60("x")})) AS h FROM bsh),
           bsigs AS (${sqlSigs("bhs")}),
           nb AS (${sqlBands("bsigs")}),
-          cands AS (SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS corpus_id
-                    FROM nb JOIN cb
-                      ON nb.band = cb.band AND nb.k1 = cb.k1 AND nb.k2 = cb.k2),
-          ver AS (SELECT new_id, corpus_id, ni / CAST(ntot - ni AS DOUBLE) AS jac
-                  FROM (SELECT new_id, corpus_id,
-                          len(list_intersect(n.h, c.h)) AS ni,
-                          len(n.h) + len(c.h) AS ntot
-                        FROM cands
-                        JOIN bhs n ON n.doc_id = cands.new_id
-                        JOIN hs c ON c.doc_id = cands.corpus_id) t
-                  WHERE ni / CAST(ntot - ni AS DOUBLE) >= 0.8),
-          m AS (SELECT new_id, count(*) AS n_matches, max(jac) AS best
-                FROM ver GROUP BY 1)
-          SELECT b.doc_id AS new_id,
-            coalesce(n_matches, 0) AS n_matches,
-            ${sqlRnd("coalesce(best, 0.0)", 4)} AS best_jaccard,
-            coalesce(n_matches, 0) = 0 AS admitted
-          FROM batch b LEFT JOIN m ON m.new_id = b.doc_id""",
+          ${sqlAdmission("1", "nb", "cb", "bhs", "hs")}
+          ${sqlAdmissionSelect("batch", "m1")}""",
+    // The full two-batch replay: batch-1 decisions, the catalog after the
+    // commit (corpus ∪ batch-1 ADMISSIONS — rejected docs excluded), then
+    // batch-2 decisions against it. The engine's manifest catalog never
+    // appears — its contents are re-derived from raw text end to end.
+    "m6_incremental_commit" ->
+      s"""WITH sh AS (SELECT doc_id, $shSql AS s FROM documents),
+          hs AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${sqlMd5Fold60("x")})) AS h FROM sh),
+          csigs AS (${sqlSigs("hs")}),
+          cb AS (${sqlBands("csigs")}),
+          batch1 AS (${sqlBatch(3000000, halfAll = false)}),
+          b1sh AS (SELECT doc_id, $shSql AS s FROM batch1),
+          b1hs AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${sqlMd5Fold60("x")})) AS h FROM b1sh),
+          b1sigs AS (${sqlSigs("b1hs")}),
+          nb1 AS (${sqlBands("b1sigs")}),
+          ${sqlAdmission("1", "nb1", "cb", "b1hs", "hs")},
+          adm1 AS (SELECT b.doc_id FROM batch1 b
+                   LEFT JOIN m1 ON m1.new_id = b.doc_id
+                   WHERE m1.new_id IS NULL),
+          rsigs AS (SELECT * FROM csigs
+                    UNION ALL
+                    SELECT * FROM b1sigs
+                    WHERE doc_id IN (SELECT doc_id FROM adm1)),
+          rb AS (${sqlBands("rsigs")}),
+          rhs AS (SELECT doc_id, h FROM hs
+                  UNION ALL
+                  SELECT doc_id, h FROM b1hs
+                  WHERE doc_id IN (SELECT doc_id FROM adm1)),
+          batch2 AS (${sqlBatch(4000000, halfAll = true)}),
+          b2sh AS (SELECT doc_id, $shSql AS s FROM batch2),
+          b2hs AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${sqlMd5Fold60("x")})) AS h FROM b2sh),
+          b2sigs AS (${sqlSigs("b2hs")}),
+          nb2 AS (${sqlBands("b2sigs")}),
+          ${sqlAdmission("2", "nb2", "rb", "b2hs", "rhs")}
+          ${sqlAdmissionSelect("batch2", "m2")}""",
     // Composed from the quality and minhash oracles — the build must equal
     // "filter ∘ mix ∘ dedup ∘ split" applied via plain SQL.
     "m6_corpus_build" ->

@@ -33,43 +33,108 @@ object DedupStaging {
 
   import Exact.{fold60 => md5Fold60}
 
+  /** Warehouse root for staged tables — a STABLE location (not per-JVM
+    * scratch), so staging survives JVM restarts: the round's Bench builds
+    * once and a later Verify (separate JVM) reads the committed tables
+    * without rebuilding, exactly like production jobs sharing a corpus
+    * release's staging area. Overridable for deployments that put staging
+    * next to the corpus. */
+  private def warehouseRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE",
+      s"${sys.props("java.io.tmpdir")}/graft-warehouse")
+
+  /** Content fingerprint of a fixture dir — the staged tables all derive
+    * from `documents.parquet`, so its (size, mtime) identifies the corpus
+    * version. A regenerated fixture changes the fingerprint, which changes
+    * every staged path: stale staged parquet can never be read against a
+    * newer corpus (it is swept on the next build instead). */
+  private def fingerprint(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "documents.parquet")
+    val sig =
+      if (java.nio.file.Files.exists(p))
+        s"${java.nio.file.Files.size(p)}-${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+      else "absent"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$sig".getBytes("UTF-8"))
+    md.take(6).map(b => f"$b%02x").mkString
+  }
+
+  private def sanitize(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9._-]", "_").replaceAll("^_+", "")
+
+  private def fixtureRoot(dir: String): String =
+    s"$warehouseRoot/${sanitize(dir)}-${fingerprint(dir)}"
+
+  private[graft] def tablePath(dir: String, name: String): String =
+    s"${fixtureRoot(dir)}/$name"
+
+  // in-JVM memo of paths already verified committed — keyed on the CONTENT
+  // fingerprint, so a fixture regenerated mid-session stops hitting the old
+  // entry instead of silently reading stale staged parquet
   private val staged =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
-  /** Build-once-read-many: the first caller writes `build` to a temp parquet
-    * dir keyed by (fixture dir, table name); everyone reads the files. The
-    * write is NOT coalesced — it inherits the build's partitioning, so the
-    * read-back side gets real splits instead of one. */
+  /** Test hook: forget in-JVM memo state (the on-disk warehouse is the
+    * durable layer under test). */
+  private[graft] def resetMemo(): Unit = staged.clear()
+
+  /** Build-once-read-many: the first caller PER CORPUS VERSION builds and
+    * publishes the table through the warehouse's atomic-pointer commit
+    * (Connectors.replaceTable) — later callers, including separate JVMs,
+    * see the committed pointer and skip the build. The write is NOT
+    * coalesced — it inherits the build's partitioning, so the read-back
+    * side gets real splits instead of one. A crash mid-build leaves no
+    * pointer, so the next caller simply rebuilds. */
   private def materialize(spark: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame = {
-    val path = staged.getOrElseUpdate((dir, name), {
-      val p = java.nio.file.Files.createTempDirectory(s"graft-stage-$name-")
-      // staged tables are JVM-scoped scratch (a real deployment writes them
-      // to the warehouse next to the corpus); sweep them on exit so repeated
-      // test/bench runs don't accumulate corpus-sized tmp dirs
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
+    val path = staged.getOrElseUpdate((fingerprint(dir), name), {
+      val td = tablePath(dir, name)
+      if (!Connectors.isCommitted(td)) {
+        sweepStaleFixtures(dir)
+        val t0 = System.nanoTime()
+        Connectors.replaceTable(spark, td, build)
+        System.err.println(f"[stage] $name built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      } else System.err.println(s"[stage] $name reused (committed)")
+      td
+    })
+    Connectors.readTable(spark, path)
+  }
+
+  /** Superseded corpus versions of the same fixture dir (old fingerprints)
+    * are dead weight — sweep them when a new version first builds. */
+  private def sweepStaleFixtures(dir: String): Unit = try {
+    val root = java.nio.file.Paths.get(warehouseRoot)
+    val live = s"${sanitize(dir)}-${fingerprint(dir)}"
+    if (java.nio.file.Files.isDirectory(root)) {
+      val list = java.nio.file.Files.list(root)
+      try list.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith(s"${sanitize(dir)}-") && n != live) {
           val walk = java.nio.file.Files.walk(p)
           try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
             .forEach(f => java.nio.file.Files.deleteIfExists(f))
           finally walk.close()
-        } catch { case _: Exception => () }))
-      val t0 = System.nanoTime()
-      build.write.mode("overwrite").parquet(p.toString)
-      System.err.println(f"[stage] $name built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      p.toString
-    })
-    spark.read.parquet(path)
-  }
+        }
+      } finally list.close()
+    }
+  } catch { case _: Exception => () } // best-effort hygiene, never fails a build
+
+  /** The immutable committed data dir behind a staged table — what the
+    * incremental catalog references as its zero-copy base member. */
+  private[operators] def committedDataDir(dir: String, name: String): Option[String] =
+    Connectors.currentDataDir(tablePath(dir, name))
 
   /** doc_id, lang, n_chars + the distinct 3-shingle set hashed to 60-bit
     * folds (`hs`) — the shared base of ngram_jaccard / minhash /
-    * corpus_build. */
+    * corpus_build. Distinct'd AGAIN after the fold (oracles mirror with
+    * `list_distinct`): the inclusion-exclusion Jaccard identity downstream
+    * requires duplicate-free arrays, and a fold collision within one
+    * document — however improbable — must not be able to break it. */
   def shingleBase(spark: SparkSession, dir: String): DataFrame =
     materialize(spark, dir, "shingle3") {
       graft.functions.GraftFunctions.register(spark)
       Dedup.withShingles(spark, dir)
-        .withColumn("hs", transform(col("sh"), s => md5Fold60(s)))
+        .withColumn("hs", array_distinct(transform(col("sh"), s => md5Fold60(s))))
         .drop("sh")
     }
 
@@ -130,9 +195,11 @@ object DedupStaging {
   def ensureFor(spark: SparkSession, dir: String, names: Set[String]): Unit = {
     val all = names.isEmpty
     if (all || names("m6_ngram_jaccard") || names("m6_minhash_dedup") ||
-        names("m6_corpus_build"))
+        names("m6_corpus_build") || names("m6_incremental_dedup") ||
+        names("m6_incremental_commit"))
       shingleBase(spark, dir)
-    if (all || names("m6_minhash_dedup") || names("m6_corpus_build"))
+    if (all || names("m6_minhash_dedup") || names("m6_corpus_build") ||
+        names("m6_incremental_dedup") || names("m6_incremental_commit"))
       minhashSigs(spark, dir)
     if (all || names("m6_simhash_pairs")) simhashSigs(spark, dir)
     if (all || names("m6_decontaminate")) shingle8(spark, dir)

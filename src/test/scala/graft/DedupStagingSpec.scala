@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.{Connectors, DedupStaging}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+
+/** The staging warehouse's durability contract: build-once across JVMs
+  * (simulated by clearing the in-JVM memo), content-fingerprint
+  * invalidation when the fixture is regenerated, and the zero-copy external
+  * member reference the incremental catalog is built on. */
+class DedupStagingSpec extends AnyFunSuite with SparkFixture {
+
+  test("staged tables are reused across sessions and invalidated by fixture changes") {
+    // a private fixture copy — the real testdata is read-only and shared
+    val fix = Files.createTempDirectory("staging-fix-").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      Paths.get(fix, "documents.parquet"), StandardCopyOption.COPY_ATTRIBUTES)
+
+    DedupStaging.resetMemo()
+    val n1 = DedupStaging.shingleBase(spark, fix).count()
+    val table = DedupStaging.tablePath(fix, "shingle3")
+    val gen1 = Files.readString(Paths.get(table, "_CURRENT")).trim
+
+    // "second JVM": no memo, same warehouse — must read the committed
+    // table without rebuilding (the pointer still names the same gen)
+    DedupStaging.resetMemo()
+    assert(DedupStaging.shingleBase(spark, fix).count() == n1)
+    assert(Files.readString(Paths.get(table, "_CURRENT")).trim == gen1)
+
+    // regenerated fixture (same path, new mtime) → new fingerprint → a
+    // DIFFERENT table path; the stale version is swept on the new build
+    Files.setLastModifiedTime(Paths.get(fix, "documents.parquet"),
+      FileTime.fromMillis(System.currentTimeMillis() + 60000))
+    DedupStaging.resetMemo()
+    val table2 = DedupStaging.tablePath(fix, "shingle3")
+    assert(table2 != table, "fingerprint must change with the fixture")
+    assert(DedupStaging.shingleBase(spark, fix).count() == n1)
+    assert(Connectors.isCommitted(table2))
+    assert(!Files.exists(Paths.get(table).getParent), "stale fixture version swept")
+  }
+
+  test("external member refs are zero-copy and compose with appends") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("ref-base-").toString + "/t"
+    Connectors.replaceTable(spark, base, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val dataDir = Files.readString(Paths.get(base, "_CURRENT")).trim
+
+    val cat = Files.createTempDirectory("ref-cat-").toString + "/c"
+    Connectors.appendMemberRef(spark, cat, s"$base/$dataDir")
+    // zero-copy: the ref commit wrote METADATA only — not one data file
+    def catParquet() = {
+      val walk = Files.walk(Paths.get(cat))
+      try walk.toArray.map(_.toString).count(_.endsWith(".parquet"))
+      finally walk.close()
+    }
+    assert(catParquet() == 0)
+    assert(Connectors.readTable(spark, cat).count() == 2)
+
+    Connectors.appendTo(spark, cat, Seq((3L, "c")).toDF("k", "v"))
+    val out = Connectors.readTable(spark, cat)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the append added only its own generation's files
+    assert(catParquet() > 0)
+    // the base table is untouched and still reads on its own
+    assert(Connectors.readTable(spark, base).count() == 2)
+  }
+}
