@@ -71,28 +71,38 @@ object Dedup {
       .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
   }
 
-  /** M6: exact-Jaccard near-dup baseline, blocked. Candidate pairs share a
-    * language and a ±1 length bucket (50-char buckets ⊇ the |Δchars| ≤ 50
-    * output predicate — block first, verify after: the LSH pattern even in
-    * the exact query). */
+  /** M6: exact-Jaccard near-dup baseline via PREFIX FILTERING (the public
+    * AllPairs/PPJoin family — Bayardo et al. WWW'07): under any global
+    * element order, two sets with J ≥ τ must share an element within their
+    * first |X| − ⌈τ·|X|⌉ + 1 elements (at τ = 0.5: ⌊|X|/2⌋ + 1), so the
+    * candidate join is an equi-join on PREFIX shingles only — lossless, no
+    * LSH probabilism. Elements are ordered by ascending document frequency
+    * (rarest first), which pushes corpus-common shingles out of the
+    * prefixes: candidate volume is Σ_h C(df_prefix(h), 2) over prefix
+    * occurrences, which grows with true near-dup density, NOT with block
+    * population. This replaces the earlier (lang, ±1 length-bucket) block
+    * self-join whose within-block pair generation was O(N²/buckets) — the
+    * one quadratic this family had left. Language equality and the
+    * |Δchars| ≤ 50 predicate still prune candidates at the join, and exact
+    * Jaccard over the full shingle sets still verifies every pair, so the
+    * output is unchanged (same oracle, over raw string shingles). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // both join sides read the staged hashed-shingle base (parquet, built
-    // once per fixture — DedupStaging): no per-query re-shingling, no
-    // session-lifetime persist() to leak
+    // both candidate-join sides read the STAGED prefix index and the
+    // verification join reads the staged shingle base (parquet, built once
+    // per corpus release — DedupStaging): no per-query re-shingling, no
+    // recomputed subtrees on either side of the self-join
     val base = DedupStaging.shingleBase(spark, dir)
-    val left = base
-      .withColumn("bucket", floor(col("n_chars") / 50))
-      .select(col("doc_id").as("doc_a"), col("lang"), col("bucket"),
-        col("n_chars").as("na"), col("hs").as("hsa"))
-    val right = base
-      .withColumn("bucket", explode(array(
-        floor(col("n_chars") / 50) - 1,
-        floor(col("n_chars") / 50),
-        floor(col("n_chars") / 50) + 1)))
-      .select(col("doc_id").as("doc_b"), col("lang"), col("bucket"),
-        col("n_chars").as("nb"), col("hs").as("hsb"))
-    left.join(right, Seq("lang", "bucket"))
-      .filter(col("doc_a") < col("doc_b") && abs(col("na") - col("nb")) <= 50)
+    val prefix = DedupStaging.prefixIndex(spark, dir)
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.lang") === col("b.lang") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        abs(col("a.n_chars") - col("b.n_chars")) <= 50)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val hs = base.select(col("doc_id"), col("hs"))
+    cands
+      .join(hs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hsa"), Seq("doc_a"))
+      .join(hs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hsb"), Seq("doc_b"))
       .withColumn("ninter", size(array_intersect(col("hsa"), col("hsb"))))
       .withColumn("jac", jaccardFrom(col("ninter"), col("hsa"), col("hsb")))
       .filter(col("jac") >= 0.5)

@@ -138,6 +138,25 @@ object DedupStaging {
         .drop("sh")
     }
 
+  /** The AllPairs prefix index over the shingle base: for each document its
+    * ⌊|hs|/2⌋ + 1 RAREST shingle hashes (ascending document frequency, the
+    * PPJoin ordering) — the inverted-index release artifact behind the
+    * exact near-dup join (Dedup.ngramJaccard has the lossless-filter
+    * argument). One explode + one df aggregate + one per-document window,
+    * built once per corpus release like every other table here. */
+  def prefixIndex(spark: SparkSession, dir: String): DataFrame =
+    materialize(spark, dir, "prefix3") {
+      import org.apache.spark.sql.expressions.Window
+      val ex = shingleBase(spark, dir).select(col("doc_id"), col("lang"),
+        col("n_chars"), size(col("hs")).as("nsh"), explode(col("hs")).as("h"))
+      val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
+      ex.join(dfreq, Seq("h"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= floor(col("nsh") / 2) + 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("h"))
+    }
+
   /** doc_id + the 16 XOR-seeded min-hashes (`h0`..`h15`), derived from the
     * staged shingle base — explode + 16 map-side-combined min aggregates
     * (see Dedup.minhashDedup for why this beats 16 transform passes). */
@@ -198,6 +217,7 @@ object DedupStaging {
         names("m6_corpus_build") || names("m6_incremental_dedup") ||
         names("m6_incremental_commit"))
       shingleBase(spark, dir)
+    if (all || names("m6_ngram_jaccard")) prefixIndex(spark, dir)
     if (all || names("m6_minhash_dedup") || names("m6_corpus_build") ||
         names("m6_incremental_dedup") || names("m6_incremental_commit"))
       minhashSigs(spark, dir)
