@@ -215,22 +215,45 @@ object Dedup {
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
     DedupStaging.simhashSigs(spark, dir)
 
-  /** M6: SimHash near-dup pairs — candidates collide in one of eight 8-bit
-    * chunks (pigeonhole: any pair within Hamming distance 7 has an untouched
-    * chunk, so recall at the ≤7 output bound is exact — LlmPillarSpec proves
-    * it against brute force), verified with summed bit_count(xor) ≤ 7. At
-    * much larger corpora the 8-bit chunks get dense: widen to 16-bit chunks
-    * with multi-probe, trading recall bound for bucket sparsity.
+  /** Corpus-adaptive SimHash chunk width: 8-bit chunks (8 blocks, Hamming
+    * bound ≤ 7) while the corpus is small, 16-bit chunks (4 blocks, bound
+    * ≤ 3 — the Manku/Jain/Sarma WWW'07 production configuration) once it
+    * crosses 4096 documents, where 256-bucket chunks go dense and
+    * within-bucket pair generation starts reverting to quadratic. The rule
+    * is one integer comparison on an exact row count, so the oracle derives
+    * the SAME width from `count(*)` in-query — no float hazard (the lshBits
+    * precedent, Similarity.scala). */
+  private[graft] def simhashChunkBits(nDocs: Long): Int =
+    if (nDocs >= 4096) 16 else 8
+
+  /** M6: SimHash near-dup pairs — candidates collide in one of 64/w w-bit
+    * chunks (pigeonhole: any pair within Hamming distance (64/w − 1) has an
+    * untouched chunk, so recall at the output bound is exact at EITHER
+    * width — LlmPillarSpec proves both against brute force), verified with
+    * summed bit_count(xor). The width adapts to the corpus
+    * (`simhashChunkBits`): the tighter large-corpus bound trades reported
+    * radius for bucket sparsity, exactly the published trade.
     *
     * The signature table is staged parquet (DedupStaging.simhashSigs) — both
     * self-join sides read the files; the corpus-wide explode/aggregate that
     * builds it runs once per fixture, not once per side per query. */
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsAt(spark, dir,
+      simhashChunkBits(Tables.documents(spark, dir).count()))
+
+  /** The fixed-width pipeline behind simhashPairs (test surface: the spec
+    * checks the exact-recall bound at both widths on one fixture). */
+  private[graft] def simhashPairsAt(spark: SparkSession, dir: String,
+      w: Int): DataFrame = {
+    require(32 % w == 0, s"chunk width $w must divide the 32-bit halves")
+    val nchunks = 64 / w
+    val perHalf = 32 / w
+    val mask = (1L << w) - 1
     val signatures = simhashSignatures(spark, dir)
-    val chunkCols = (0 until 8).map { c =>
-      val src = if (c < 4) col("sim_hi") else col("sim_lo")
+    val chunkCols = (0 until nchunks).map { c =>
+      val src = if (c < perHalf) col("sim_hi") else col("sim_lo")
       struct(lit(c).as("c"),
-        shiftright(src, 8 * (c % 4)).bitwiseAND(lit(0xFFL)).as("chunk"))
+        shiftright(src, w * (c % perHalf)).bitwiseAND(lit(mask)).as("chunk"))
     }
     val chunks = signatures
       .select(col("doc_id"), col("sim_hi"), col("sim_lo"),
@@ -242,7 +265,7 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         (bit_count(col("x.sim_hi").bitwiseXOR(col("y.sim_hi"))) +
          bit_count(col("x.sim_lo").bitwiseXOR(col("y.sim_lo")))).as("hamming"))
-      .filter(col("hamming") <= 7)
+      .filter(col("hamming") <= nchunks - 1)
       .dropDuplicates("doc_a", "doc_b")
   }
 
@@ -650,16 +673,21 @@ object Dedup {
             ${(0 until 32).map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS sim_hi,
             ${(0 until 32).map(i => s"(CASE WHEN c$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS sim_lo
             FROM votes),
+          params AS (SELECT CASE WHEN (SELECT count(*) FROM documents) >= 4096
+                            THEN 16 ELSE 8 END AS w),
           chunks AS (
-            ${(0 until 8).map { c =>
-              val src = if (c < 4) "sim_hi" else "sim_lo"
-              s"SELECT doc_id, sim_hi, sim_lo, $c AS c, ($src >> ${8 * (c % 4)}) & 255 AS chunk FROM sigs"
-            }.mkString(" UNION ALL ")})
+            SELECT doc_id, sim_hi, sim_lo, c,
+              CASE WHEN c < 32 // w
+                   THEN (sim_hi >> (w * (c % (32 // w)))) & ((1::BIGINT << w) - 1)
+                   ELSE (sim_lo >> (w * (c % (32 // w)))) & ((1::BIGINT << w) - 1)
+              END AS chunk
+            FROM sigs, params, range(0, 8) t(c)
+            WHERE c < 64 // w)
           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
             CAST(bit_count(xor(x.sim_hi, y.sim_hi))
                + bit_count(xor(x.sim_lo, y.sim_lo)) AS INTEGER) AS hamming
-          FROM chunks x JOIN chunks y ON x.c = y.c AND x.chunk = y.chunk
-          WHERE x.doc_id < y.doc_id
+          FROM chunks x, chunks y, params
+          WHERE x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id
             AND bit_count(xor(x.sim_hi, y.sim_hi))
-              + bit_count(xor(x.sim_lo, y.sim_lo)) <= 7""")
+              + bit_count(xor(x.sim_lo, y.sim_lo)) <= (64 // params.w) - 1""")
 }

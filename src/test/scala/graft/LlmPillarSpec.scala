@@ -26,23 +26,31 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     assert(bad == 0)
   }
 
-  test("simhash chunk blocking finds exactly the brute-force hamming<=7 pairs") {
-    val simPairs = Dedup.simhashPairs(spark, dir)
-      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  test("simhash chunk blocking is exact-recall at BOTH adaptive widths") {
     // brute-force spec: all-pairs hamming over the (hi, lo) signatures
     val sigs = Dedup.simhashSignatures(spark, dir)
     val a = sigs.select(col("doc_id").as("doc_a"),
       col("sim_hi").as("ha"), col("sim_lo").as("la"))
     val b = sigs.select(col("doc_id").as("doc_b"),
       col("sim_hi").as("hb"), col("sim_lo").as("lb"))
-    val brute = a.crossJoin(b)
+    def brute(bound: Int) = a.crossJoin(b)
       .filter(col("doc_a") < col("doc_b"))
       .filter((bit_count(col("ha").bitwiseXOR(col("hb"))) +
-               bit_count(col("la").bitwiseXOR(col("lb")))) <= 7)
+               bit_count(col("la").bitwiseXOR(col("lb")))) <= bound)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(brute.nonEmpty, "fixture should contain simhash-near pairs")
-    assert(simPairs == brute,
-      s"missed: ${brute -- simPairs}; spurious: ${simPairs -- brute}")
+    // the pigeonhole recall bound is (64/w − 1) at each width the adaptive
+    // rule can pick: 8-bit chunks ⇒ ≤7, 16-bit (the Manku config) ⇒ ≤3
+    for ((w, bound) <- Seq(8 -> 7, 16 -> 3)) {
+      val pairs = Dedup.simhashPairsAt(spark, dir, w)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = brute(bound)
+      assert(expect.nonEmpty, s"fixture should contain hamming<=$bound pairs")
+      assert(pairs == expect,
+        s"w=$w missed: ${expect -- pairs}; spurious: ${pairs -- expect}")
+    }
+    // and the public query picks the width the corpus size dictates
+    val n = Tables.documents(spark, dir).count()
+    assert(Dedup.simhashChunkBits(n) == (if (n >= 4096) 16 else 8))
   }
 
   test("exact dedup collapses injected copies and nothing else") {
