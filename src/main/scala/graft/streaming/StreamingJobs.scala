@@ -141,8 +141,16 @@ object StreamingJobs {
   /** Drain a bounded stream to completion through update mode + the
     * key-upsert sink; returns the sink dir. */
   def drainUpdate(df: DataFrame, sinkDir: String): Unit =
+    drainUpdate(df, sinkDir,
+      Files.createTempDirectory("graft-stream-ckpt-").toString)
+
+  /** Same, against a CALLER-OWNED checkpoint dir — the restart surface: a
+    * later call with the same checkpoint resumes offsets, watermark and
+    * operator state from where the previous incarnation stopped (the
+    * exactly-once recovery leg; StreamingSpec kills and resumes through
+    * it). */
+  def drainUpdate(df: DataFrame, sinkDir: String, ckpt: String): Unit =
     withShufflePartitions(df.sparkSession, 8) {
-      val ckpt = Files.createTempDirectory("graft-stream-ckpt-").toString
       val q = df.writeStream
         .outputMode(OutputMode.Update)
         .trigger(Trigger.AvailableNow())

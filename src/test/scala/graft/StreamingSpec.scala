@@ -236,6 +236,45 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally spark.streams.removeListener(metrics)
   }
 
+  test("a drain stopped mid-stream resumes from its checkpoint and equals the batch twin") {
+    StreamingJobs.configureStreaming(spark)
+    val fixture = "/root/testdata/sf0.001"
+    // 8 time-ordered files; the first incarnation sees only 3 of them, so
+    // windows straddling the 3/4 boundary exist ONLY if the restart restores
+    // operator state, and tranche-1 reprocessing would double-count — the
+    // final state discriminates both offset loss and state loss.
+    val staged = new java.io.File(StreamingJobs.stagedEvents(spark, fixture, 8))
+    val files = staged.listFiles().filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.lastModified())
+    val src = tmp("restart-src-")
+    def copyIn(fs: Seq[java.io.File]): Unit = fs.foreach(f =>
+      Files.copy(f.toPath, java.nio.file.Paths.get(src, f.getName)))
+    val sink = tmp("restart-sink-")
+    val ckpt = tmp("restart-ckpt-")
+    def drain(): Unit = StreamingJobs.drainUpdate(
+      StreamingJobs.streamWindowAgg(StreamingJobs.readEventStream(spark, src, 1)),
+      sink, ckpt)
+
+    copyIn(files.take(3).toSeq)
+    drain() // incarnation 1: processes 3 files, stops — checkpoint survives
+    val partial = spark.read.parquet(sink).count()
+    assert(partial > 0, "first incarnation should have committed batches")
+
+    copyIn(files.drop(3).toSeq)
+    drain() // incarnation 2: SAME checkpoint — resumes, processes only the new files
+    val state = UpsertSink.lastWriteWins(spark, sink, Seq("user_id", "window_start"))
+      .select("user_id", "window_start", "avg_value", "max_value",
+        "min_value", "total_value", "cnt")
+      .collect().map(_.toSeq).toSet
+
+    val twin = graft.operators.WindowAggregates.windowAgg(spark, fixture)
+      .select("user_id", "window_start", "avg_value", "max_value",
+        "min_value", "total_value", "cnt")
+      .collect().map(_.toSeq).toSet
+    assert(state == twin,
+      s"resumed drain diverged from batch twin: missing=${(twin -- state).take(3)} extra=${(state -- twin).take(3)}")
+  }
+
   test("UpsertSink is last-write-wins per key and idempotent on batch replay") {
     import spark.implicits._
     val sink = tmp("upsert-sink-")
