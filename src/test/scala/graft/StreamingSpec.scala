@@ -244,11 +244,26 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     // operator state, and tranche-1 reprocessing would double-count — the
     // final state discriminates both offset loss and state loss.
     val staged = new java.io.File(StreamingJobs.stagedEvents(spark, fixture, 8))
+    // order tranches by EVENT TIME, not file mtime (appends in a fast suite
+    // run can share an mtime, and an out-of-order split would make tranche-2
+    // data late against the restored watermark — a fixture bug, not the
+    // recovery bug this test exists to catch)
     val files = staged.listFiles().filter(_.getName.endsWith(".parquet"))
-      .sortBy(_.lastModified())
+      .sortBy(f => spark.read.parquet(f.getPath)
+        .agg(min("ts")).collect()(0).getTimestamp(0).getTime)
     val src = tmp("restart-src-")
-    def copyIn(fs: Seq[java.io.File]): Unit = fs.foreach(f =>
-      Files.copy(f.toPath, java.nio.file.Paths.get(src, f.getName)))
+    // FileStreamSource processes files in (mtime, path) order; stamp both
+    // so discovery order IS event-time order — colliding mtimes with random
+    // uuid names would let a later-ts file process first and turn earlier
+    // rows late (again a fixture artifact, not recovery behavior)
+    var seq = 0
+    def copyIn(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+      seq += 1
+      val dst = java.nio.file.Paths.get(src, f"tranche-$seq%04d.parquet")
+      Files.copy(f.toPath, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + seq * 60000L))
+    }
     val sink = tmp("restart-sink-")
     val ckpt = tmp("restart-ckpt-")
     def drain(): Unit = StreamingJobs.drainUpdate(
