@@ -401,12 +401,57 @@ object Dedup {
     val b1base = batchBaseOf(batch1)
     val d1 = admissionDecisions(batch1, b1base, catSigs, catShingles).persist()
     val admitted1 = d1.filter(col("admitted")).select(col("new_id").as("doc_id"))
-    // the commit: O(batch) appends, one atomic pointer flip per table
-    Connectors.appendTo(spark, sigsT, sigsOf(b1base).join(admitted1, Seq("doc_id")))
-    Connectors.appendTo(spark, shT, b1base.join(admitted1, Seq("doc_id")))
+    // the commit: O(batch) appends, one atomic pointer flip per table.
+    // coalesce(1): an admitted batch at test scale is a few hundred rows —
+    // one file per generation, not one per shuffle partition (a production
+    // batch would keep its partitioning)
+    Connectors.appendTo(spark, sigsT,
+      sigsOf(b1base).join(admitted1, Seq("doc_id")).coalesce(1))
+    Connectors.appendTo(spark, shT,
+      b1base.join(admitted1, Seq("doc_id")).coalesce(1))
 
     val batch2 = arrivingBatch(spark, dir, 4000000, halfAll = true)
     admissionDecisions(batch2, batchBaseOf(batch2), catSigs, catShingles)
+  }
+
+  /** M6: near-dup CONNECTED COMPONENTS — what production dedup actually
+    * ships: pair detection induces an undirected graph, and the keep-one
+    * decision is made per COMPONENT (a,b and b,c near-dup ⇒ a,b,c are one
+    * duplicate cluster even if a,c never collided), not per pair. Runs
+    * min-label propagation (each vertex takes the min label in its closed
+    * neighborhood) to a fixed point over the STAGED decision table —
+    * the Pregel-style iterative-join form of connected components. The
+    * driver only counts changed labels per round (metadata, no data
+    * collect); iterations are bounded by component diameter, which for
+    * near-dup cliques is 1-2 — a pathological 100 TB chain graph would
+    * switch to the large-star/small-star contraction (Kiveris et al.), same
+    * join shape, O(log n) rounds. The oracle replays the whole thing as a
+    * recursive transitive-closure CTE: cluster id = min reachable doc id,
+    * which is exactly the propagation fixed point. */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupStaging.minhashPairs(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist()
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges
+        .join(labels.select(col("doc_id").as("v"), col("label").as("vl")), Seq("v"))
+        .groupBy(col("u").as("doc_id")).agg(min("vl").as("nl"))
+      val next = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .persist()
+      next.count() // materialize before dropping the previous generation
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
   /** M6: benchmark decontamination — the eval-leak scan every LLM training
@@ -478,6 +523,7 @@ object Dedup {
     "m6_simhash_pairs" -> simhashPairs,
     "m6_incremental_dedup" -> incrementalDedup,
     "m6_incremental_commit" -> incrementalCommit,
+    "m6_dup_clusters"  -> dupClusters,
     "m6_decontaminate" -> decontaminate)
 
   private val shSql = s"list_distinct(${sqlShingles("string_split(text, ' ')", 3)})"
@@ -641,6 +687,19 @@ object Dedup {
           nb2 AS (${sqlBands("b2sigs")}),
           ${sqlAdmission("2", "nb2", "rb", "b2hs", "rhs")}
           ${sqlAdmissionSelect("batch2", "m2")}""",
+    // Connected components as a recursive transitive-closure CTE over the
+    // replayed MinHash pairs: min reachable doc id IS the propagation fixed
+    // point the engine iterates to.
+    "m6_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($minhashOracleSql),
+          edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                    UNION ALL SELECT doc_b, doc_a FROM pairs),
+          verts AS (SELECT DISTINCT u AS doc_id FROM edges),
+          reach(doc_id, r) AS (
+            SELECT doc_id, doc_id FROM verts
+            UNION
+            SELECT e.u, reach.r FROM reach JOIN edges e ON e.v = reach.doc_id)
+          SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1""",
     // Composed from the quality and minhash oracles — the build must equal
     // "filter ∘ mix ∘ dedup ∘ split" applied via plain SQL.
     "m6_corpus_build" ->

@@ -223,7 +223,8 @@ object DedupStaging {
       minhashSigs(spark, dir)
     if (all || names("m6_simhash_pairs")) simhashSigs(spark, dir)
     if (all || names("m6_decontaminate")) shingle8(spark, dir)
-    if (all || names("m6_corpus_build")) minhashPairs(spark, dir)
+    if (all || names("m6_corpus_build") || names("m6_dup_clusters"))
+      minhashPairs(spark, dir)
   }
 
   /** Build every staged table. */

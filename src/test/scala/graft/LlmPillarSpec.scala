@@ -53,6 +53,24 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     assert(Dedup.simhashChunkBits(n) == (if (n >= 4096) 16 else 8))
   }
 
+  test("dup clusters are transitively closed with min-member labels") {
+    val pairs = Dedup.minhashDedup(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cl = Dedup.dupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
+    // every detected pair ends up in one cluster (transitivity closes chains)
+    pairs.foreach { case (a, b) =>
+      assert(cl(a) == cl(b), s"pair ($a,$b) split across clusters")
+    }
+    // membership is exactly the docs that appear in some pair
+    assert(cl.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // the label is the component's min member (the canonical keeper id)
+    cl.groupBy(_._2).foreach { case (label, members) =>
+      assert(label == members.keys.min)
+    }
+  }
+
   test("exact dedup collapses injected copies and nothing else") {
     val out = Dedup.exactDedup(spark, dir)
     val docs = Tables.documents(spark, dir).count()
