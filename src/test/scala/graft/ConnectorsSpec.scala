@@ -172,6 +172,70 @@ class ConnectorsSpec extends AnyFunSuite with SparkFixture {
     assert(partFiles("d1") == before)
   }
 
+  test("randomized merge/append sequences with injected crash debris never diverge from the model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42) // seeded: failures reproduce
+    def debris(target: String): Unit = rnd.nextInt(4) match {
+      case 0 => // orphan generation from a crashed commit
+        Seq((999L, "zz", -1.0)).toDF("k", "day", "v")
+          .write.mode("overwrite").parquet(s"$target/_gen-${rnd.nextInt(1000)}crash")
+      case 1 => // staged-but-unrenamed pointer
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(target, "_CURRENT.tmp"), "_gen-bogus")
+      case 2 => // orphan manifest naming a dir that never finished
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(target, s"_manifest-${rnd.nextInt(1000)}crash"),
+          "_gen-bogus\tday=zz")
+      case _ => ()
+    }
+
+    // unpartitioned last-write-wins merge vs a Map model
+    val t1 = Files.createTempDirectory("prop-merge-").toString
+    var m1 = Map(0L -> 0.0)
+    Seq((0L, 0.0)).toDF("k", "v").write.mode("overwrite").parquet(t1)
+    for (_ <- 1 to 8) {
+      debris(t1)
+      val batch = (0 until 1 + rnd.nextInt(3))
+        .map(_ => rnd.nextInt(6).toLong -> rnd.nextInt(100).toDouble).toMap
+      Connectors.mergeInto(spark, t1, batch.toSeq.toDF("k", "v"), Seq("k"))
+      m1 = m1 ++ batch
+      val got = Connectors.readTable(spark, t1).as[(Long, Double)].collect().toMap
+      assert(got == m1, s"unpartitioned merge diverged: $got vs $m1")
+    }
+
+    // partitioned merge vs a Map model keyed (k, day)
+    val t2 = Files.createTempDirectory("prop-merge-part-").toString
+    var m2 = Map((0L, "d0") -> 0.0)
+    Seq((0L, "d0", 0.0)).toDF("k", "day", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(t2)
+    for (_ <- 1 to 8) {
+      debris(t2)
+      val batch = (0 until 1 + rnd.nextInt(3))
+        .map(_ => (rnd.nextInt(5).toLong, s"d${rnd.nextInt(4)}") -> rnd.nextInt(100).toDouble)
+        .toMap
+      Connectors.mergeInto(spark, t2,
+        batch.toSeq.map { case ((k, d), v) => (k, d, v) }.toDF("k", "day", "v"),
+        Seq("k", "day"), partitionCol = Some("day"))
+      m2 = m2 ++ batch
+      val got = Connectors.readTable(spark, t2).select("k", "day", "v")
+        .as[(Long, String, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(got == m2, s"partitioned merge diverged: $got vs $m2")
+    }
+
+    // append-only vs a growing list model
+    val t3 = Files.createTempDirectory("prop-append-").toString + "/t"
+    var m3 = List.empty[(Long, Double)]
+    for (i <- 1 to 6) {
+      if (i > 1) debris(t3)
+      val rows = (0 until 1 + rnd.nextInt(3))
+        .map(j => (i * 10L + j, rnd.nextInt(100).toDouble))
+      Connectors.appendTo(spark, t3, rows.toDF("k", "v"))
+      m3 = m3 ++ rows
+      val got = Connectors.readTable(spark, t3).as[(Long, Double)].collect().sorted.toList
+      assert(got == m3.sorted, s"append diverged: $got vs ${m3.sorted}")
+    }
+  }
+
   test("partitioned output lays out one compacted file per day and prunes on read") {
     val out = Files.createTempDirectory("part-test-").toString
     operators.WindowAggregates.dailyMart(spark, dir)
