@@ -62,6 +62,40 @@ object TextAnalysis {
         .groupBy(col("token")).agg(count(lit(1)).as("tf")),
       "tf", "share_pct")
 
+  /** M6: TF-IDF top terms per document — the keyword/retrieval primitive
+    * (doc→topic tagging, dedup explanation, search). One explode pass
+    * builds the (doc, term, tf) table; document length and document
+    * frequency both DERIVE from it (no second corpus pass), and the final
+    * ranking window partitions by doc_id — never a global sort.
+    *
+    * Scoring uses the raw-ratio form (tf/len)·(N/df) instead of a log idf
+    * ON PURPOSE: every operation is an IEEE-correctly-rounded divide or
+    * multiply, so Spark and DuckDB produce BIT-IDENTICAL doubles and the
+    * oracle hash-matches — `ln` is implementation-defined in its last ulp
+    * across libm implementations, which a hash compare would expose. Ranks
+    * tie-break on the term, so ordering is deterministic even at equal
+    * scores. */
+  def tfidfTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // corpus cardinality via parquet metadata — the same number a catalog
+    // serves for free (corpusBits precedent, Similarity.scala)
+    val n = Tables.documents(spark, dir).count()
+    val tf = Tables.fanout(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(normTokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist() // feeds len, df AND the final join — one explode pass total
+    val len = tf.groupBy("doc_id").agg(sum("tf").as("len"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(len, Seq("doc_id")).join(dfreq, Seq("term"))
+      .withColumn("s",
+        (col("tf").cast("double") / col("len")) * (lit(n.toDouble) / col("df")))
+    val w = Window.partitionBy("doc_id").orderBy(col("s").desc, col("term"))
+    scored.withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= 5)
+      .select(col("doc_id"), col("term"), col("term_rank"),
+        Exact.rnd(col("s"), 6).as("tfidf"))
+  }
+
   /** M6: per-document quality score — length, lexical diversity, stopword
     * ratio (quality-filter features of LLM data pipelines). */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
@@ -295,6 +329,7 @@ object TextAnalysis {
     "m6_data_split"    -> dataSplit,
     "m6_sample_mix"    -> sampleMix,
     "m6_token_tf"      -> tokenTf,
+    "m6_tfidf"         -> tfidfTerms,
     "m6_quality_score" -> qualityScore,
     "m6_lang_profile"  -> langProfile,
     "m6_lang_id"       -> langId,
@@ -304,6 +339,25 @@ object TextAnalysis {
     "m6_fingerprint"   -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    // Same raw-ratio scoring, same operation order — correctly-rounded IEEE
+    // divides/multiplies are bit-identical across engines, so even the
+    // rank tie-breaks agree.
+    "m6_tfidf" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(${sqlNormTokens("text")}) AS term
+                      FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+          len AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY 1),
+          df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+          scored AS (SELECT doc_id, term,
+              (CAST(tf AS DOUBLE) / len) * (n.n / df) AS s
+            FROM tf JOIN len USING (doc_id) JOIN df USING (term), n),
+          ranked AS (SELECT doc_id, term, s,
+              row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS term_rank
+            FROM scored)
+          SELECT doc_id, term, CAST(term_rank AS INTEGER) AS term_rank,
+                 ${Exact.sqlRnd("s", 6)} AS tfidf
+          FROM ranked WHERE term_rank <= 5""",
     "m6_vocab_hll" ->
       """SELECT lang, count(DISTINCT token) AS vocab_exact,
          count(*) AS n_tokens, TRUE AS approx_ok
