@@ -216,6 +216,28 @@ object Connectors {
     sweepStale(targetDir, prev)
   }
 
+  /** OPTIMIZE: rewrite the current snapshot into ONE fresh generation and
+    * flip the pointer — the small-file compaction every log-structured
+    * table needs once appends accumulate members. Readers never block: the
+    * rewrite lands beside the live data, the commit is the usual single
+    * rename, and superseded members (and any external refs) survive the
+    * one-commit retention window. With `partitionCol` the generation is
+    * written partition-laid-out and the pointer names the dir itself —
+    * partition discovery serves reads and the next partitioned merge picks
+    * the fragments up from `currentMapping` unchanged. */
+  def compact(spark: SparkSession, targetDir: String,
+      partitionCol: Option[String] = None): Unit = {
+    val prev = currentRef(targetDir)
+    val gen = newGenName()
+    val snapshot = readTable(spark, targetDir)
+    partitionCol match {
+      case Some(p) => snapshot.write.partitionBy(p).parquet(s"$targetDir/$gen")
+      case None    => snapshot.write.parquet(s"$targetDir/$gen")
+    }
+    commitPointer(targetDir, gen)
+    sweepStale(targetDir, prev)
+  }
+
   /** Whether a commit ever published this table (readable via the pointer). */
   def isCommitted(targetDir: String): Boolean = currentRef(targetDir).isDefined
 

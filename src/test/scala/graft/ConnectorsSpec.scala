@@ -222,7 +222,7 @@ class ConnectorsSpec extends AnyFunSuite with SparkFixture {
       assert(got == m2, s"partitioned merge diverged: $got vs $m2")
     }
 
-    // append-only vs a growing list model
+    // append-only vs a growing list model, with occasional compaction
     val t3 = Files.createTempDirectory("prop-append-").toString + "/t"
     var m3 = List.empty[(Long, Double)]
     for (i <- 1 to 6) {
@@ -231,9 +231,44 @@ class ConnectorsSpec extends AnyFunSuite with SparkFixture {
         .map(j => (i * 10L + j, rnd.nextInt(100).toDouble))
       Connectors.appendTo(spark, t3, rows.toDF("k", "v"))
       m3 = m3 ++ rows
+      if (rnd.nextInt(3) == 0) Connectors.compact(spark, t3) // model-invariant
       val got = Connectors.readTable(spark, t3).as[(Long, Double)].collect().sorted.toList
       assert(got == m3.sorted, s"append diverged: $got vs ${m3.sorted}")
     }
+  }
+
+  test("compact folds an appended table into one generation without changing contents") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("compact-test-").toString + "/t"
+    (1 to 4).foreach(i =>
+      Connectors.appendTo(spark, t, Seq((i.toLong, i * 1.0)).toDF("k", "v")))
+    def read() = Connectors.readTable(spark, t).as[(Long, Double)].collect().sorted.toSeq
+    val before = read()
+    Connectors.compact(spark, t)
+    assert(read() == before)
+    // the pointer now names a single generation dir (not a manifest)
+    val cur = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(t, "_CURRENT")).trim
+    assert(cur.startsWith("_gen-"))
+    // a follow-up commit sweeps the pre-compaction members
+    Connectors.appendTo(spark, t, Seq((9L, 9.0)).toDF("k", "v"))
+    Connectors.appendTo(spark, t, Seq((10L, 10.0)).toDF("k", "v"))
+    val gens = new java.io.File(t).listFiles()
+      .count(f => f.getName.startsWith("_gen-"))
+    assert(gens == 3, s"expected compacted gen + two appends, got $gens")
+
+    // partitioned compact keeps the layout mergeable
+    val tp = Files.createTempDirectory("compact-part-").toString
+    Seq((1L, "d1", 1.0), (2L, "d2", 2.0)).toDF("k", "day", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(tp)
+    Connectors.mergeInto(spark, tp, Seq((2L, "d2", 9.0)).toDF("k", "day", "v"),
+      Seq("k", "day"), partitionCol = Some("day"))
+    Connectors.compact(spark, tp, partitionCol = Some("day"))
+    Connectors.mergeInto(spark, tp, Seq((3L, "d3", 3.0)).toDF("k", "day", "v"),
+      Seq("k", "day"), partitionCol = Some("day"))
+    val out = Connectors.readTable(spark, tp).select("k", "day", "v")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, "d1", 1.0), (2L, "d2", 9.0), (3L, "d3", 3.0)))
   }
 
   test("partitioned output lays out one compacted file per day and prunes on read") {
