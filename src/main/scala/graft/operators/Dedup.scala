@@ -428,30 +428,39 @@ object Dedup {
     * join shape, O(log n) rounds. The oracle replays the whole thing as a
     * recursive transitive-closure CTE: cluster id = min reachable doc id,
     * which is exactly the propagation fixed point. */
-  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = DedupStaging.minhashPairs(spark, dir).select("doc_a", "doc_b")
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      DedupStaging.minhashPairs(spark, dir).select("doc_a", "doc_b"), "doc_id")
+
+  /** Min-label-propagation connected components over a two-column pair
+    * frame (shared by the MinHash text clusters and the embedding-cosine
+    * SemDeDup-style clusters — any near-dup pair source). See dupClusters
+    * for the scale argument. */
+  private[operators] def connectedComponents(pairs: DataFrame,
+      idOut: String): DataFrame = {
+    val Array(ca, cb) = pairs.columns
+    val edges = pairs.select(col(ca).as("u"), col(cb).as("v"))
+      .unionAll(pairs.select(col(cb).as("u"), col(ca).as("v")))
       .persist()
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).persist()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
     var changed = 1L
     while (changed > 0) {
       val prop = edges
-        .join(labels.select(col("doc_id").as("v"), col("label").as("vl")), Seq("v"))
-        .groupBy(col("u").as("doc_id")).agg(min("vl").as("nl"))
-      val next = labels.join(prop, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .join(labels.select(col("id").as("v"), col("label").as("vl")), Seq("v"))
+        .groupBy(col("u").as("id")).agg(min("vl").as("nl"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .persist()
       next.count() // materialize before dropping the previous generation
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") =!= col("old")).count()
       labels.unpersist()
       labels = next
     }
     edges.unpersist()
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    labels.select(col("id").as(idOut), col("label").as("cluster_id"))
   }
 
   /** M6: benchmark decontamination — the eval-leak scan every LLM training

@@ -205,7 +205,17 @@ object Similarity {
     "m6_cosine_topk" -> cosineTopK,
     "m6_ann_lsh"     -> ((s, d) => annLsh(s, d, corpusBits(s, d))),
     "m6_ann_ivf"     -> annIvf,
-    "m6_embed_dedup" -> ((s, d) => embedDedup(s, d, corpusBits(s, d))))
+    "m6_embed_dedup" -> ((s, d) => embedDedup(s, d, corpusBits(s, d))),
+    "m6_embed_clusters" -> embedClusters)
+
+  /** M6: semantic duplicate CLUSTERS (the SemDeDup shape): connected
+    * components over the verified cosine near-dup pairs — keep-one-per-
+    * cluster semantics for embedding space, sharing Dedup's
+    * min-label-propagation engine. */
+  def embedClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      embedDedup(spark, dir, corpusBits(spark, dir)).select("vec_a", "vec_b"),
+      "vec_id")
 
   private val vSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
   private val normSql = "sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b))"
@@ -220,6 +230,29 @@ object Similarity {
   private val bucketSql = (v: String) =>
     s"CAST(list_sum(list_transform(range(0, (SELECT b FROM bits)), " +
       s"i -> CASE WHEN $v[i + 1] >= 0 THEN 1 << i ELSE 0 END)) AS BIGINT)"
+
+  /** The cosine near-dup pipeline's full DuckDB replay — shared by its own
+    * oracle and the cluster closure. */
+  private lazy val embedDedupOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+        $bitsSql,
+        u AS (SELECT vec_id, v FROM e
+              UNION ALL
+              SELECT vec_id + 1000000, list_prepend(v[1] * 1.1, v[2:]) FROM e
+              WHERE vec_id % 20 = 0),
+        n AS (SELECT vec_id, v, $normSql AS nrm, ${bucketSql("v")} AS bucket FROM u),
+        pr AS (SELECT vec_id, v, nrm, unnest(list_prepend(bucket,
+                 list_transform(list_filter(range(0, (SELECT b FROM bits)), i -> abs(v[i + 1]) < 0.1),
+                   i -> xor(bucket, CAST(1 << i AS BIGINT))))) AS probe
+               FROM n),
+        p AS (SELECT least(a.vec_id, b.vec_id) AS vec_a,
+                greatest(a.vec_id, b.vec_id) AS vec_b,
+                list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, b.v), q -> q[1] * q[2])), (x, y) -> x + y)
+                  / (a.nrm * b.nrm) AS sim
+              FROM pr a JOIN n b ON a.probe = b.bucket AND a.vec_id <> b.vec_id)
+        SELECT DISTINCT vec_a, vec_b, ${sqlRnd("sim", 4)} AS sim,
+               vec_a AS keeper_id
+        FROM p WHERE sim >= 0.95"""
 
   val oracles: Map[String, String] = Map(
     "m6_cosine_topk" ->
@@ -259,26 +292,20 @@ object Similarity {
     // Multi-probe replay: the probe set is the own bucket plus one-bit flips
     // of dimensions within eps=0.1 of their hyperplane, exactly as
     // probeBuckets builds it.
-    "m6_embed_dedup" ->
-      s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
-          $bitsSql,
-          u AS (SELECT vec_id, v FROM e
-                UNION ALL
-                SELECT vec_id + 1000000, list_prepend(v[1] * 1.1, v[2:]) FROM e
-                WHERE vec_id % 20 = 0),
-          n AS (SELECT vec_id, v, $normSql AS nrm, ${bucketSql("v")} AS bucket FROM u),
-          pr AS (SELECT vec_id, v, nrm, unnest(list_prepend(bucket,
-                   list_transform(list_filter(range(0, (SELECT b FROM bits)), i -> abs(v[i + 1]) < 0.1),
-                     i -> xor(bucket, CAST(1 << i AS BIGINT))))) AS probe
-                 FROM n),
-          p AS (SELECT least(a.vec_id, b.vec_id) AS vec_a,
-                  greatest(a.vec_id, b.vec_id) AS vec_b,
-                  list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, b.v), q -> q[1] * q[2])), (x, y) -> x + y)
-                    / (a.nrm * b.nrm) AS sim
-                FROM pr a JOIN n b ON a.probe = b.bucket AND a.vec_id <> b.vec_id)
-          SELECT DISTINCT vec_a, vec_b, ${sqlRnd("sim", 4)} AS sim,
-                 vec_a AS keeper_id
-          FROM p WHERE sim >= 0.95""",
+    "m6_embed_dedup" -> embedDedupOracleSql,
+    // SemDeDup-style semantic clusters: the recursive transitive closure
+    // over the replayed cosine near-dup pairs (same CC oracle shape as
+    // m6_dup_clusters).
+    "m6_embed_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($embedDedupOracleSql),
+          edges AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+                    UNION ALL SELECT vec_b, vec_a FROM pairs),
+          verts AS (SELECT DISTINCT u AS vec_id FROM edges),
+          reach(vec_id, r) AS (
+            SELECT vec_id, vec_id FROM verts
+            UNION
+            SELECT e.u, reach.r FROM reach JOIN edges e ON e.v = reach.vec_id)
+          SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY 1""",
     "m6_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
           $bitsSql,

@@ -62,6 +62,31 @@ object TextAnalysis {
         .groupBy(col("token")).agg(count(lit(1)).as("tf")),
       "tf", "share_pct")
 
+  /** M6: sequence PACKING — the concat-and-chunk layout every pretraining
+    * pipeline runs: documents are concatenated in deterministic order
+    * within hash-assigned shards and the token stream is cut into
+    * fixed-size chunks (512 here); each document's placement is fully
+    * determined by a windowed cumulative sum, so "which chunk(s) does doc X
+    * land in" is one declarative plan — no sequential packer. The window
+    * partitions by SHARD (the production unit: one output file per shard),
+    * never globally, so the cumsum is 1/shards of the corpus per task and
+    * shard count scales with the cluster. Offsets are exact integers —
+    * bit-identical cross-engine by construction. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunk = 512
+    val docs = Tables.fanout(Tables.documents(spark, dir))
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"),
+        pmod(Exact.fold60(col("doc_id").cast("string")), lit(8)).as("shard"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("end_offset", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("end_offset") - col("n_tokens")).as("start_offset"),
+        floor((col("end_offset") - col("n_tokens")) / chunk).as("first_chunk"),
+        floor((col("end_offset") - 1) / chunk).as("last_chunk"))
+  }
+
   /** M6: TF-IDF top terms per document — the keyword/retrieval primitive
     * (doc→topic tagging, dedup explanation, search). One explode pass
     * builds the (doc, term, tf) table; document length and document
@@ -330,6 +355,7 @@ object TextAnalysis {
     "m6_sample_mix"    -> sampleMix,
     "m6_token_tf"      -> tokenTf,
     "m6_tfidf"         -> tfidfTerms,
+    "m6_pack_sequences" -> packSequences,
     "m6_quality_score" -> qualityScore,
     "m6_lang_profile"  -> langProfile,
     "m6_lang_id"       -> langId,
@@ -339,6 +365,22 @@ object TextAnalysis {
     "m6_fingerprint"   -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    // Pure integer window arithmetic — ROWS frame pinned explicitly (the
+    // engines' default frames only coincide because doc_id is unique).
+    "m6_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id,
+              len(string_split(text, ' ')) AS n_tokens,
+              ${Exact.sqlFold60("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+            FROM documents),
+          c AS (SELECT doc_id, shard, n_tokens,
+              sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_offset
+            FROM t)
+          SELECT doc_id, shard, n_tokens,
+                 end_offset - n_tokens AS start_offset,
+                 (end_offset - n_tokens) // 512 AS first_chunk,
+                 (end_offset - 1) // 512 AS last_chunk
+          FROM c""",
     // Same raw-ratio scoring, same operation order — correctly-rounded IEEE
     // divides/multiplies are bit-identical across engines, so even the
     // rank tie-breaks agree.
