@@ -268,6 +268,15 @@ object Connectors {
   // generation or half-written manifest is structurally invisible to any
   // plain `spark.read.parquet(root)` of a pre-protocol table — not just
   // unreferenced, unlistable.
+  //
+  // Concurrency contract: ONE WRITER per table (the reference's sync loop
+  // is single-writer too — mongo_to_postgres_sync.py runs one scheduled
+  // sync); readers are unlimited and never block. Two concurrent writers
+  // would last-commit-win at the pointer rename without corruption, but
+  // the loser's update would be silently superseded — multi-writer needs
+  // optimistic concurrency (re-read the pointer after commit, retry on
+  // mismatch), which is exactly what table formats layer on this same
+  // rename primitive.
 
   private def newGenName(): String = s"_gen-${System.nanoTime()}"
 
