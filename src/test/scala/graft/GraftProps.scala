@@ -29,6 +29,83 @@ object GraftProps extends Properties("graft") {
       sameChunk && hamming > 7
     }
 
+  // ---- Adaptive chunk width (Dedup.simhashChunkBits) -----------------------
+  // The generalized pigeonhole behind simhashPairsAt: with 64/w aligned
+  // w-bit chunks, any pair within Hamming distance (64/w − 1) shares an
+  // untouched chunk — at BOTH widths the adaptive rule can pick.
+  property("simhash: hamming<=(64/w-1) pairs collide in some w-bit chunk, w in {8,16}") =
+    forAll(Gen.long, Gen.oneOf(8, 16), Gen.listOf(Gen.choose(0, 63))) { (sig, w, bits) =>
+      val c = 64 / w
+      val flips = bits.distinct.take(c - 1)
+      val other = flips.foldLeft(sig)((s, b) => s ^ (1L << b))
+      val mask = (1L << w) - 1
+      (0 until c).exists(i => ((sig >>> (w * i)) & mask) == ((other >>> (w * i)) & mask))
+    }
+
+  // ---- AllPairs prefix filter (Dedup.ngramJaccard) -------------------------
+  // The lossless-candidate lemma: under ANY shared total order, two distinct
+  // sets with Jaccard >= 0.5 share an element within their first
+  // floor(n/2)+1 elements. The implementation orders by (df, h); here the
+  // order is the natural Int order — the lemma is order-agnostic as long as
+  // both sides use the same one.
+  private def prefix(s: Set[Int]): Set[Int] =
+    s.toSeq.sorted.take(s.size / 2 + 1).toSet
+
+  property("prefix filter: jaccard>=0.5 pairs always share a prefix element") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 60)), Gen.nonEmptyListOf(Gen.choose(0, 60))) {
+      (la, lb) =>
+        val (a, b) = (la.toSet, lb.toSet)
+        val jac = a.intersect(b).size.toDouble / a.union(b).size
+        jac < 0.5 || prefix(a).intersect(prefix(b)).nonEmpty
+    }
+
+  property("prefix filter: converse — a shared prefix element does not imply jaccard>=0.5 (candidates are verified)") = {
+    val a = Set(1, 2, 3, 4)
+    val b = Set(1, 50, 51, 52)
+    Prop(prefix(a).intersect(prefix(b)).nonEmpty &&
+      a.intersect(b).size.toDouble / a.union(b).size < 0.5)
+  }
+
+  // ---- Connected components (Dedup.connectedComponents) --------------------
+  // Min-label propagation's fixed point must equal the true components —
+  // checked against a union-find reference on random graphs.
+  private def unionFind(n: Int, edges: Seq[(Int, Int)]): Map[Int, Int] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0 until n).map(i => i -> find(i)).toMap
+  }
+
+  private def minLabelFixpoint(n: Int, edges: Seq[(Int, Int)]): Map[Int, Int] = {
+    val adj = (edges ++ edges.map(_.swap)).groupMap(_._1)(_._2)
+    var labels = (0 until n).map(i => i -> i).toMap
+    var changed = true
+    while (changed) {
+      val next = labels.map { case (v, l) =>
+        v -> (adj.getOrElse(v, Nil).map(labels) :+ l).min
+      }
+      changed = next != labels
+      labels = next
+    }
+    labels
+  }
+
+  property("connected components: min-label fixpoint equals union-find on random graphs") =
+    forAll(Gen.choose(1, 20), Gen.listOf(Gen.zip(Gen.choose(0, 19), Gen.choose(0, 19)))) {
+      (n0, rawEdges) =>
+        val n = math.max(n0, 1)
+        val edges = rawEdges.collect { case (a, b) if a < n && b < n && a != b => (a, b) }
+        val uf = unionFind(n, edges)
+        // canonicalize union-find roots to min member per component
+        val canon = uf.groupMap(_._2)(_._1).flatMap { case (_, ms) =>
+          ms.map(_ -> ms.min)
+        }
+        minLabelFixpoint(n, edges) == canon
+    }
+
   // ---- Exact.rnd (the cross-engine round) ----------------------------------
   private def rnd(x: Double, n: Int): Double = {
     val p = math.pow(10, n)
