@@ -60,6 +60,14 @@ object ScaleProbe {
       .withColumn("n_chars", length(col("text")))))
     write("lineitem", replicated("lineitem", Seq("l_orderkey")))
     write("orders", replicated("orders", Seq("o_orderkey")))
+    // embeddings: flip the sign of a replica-dependent third of the
+    // dimensions — cosine(original, replica) ≈ 1 − 2/3 << the 0.95 near-dup
+    // bar, so each replica keeps its own planted near-dups (linear growth)
+    // with no artificial cross-replica identical-vector cliques
+    write("embeddings", replicated("embeddings", Seq("vec_id"),
+      (d, i) => d.withColumn("embedding",
+        transform(col("embedding"), (x, idx) =>
+          when(pmod(idx + lit(i), lit(3)) === 0, -x).otherwise(x)))))
     Seq("region", "nation", "customer", "supplier", "part")
       .foreach(t => write(t, raw(t)))
     Files.writeString(Paths.get(s"$out/_READY"), s"src=$src factor=$factor")
