@@ -62,6 +62,45 @@ object TextAnalysis {
         .groupBy(col("token")).agg(count(lit(1)).as("tf")),
       "tf", "share_pct")
 
+  /** M6: Count-Min heavy hitters — the bounded-memory frequency sketch as a
+    * declarative plan: 4 hash rows × 2048 buckets of summed term counts
+    * (ONE map-side-combined aggregation over (row, bucket)), point-queried
+    * for the exact top-20 terms; the estimate is the min over the 4 bucket
+    * sums, so est ≥ true tf with the classic ε = e/w overcount bound. The
+    * sketch is the 100 TB shape — 8 k counters regardless of vocabulary
+    * size, mergeable by addition, broadcastable — while the bucket-sum
+    * formulation keeps every value a sum of md5-fold-addressed longs, so
+    * the DuckDB oracle replays the ESTIMATES exactly (stronger than the
+    * HLL twin's bound check). Composed from existing operators per the
+    * custom-code ladder: no Aggregator needed when groupBy + min expresses
+    * the sketch semantics. */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (rows, width, topK) = (4, 2048, 20)
+    graft.functions.GraftFunctions.register(spark)
+    def bucketOf(term: Column, d: Int): Column =
+      pmod(Exact.fold60(concat(term, lit(s"|cms$d"))), lit(width))
+    val tf = Tables.fanout(Tables.documents(spark, dir))
+      .select(explode(normTokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+      .persist() // feeds the sketch build AND the exact top-k twin
+    val sketch = tf.select(col("tf"), explode(array((0 until rows).map(d =>
+        struct(lit(d).as("d"), bucketOf(col("term"), d).as("bucket"))): _*)).as("p"))
+      .select(col("tf"), col("p.d").as("d"), col("p.bucket").as("bucket"))
+      .groupBy("d", "bucket").agg(sum("tf").as("s"))
+    // top-k via sort+limit (TakeOrderedAndProject — never a global window
+    // over the vocabulary); the rank window runs over the 20-row result
+    val top = tf.orderBy(col("tf").desc, col("term")).limit(topK)
+      .withColumn("rk", row_number().over(Window.orderBy(col("tf").desc, col("term"))))
+    val probes = top.select(col("term"), col("tf"), col("rk"),
+        explode(array((0 until rows).map(d =>
+          struct(lit(d).as("d"), bucketOf(col("term"), d).as("bucket"))): _*)).as("p"))
+      .select(col("term"), col("tf"), col("rk"), col("p.d").as("d"), col("p.bucket").as("bucket"))
+    probes.join(sketch, Seq("d", "bucket"))
+      .groupBy("term", "tf", "rk").agg(min("s").as("cms_est"))
+      .select(col("term"), col("rk"), col("tf"), col("cms_est"))
+  }
+
   /** M6: sequence PACKING — the concat-and-chunk layout every pretraining
     * pipeline runs: documents are concatenated in deterministic order
     * within hash-assigned shards and the token stream is cut into
@@ -356,6 +395,7 @@ object TextAnalysis {
     "m6_token_tf"      -> tokenTf,
     "m6_tfidf"         -> tfidfTerms,
     "m6_pack_sequences" -> packSequences,
+    "m6_cms_heavy_hitters" -> cmsHeavyHitters,
     "m6_quality_score" -> qualityScore,
     "m6_lang_profile"  -> langProfile,
     "m6_lang_id"       -> langId,
@@ -365,6 +405,23 @@ object TextAnalysis {
     "m6_fingerprint"   -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    // The estimates replay EXACTLY: bucket sums over the same md5-fold
+    // addressing, min over the same 4 rows — every value is integer.
+    "m6_cms_heavy_hitters" ->
+      s"""WITH tk AS (SELECT unnest(${sqlNormTokens("text")}) AS term FROM documents),
+          tf AS (SELECT term, count(*) AS tf FROM tk GROUP BY 1),
+          hb AS (SELECT d, ${Exact.sqlFold60("term || '|cms' || d")} % 2048 AS bucket,
+                   sum(tf) AS s
+                 FROM tf, range(0, 4) t(d) GROUP BY 1, 2),
+          top AS (SELECT term, tf,
+                    row_number() OVER (ORDER BY tf DESC, term) AS rk
+                  FROM tf ORDER BY tf DESC, term LIMIT 20),
+          probes AS (SELECT term, tf, rk, d,
+                       ${Exact.sqlFold60("term || '|cms' || d")} % 2048 AS bucket
+                     FROM top, range(0, 4) t(d))
+          SELECT term, CAST(rk AS INTEGER) AS rk, tf, min(s) AS cms_est
+          FROM probes JOIN hb USING (d, bucket)
+          GROUP BY term, rk, tf""",
     // Pure integer window arithmetic — ROWS frame pinned explicitly (the
     // engines' default frames only coincide because doc_id is unique).
     "m6_pack_sequences" ->
