@@ -52,22 +52,28 @@ object ScaleProbe {
         if (i == 0) raw(t) else perReplica(shifted, i)
       }.reduce(_ unionAll _)
 
+    // user_id offset is DISTINCT per replica: reusing offsets (e.g. i % 3)
+    // would stack identical (user_id, ts) rows 4-deep — tie-nondeterministic
+    // windows and 4x-per-user state instead of a 10x-wider key space
     write("events", replicated("events", Seq("event_id"),
-      (d, i) => d.withColumn("user_id", col("user_id") + lit((i % 3) * 1000L))))
+      (d, i) => d.withColumn("user_id", col("user_id") + lit(i * 1000L))))
     write("documents", replicated("documents", Seq("doc_id"), (d, i) => d
       .withColumn("text", concat_ws(" ",
         transform(split(col("text"), " "), t => concat(t, lit(i.toString)))))
       .withColumn("n_chars", length(col("text")))))
     write("lineitem", replicated("lineitem", Seq("l_orderkey")))
     write("orders", replicated("orders", Seq("o_orderkey")))
-    // embeddings: flip the sign of a replica-dependent third of the
-    // dimensions — cosine(original, replica) ≈ 1 − 2/3 << the 0.95 near-dup
-    // bar, so each replica keeps its own planted near-dups (linear growth)
-    // with no artificial cross-replica identical-vector cliques
+    // embeddings: Walsh-pattern sign flips — replica i negates dims where
+    // popcount(idx & i) is odd, so EVERY replica pair (i, j) differs on
+    // ~half the dimensions (their patterns differ by the Walsh character
+    // of i^j) and cross-replica cosine sits near 0, far under the 0.95
+    // near-dup bar. A modular pattern (e.g. (idx+i)%3) would hand replicas
+    // with equal i mod 3 identical vectors — exactly the artificial
+    // cross-replica clique this fixture must not contain.
     write("embeddings", replicated("embeddings", Seq("vec_id"),
       (d, i) => d.withColumn("embedding",
         transform(col("embedding"), (x, idx) =>
-          when(pmod(idx + lit(i), lit(3)) === 0, -x).otherwise(x)))))
+          when(bit_count(idx.bitwiseAND(lit(i))) % 2 === 1, -x).otherwise(x)))))
     Seq("region", "nation", "customer", "supplier", "part")
       .foreach(t => write(t, raw(t)))
     Files.writeString(Paths.get(s"$out/_READY"), s"src=$src factor=$factor")

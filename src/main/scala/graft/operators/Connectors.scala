@@ -152,6 +152,16 @@ object Connectors {
             Option.when(touched.contains(null))(col(p).isNull))
             .flatten.reduce(_ || _)
           val prev = currentRef(targetDir)
+          // a partitioned merge only preserves what it can re-point: the
+          // current snapshot must be FRAGMENT-MAPPED (flat partitioned
+          // layout, a partition-laid-out generation, or a partition
+          // manifest). An unpartitioned generation or plain append members
+          // would be silently dropped from the new manifest — reject that
+          // combination instead of losing rows.
+          require(isFragmentMapped(targetDir),
+            s"$targetDir: current snapshot is not partition-mapped " +
+              "(unpartitioned or append-member layout) — partitioned " +
+              "mergeInto would drop it; compact(partitionCol = Some(...)) first")
           val gen = newGenName()
           // the merged slice goes straight into its own generation dir —
           // never an in-place overwrite, so there is no read-vs-write
@@ -310,6 +320,22 @@ object Connectors {
     val cur = Paths.get(targetDir, "_CURRENT")
     if (Files.exists(cur)) Some(Files.readString(cur).trim) else None
   }
+
+  /** Whether the current snapshot can be expressed as (partition fragment →
+    * dir) entries without loss — the precondition of a partitioned merge. */
+  private def isFragmentMapped(targetDir: String): Boolean =
+    currentRef(targetDir) match {
+      case Some(m) if m.startsWith("_manifest-") =>
+        readManifest(Paths.get(targetDir, m)).forall(_._2.isDefined)
+      case Some(gen) =>
+        // a generation is mappable iff its data lives in k=v dirs (or it
+        // is empty); loose files at its root would be dropped
+        listVisible(Paths.get(targetDir, gen)).forall(p =>
+          Files.isDirectory(p) && p.getFileName.toString.contains("="))
+      case None =>
+        listVisible(Paths.get(targetDir)).forall(p =>
+          Files.isDirectory(p) && p.getFileName.toString.contains("="))
+    }
 
   /** The live (partition fragment → member dir) mapping of a partitioned
     * target: manifest lines if committed, else the pre-protocol root layout

@@ -311,9 +311,10 @@ object Dedup {
     .drop("sh")
     .persist()
 
-  /** The 16 min-hash columns of a (doc_id, hs) frame — the query-side twin
-    * of DedupStaging.minhashSigs. */
-  private def sigsOf(base: DataFrame): DataFrame = base
+  /** The 16 min-hash columns of a (doc_id, hs) frame — ALSO the staging
+    * builder behind DedupStaging.minhashSigs, so the seeds/shape exist in
+    * exactly one place. */
+  private[operators] def sigsOf(base: DataFrame): DataFrame = base
     .select(col("doc_id"), explode(col("hs")).as("h"))
     .groupBy("doc_id").agg(
       min(col("h").bitwiseXOR(lit(MinhashSeeds(0)))).as("h0"),
@@ -387,7 +388,18 @@ object Dedup {
     // catalog over immutable references to them (fresh target per run —
     // the query stays idempotent; the PROTOCOL is what persists)
     DedupStaging.minhashSigs(spark, dir); DedupStaging.shingleBase(spark, dir)
-    val cat = java.nio.file.Files.createTempDirectory("graft-inc-catalog-").toString
+    val catDir = java.nio.file.Files.createTempDirectory("graft-inc-catalog-")
+    // per-invocation scratch (the PROTOCOL is what persists — the released
+    // corpus tables live in the warehouse); swept on JVM exit so repeated
+    // bench/verify runs don't accumulate appended generations in /tmp
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        val walk = java.nio.file.Files.walk(catDir)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      } catch { case _: Exception => () }))
+    val cat = catDir.toString
     val sigsT = s"$cat/sigs"; val shT = s"$cat/shingles"
     Connectors.appendMemberRef(spark, sigsT,
       DedupStaging.committedDataDir(dir, "minhash_sigs").get)
@@ -453,7 +465,8 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .persist()
-      next.count() // materialize before dropping the previous generation
+      // this count both decides convergence AND materializes `next` while
+      // the previous generation is still cached — one action per round
       changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") =!= col("old")).count()
       labels.unpersist()
@@ -581,6 +594,21 @@ object Dedup {
         m$tag AS (SELECT new_id, count(*) AS n_matches, max(jac) AS best
           FROM ver$tag GROUP BY 1)"""
 
+  /** Recursive transitive-closure CC oracle over any replayed pair query —
+    * shared by m6_dup_clusters and Similarity's m6_embed_clusters (one CTE
+    * shape, parameterized on the pair/id column names). */
+  private[operators] def sqlConnectedComponents(pairsSql: String,
+      aCol: String, bCol: String, idOut: String): String =
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+        edges AS (SELECT $aCol AS u, $bCol AS v FROM pairs
+                  UNION ALL SELECT $bCol, $aCol FROM pairs),
+        verts AS (SELECT DISTINCT u AS $idOut FROM edges),
+        reach($idOut, r) AS (
+          SELECT $idOut, $idOut FROM verts
+          UNION
+          SELECT e.u, reach.r FROM reach JOIN edges e ON e.v = reach.$idOut)
+        SELECT $idOut, min(r) AS cluster_id FROM reach GROUP BY 1"""
+
   private def sqlAdmissionSelect(batchCte: String, mCte: String): String =
     s"""SELECT b.doc_id AS new_id,
         coalesce(n_matches, 0) AS n_matches,
@@ -700,15 +728,7 @@ object Dedup {
     // replayed MinHash pairs: min reachable doc id IS the propagation fixed
     // point the engine iterates to.
     "m6_dup_clusters" ->
-      s"""WITH RECURSIVE pairs AS ($minhashOracleSql),
-          edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-                    UNION ALL SELECT doc_b, doc_a FROM pairs),
-          verts AS (SELECT DISTINCT u AS doc_id FROM edges),
-          reach(doc_id, r) AS (
-            SELECT doc_id, doc_id FROM verts
-            UNION
-            SELECT e.u, reach.r FROM reach JOIN edges e ON e.v = reach.doc_id)
-          SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1""",
+      sqlConnectedComponents(minhashOracleSql, "doc_a", "doc_b", "doc_id"),
     // Composed from the quality and minhash oracles — the build must equal
     // "filter ∘ mix ∘ dedup ∘ split" applied via plain SQL.
     "m6_corpus_build" ->

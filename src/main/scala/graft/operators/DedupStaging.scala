@@ -62,8 +62,18 @@ object DedupStaging {
   private def sanitize(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9._-]", "_").replaceAll("^_+", "")
 
+  /** Per-fixture-DIR key, independent of corpus version: the readable
+    * sanitized path plus a hash of the RAW path, so two dirs that sanitize
+    * identically (`/a/b` vs `/a_b`) can never claim — or sweep — each
+    * other's warehouse entries. */
+  private def fixtureKey(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+    s"${sanitize(dir)}.${md.take(3).map(b => f"$b%02x").mkString}"
+  }
+
   private def fixtureRoot(dir: String): String =
-    s"$warehouseRoot/${sanitize(dir)}-${fingerprint(dir)}"
+    s"$warehouseRoot/${fixtureKey(dir)}-${fingerprint(dir)}"
 
   private[graft] def tablePath(dir: String, name: String): String =
     s"${fixtureRoot(dir)}/$name"
@@ -84,32 +94,80 @@ object DedupStaging {
     * see the committed pointer and skip the build. The write is NOT
     * coalesced — it inherits the build's partitioning, so the read-back
     * side gets real splits instead of one. A crash mid-build leaves no
-    * pointer, so the next caller simply rebuilds. */
+    * pointer, so the next caller simply rebuilds.
+    *
+    * Cross-JVM build races are serialized by an atomic lock file
+    * (`Files.createFile` — create-if-absent is atomic on a local FS): the
+    * commit protocol itself assumes one writer per table, and two JVMs
+    * racing a first build could otherwise sweep each other's in-flight
+    * generations. The loser polls for the winner's pointer; a lock whose
+    * holder crashed (stale mtime, or poll timeout with no commit) is
+    * broken and the build retried. */
   private def materialize(spark: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame = {
     val path = staged.getOrElseUpdate((fingerprint(dir), name), {
       val td = tablePath(dir, name)
-      if (!Connectors.isCommitted(td)) {
-        sweepStaleFixtures(dir)
-        val t0 = System.nanoTime()
-        Connectors.replaceTable(spark, td, build)
-        System.err.println(f"[stage] $name built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      } else System.err.println(s"[stage] $name reused (committed)")
+      if (!Connectors.isCommitted(td)) buildLocked(spark, dir, name, td)(build)
+      else System.err.println(s"[stage] $name reused (committed)")
       td
     })
     Connectors.readTable(spark, path)
+  }
+
+  private val LockStaleMs = 10 * 60 * 1000L // a build holding a lock >10 min has crashed
+  private val LockPollMs = 500L
+  private val LockWaitMs = 5 * 60 * 1000L
+
+  private def buildLocked(spark: SparkSession, dir: String, name: String,
+      td: String)(build: => DataFrame): Unit = {
+    val lock = java.nio.file.Paths.get(s"$td.building")
+    java.nio.file.Files.createDirectories(lock.getParent)
+    def tryAcquire(): Boolean =
+      try { java.nio.file.Files.createFile(lock); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // break locks whose holder died (never committed, stopped aging)
+          val age = try System.currentTimeMillis() -
+            java.nio.file.Files.getLastModifiedTime(lock).toMillis
+          catch { case _: Exception => 0L } // lock vanished: retry next poll
+          if (age > LockStaleMs) java.nio.file.Files.deleteIfExists(lock)
+          false
+      }
+    val deadline = System.currentTimeMillis() + LockWaitMs
+    var done = false
+    while (!done) {
+      if (Connectors.isCommitted(td)) {
+        System.err.println(s"[stage] $name reused (committed by concurrent builder)")
+        done = true
+      } else if (tryAcquire()) {
+        try {
+          if (!Connectors.isCommitted(td)) { // winner re-checks under the lock
+            sweepStaleFixtures(dir)
+            val t0 = System.nanoTime()
+            Connectors.replaceTable(spark, td, build)
+            System.err.println(f"[stage] $name built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+          }
+        } finally java.nio.file.Files.deleteIfExists(lock)
+        done = true
+      } else if (System.currentTimeMillis() > deadline) {
+        // the holder looks alive but never commits — fail loudly rather
+        // than risk sweeping its in-flight build
+        throw new IllegalStateException(
+          s"staging build lock held too long: $lock (holder alive but uncommitted)")
+      } else Thread.sleep(LockPollMs)
+    }
   }
 
   /** Superseded corpus versions of the same fixture dir (old fingerprints)
     * are dead weight — sweep them when a new version first builds. */
   private def sweepStaleFixtures(dir: String): Unit = try {
     val root = java.nio.file.Paths.get(warehouseRoot)
-    val live = s"${sanitize(dir)}-${fingerprint(dir)}"
+    val live = s"${fixtureKey(dir)}-${fingerprint(dir)}"
     if (java.nio.file.Files.isDirectory(root)) {
       val list = java.nio.file.Files.list(root)
       try list.forEach { p =>
         val n = p.getFileName.toString
-        if (n.startsWith(s"${sanitize(dir)}-") && n != live) {
+        if (n.startsWith(s"${fixtureKey(dir)}-") && n != live) {
           val walk = java.nio.file.Files.walk(p)
           try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
             .forEach(f => java.nio.file.Files.deleteIfExists(f))
@@ -159,15 +217,11 @@ object DedupStaging {
 
   /** doc_id + the 16 XOR-seeded min-hashes (`h0`..`h15`), derived from the
     * staged shingle base — explode + 16 map-side-combined min aggregates
-    * (see Dedup.minhashDedup for why this beats 16 transform passes). */
+    * (Dedup.sigsOf, the single source of the seeds/shape; see
+    * Dedup.minhashDedup for why this beats 16 transform passes). */
   def minhashSigs(spark: SparkSession, dir: String): DataFrame =
     materialize(spark, dir, "minhash_sigs") {
-      val exploded = shingleBase(spark, dir)
-        .select(col("doc_id"), explode(col("hs")).as("h"))
-      exploded.groupBy("doc_id").agg(
-        min(col("h").bitwiseXOR(lit(Dedup.MinhashSeeds(0)))).as("h0"),
-        (1 until Dedup.MinhashK).map(j =>
-          min(col("h").bitwiseXOR(lit(Dedup.MinhashSeeds(j)))).as(s"h$j")): _*)
+      Dedup.sigsOf(shingleBase(spark, dir).select("doc_id", "hs"))
     }
 
   /** doc_id + the 64-bit SimHash signature halves (`sim_hi`, `sim_lo`). */

@@ -293,19 +293,10 @@ object Similarity {
     // of dimensions within eps=0.1 of their hyperplane, exactly as
     // probeBuckets builds it.
     "m6_embed_dedup" -> embedDedupOracleSql,
-    // SemDeDup-style semantic clusters: the recursive transitive closure
-    // over the replayed cosine near-dup pairs (same CC oracle shape as
-    // m6_dup_clusters).
+    // SemDeDup-style semantic clusters: the shared recursive
+    // transitive-closure CC oracle over the replayed cosine near-dup pairs.
     "m6_embed_clusters" ->
-      s"""WITH RECURSIVE pairs AS ($embedDedupOracleSql),
-          edges AS (SELECT vec_a AS u, vec_b AS v FROM pairs
-                    UNION ALL SELECT vec_b, vec_a FROM pairs),
-          verts AS (SELECT DISTINCT u AS vec_id FROM edges),
-          reach(vec_id, r) AS (
-            SELECT vec_id, vec_id FROM verts
-            UNION
-            SELECT e.u, reach.r FROM reach JOIN edges e ON e.v = reach.vec_id)
-          SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY 1""",
+      Dedup.sqlConnectedComponents(embedDedupOracleSql, "vec_a", "vec_b", "vec_id"),
     "m6_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
           $bitsSql,

@@ -237,6 +237,26 @@ class ConnectorsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("partitioned merge refuses a snapshot it cannot re-point instead of dropping it") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("merge-guard-").toString + "/t"
+    // an UNPARTITIONED generation: a partitioned merge has no fragment
+    // entries to carry it into the new manifest — must reject, not lose rows
+    Connectors.replaceTable(spark, t, Seq((1L, "d1", 1.0)).toDF("k", "day", "v"))
+    val ex = intercept[IllegalArgumentException] {
+      Connectors.mergeInto(spark, t, Seq((2L, "d2", 2.0)).toDF("k", "day", "v"),
+        Seq("k", "day"), partitionCol = Some("day"))
+    }
+    assert(ex.getMessage.contains("not partition-mapped"))
+    // the documented escape hatch: compact into the partition layout first
+    Connectors.compact(spark, t, partitionCol = Some("day"))
+    Connectors.mergeInto(spark, t, Seq((2L, "d2", 2.0)).toDF("k", "day", "v"),
+      Seq("k", "day"), partitionCol = Some("day"))
+    val out = Connectors.readTable(spark, t).select("k", "day", "v")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, "d1", 1.0), (2L, "d2", 2.0)))
+  }
+
   test("compact folds an appended table into one generation without changing contents") {
     import spark.implicits._
     val t = Files.createTempDirectory("compact-test-").toString + "/t"
