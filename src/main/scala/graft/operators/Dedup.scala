@@ -412,16 +412,21 @@ object Dedup {
     val batch1 = arrivingBatch(spark, dir, 3000000, halfAll = false)
     val b1base = batchBaseOf(batch1)
     val d1 = admissionDecisions(batch1, b1base, catSigs, catShingles).persist()
-    val admitted1 = d1.filter(col("admitted")).select(col("new_id").as("doc_id"))
-    // the commit: O(batch) appends, one atomic pointer flip per table.
-    // coalesce(1): an admitted batch at test scale is a few hundred rows —
-    // one file per generation, not one per shuffle partition (a production
-    // batch would keep its partitioning)
-    Connectors.appendTo(spark, sigsT,
-      sigsOf(b1base).join(admitted1, Seq("doc_id")).coalesce(1))
-    Connectors.appendTo(spark, shT,
-      b1base.join(admitted1, Seq("doc_id")).coalesce(1))
-
+    try {
+      val admitted1 = d1.filter(col("admitted")).select(col("new_id").as("doc_id"))
+      // the commit: O(batch) appends, one atomic pointer flip per table.
+      // coalesce(1): an admitted batch at test scale is a few hundred rows —
+      // one file per generation, not one per shuffle partition (a production
+      // batch would keep its partitioning)
+      Connectors.appendTo(spark, sigsT,
+        sigsOf(b1base).join(admitted1, Seq("doc_id")).coalesce(1))
+      Connectors.appendTo(spark, shT,
+        b1base.join(admitted1, Seq("doc_id")).coalesce(1))
+    } finally {
+      // batch 1's frames are fully consumed by the appends above — only
+      // batch 2's decision lineage leaves this function
+      d1.unpersist(); b1base.unpersist()
+    }
     val batch2 = arrivingBatch(spark, dir, 4000000, halfAll = true)
     admissionDecisions(batch2, batchBaseOf(batch2), catSigs, catShingles)
   }
@@ -429,51 +434,100 @@ object Dedup {
   /** M6: near-dup CONNECTED COMPONENTS — what production dedup actually
     * ships: pair detection induces an undirected graph, and the keep-one
     * decision is made per COMPONENT (a,b and b,c near-dup ⇒ a,b,c are one
-    * duplicate cluster even if a,c never collided), not per pair. Runs
-    * min-label propagation (each vertex takes the min label in its closed
-    * neighborhood) to a fixed point over the STAGED decision table —
-    * the Pregel-style iterative-join form of connected components. The
-    * driver only counts changed labels per round (metadata, no data
-    * collect); iterations are bounded by component diameter, which for
-    * near-dup cliques is 1-2 — a pathological 100 TB chain graph would
-    * switch to the large-star/small-star contraction (Kiveris et al.), same
-    * join shape, O(log n) rounds. The oracle replays the whole thing as a
-    * recursive transitive-closure CTE: cluster id = min reachable doc id,
-    * which is exactly the propagation fixed point. */
+    * duplicate cluster even if a,c never collided), not per pair. Runs the
+    * two-phase large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) to a fixed
+    * point over the STAGED decision table. The oracle replays the whole
+    * thing as a recursive transitive-closure CTE: cluster id = min
+    * reachable doc id, which is exactly the contraction fixed point. */
   def dupClusters(spark: SparkSession, dir: String): DataFrame =
     connectedComponents(
       DedupStaging.minhashPairs(spark, dir).select("doc_a", "doc_b"), "doc_id")
 
-  /** Min-label-propagation connected components over a two-column pair
-    * frame (shared by the MinHash text clusters and the embedding-cosine
-    * SemDeDup-style clusters — any near-dup pair source). See dupClusters
-    * for the scale argument. */
+  /** Connected components over a two-column pair frame (shared by the
+    * MinHash text clusters and the embedding-cosine SemDeDup-style
+    * clusters — any near-dup pair source), via alternating
+    * large-star/small-star contraction:
+    *
+    *   large-star: every node connects its LARGER neighbors to the min of
+    *   its closed neighborhood — long tails hook onto low ids in one hop;
+    *   small-star: every node connects itself and its smaller neighbors to
+    *   the min among them — partial stars flatten onto their root.
+    *
+    * Alternating the two converges for ANY graph shape in O(log² n) rounds
+    * worst case (~log n in practice — LlmPillarSpec proves ≤ 2·log₂n + 4 on
+    * a 1000-node path, where plain min-label propagation needs 1000), and a
+    * near-dup clique (diameter 1-2) still closes in 2-3 rounds, so the
+    * common case loses nothing. Edges live canonically as (hi > lo); each
+    * round is two grouped-min equi-joins + distinct — every shuffle is
+    * keyed on a node id, no driver-side data, the driver only runs the
+    * convergence counts. The fixed point IS the component map: one star
+    * per component rooted at its min id. */
   private[operators] def connectedComponents(pairs: DataFrame,
-      idOut: String): DataFrame = {
+      idOut: String): DataFrame =
+    connectedComponentsWithRounds(pairs, idOut)._1
+
+  /** The contraction loop behind connectedComponents, reporting the round
+    * count (test surface for the O(log n) convergence bound).
+    *
+    * Each round ends in an EAGER localCheckpoint, which materializes the
+    * round AND truncates the logical plan to the checkpointed RDD: an
+    * iterative plan that references its previous round several times per
+    * phase otherwise grows multiplicatively — by round ~15 merely
+    * STRINGIFYING the (DAG-shared, tree-expanded) plan OOMs the driver,
+    * and Catalyst re-analysis cost grows the same way. Superseded round
+    * checkpoints are reclaimed by the ContextCleaner once unreferenced; on
+    * a real cluster the same call (or a reliable `checkpoint` under a
+    * checkpoint dir for lost-executor safety) plays this role. The
+    * returned labels frame derives straight from the final checkpoint, so
+    * it needs no persist of its own — callers re-running actions replay
+    * two narrow projections over a materialized RDD, and nothing this
+    * function cached outlives it. */
+  private[graft] def connectedComponentsWithRounds(pairs: DataFrame,
+      idOut: String): (DataFrame, Int) = {
     val Array(ca, cb) = pairs.columns
-    val edges = pairs.select(col(ca).as("u"), col(cb).as("v"))
-      .unionAll(pairs.select(col(cb).as("u"), col(ca).as("v")))
-      .persist()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
-    var changed = 1L
-    while (changed > 0) {
-      val prop = edges
-        .join(labels.select(col("id").as("v"), col("label").as("vl")), Seq("v"))
-        .groupBy(col("u").as("id")).agg(min("vl").as("nl"))
-      val next = labels.join(prop, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .persist()
-      // this count both decides convergence AND materializes `next` while
-      // the previous generation is still cached — one action per round
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+    var edges = pairs
+      .select(greatest(col(ca), col(cb)).as("hi"),
+        least(col(ca), col(cb)).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct().localCheckpoint()
+    var n = edges.count()
+    var rounds = 0
+    var converged = n == 0
+    while (!converged) {
+      rounds += 1
+      // large-star over the symmetric view: min over the closed
+      // neighborhood, larger neighbors re-point to it
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .unionAll(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val lmin = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.filter(col("v") > col("u")).join(lmin, Seq("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+      // small-star on the canonical form: each edge's larger endpoint
+      // groups its smaller neighbors; all of them (and itself) re-point to
+      // the group min
+      val smin = large.groupBy("hi").agg(min("lo").as("m"))
+      val next = large.join(smin, Seq("hi"))
+        .select(col("lo").as("x"), col("m").as("y"))
+        .unionAll(smin.select(col("hi").as("x"), col("m").as("y")))
+        .filter(col("x") =!= col("y"))
+        .select(greatest(col("x"), col("y")).as("hi"),
+          least(col("x"), col("y")).as("lo"))
+        .distinct().localCheckpoint()
+      val nNext = next.count()
+      // both sides are distinct sets, so equal size + empty difference ⇔
+      // set equality: two actions over node-bounded frames, O(log n) times
+      converged = nNext == n && next.exceptAll(edges).isEmpty
+      edges = next
+      n = nNext
     }
-    edges.unpersist()
-    labels.select(col("id").as(idOut), col("label").as("cluster_id"))
+    // the fixed point's star edges are (member, root); roots label themselves
+    val labels = edges
+      .select(col("hi").as(idOut), col("lo").as("cluster_id"))
+      .unionAll(edges.select(col("lo")).distinct()
+        .select(col("lo").as(idOut), col("lo").as("cluster_id")))
+    (labels, rounds)
   }
 
   /** M6: benchmark decontamination — the eval-leak scan every LLM training

@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   * This is also the right 100 TB semantics: decimal partial aggregation is
   * still a map-side-combined hash agg, and exact money sums don't drift with
   * partition count or AQE re-planning.
+  *
+  * ORACLE-AUTHORING TRAP (cost round 6 two hash-fails): DuckDB `sum()` over
+  * an integer column — plain AND windowed — returns HUGEINT (int128), and
+  * integer division `//` keeps HUGEINT, where Spark's `sum` over longs emits
+  * BIGINT. The VALUES match but the driver's representation hash does not.
+  * Every sum-derived integer column in an oracle must be wrapped in
+  * `CAST(... AS BIGINT)` (`count(*)` is safe — it is already BIGINT).
   */
 object Exact {
   private val Dec = "decimal(28,2)"

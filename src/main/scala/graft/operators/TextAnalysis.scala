@@ -109,14 +109,38 @@ object TextAnalysis {
     * land in" is one declarative plan — no sequential packer. The window
     * partitions by SHARD (the production unit: one output file per shard),
     * never globally, so the cumsum is 1/shards of the corpus per task and
-    * shard count scales with the cluster. Offsets are exact integers —
+    * the shard count GROWS with the corpus (`packShards`) — the per-shard
+    * cumsum stays ~256 docs, so no fixed shard set ever funnels a 100 TB
+    * corpus through a handful of window tasks. Offsets are exact integers —
     * bit-identical cross-engine by construction. */
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequencesAt(spark, dir,
+      packShards(Tables.documents(spark, dir).count()))
+
+  /** Corpus-adaptive shard count for sequence packing: the smallest power
+    * of two in [8, 4096] with shards × 256 ≥ N — per-shard window work
+    * stays ~256 docs as the corpus grows (the `lshBits` /
+    * `simhashChunkBits` precedent). Integer arithmetic on purpose: the
+    * oracle computes `1 << least(12, greatest(3, ceil(log2(n / 256.0))))`
+    * and n/256.0 is exact in binary, so both formulations agree for every
+    * reachable n (see Similarity.lshBits for the full float-hazard
+    * argument). */
+  private[graft] def packShards(nDocs: Long): Int = {
+    var b = 3
+    while (b < 12 && (256L << b) < nDocs) b += 1
+    1 << b
+  }
+
+  /** The fixed-shard-count pipeline behind packSequences (test surface:
+    * GraftProps proves per-shard spans match a sequential packer at ANY
+    * shard count). */
+  private[graft] def packSequencesAt(spark: SparkSession, dir: String,
+      shards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val chunk = 512
     val docs = Tables.fanout(Tables.documents(spark, dir))
       .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"),
-        pmod(Exact.fold60(col("doc_id").cast("string")), lit(8)).as("shard"))
+        pmod(Exact.fold60(col("doc_id").cast("string")), lit(shards)).as("shard"))
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.withColumn("end_offset", sum("n_tokens").over(w))
@@ -419,24 +443,32 @@ object TextAnalysis {
           probes AS (SELECT term, tf, rk, d,
                        ${Exact.sqlFold60("term || '|cms' || d")} % 2048 AS bucket
                      FROM top, range(0, 4) t(d))
-          SELECT term, CAST(rk AS INTEGER) AS rk, tf, min(s) AS cms_est
+          SELECT term, CAST(rk AS INTEGER) AS rk, tf,
+                 CAST(min(s) AS BIGINT) AS cms_est
           FROM probes JOIN hb USING (d, bucket)
           GROUP BY term, rk, tf""",
     // Pure integer window arithmetic — ROWS frame pinned explicitly (the
     // engines' default frames only coincide because doc_id is unique).
+    // Every sum-derived column is CAST to BIGINT: DuckDB sum(BIGINT) —
+    // plain AND windowed — returns HUGEINT and `//` keeps it, so without
+    // the cast the values match but the driver's representation hash does
+    // not (see the Exact.scala oracle-authoring notes).
     "m6_pack_sequences" ->
-      s"""WITH t AS (SELECT doc_id,
-              len(string_split(text, ' ')) AS n_tokens,
-              ${Exact.sqlFold60("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+      s"""WITH shards AS (SELECT (1 << least(12, greatest(3,
+                CAST(ceil(log2(greatest(count(*), 1) / 256.0)) AS INTEGER)))) AS s
+              FROM documents),
+          t AS (SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              ${Exact.sqlFold60("CAST(doc_id AS VARCHAR)")} % (SELECT s FROM shards) AS shard
             FROM documents),
           c AS (SELECT doc_id, shard, n_tokens,
               sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_offset
             FROM t)
           SELECT doc_id, shard, n_tokens,
-                 end_offset - n_tokens AS start_offset,
-                 (end_offset - n_tokens) // 512 AS first_chunk,
-                 (end_offset - 1) // 512 AS last_chunk
+                 CAST(end_offset - n_tokens AS BIGINT) AS start_offset,
+                 CAST((end_offset - n_tokens) // 512 AS BIGINT) AS first_chunk,
+                 CAST((end_offset - 1) // 512 AS BIGINT) AS last_chunk
           FROM c""",
     // Same raw-ratio scoring, same operation order — correctly-rounded IEEE
     // divides/multiplies are bit-identical across engines, so even the

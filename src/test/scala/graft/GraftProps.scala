@@ -106,6 +106,56 @@ object GraftProps extends Properties("graft") {
         minLabelFixpoint(n, edges) == canon
     }
 
+  // JVM model of Dedup.connectedComponentsWithRounds: one large-star +
+  // small-star alternation over a canonical (hi > lo) edge set. Mirrors the
+  // DataFrame plan operation-for-operation so the property exercises the
+  // ALGORITHM (the Spark wiring is proven by the oracle + LlmPillarSpec).
+  private def twoPhase(edges0: Seq[(Int, Int)]): (Map[Int, Int], Int) = {
+    var edges = edges0.collect { case (a, b) if a != b =>
+      (math.max(a, b), math.min(a, b)) }.toSet
+    var rounds = 0
+    while ({
+      rounds += 1
+      val sym = edges.toSeq.flatMap { case (h, l) => Seq(h -> l, l -> h) }
+      val lmin = sym.groupMap(_._1)(_._2).map { case (u, vs) => u -> (vs :+ u).min }
+      val large = sym.collect { case (u, v) if v > u =>
+        (v, lmin(u)) }.filter { case (h, l) => h != l }.toSet
+      val smin = large.groupMap(_._1)(_._2).map { case (h, ls) => h -> ls.min }
+      val next = (large.toSeq.map { case (h, l) => (l, smin(h)) } ++ smin.toSeq)
+        .collect { case (x, y) if x != y => (math.max(x, y), math.min(x, y)) }
+        .toSet
+      val go = next != edges
+      edges = next
+      go
+    }) ()
+    val roots = edges.map(_._2)
+    (edges.map { case (h, l) => h -> l }.toMap ++ roots.map(r => r -> r), rounds)
+  }
+
+  property("two-phase contraction: fixpoint equals union-find on random graphs") =
+    forAll(Gen.choose(2, 20), Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 19), Gen.choose(0, 19)))) {
+      (n0, rawEdges) =>
+        val n = math.max(n0, 2)
+        val edges = rawEdges.collect { case (a, b) if a < n && b < n && a != b => (a, b) }
+        edges.isEmpty || {
+          val uf = unionFind(n, edges)
+          val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+          val canon = uf.groupMap(_._2)(_._1).flatMap { case (_, ms) =>
+            val inPlay = ms.filter(touched)
+            inPlay.map(_ -> inPlay.min)
+          }
+          twoPhase(edges)._1 == canon
+        }
+    }
+
+  property("two-phase contraction: a path graph converges in O(log n) rounds, not O(n)") = {
+    val n = 1000
+    val path = (0 until n - 1).map(i => (i, i + 1))
+    val (labels, rounds) = twoPhase(path)
+    Prop(labels.values.forall(_ == 0) && labels.size == n &&
+      rounds <= 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt + 4)
+  }
+
   // ---- Exact.rnd (the cross-engine round) ----------------------------------
   private def rnd(x: Double, n: Int): Double = {
     val p = math.pow(10, n)
@@ -171,6 +221,38 @@ object GraftProps extends Properties("graft") {
       val minimal = b == 4 || (16L << (b - 1)) < n     // and b is the least such
       val monotone = graft.operators.Similarity.lshBits(n + 1) >= b
       inRange && covers && minimal && monotone
+    }
+
+  // ---- corpus-adaptive pack shards (TextAnalysis.packShards) ---------------
+  property("packShards: minimal power of two with ~256 docs/shard, monotone, clamped") =
+    forAll(Gen.choose(1L, 1L << 24)) { n =>
+      val s = graft.operators.TextAnalysis.packShards(n)
+      val pow2 = Integer.bitCount(s) == 1
+      val inRange = s >= 8 && s <= 4096
+      val covers = s == 4096 || 256L * s >= n          // ~256 docs/shard holds
+      val minimal = s == 8 || 256L * (s / 2) < n       // and s is the least such
+      val monotone = graft.operators.TextAnalysis.packShards(n + 1) >= s
+      pow2 && inRange && covers && minimal && monotone
+    }
+
+  // ---- pack layout (TextAnalysis.packSequencesAt) --------------------------
+  // The windowed-cumsum layout re-expressed per shard IS a sequential packer:
+  // consecutive docs tile the shard's token stream gap-free, and the chunk
+  // span is exactly the chunks the doc's token range intersects — at ANY
+  // shard count (the assignment changes, the per-shard layout law doesn't).
+  property("pack layout: per-shard spans tile gap-free with exact chunk spans at any shard count") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(1, 600)), Gen.oneOf(1, 2, 8, 32, 256)) {
+      (lens, shards) =>
+        val docs = lens.zipWithIndex.map { case (n, i) => (i.toLong, n.toLong) }
+        docs.groupBy { case (id, _) => id % shards }.values.forall { ds =>
+          val sorted = ds.sortBy(_._1)
+          val starts = sorted.scanLeft(0L) { case (off, (_, n)) => off + n }.init
+          starts.zip(sorted).forall { case (start, (_, n)) =>
+            val first = start / 512
+            val last = (start + n - 1) / 512
+            first <= last && last <= (start + n) / 512
+          }
+        }
     }
 
   // ---- portable md5 fold (Exact.fold60) ------------------------------------

@@ -251,4 +251,42 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
       .filter(col("f0") < 0 || col("f0") >= 1 || col("f3") < 0 || col("f3") >= 1)
     assert(feats.count() == 0)
   }
+
+  test("connected components contracts a 1000-node path in O(log n) rounds") {
+    // the chain-graph worst case for label propagation (diameter 999): the
+    // two-phase contraction must close it in logarithmic rounds
+    val n = 1000
+    val path = spark.range(0, n - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(path, "doc_id")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == n)
+    assert(got.forall(_._2 == 0L), "one component rooted at the min id")
+    val bound = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt + 4
+    assert(rounds <= bound, s"$rounds rounds exceeds O(log n) bound $bound")
+  }
+
+  test("pack layout matches a per-shard sequential packer at two shard counts") {
+    import graft.operators.TextAnalysis
+    for (shards <- Seq(8, 32)) {
+      val rows = TextAnalysis.packSequencesAt(spark, dir, shards)
+        .select("shard", "doc_id", "n_tokens", "start_offset", "first_chunk", "last_chunk")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      assert(rows.map(_._1).distinct.length > 1, "fixture should span shards")
+      rows.groupBy(_._1).foreach { case (shard, ds) =>
+        var off = 0L // the sequential packer's running offset
+        ds.sortBy(_._2).foreach { case (_, id, n, start, fc, lc) =>
+          assert(start == off, s"shard $shard doc $id: start $start != $off")
+          assert(fc == Math.floorDiv(start, 512L) &&
+                 lc == Math.floorDiv(start + n - 1, 512L),
+            s"shard $shard doc $id: chunk span ($fc,$lc) wrong for [$start,${start + n})")
+          off += n
+        }
+      }
+    }
+    // and the registered query picks the corpus-dictated shard count
+    assert(TextAnalysis.packShards(Tables.documents(spark, dir).count()) == 8)
+  }
 }

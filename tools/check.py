@@ -8,6 +8,7 @@ Dev tooling only — the shipped Scala library has no Python dependency.
 """
 import sys, os, json, math
 import duckdb
+import pyarrow as pa
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -23,6 +24,28 @@ for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def typecat(t):
+    """Representation category of an arrow type. Integer WIDTHS are
+    equivalent (int32 vs int64 stringify identically), but DECIMAL is its
+    own category: DuckDB sum() returns HUGEINT = decimal128(38,0), whose
+    values survive pandas as floats and would otherwise be collapsed by
+    canon() below — the round-6 hash-fail the driver caught and this gate
+    missed. See the Exact.scala oracle-authoring notes."""
+    if pa.types.is_integer(t): return "int"
+    if pa.types.is_floating(t): return "float"
+    if pa.types.is_decimal(t): return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_boolean(t): return "bool"
+    if pa.types.is_timestamp(t): return "ts"
+    if pa.types.is_date(t): return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t): return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t): return "bin"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{typecat(t.value_type)}>"
+    return str(t)
+
+def typemap(tbl):
+    return sorted((f.name, typecat(f.type)) for f in tbl.schema)
 
 def canon(df):
     cols = sorted(df.columns)
@@ -50,8 +73,9 @@ for name in sorted(oracle):
         fails.append(name)
         continue
     try:
-        got = con.execute(f"SELECT * FROM '{qdir}/*.parquet'").df()
-        exp = con.execute(oracle[name]).df()
+        got_t = con.execute(f"SELECT * FROM '{qdir}/*.parquet'").arrow()
+        exp_t = con.execute(oracle[name]).arrow()
+        got, exp = got_t.to_pandas(), exp_t.to_pandas()
     except Exception as e:
         print(f"ERROR    {name}: {str(e)[:200]}")
         fails.append(name)
@@ -60,6 +84,12 @@ for name in sorted(oracle):
     ec, er = canon(exp)
     if gc != ec:
         print(f"SCHEMA   {name}: spark={gc} oracle={ec}")
+        fails.append(name)
+        continue
+    gt, et = typemap(got_t), typemap(exp_t)
+    if gt != et:
+        diff = [(a, b) for a, b in zip(gt, et) if a != b]
+        print(f"TYPEREP  {name}: {diff}")
         fails.append(name)
         continue
     if len(gr) != len(er):
