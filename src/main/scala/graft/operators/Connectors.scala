@@ -170,6 +170,7 @@ object Connectors {
           // fragments actually written (day=..., incl. the null-partition
           // dir) — listed once, driver-side metadata
           val newFrags = listFragments(Paths.get(targetDir, gen))
+          requireGenAlive(targetDir, gen)
           val mapping = currentMapping(targetDir) ++ newFrags.map(_ -> gen)
           commitManifest(targetDir,
             mapping.toSeq.sorted.map { case (frag, d) => d -> Some(frag) })
@@ -178,6 +179,7 @@ object Connectors {
           val prev = currentRef(targetDir)
           val gen = newGenName()
           merged(current).write.parquet(s"$targetDir/$gen")
+          requireGenAlive(targetDir, gen)
           commitPointer(targetDir, gen)
           sweepStale(targetDir, prev)
       }
@@ -195,6 +197,7 @@ object Connectors {
     val prev = currentRef(targetDir)
     val gen = newGenName()
     rows.write.parquet(s"$targetDir/$gen")
+    requireGenAlive(targetDir, gen)
     val members = currentMembers(targetDir) :+ (gen -> None)
     commitManifest(targetDir, members)
     sweepStale(targetDir, prev)
@@ -222,9 +225,21 @@ object Connectors {
     val prev = currentRef(targetDir)
     val gen = newGenName()
     rows.write.parquet(s"$targetDir/$gen")
+    requireGenAlive(targetDir, gen)
     commitPointer(targetDir, gen)
     sweepStale(targetDir, prev)
   }
+
+  /** Commit-time backstop against a concurrent writer that broke this
+    * writer's build lock (believing it dead) and swept its in-flight
+    * generation: committing a pointer to the vanished dir would publish an
+    * unreadable — or worse, silently partial — snapshot. Abort instead;
+    * the surviving writer's commit is the valid one. */
+  private def requireGenAlive(targetDir: String, gen: String): Unit =
+    if (!Files.isDirectory(Paths.get(targetDir, gen)))
+      throw new IllegalStateException(
+        s"generation $gen of $targetDir vanished before commit — a concurrent " +
+          "writer broke this builder's lock and swept it; aborting the commit")
 
   /** OPTIMIZE: rewrite the current snapshot into ONE fresh generation and
     * flip the pointer — the small-file compaction every log-structured
@@ -244,6 +259,7 @@ object Connectors {
       case Some(p) => snapshot.write.partitionBy(p).parquet(s"$targetDir/$gen")
       case None    => snapshot.write.parquet(s"$targetDir/$gen")
     }
+    requireGenAlive(targetDir, gen)
     commitPointer(targetDir, gen)
     sweepStale(targetDir, prev)
   }
@@ -305,6 +321,17 @@ object Connectors {
               else if (relDir.startsWith("/")) relDir // external member ref
               else s"$targetDir/$relDir"
             val frags = entries.flatMap(_._2)
+            // a member dir must be ALL-fragment or ALL-whole-dir: mixed
+            // entries would silently read only the fragments and drop the
+            // whole-dir member's rows. No writer here produces the mix
+            // (isFragmentMapped guards mergeInto) — this rejects a
+            // hand-edited or future-writer manifest loudly instead of
+            // losing data.
+            if (frags.nonEmpty && frags.length != entries.length)
+              throw new IllegalStateException(
+                s"manifest $m of $targetDir mixes whole-dir and " +
+                  s"fragment entries for member $relDir — refusing a read " +
+                  "that would drop the whole-dir member's rows")
             if (frags.isEmpty) spark.read.parquet(base)
             else spark.read.option("basePath", base)
               .parquet(frags.sorted.map(f => s"$base/$f"): _*)
@@ -366,6 +393,9 @@ object Connectors {
         line.split('\t') match {
           case Array(d)    => d -> None
           case Array(d, f) => d -> Some(f)
+          case _ => throw new IllegalStateException(
+            s"malformed manifest line in $path: '$line' (expected " +
+              "'relDir' or 'relDir<TAB>fragment')")
         }
       }
   }

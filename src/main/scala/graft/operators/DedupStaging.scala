@@ -114,9 +114,16 @@ object DedupStaging {
     Connectors.readTable(spark, path)
   }
 
-  private val LockStaleMs = 10 * 60 * 1000L // a build holding a lock >10 min has crashed
+  private val LockStaleMs = 10 * 60 * 1000L // a lock not HEARTBEATEN >10 min has crashed
   private val LockPollMs = 500L
   private val LockWaitMs = 5 * 60 * 1000L
+  // heartbeat period; test hook (specs shrink it to observe beats quickly).
+  // Staleness is judged on the lock's MTIME, so a live build of any length
+  // keeps its lock fresh — without the heartbeat, any build longer than
+  // LockStaleMs would have its lock broken mid-build and its in-flight
+  // generation swept by the second builder (the commit then aborts on the
+  // vanished-generation check in Connectors, but the build is lost).
+  @volatile private[graft] var lockBeatMs = 30 * 1000L
 
   private def buildLocked(spark: SparkSession, dir: String, name: String,
       td: String)(build: => DataFrame): Unit = {
@@ -126,7 +133,7 @@ object DedupStaging {
       try { java.nio.file.Files.createFile(lock); true }
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          // break locks whose holder died (never committed, stopped aging)
+          // break locks whose holder died (never committed, stopped beating)
           val age = try System.currentTimeMillis() -
             java.nio.file.Files.getLastModifiedTime(lock).toMillis
           catch { case _: Exception => 0L } // lock vanished: retry next poll
@@ -140,6 +147,20 @@ object DedupStaging {
         System.err.println(s"[stage] $name reused (committed by concurrent builder)")
         done = true
       } else if (tryAcquire()) {
+        // keep the lock fresh while the build runs: a daemon bumps its
+        // mtime every lockBeatMs (≪ LockStaleMs), so only a DEAD holder's
+        // lock ever goes stale. If a breaker deleted the lock anyway, the
+        // bump throws and the beat stops — the vanished-generation check
+        // at commit time is the backstop.
+        val beat = new Thread(() =>
+          try while (!Thread.interrupted()) {
+            Thread.sleep(lockBeatMs)
+            java.nio.file.Files.setLastModifiedTime(lock,
+              java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+          } catch { case _: InterruptedException | _: java.io.IOException => () },
+          s"graft-stage-lock-beat-$name")
+        beat.setDaemon(true)
+        beat.start()
         try {
           if (!Connectors.isCommitted(td)) { // winner re-checks under the lock
             sweepStaleFixtures(dir)
@@ -147,7 +168,10 @@ object DedupStaging {
             Connectors.replaceTable(spark, td, build)
             System.err.println(f"[stage] $name built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
           }
-        } finally java.nio.file.Files.deleteIfExists(lock)
+        } finally {
+          beat.interrupt()
+          java.nio.file.Files.deleteIfExists(lock)
+        }
         done = true
       } else if (System.currentTimeMillis() > deadline) {
         // the holder looks alive but never commits — fail loudly rather

@@ -311,6 +311,37 @@ class ConnectorsSpec extends AnyFunSuite with SparkFixture {
     assert(one.count() > 0)
   }
 
+  test("readTable rejects a mixed or malformed manifest instead of dropping rows") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("manifest-guard-").toString
+    Seq((1L, 1.0)).toDF("k", "v").write.parquet(s"$target/_gen-1/day=a")
+    Seq((2L, 2.0)).toDF("k", "v").write.parquet(s"$target/_gen-2")
+    def commit(lines: String*): Unit = {
+      Files.writeString(java.nio.file.Paths.get(target, "_manifest-1"),
+        lines.mkString("\n"))
+      Files.writeString(java.nio.file.Paths.get(target, "_CURRENT"), "_manifest-1")
+    }
+    // same relDir appearing both whole-dir and fragment-scoped would read
+    // only the fragment and silently lose the whole-dir member's rows
+    commit("_gen-1\tday=a", "_gen-1")
+    val mixed = intercept[IllegalStateException] {
+      Connectors.readTable(spark, target).collect()
+    }
+    assert(mixed.getMessage.contains("mixes whole-dir and fragment"))
+    // a line with two tabs is not a protocol shape — loud, not MatchError
+    commit("_gen-2\tday=a\textra")
+    val malformed = intercept[IllegalStateException] {
+      Connectors.readTable(spark, target).collect()
+    }
+    assert(malformed.getMessage.contains("malformed manifest line"))
+    // distinct relDirs with distinct roles still compose fine (the
+    // fragment member contributes its partition column, whole-dir reads
+    // null there)
+    commit("_gen-1\tday=a", "_gen-2")
+    assert(Connectors.readTable(spark, target).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("kafka envelope serializes gated rows only, keyed and partitioned by sensor") {
     val env = Connectors.kafkaEnvelope(spark, dir)
     val gate = operators.Validation.producerGate(spark, dir).count()

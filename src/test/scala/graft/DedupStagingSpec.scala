@@ -40,6 +40,41 @@ class DedupStagingSpec extends AnyFunSuite with SparkFixture {
     assert(!Files.exists(Paths.get(table).getParent), "stale fixture version swept")
   }
 
+  test("a live build heartbeats its lock so stale-lock breaking never hits it") {
+    // a slow build must keep bumping the lock's mtime: staleness is judged
+    // on mtime, so without the heartbeat any build longer than LockStaleMs
+    // gets its lock broken and its in-flight generation swept mid-build
+    val fix = Files.createTempDirectory("staging-beat-").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      Paths.get(fix, "documents.parquet"), StandardCopyOption.COPY_ATTRIBUTES)
+    val lock = Paths.get(DedupStaging.tablePath(fix, "shingle3") + ".building")
+    val prev = DedupStaging.lockBeatMs
+    DedupStaging.lockBeatMs = 50L
+    try {
+      @volatile var stop = false
+      @volatile var firstSeen = -1L
+      @volatile var lastSeen = -1L
+      val watcher = new Thread(() =>
+        while (!stop) {
+          try if (Files.exists(lock)) {
+            val mt = Files.getLastModifiedTime(lock).toMillis
+            if (firstSeen < 0) firstSeen = mt
+            lastSeen = mt
+          } catch { case _: Exception => () }
+          Thread.sleep(10)
+        })
+      watcher.start()
+      DedupStaging.resetMemo()
+      DedupStaging.shingleBase(spark, fix).count() // real multi-second build
+      stop = true
+      watcher.join()
+      assert(firstSeen > 0, "watcher must have observed the lock")
+      assert(lastSeen > firstSeen,
+        s"lock mtime never advanced ($firstSeen): heartbeat not running")
+      assert(!Files.exists(lock), "lock released after the build")
+    } finally DedupStaging.lockBeatMs = prev
+  }
+
   test("external member refs are zero-copy and compose with appends") {
     import spark.implicits._
     val base = Files.createTempDirectory("ref-base-").toString + "/t"
