@@ -95,14 +95,29 @@ object Bench {
       Seq((name, t._1, t._2))
     }
     val selectedNames = selected.map(_._1).toSet
+    // stage TEMPERATURE: the same staging entry costs ~seconds cold (first
+    // build for this corpus version) and ~nothing warm (committed warehouse
+    // tables reused — the designed cross-JVM amortization). The artifact
+    // records which one this run measured, so round-over-round totals stay
+    // comparable.
+    val stagingCold = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
     val staging =
-      (if (selectedNames.exists(dedupFamily)) staged("m6_stage_base") {
-        graft.operators.DedupStaging.ensureFor(spark, sfDir,
-          selectedNames.intersect(dedupFamily))
+      (if (selectedNames.exists(dedupFamily)) {
+        stagingCold("m6_stage_base") = !graft.operators.DedupStaging
+          .isStagedFor(sfDir, selectedNames.intersect(dedupFamily))
+        staged("m6_stage_base") {
+          graft.operators.DedupStaging.ensureFor(spark, sfDir,
+            selectedNames.intersect(dedupFamily))
+        }
       } else Seq.empty) ++
       // the bucketed-layout DDL behind j5 is the same one-time-cost shape
-      (if (selectedNames("j5_bucketed_join")) staged("j5_stage_buckets") {
-        graft.operators.Joins.ensureBucketedTables(spark, sfDir)
+      // (always cold in a fresh JVM — the in-memory catalog dies with it)
+      (if (selectedNames("j5_bucketed_join")) {
+        stagingCold("j5_stage_buckets") =
+          !graft.operators.Joins.bucketedTablesReady(spark, sfDir)
+        staged("j5_stage_buckets") {
+          graft.operators.Joins.ensureBucketedTables(spark, sfDir)
+        }
       } else Seq.empty)
     val results = staging ++ selected.map { case (name, fn) =>
       // noop sink: full evaluation of every output column (a bare count()
@@ -121,11 +136,26 @@ object Bench {
       xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val cpuTotal = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    val coldJson = stagingCold
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${fmt(results.map(r => r._1 -> r._2))},""" +
       s""""cpu_sec":${fmt(results.map(r => r._1 -> r._3))},""" +
+      s""""staging_cold":$coldJson,""" +
       s""""cpu_total":$cpuTotal,"load_avg_start":$loadStart,""" +
-      s""""load_avg_end":${os.getSystemLoadAverage},"sf":"$sfDir"}""")
+      s""""load_avg_end":${os.getSystemLoadAverage},"sf":"$sfDir"}"""
+    println(json)
+    // Driver captures tail-truncate the stdout line on large registries
+    // (round 6 lost the wall map that way); SPARK_GRAFT_BENCH_OUT persists
+    // the full JSON to a committable artifact. Recordings taken under
+    // external load are machine noise, not plan cost — flag them.
+    if (loadStart >= 2.0)
+      System.err.println(f"[bench] WARNING load_avg_start=$loadStart%.2f >= 2:" +
+        " wall numbers reflect machine contention; rerun quiet before recording")
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
+      System.err.println(s"[bench] wrote $p")
+    }
     spark.stop()
   }
 }

@@ -7,8 +7,8 @@ import java.nio.file.{Files, Paths}
 /** Builds the sf1 scale-probe fixture (~10× sf0.1: ~6 M events, 50 k docs)
   * by replicating the driver-generated sf0.1 tables with disjoint key
   * spaces, so `graft.Bench` can run unmodified against it and per-query
-  * times can be compared 10×-for-10× against sf0.1 (tools/scale_probe.sh
-  * records the ratio artifact).
+  * times can be compared 10×-for-10× against sf0.1 (tools/scale_probe.py
+  * drives the build + both bench runs and records the ratio artifact).
   *
   * Replication preserves each table's DISTRIBUTIONAL shape without
   * manufacturing artificial quadratic structure:
@@ -52,11 +52,16 @@ object ScaleProbe {
         if (i == 0) raw(t) else perReplica(shifted, i)
       }.reduce(_ unionAll _)
 
-    // user_id offset is DISTINCT per replica: reusing offsets (e.g. i % 3)
-    // would stack identical (user_id, ts) rows 4-deep — tie-nondeterministic
-    // windows and 4x-per-user state instead of a 10x-wider key space
+    // user_id stride is derived from the ACTUAL id span so replica ranges
+    // are disjoint: a fixed stride smaller than the span (round 6 shipped
+    // i*1000 against a 0..1499 span) overlaps neighboring replicas and
+    // stacks identical (user_id, ts) rows 2-deep for the overlap — exactly
+    // the tie-nondeterministic windows and inflated per-key state this
+    // offset exists to avoid
+    val userStride = raw("events")
+      .agg(max(col("user_id")).cast("long")).head.getLong(0) + 1
     write("events", replicated("events", Seq("event_id"),
-      (d, i) => d.withColumn("user_id", col("user_id") + lit(i * 1000L))))
+      (d, i) => d.withColumn("user_id", col("user_id") + lit(i * userStride))))
     write("documents", replicated("documents", Seq("doc_id"), (d, i) => d
       .withColumn("text", concat_ws(" ",
         transform(split(col("text"), " "), t => concat(t, lit(i.toString)))))

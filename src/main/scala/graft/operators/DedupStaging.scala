@@ -285,25 +285,47 @@ object DedupStaging {
       Dedup.minhashDedup(spark, dir)
     }
 
+  /** Staged tables the named queries read, in dependency order (shingle3
+    * feeds the signature builds) — the single source for both the build
+    * hook and the temperature probe. */
+  private def neededTables(names: Set[String]): Seq[String] = {
+    val all = names.isEmpty
+    def need(qs: String*) = all || qs.exists(names)
+    Seq(
+      Option.when(need("m6_ngram_jaccard", "m6_minhash_dedup",
+        "m6_corpus_build", "m6_incremental_dedup",
+        "m6_incremental_commit"))("shingle3"),
+      Option.when(need("m6_ngram_jaccard"))("prefix3"),
+      Option.when(need("m6_minhash_dedup", "m6_corpus_build",
+        "m6_incremental_dedup", "m6_incremental_commit"))("minhash_sigs"),
+      Option.when(need("m6_simhash_pairs"))("simhash_sigs"),
+      Option.when(need("m6_decontaminate"))("shingle8"),
+      Option.when(need("m6_corpus_build", "m6_dup_clusters"))("minhash_pairs")
+    ).flatten
+  }
+
   /** Build only the staged tables the named queries read — Bench's
     * pre-stage hook, scoped so a one-query dev loop doesn't pay for the
     * whole staging area (minhashPairs in particular runs the full LSH
     * band-join pipeline). */
-  def ensureFor(spark: SparkSession, dir: String, names: Set[String]): Unit = {
-    val all = names.isEmpty
-    if (all || names("m6_ngram_jaccard") || names("m6_minhash_dedup") ||
-        names("m6_corpus_build") || names("m6_incremental_dedup") ||
-        names("m6_incremental_commit"))
-      shingleBase(spark, dir)
-    if (all || names("m6_ngram_jaccard")) prefixIndex(spark, dir)
-    if (all || names("m6_minhash_dedup") || names("m6_corpus_build") ||
-        names("m6_incremental_dedup") || names("m6_incremental_commit"))
-      minhashSigs(spark, dir)
-    if (all || names("m6_simhash_pairs")) simhashSigs(spark, dir)
-    if (all || names("m6_decontaminate")) shingle8(spark, dir)
-    if (all || names("m6_corpus_build") || names("m6_dup_clusters"))
-      minhashPairs(spark, dir)
-  }
+  def ensureFor(spark: SparkSession, dir: String, names: Set[String]): Unit =
+    neededTables(names).foreach {
+      case "shingle3"      => shingleBase(spark, dir)
+      case "prefix3"       => prefixIndex(spark, dir)
+      case "minhash_sigs"  => minhashSigs(spark, dir)
+      case "simhash_sigs"  => simhashSigs(spark, dir)
+      case "shingle8"      => shingle8(spark, dir)
+      case "minhash_pairs" => minhashPairs(spark, dir)
+    }
+
+  /** Whether every staged table the named queries read is already committed
+    * in the warehouse — Bench's stage-TEMPERATURE probe: the same
+    * `m6_stage_base` entry measures ~seconds cold (first build for this
+    * corpus version) and ~nothing warm (committed tables reused), and
+    * round-over-round totals are only comparable when the artifact says
+    * which one it was. */
+  def isStagedFor(dir: String, names: Set[String]): Boolean =
+    neededTables(names).forall(t => Connectors.isCommitted(tablePath(dir, t)))
 
   /** Build every staged table. */
   def ensureAll(spark: SparkSession, dir: String): Unit =

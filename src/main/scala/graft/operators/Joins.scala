@@ -126,6 +126,13 @@ object Joins {
     * dir): session-catalog tables at a fresh path per build — the in-memory
     * catalog dies with the session but managed-table locations would not,
     * so the bucketed files live in session-scoped temp dirs. */
+  /** Whether this session already holds the bucketed tables for `dir` —
+    * Bench's temperature probe for the `j5_stage_buckets` entry (always
+    * cold in a fresh JVM: the in-memory catalog dies with the session). */
+  def bucketedTablesReady(spark: SparkSession, dir: String): Boolean =
+    spark.catalog.tableExists("graft_buckets.lineitem_b") &&
+      BucketedTables.dirFor.get(spark) == dir
+
   def ensureBucketedTables(spark: SparkSession, dir: String): Unit = {
     val db = "graft_buckets"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")

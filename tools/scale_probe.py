@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Record the sf0.1 -> sf1 scale-ratio artifact (BENCH_SCALE_sf1.json).
+
+Builds the 10x fixture (graft.ScaleProbe), runs graft.Bench over the probe
+query set at both scale factors (full JSON captured via
+SPARK_GRAFT_BENCH_OUT), and writes per-query wall/CPU ratios.
+
+Usage: python3 tools/scale_probe.py [sf0.1-dir] [sf1-dir]
+Dev tooling only — the shipped Scala library has no Python dependency.
+"""
+import json, os, subprocess, sys
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+SF1 = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft-sf1"
+
+# the scale-sensitive families: staged dedup pipeline, the three non-trivial
+# join shapes, the streaming drains, and the round-6/7 additions
+QUERIES = ",".join([
+    "j5_bucketed_join", "j6_asof_join", "j7_range_join",
+    "m6_corpus_build", "m6_decontaminate", "m6_exact_dedup",
+    "m6_incremental_commit", "m6_incremental_dedup", "m6_minhash_dedup",
+    "m6_ngram_jaccard", "m6_simhash_pairs",
+    "m4_stream_window_agg", "m4b_stream_dedup", "m4c_stateful_dedup",
+    "m4d_stateful_dedup_tws", "m4e_validated_pipeline", "m4f_stream_sessionize",
+    "m4g_stream_enriched", "m4h_stream_join",
+    "m6_dup_clusters", "m6_embed_clusters", "m6_tfidf", "m6_pack_sequences",
+    "m6_cms_heavy_hitters",
+])
+
+
+def run(cmd, env=None):
+    e = dict(os.environ)
+    e.update(env or {})
+    print("+", cmd, flush=True)
+    subprocess.run(["sbt", "-batch", cmd], env=e, check=True)
+
+
+def bench(sfdir, out):
+    run("runMain graft.Bench", {
+        "SPARK_GRAFT_SF_DIR": sfdir,
+        "SPARK_GRAFT_CPUS": "32",
+        "SPARK_GRAFT_QUERIES": QUERIES,
+        "SPARK_GRAFT_BENCH_OUT": out,
+    })
+    return json.load(open(out))
+
+
+run(f"runMain graft.ScaleProbe {SRC} {SF1}", {"SPARK_GRAFT_CPUS": "32"})
+small = bench(SRC, "/tmp/bench_probe_sf0.1.json")
+big = bench(SF1, "/tmp/bench_probe_sf1.json")
+
+art = {
+    "probe": f"{SRC} -> {SF1} (10x rows: 1M events, 50k docs token-salted "
+             "per replica, 6M lineitem)",
+    "bound": "wall ratio <= 12x (linear + overhead) per query",
+    "machine": {
+        "sf0.1_load": [small["load_avg_start"], small["load_avg_end"]],
+        "sf1_load": [big["load_avg_start"], big["load_avg_end"]],
+    },
+    "staging_cold": {"sf0.1": small.get("staging_cold", {}),
+                     "sf1": big.get("staging_cold", {})},
+    "queries": {
+        q: {
+            "sf0.1_wall": round(small["queries"][q], 2),
+            "sf1_wall": round(big["queries"][q], 2),
+            "wall_ratio": round(big["queries"][q] / max(small["queries"][q], 1e-9), 2),
+            "sf0.1_cpu": round(small["cpu_sec"][q], 2),
+            "sf1_cpu": round(big["cpu_sec"][q], 2),
+            "cpu_ratio": round(big["cpu_sec"][q] / max(small["cpu_sec"][q], 1e-9), 2),
+        }
+        for q in small["queries"] if q in big["queries"]
+    },
+}
+worst = max(art["queries"].items(), key=lambda kv: kv[1]["wall_ratio"])
+art["worst_wall_ratio"] = {"query": worst[0], "ratio": worst[1]["wall_ratio"]}
+with open("BENCH_SCALE_sf1.json", "w") as f:
+    json.dump(art, f, indent=1)
+print(f"wrote BENCH_SCALE_sf1.json: worst wall ratio "
+      f"{worst[1]['wall_ratio']}x ({worst[0]})")
