@@ -34,7 +34,8 @@ object Bench {
       import org.apache.spark.sql.functions._
       val names = selected.map(_._1)
       def selectedAny(p: String => Boolean) = names.exists(p)
-      val docFamily = (n: String) => n.startsWith("m6") || n.startsWith("m7")
+      val docFamily = (n: String) => n.startsWith("m6") || n.startsWith("m7") ||
+        n == "m4i_stream_cms" // the doc-stream drain reads documents, not events
       val needs: Map[String, Boolean] = Map(
         "documents"  -> selectedAny(docFamily),
         "embeddings" -> selectedAny(n => n.startsWith("m6_ann") ||

@@ -75,27 +75,56 @@ object TextAnalysis {
     * custom-code ladder: no Aggregator needed when groupBy + min expresses
     * the sketch semantics. */
   def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val (rows, width, topK) = (4, 2048, 20)
     graft.functions.GraftFunctions.register(spark)
-    def bucketOf(term: Column, d: Int): Column =
-      pmod(Exact.fold60(concat(term, lit(s"|cms$d"))), lit(width))
     val tf = Tables.fanout(Tables.documents(spark, dir))
       .select(explode(normTokens(col("text"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("tf"))
       .persist() // feeds the sketch build AND the exact top-k twin
-    val sketch = tf.select(col("tf"), explode(array((0 until rows).map(d =>
-        struct(lit(d).as("d"), bucketOf(col("term"), d).as("bucket"))): _*)).as("p"))
+    cmsEstimates(cmsSketchOf(tf), cmsTopTerms(tf))
+  }
+
+  // ---- the CMS sketch as a reusable (build, point-query) component -------
+  // Shared by the batch heavy-hitters query and its streaming twin
+  // (StreamingJobs.streamCmsQuery): the sketch is mergeable by ADDITION on
+  // (d, bucket), which is exactly why a streaming aggregation keyed on the
+  // coordinates maintains it in 8k rows of state.
+  private[graft] val CmsRows = 4
+  private[graft] val CmsWidth = 2048
+  private[graft] val CmsTopK = 20
+
+  /** A term's bucket in hash row d (portable md5 fold — oracle-replayable). */
+  private def cmsBucket(term: Column, d: Int): Column =
+    pmod(Exact.fold60(concat(term, lit(s"|cms$d"))), lit(CmsWidth))
+
+  /** Generator: a term exploded into its CmsRows (d, bucket) coordinates. */
+  private[graft] def cmsCoords(term: Column): Column =
+    explode(array((0 until CmsRows).map(d =>
+      struct(lit(d).as("d"), cmsBucket(term, d).as("bucket"))): _*))
+
+  /** Build the (d, bucket, s) sketch from a (term, tf) frame — ONE
+    * map-side-combined aggregation over the coordinates. */
+  private[graft] def cmsSketchOf(tf: DataFrame): DataFrame =
+    tf.select(col("tf"), cmsCoords(col("term")).as("p"))
       .select(col("tf"), col("p.d").as("d"), col("p.bucket").as("bucket"))
       .groupBy("d", "bucket").agg(sum("tf").as("s"))
-    // top-k via sort+limit (TakeOrderedAndProject — never a global window
-    // over the vocabulary); the rank window runs over the 20-row result
-    val top = tf.orderBy(col("tf").desc, col("term")).limit(topK)
+
+  /** The exact top-k terms with their rank — sort+limit
+    * (TakeOrderedAndProject, never a vocabulary-wide window); the rank
+    * window runs over the k-row result. */
+  private[graft] def cmsTopTerms(tf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    tf.orderBy(col("tf").desc, col("term")).limit(CmsTopK)
       .withColumn("rk", row_number().over(Window.orderBy(col("tf").desc, col("term"))))
+  }
+
+  /** Point-query: estimate each probe term against the sketch — min over
+    * its CmsRows bucket sums, so est ≥ true tf with the classic ε = e/w
+    * overcount bound. */
+  private[graft] def cmsEstimates(sketch: DataFrame, top: DataFrame): DataFrame = {
     val probes = top.select(col("term"), col("tf"), col("rk"),
-        explode(array((0 until rows).map(d =>
-          struct(lit(d).as("d"), bucketOf(col("term"), d).as("bucket"))): _*)).as("p"))
-      .select(col("term"), col("tf"), col("rk"), col("p.d").as("d"), col("p.bucket").as("bucket"))
+        cmsCoords(col("term")).as("p"))
+      .select(col("term"), col("tf"), col("rk"),
+        col("p.d").as("d"), col("p.bucket").as("bucket"))
     probes.join(sketch, Seq("d", "bucket"))
       .groupBy("term", "tf", "rk").agg(min("s").as("cms_est"))
       .select(col("term"), col("rk"), col("tf"), col("cms_est"))
@@ -412,6 +441,102 @@ object TextAnalysis {
           .otherwise("test").as("split"))
   }
 
+  /** M6: bigram language-model statistics — per-context next-token counts
+    * and conditional probabilities, the n-gram-LM primitive (perplexity
+    * filters, boilerplate detection, autocomplete evals all start here).
+    * One explode of zipped adjacent-token pairs, one keyed aggregation;
+    * the rank window partitions by the CONTEXT token, never globally.
+    * Contexts below 10 occurrences are dropped (their conditionals are
+    * noise) and only the top 3 continuations per context are emitted — the
+    * output is a model artifact, not the corpus. cond_p is a single IEEE
+    * divide of two exact longs — bit-identical cross-engine. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.fanout(Tables.documents(spark, dir))
+      .select(normTokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val pairs = toks.select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val counts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("w1").agg(count(lit(1)).as("n_next"),
+      sum("cnt").as("n1"))
+    val w = Window.partitionBy("w1").orderBy(col("cnt").desc, col("w2"))
+    counts.join(totals, Seq("w1"))
+      .filter(col("n1") >= 10)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("w1"), col("w2"), col("cnt"), col("rnk"),
+        col("n1").cast("long").as("n1"),
+        rnd(col("cnt").cast("double") / col("n1"), 6).as("cond_p"))
+  }
+
+  /** M6: token-budget corpus selection — the fill-to-budget step of a
+    * training-data mix: per language, documents are admitted in
+    * quality-score order (ties on doc_id) until the language's token budget
+    * is exhausted. The admission decision is a windowed cumulative sum
+    * PARTITIONED BY LANGUAGE — each language's scan is independent, so the
+    * operator shards across the cluster by mixture component; no global
+    * sort, no driver loop. A doc is kept iff the budget still has room
+    * BEFORE it (cum − n_tokens < budget): deterministic, order-stable, and
+    * re-runs admit identical rows. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2000L
+    val scored = qualityScore(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.withColumn("cum", sum("n_tokens").over(w))
+      .filter(col("cum") - col("n_tokens") < budget)
+      .select(col("doc_id"), col("lang"), col("n_tokens").cast("long").as("n_tokens"),
+        col("quality_score"), col("cum").cast("long").as("cum_tokens"))
+  }
+
+  /** M6: overlapping chunk windows — the RAG/embedding chunker: each
+    * document is cut into 128-token windows at stride 64 (50% overlap).
+    * Chunk boundaries are pure integer functions of the document's own
+    * token count (`sequence` + explode — work ∝ output chunks, no state,
+    * no window function at all), so the layout is embarrassingly parallel
+    * and bit-identical cross-engine. Complements pack_sequences: packing
+    * concatenates ACROSS documents for pretraining; chunking splits WITHIN
+    * a document for retrieval. */
+  def chunkWindows(spark: SparkSession, dir: String): DataFrame = {
+    val (win, stride) = (128L, 64L)
+    Tables.fanout(Tables.documents(spark, dir))
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(0L), col("n") - 1, lit(stride))).as("c_start"))
+      .select(col("doc_id"),
+        (col("c_start") / stride).cast("long").as("chunk_idx"),
+        col("c_start"),
+        least(col("c_start") + win, col("n")).as("c_end"))
+  }
+
+  /** M6: inverted-index postings — the index-release artifact behind
+    * phrase retrieval: for each selective 3-shingle (2 ≤ df ≤ 50 —
+    * singletons index nothing, common phrases flood; single tokens are
+    * useless here, a small vocabulary puts every one in nearly every doc),
+    * the ascending posting list of documents containing it. One
+    * distinct-explode + one keyed aggregation; the list is emitted as a
+    * comma-joined string, the portable wire form (posting lists ship as
+    * packed arrays, never engine-native nested types). At 100 TB the df
+    * bounds cap every posting row at 50 entries, so no skewed reducer: the
+    * operator is a plain hash agg. */
+  def postings(spark: SparkSession, dir: String): DataFrame = {
+    val docTerms = Tables.fanout(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        explode(shingles(normTokens(col("text")), 3)).as("term"))
+      .distinct()
+    docTerms.groupBy("term")
+      .agg(count(lit(1)).as("df"), sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(col("df").between(2, 50))
+      .select(col("term"), col("df"),
+        array_join(transform(col("ids"), i => i.cast("string")), ",").as("posting"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m6_vocab_hll"     -> vocabHll,
     "m6_data_split"    -> dataSplit,
@@ -420,6 +545,10 @@ object TextAnalysis {
     "m6_tfidf"         -> tfidfTerms,
     "m6_pack_sequences" -> packSequences,
     "m6_cms_heavy_hitters" -> cmsHeavyHitters,
+    "m6_bigram_lm"     -> bigramLm,
+    "m6_token_budget"  -> tokenBudget,
+    "m6_chunk_windows" -> chunkWindows,
+    "m6_postings"      -> postings,
     "m6_quality_score" -> qualityScore,
     "m6_lang_profile"  -> langProfile,
     "m6_lang_id"       -> langId,
@@ -427,6 +556,19 @@ object TextAnalysis {
     "m6_repetition_filter" -> repetitionFilter,
     "m6_pii_scrub"     -> piiScrub,
     "m6_fingerprint"   -> fingerprint)
+
+  /** The m6_quality_score replay, shared verbatim by the token-budget
+    * oracle (which admits documents in this scorer's order). */
+  private lazy val QualityScoreOracle: String =
+    s"""WITH t AS (
+          SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents)
+        SELECT doc_id, lang,
+          len(toks) AS n_tokens,
+          ${sqlRnd("len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)", 4)} AS distinct_ratio,
+          ${sqlRnd("len(list_filter(toks, x -> x IN ('the','a','of','and','in','to'))) / CAST(len(toks) AS DOUBLE)", 4)} AS stopword_ratio,
+          ${sqlRnd("(length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE)", 4)} AS avg_token_len,
+          ${sqlRnd("0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) + 0.3 * (1.0 - len(list_filter(toks, x -> x IN ('the','a','of','and','in','to'))) / CAST(len(toks) AS DOUBLE)) + 0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)", 4)} AS quality_score
+        FROM t"""
 
   val oracles: Map[String, String] = Map(
     // The estimates replay EXACTLY: bucket sums over the same md5-fold
@@ -512,16 +654,51 @@ object TextAnalysis {
           FROM (SELECT token, count(*) AS tf
                 FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) u
                 GROUP BY 1) t""",
-    "m6_quality_score" ->
-      s"""WITH t AS (
-            SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents)
-          SELECT doc_id, lang,
-            len(toks) AS n_tokens,
-            ${sqlRnd("len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)", 4)} AS distinct_ratio,
-            ${sqlRnd("len(list_filter(toks, x -> x IN ('the','a','of','and','in','to'))) / CAST(len(toks) AS DOUBLE)", 4)} AS stopword_ratio,
-            ${sqlRnd("(length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE)", 4)} AS avg_token_len,
-            ${sqlRnd("0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) + 0.3 * (1.0 - len(list_filter(toks, x -> x IN ('the','a','of','and','in','to'))) / CAST(len(toks) AS DOUBLE)) + 0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)", 4)} AS quality_score
-          FROM t""",
+    "m6_quality_score" -> QualityScoreOracle,
+    // The bigram-LM conditional is one IEEE divide of two exact longs; the
+    // per-context total is sum-derived, hence the BIGINT cast (Exact.scala
+    // oracle-authoring notes).
+    "m6_bigram_lm" ->
+      s"""WITH tk AS (SELECT ${sqlNormTokens("text")} AS t FROM documents),
+          bg AS (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+                 FROM tk WHERE len(t) >= 2),
+          c AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+          tot AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS n1 FROM c GROUP BY 1),
+          r AS (SELECT c.w1 AS w1, w2, cnt, n1,
+                  row_number() OVER (PARTITION BY c.w1 ORDER BY cnt DESC, w2) AS rnk
+                FROM c JOIN tot ON c.w1 = tot.w1 WHERE n1 >= 10)
+          SELECT w1, w2, cnt, CAST(rnk AS INTEGER) AS rnk, n1,
+                 ${sqlRnd("CAST(cnt AS DOUBLE) / n1", 6)} AS cond_p
+          FROM r WHERE rnk <= 3""",
+    // Replays the quality scorer as a CTE, then the per-language windowed
+    // cumsum admission — sum-derived column CAST to BIGINT as ever.
+    "m6_token_budget" ->
+      s"""WITH q AS ($QualityScoreOracle),
+          c AS (SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+                  quality_score,
+                  CAST(sum(n_tokens) OVER (PARTITION BY lang
+                    ORDER BY quality_score DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                FROM q)
+          SELECT doc_id, lang, n_tokens, quality_score, cum AS cum_tokens
+          FROM c WHERE cum - n_tokens < 2000""",
+    // Pure integer chunk geometry — no aggregation anywhere, so no HUGEINT
+    // hazard; range() is BIGINT-typed like Spark's sequence of longs.
+    "m6_chunk_windows" ->
+      """WITH t AS (SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents)
+         SELECT doc_id, s // 64 AS chunk_idx, s AS c_start,
+                least(s + 128, n) AS c_end
+         FROM t, LATERAL unnest(range(0, n, 64)) AS u(s)
+         WHERE n >= 1""",
+    "m6_postings" ->
+      s"""WITH tk AS (SELECT doc_id, ${sqlNormTokens("text")} AS t FROM documents),
+          ex AS (SELECT doc_id, unnest(${sqlShingles("t", 3)}) AS term FROM tk),
+          dt AS (SELECT DISTINCT doc_id, term FROM ex),
+          g AS (SELECT term, count(*) AS df,
+                  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS posting
+                FROM dt GROUP BY 1)
+          SELECT term, df, posting FROM g WHERE df BETWEEN 2 AND 50""",
     "m6_lang_profile" ->
       """SELECT lang, token, tf, rnk FROM (
            SELECT lang, token, tf,

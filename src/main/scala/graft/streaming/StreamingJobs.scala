@@ -500,7 +500,61 @@ object StreamingJobs {
     UpsertSink.appended(spark, sink)
   }
 
+  /** M4i: the streaming Count-Min sketch — the CMS's mergeability made
+    * operational: a streaming aggregation keyed on the sketch COORDINATES
+    * (d, bucket) maintains the whole sketch in CmsRows × CmsWidth = 8k rows
+    * of state, regardless of vocabulary size — the bounded-memory frequency
+    * monitor every ingest pipeline wants (per-batch partial counts merge by
+    * addition; update mode emits the refreshed bucket rows and the
+    * key-upsert sink keeps each coordinate's final sum). No watermark ON
+    * PURPOSE: the sketch is a running total over the whole stream, not a
+    * windowed state — its state is bounded by construction, not by
+    * eviction. The drained sketch is then point-queried through the SAME
+    * serving component as the batch twin (TextAnalysis.cmsEstimates), and
+    * because bucket sums are associative the estimates replay the batch
+    * oracle EXACTLY. */
+  def streamCmsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    configureStreaming(spark)
+    graft.functions.GraftFunctions.register(spark)
+    val src = stagedDocuments(spark, dir, 4)
+    val sink = Files.createTempDirectory("graft-stream-sink-").toString
+    val schema = spark.read.parquet(src).schema
+    val sketchStream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .select(explode(TextAnalysis.normTokens(col("text"))).as("term"))
+      .select(TextAnalysis.cmsCoords(col("term")).as("p"))
+      .select(col("p.d").as("d"), col("p.bucket").as("bucket"))
+      .groupBy("d", "bucket").agg(count(lit(1)).as("s"))
+    drainUpdate(sketchStream, sink)
+    val sketch = UpsertSink.lastWriteWins(spark, sink, Seq("d", "bucket"))
+    // serving side: exact top-k (batch, sort+limit) point-queried against
+    // the STREAM-built sketch
+    val tf = Tables.documents(spark, dir)
+      .select(explode(TextAnalysis.normTokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+    TextAnalysis.cmsEstimates(sketch, TextAnalysis.cmsTopTerms(tf))
+  }
+
+  /** Staged bounded replay of the documents table (doc_id order) — the
+    * corpus as a stream, for the ingest-side text operators (m4i). */
+  def stagedDocuments(spark: SparkSession, dir: String, nFiles: Int): String =
+    stagedDirs.getOrElseUpdate((dir, nFiles, "documents"), {
+      val src = Files.createTempDirectory("graft-stream-src-").toString
+      val bucketed = Tables.documents(spark, dir).withColumn(
+        "_file", ntile(nFiles).over(Window.orderBy(col("doc_id"))))
+        .persist()
+      try {
+        (1 to nFiles).foreach { i =>
+          bucketed.filter(col("_file") === i).drop("_file")
+            .coalesce(1).write.mode("append").parquet(src)
+        }
+      } finally bucketed.unpersist()
+      src
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m4i_stream_cms"       -> streamCmsQuery,
     "m4_stream_window_agg" -> streamWindowAggQuery,
     "m4f_stream_sessionize" -> streamSessionizeQuery,
     "m4g_stream_enriched"  -> streamEnrichedQuery,
@@ -511,6 +565,9 @@ object StreamingJobs {
     "m4d_stateful_dedup_tws" -> statefulDedupTwsQuery)
 
   val oracles: Map[String, String] = Map(
+    // Identical to the batch CMS oracle: bucket sums are associative, so
+    // the incrementally-merged sketch replays the batch estimates exactly.
+    "m4i_stream_cms" -> graft.operators.TextAnalysis.oracles("m6_cms_heavy_hitters"),
     // Identical to the batch a1 oracle: bounded-drain equivalence.
     "m4_stream_window_agg" -> WindowAggregates.oracles("a1_window_agg"),
     // Identical to the batch a8 oracle: the streaming session store's final
