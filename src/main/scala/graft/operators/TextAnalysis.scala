@@ -520,19 +520,36 @@ object TextAnalysis {
     * singletons index nothing, common phrases flood; single tokens are
     * useless here, a small vocabulary puts every one in nearly every doc),
     * the ascending posting list of documents containing it. One
-    * distinct-explode + one keyed aggregation; the list is emitted as a
+    * distinct-explode, then a map-side-combined df COUNT first and the
+    * posting build only for the terms that survive the band — a flood term
+    * (df ≈ corpus size) must never reach collect_set, or its reducer
+    * builds a corpus-sized list just to throw it away: the df-first
+    * semi-join is what makes "every posting row ≤ 50 entries, no skewed
+    * reducer" true BY CONSTRUCTION, not by luck. The list is emitted as a
     * comma-joined string, the portable wire form (posting lists ship as
-    * packed arrays, never engine-native nested types). At 100 TB the df
-    * bounds cap every posting row at 50 entries, so no skewed reducer: the
-    * operator is a plain hash agg. */
+    * packed arrays, never engine-native nested types). Tokens materialize
+    * as their own projection before the shingle transform — inlining the
+    * normTokens HOF re-evaluates it per element_at in interpreted eval,
+    * the measured-40× trap Dedup.withShingles documents (this operator
+    * re-learned it at 795 CPU-s before the split). Cost class: like the
+    * m6_stage_base builds, one string-shingling corpus pass per index
+    * RELEASE — it cannot reuse the fold-based staged shingle tables
+    * because the shipped index keys are the human-readable phrases, not
+    * their hashes. */
   def postings(spark: SparkSession, dir: String): DataFrame = {
-    val docTerms = Tables.fanout(Tables.documents(spark, dir))
+    // per-document dedup happens INSIDE the array (array_distinct, the
+    // shingleBase pattern): every exploded (doc, term) row is then unique
+    // by construction — no corpus-wide distinct() exchange at all
+    val dt = Tables.fanout(Tables.documents(spark, dir))
+      .select(col("doc_id"), normTokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(shingles(normTokens(col("text")), 3)).as("term"))
-      .distinct()
-    docTerms.groupBy("term")
-      .agg(count(lit(1)).as("df"), sort_array(collect_set(col("doc_id"))).as("ids"))
+        explode(array_distinct(shingles(col("toks"), 3))).as("term"))
+      .persist() // feeds the df count AND the posting build
+    val sel = dt.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 50))
+    dt.join(sel, Seq("term"))
+      .groupBy("term")
+      .agg(max(col("df")).as("df"), sort_array(collect_set(col("doc_id"))).as("ids"))
       .select(col("term"), col("df"),
         array_join(transform(col("ids"), i => i.cast("string")), ",").as("posting"))
   }
@@ -693,8 +710,8 @@ object TextAnalysis {
          WHERE n >= 1""",
     "m6_postings" ->
       s"""WITH tk AS (SELECT doc_id, ${sqlNormTokens("text")} AS t FROM documents),
-          ex AS (SELECT doc_id, unnest(${sqlShingles("t", 3)}) AS term FROM tk),
-          dt AS (SELECT DISTINCT doc_id, term FROM ex),
+          dt AS (SELECT doc_id, unnest(list_distinct(${sqlShingles("t", 3)})) AS term
+                 FROM tk),
           g AS (SELECT term, count(*) AS df,
                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS posting
                 FROM dt GROUP BY 1)
