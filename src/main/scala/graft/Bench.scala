@@ -39,8 +39,7 @@ object Bench {
       val needs: Map[String, Boolean] = Map(
         "documents"  -> selectedAny(docFamily),
         "embeddings" -> selectedAny(n => n.startsWith("m6_ann") ||
-          n == "m6_cosine_topk" || n == "m6_embed_dedup" ||
-          n == "m6_embed_clusters"),
+          n == "m6_cosine_topk" || n.startsWith("m6_embed_")),
         "events"     -> selectedAny(n => !docFamily(n)),
         // relational dims/facts: the join family, the SQL mart, the
         // stream-static enrichment (customer)

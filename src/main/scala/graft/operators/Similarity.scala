@@ -206,16 +206,73 @@ object Similarity {
     "m6_ann_lsh"     -> ((s, d) => annLsh(s, d, corpusBits(s, d))),
     "m6_ann_ivf"     -> annIvf,
     "m6_embed_dedup" -> ((s, d) => embedDedup(s, d, corpusBits(s, d))),
-    "m6_embed_clusters" -> embedClusters)
+    "m6_embed_clusters" -> embedClusters,
+    "m6_embed_quantize" -> embedQuantize,
+    "m6_ann_sq8"        -> annSq8)
 
   /** M6: semantic duplicate CLUSTERS (the SemDeDup shape): connected
     * components over the verified cosine near-dup pairs — keep-one-per-
     * cluster semantics for embedding space, sharing Dedup's
-    * min-label-propagation engine. */
+    * large-star/small-star contraction engine. */
   def embedClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
       embedDedup(spark, dir, corpusBits(spark, dir)).select("vec_a", "vec_b"),
       "vec_id")
+
+  /** M6: int8 scalar quantization — the 4× storage/bandwidth compression
+    * every large ANN index applies before the rerank stage: per-DIMENSION
+    * corpus min/max (one 64-row aggregate) define an affine map onto
+    * 0..255; each coordinate ships as its code plus the shared per-dim
+    * scale. Shape at 100 TB: the stats frame is dimension-sized (tiny,
+    * broadcast); the codes are a narrow projection of the exploded
+    * coordinates — no shuffle of the vectors themselves. All arithmetic is
+    * IEEE doubles in fixed order (the Exact.rnd half-up pattern for the
+    * code), so codes and reconstruction errors replay bit-for-bit in the
+    * oracle; `in_bound` asserts |x − dequant(code)| ≤ scale/2, the
+    * quantizer's defining guarantee. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.fanout(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
+    val stats = ex.groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+      .withColumn("scale", (col("mx") - col("mn")) / 255.0)
+    ex.join(broadcast(stats), Seq("dim"))
+      .withColumn("code",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(floor((col("x") - col("mn")) / col("scale") + 0.5))
+          .cast("int"))
+      .withColumn("deq", col("mn") + col("code") * col("scale"))
+      .select(col("vec_id"), col("dim"), col("code"),
+        rnd(col("deq"), 6).as("dequant"),
+        (abs(col("x") - col("deq")) <= col("scale") / 2 + lit(1e-12)).as("in_bound"))
+  }
+
+  /** M6: top-k search over the QUANTIZED index — what the int8 codes exist
+    * for: the whole search (norms, dots, ranking) runs on dequantized
+    * vectors, i.e. on 4×-compressed storage, with exact cosine as the
+    * rerank baseline next door (m6_cosine_topk; LlmPillarSpec measures
+    * recall between the two). Same physical shape as the exact search —
+    * probes broadcast, corpus never shuffles, native codegen'd dot — plus
+    * one dimension-sorted array rebuild off the code stream. Bit-exact
+    * oracle: dequantization is fixed-order IEEE arithmetic. */
+  def annSq8(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val deq = embedQuantize(spark, dir)
+      .groupBy("vec_id")
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("dequant")))),
+        s => s.getField("dequant")).as("v"))
+      .withColumn("norm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+    val probes = deq.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val sims = deq.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        call_function("graft_dot", col("qv"), col("v")) / (col("norm") * col("qnorm")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("vec_id"), col("rnk"), rnd(col("sim"), 4).as("sim"))
+  }
 
   private val vSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
   private val normSql = "sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b))"
@@ -254,7 +311,48 @@ object Similarity {
                vec_a AS keeper_id
         FROM p WHERE sim >= 0.95"""
 
+  /** Shared quantize replay (ex → per-dim stats → codes → dequant), closed
+    * by the caller's SELECT — the quantize oracle and the sq8 search
+    * oracle must derive from the SAME arithmetic or they couldn't both
+    * hash-match the one engine-side pipeline. */
+  private def QuantizeOracleBody(body: String): String =
+    s"""WITH ex AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+               CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+             FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS u(i)),
+        st AS (SELECT dim, min(x) AS mn, max(x) AS mx,
+                 (max(x) - min(x)) / 255.0 AS scale
+               FROM ex GROUP BY 1),
+        q AS (SELECT vec_id, dim, x, mn, mx, scale,
+                CASE WHEN mx = mn THEN 0
+                     ELSE CAST(floor((x - mn) / scale + 0.5) AS INTEGER) END AS code
+              FROM ex JOIN st USING (dim)),
+        d AS (SELECT vec_id, dim, code, mn + code * scale AS deq, x, scale FROM q)
+        $body"""
+
   val oracles: Map[String, String] = Map(
+    // Same fixed-order IEEE arithmetic as the engine; the scale divide and
+    // the half-up floor are single correctly-rounded ops, so codes match
+    // exactly. in_bound replays the quantizer guarantee on both sides.
+    "m6_embed_quantize" -> QuantizeOracleBody(
+      s"""SELECT vec_id, dim, code, ${sqlRnd("deq", 6)} AS dequant,
+                 abs(x - deq) <= scale / 2 + 1e-12 AS in_bound
+          FROM d"""),
+    // The quantize replay, codes rebuilt into dimension-ordered vectors,
+    // then the exact-search topk shape over the dequantized index.
+    "m6_ann_sq8" -> QuantizeOracleBody(
+      s"""SELECT q_id, vec_id, rnk, ${sqlRnd("sim", 4)} AS sim FROM (
+            SELECT q_id, vec_id, sim,
+                   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+            FROM (SELECT q_id, vec_id, $dotSql / (nrm * qnrm) AS sim
+                  FROM (SELECT vec_id, v, $normSql AS nrm
+                        FROM (SELECT vec_id, list(${sqlRnd("deq", 6)} ORDER BY dim) AS v
+                              FROM d GROUP BY 1) lv) n
+                  CROSS JOIN (SELECT vec_id AS q_id, v AS qv, $normSql AS qnrm
+                              FROM (SELECT vec_id, list(${sqlRnd("deq", 6)} ORDER BY dim) AS v
+                                    FROM d GROUP BY 1) lq
+                              WHERE vec_id % 50 = 0) qp
+                  WHERE vec_id <> q_id) p) r
+          WHERE rnk <= 10"""),
     "m6_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
           n AS (SELECT vec_id, v, $normSql AS nrm FROM e),

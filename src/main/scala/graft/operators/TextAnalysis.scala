@@ -554,7 +554,16 @@ object TextAnalysis {
         array_join(transform(col("ids"), i => i.cast("string")), ",").as("posting"))
   }
 
+  /** M6: language-ID confusion matrix — the classifier's standard eval
+    * artifact (true label × prediction with counts), one keyed aggregation
+    * over the langId output. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir).groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("correct", col("lang") === col("predicted_lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_lang_confusion" -> langConfusion,
     "m6_vocab_hll"     -> vocabHll,
     "m6_data_split"    -> dataSplit,
     "m6_sample_mix"    -> sampleMix,
@@ -573,6 +582,30 @@ object TextAnalysis {
     "m6_repetition_filter" -> repetitionFilter,
     "m6_pii_scrub"     -> piiScrub,
     "m6_fingerprint"   -> fingerprint)
+
+  /** The m6_lang_id replay, shared verbatim by the confusion-matrix
+    * oracle (which aggregates this classifier's output). */
+  private lazy val LangIdOracle: String =
+    """WITH counts AS (
+         SELECT lang, token, count(*) AS tf
+         FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents) u
+         GROUP BY 1, 2),
+       profile AS (
+         SELECT lang AS cand_lang, token FROM (
+           SELECT lang, token,
+             row_number() OVER (PARTITION BY lang ORDER BY tf DESC, token) AS rnk
+           FROM counts) t WHERE rnk <= 20),
+       doc_tokens AS (
+         SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS token
+         FROM documents),
+       scored AS (
+         SELECT doc_id, lang, cand_lang, count(*) AS hits
+         FROM doc_tokens JOIN profile USING (token)
+         GROUP BY 1, 2, 3)
+       SELECT doc_id, lang, cand_lang AS predicted_lang, hits FROM (
+         SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
+         FROM scored) t WHERE rn = 1"""
 
   /** The m6_quality_score replay, shared verbatim by the token-budget
     * oracle (which admits documents in this scorer's order). */
@@ -725,27 +758,14 @@ object TextAnalysis {
                        FROM documents) u
                  GROUP BY 1, 2) c) t
          WHERE rnk <= 10""",
-    "m6_lang_id" ->
-      """WITH counts AS (
-           SELECT lang, token, count(*) AS tf
-           FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents) u
-           GROUP BY 1, 2),
-         profile AS (
-           SELECT lang AS cand_lang, token FROM (
-             SELECT lang, token,
-               row_number() OVER (PARTITION BY lang ORDER BY tf DESC, token) AS rnk
-             FROM counts) t WHERE rnk <= 20),
-         doc_tokens AS (
-           SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS token
-           FROM documents),
-         scored AS (
-           SELECT doc_id, lang, cand_lang, count(*) AS hits
-           FROM doc_tokens JOIN profile USING (token)
-           GROUP BY 1, 2, 3)
-         SELECT doc_id, lang, cand_lang AS predicted_lang, hits FROM (
-           SELECT *, row_number() OVER (
-             PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
-           FROM scored) t WHERE rn = 1""",
+    "m6_lang_id" -> LangIdOracle,
+    // Aggregating the classifier's output against ground truth: the
+    // confusion matrix is the standard eval artifact of any labeler.
+    "m6_lang_confusion" ->
+      s"""WITH li AS ($LangIdOracle)
+          SELECT lang, predicted_lang, count(*) AS n,
+                 CAST(lang = predicted_lang AS BOOLEAN) AS correct
+          FROM li GROUP BY 1, 2""",
     "m6_token_count" ->
       """SELECT doc_id,
          len(string_split(text, ' ')) AS ws_tokens,

@@ -234,7 +234,57 @@ object WindowAggregates {
       .agg(rnd(sum("psum").cast("double"), 2).as("total_value"),
         sum("pcnt").as("cnt"))
 
+  /** A12: funnel analysis — ordered-stage conversion (view → click →
+    * purchase): a user reaches stage k only with an event AFTER their
+    * stage-(k−1) entry time. The canonical sequential-pattern query of
+    * event analytics. Shape: one grouped min per stage, chained through
+    * equi-joins on user_id — every shuffle is keyed on the user, the
+    * stage tables shrink monotonically, and nothing is ever sorted. The
+    * conversion summary is a 3-row frame; its lag window is over those 3
+    * rows, never the data. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+    def stage(t: String) = e.filter(col("event_type") === t)
+    val s1 = stage("view").groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = stage("click").join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = stage("purchase").join(s2, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    val counts = s1.agg(count(lit(1)).as("users")).select(lit("1_view").as("stage"), col("users"))
+      .unionAll(s2.agg(count(lit(1)).as("users")).select(lit("2_click").as("stage"), col("users")))
+      .unionAll(s3.agg(count(lit(1)).as("users")).select(lit("3_purchase").as("stage"), col("users")))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("stage")
+    counts.withColumn("prev", lag("users", 1).over(w))
+      .select(col("stage"), col("users"),
+        rnd(col("users").cast("double") / coalesce(col("prev"), col("users")), 4)
+          .as("conversion"))
+  }
+
+  /** A13: retention cohorts — users grouped by first-seen day, activity
+    * counted per day offset (0..7): the engagement matrix every product
+    * dashboard serves. Two keyed shuffles (first-seen per user, then the
+    * cohort×offset count-distinct); the events side joins the per-user
+    * cohort date on user_id — at warehouse scale both sides co-partition
+    * on the user key, no broadcast of the fact table, no window. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstSeen = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+    e.join(firstSeen, Seq("user_id"))
+      .select(col("user_id"), col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .filter(col("day_offset").between(0, 7))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a12_funnel"           -> funnel,
+    "a13_retention"        -> retentionCohorts,
     "a1_window_agg"        -> windowAgg,
     "a4b_quality_alerts"   -> qualityAlerts,
     "a8_sessionize"        -> sessionize,
@@ -253,6 +303,30 @@ object WindowAggregates {
   private val sumV  = Exact.sqlSum("value")
 
   val oracles: Map[String, String] = Map(
+    "a12_funnel" ->
+      s"""WITH e AS (SELECT user_id, ts, event_type FROM events
+                     WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+          s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                 WHERE event_type = 'view' GROUP BY 1),
+          s2 AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN s1 USING (user_id)
+                 WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+          s3 AS (SELECT e.user_id, min(ts) AS t3 FROM e JOIN s2 USING (user_id)
+                 WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1),
+          c AS (SELECT '1_view' AS stage, count(*) AS users FROM s1
+                UNION ALL SELECT '2_click', count(*) FROM s2
+                UNION ALL SELECT '3_purchase', count(*) FROM s3)
+          SELECT stage, users,
+                 ${sqlRnd("CAST(users AS DOUBLE) / coalesce(lag(users) OVER (ORDER BY stage), users)", 4)} AS conversion
+          FROM c""",
+    "a13_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events
+                    WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+         SELECT cohort_day, datediff('day', cohort_day, day) AS day_offset,
+                count(DISTINCT e.user_id) AS active_users
+         FROM e JOIN f USING (user_id)
+         WHERE datediff('day', cohort_day, day) BETWEEN 0 AND 7
+         GROUP BY 1, 2""",
     "a1_window_agg" ->
       s"""SELECT user_id,
          time_bucket(INTERVAL '5 minutes', ts) AS window_start,

@@ -252,6 +252,22 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     assert(feats.count() == 0)
   }
 
+  test("int8 quantization honors its error bound and sq8 search recalls exact top-10") {
+    // the quantizer's defining guarantee, row by row
+    val out = Similarity.embedQuantize(spark, dir)
+    assert(out.filter(!col("in_bound")).count() == 0)
+    // compressed-index search vs the exact baseline: mean top-10 recall
+    def top(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = top(Similarity.cosineTopK(spark, dir).select("q_id", "vec_id"))
+    val sq8 = top(Similarity.annSq8(spark, dir).select("q_id", "vec_id"))
+    assert(exact.keySet == sq8.keySet)
+    val recall = exact.map { case (q, ids) =>
+      sq8(q).intersect(ids).size.toDouble / ids.size }.sum / exact.size
+    assert(recall >= 0.8, f"mean sq8 top-10 recall $recall%.3f below 0.8")
+  }
+
   test("connected components contracts a 1000-node path in O(log n) rounds") {
     // the chain-graph worst case for label propagation (diameter 999): the
     // two-phase contraction must close it in logarithmic rounds
