@@ -39,6 +39,34 @@ object Joins {
         count(lit(1)).as("cnt"))
   }
 
+  /** J8: the 3-table priority composite (TPC-H Q3 shape) — segment-filtered
+    * customers × date-bounded orders × post-cutoff lineitems, revenue per
+    * order, top 10. The shape every warehouse optimizer is judged on:
+    * filters reach all three scans, the dimension side broadcasts, the two
+    * fact joins share the orderkey, the agg is partial+final in DECIMAL
+    * (j1's order-independent revenue discipline), and the final sort+limit
+    * compiles to TakeOrderedAndProject — never a global sort of the
+    * aggregate. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1998-01-01"
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit(cutoff))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit(cutoff))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1.0) - col("l_discount")).cast("decimal(8,4)")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(Exact.rnd(sum(rev).cast("double"), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   /** J2: left enrichment join (Learning Guide.txt:1071 §2 Layer 2) —
     * orders enriched with customer attributes. Customer is broadcast. */
   def enrichmentJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -250,6 +278,7 @@ object Joins {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_broadcast_join" -> broadcastJoin,
+    "j8_shipping_priority" -> shippingPriority,
     "j5_bucketed_join"  -> bucketedJoin,
     "j6_asof_join"      -> asofJoin,
     "j7_range_join"     -> rangeJoin,
@@ -265,6 +294,18 @@ object Joins {
          count(*) AS cnt
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY 1""",
+    "j8_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         ${Exact.sqlRnd("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE)", 2)} AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, l_orderkey
+         LIMIT 10""",
     // Bucketed layout must answer identically to the direct join.
     "j5_bucketed_join" ->
       s"""SELECT o_orderpriority,

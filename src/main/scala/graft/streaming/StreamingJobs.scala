@@ -536,6 +536,65 @@ object StreamingJobs {
     TextAnalysis.cmsEstimates(sketch, TextAnalysis.cmsTopTerms(tf))
   }
 
+  // M4j: streaming funnel — the ordered-stage conversion state machine
+  // (view → click → purchase, batch twin a12) as per-user streaming state.
+
+  final case class FunnelEvent(user_id: Long, tsMicros: Long,
+      event_type: String, event_id: Long)
+  /** Stage entry times in micros; −1 = stage not reached. */
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  final case class FunnelRow(user_id: Long, t1: Option[Long],
+      t2: Option[Long], t3: Option[Long])
+
+  /** Advance one user's funnel through a micro-batch. The staged replay is
+    * globally ts-ordered across batches and rows are sorted inside one, so
+    * "first qualifying event in processing order" IS the batch semantics
+    * (min event after the previous stage's entry, strict >): the drained
+    * state must equal a12's chained grouped-mins, which is exactly what the
+    * oracle asserts. */
+  private def advanceFunnel(uid: Long, rows: Iterator[FunnelEvent],
+      state: GroupState[FunnelState]): FunnelRow = {
+    var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+    rows.toSeq.sortBy(r => (r.tsMicros, r.event_id)).foreach { r =>
+      r.event_type match {
+        case "view" if s.t1 < 0 => s = s.copy(t1 = r.tsMicros)
+        case "click" if s.t1 >= 0 && s.t2 < 0 && r.tsMicros > s.t1 =>
+          s = s.copy(t2 = r.tsMicros)
+        case "purchase" if s.t2 >= 0 && s.t3 < 0 && r.tsMicros > s.t2 =>
+          s = s.copy(t3 = r.tsMicros)
+        case _ => ()
+      }
+    }
+    state.update(s)
+    def opt(v: Long) = if (v < 0) None else Some(v)
+    FunnelRow(uid, opt(s.t1), opt(s.t2), opt(s.t3))
+  }
+
+  /** M4j: per-user funnel state maintained by mapGroupsWithState, emitted
+    * in update mode and key-upserted — the sink holds each user's CURRENT
+    * funnel position at every point in the stream, which is what a live
+    * conversion dashboard reads (the batch a12 summary is its end-of-day
+    * rollup). State is three longs per user — bounded by the user
+    * population, the canonical keyed-state budget (a production deploy
+    * adds a TTL for inactive users). */
+  def streamFunnelQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    configureStreaming(spark)
+    val src = stagedEvents(spark, dir, 4)
+    val sink = Files.createTempDirectory("graft-stream-sink-").toString
+    val rows = readEventStream(spark, src)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("event_type"), col("event_id"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(advanceFunnel _)
+    drainUpdate(rows.toDF(), sink)
+    UpsertSink.lastWriteWins(spark, sink, Seq("user_id"))
+      .filter(col("t1").isNotNull) // funnel membership starts at stage 1
+      .select(col("user_id"), timestamp_micros(col("t1")).as("t1"),
+        timestamp_micros(col("t2")).as("t2"), timestamp_micros(col("t3")).as("t3"))
+  }
+
   /** Staged bounded replay of the documents table (doc_id order) — the
     * corpus as a stream, for the ingest-side text operators (m4i). */
   def stagedDocuments(spark: SparkSession, dir: String, nFiles: Int): String =
@@ -555,6 +614,7 @@ object StreamingJobs {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m4i_stream_cms"       -> streamCmsQuery,
+    "m4j_stream_funnel"    -> streamFunnelQuery,
     "m4_stream_window_agg" -> streamWindowAggQuery,
     "m4f_stream_sessionize" -> streamSessionizeQuery,
     "m4g_stream_enriched"  -> streamEnrichedQuery,
@@ -568,6 +628,19 @@ object StreamingJobs {
     // Identical to the batch CMS oracle: bucket sums are associative, so
     // the incrementally-merged sketch replays the batch estimates exactly.
     "m4i_stream_cms" -> graft.operators.TextAnalysis.oracles("m6_cms_heavy_hitters"),
+    // The drained per-user funnel state must equal the batch chained
+    // grouped-mins (strict-> stage ordering), users at stage >= 1.
+    "m4j_stream_funnel" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events
+                    WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(ts) AS t3 FROM e JOIN s2 USING (user_id)
+                WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+         SELECT s1.user_id, t1, t2, t3
+         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""",
     // Identical to the batch a1 oracle: bounded-drain equivalence.
     "m4_stream_window_agg" -> WindowAggregates.oracles("a1_window_agg"),
     // Identical to the batch a8 oracle: the streaming session store's final

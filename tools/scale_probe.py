@@ -25,6 +25,11 @@ QUERIES = ",".join([
     "m4g_stream_enriched", "m4h_stream_join",
     "m6_dup_clusters", "m6_embed_clusters", "m6_tfidf", "m6_pack_sequences",
     "m6_cms_heavy_hitters",
+    # round-7 additions
+    "m4i_stream_cms", "m4j_stream_funnel",
+    "m6_postings", "m6_bigram_lm", "m6_token_budget", "m6_chunk_windows",
+    "m6_embed_quantize", "m6_ann_sq8", "m6_lang_confusion",
+    "j8_shipping_priority", "a12_funnel", "a13_retention",
 ])
 
 
