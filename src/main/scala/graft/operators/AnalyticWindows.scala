@@ -123,7 +123,60 @@ object AnalyticWindows {
         col("event_id"), col("event_type"), col("value"))
   }
 
+  /** W9: gap-fill + linear interpolation — the resampling primitive every
+    * IoT time-series serving layer needs: readings arrive at arbitrary
+    * instants, dashboards want a regular hourly grid. For each grid
+    * instant: linear interpolation between the surrounding readings,
+    * last-value hold past the final reading, backfill before the first.
+    *
+    * Shape: the j6 as-of composition, doubled — grid points and readings
+    * UNION into one stream, ONE hash shuffle on the key, one ordered
+    * window pass carrying the last reading forward and (mirror frame) the
+    * next reading backward. No range join, no per-key collect; at 100 TB
+    * this is one exchange of readings ∪ grid and a linear scan per key
+    * partition. Readings sort BEFORE their co-timed grid point, so a grid
+    * instant exactly on a reading reproduces that reading (frac = 0) in
+    * both engines. The interpolation is fixed-order IEEE arithmetic —
+    * bit-identical cross-engine. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+    val grid = e.groupBy("user_id")
+      .agg(date_trunc("hour", min("ts")).as("t0"), date_trunc("hour", max("ts")).as("t1"))
+      .select(col("user_id"),
+        explode(sequence(col("t0"), col("t1"), expr("INTERVAL 1 HOUR"))).as("grid_ts"))
+    val unioned = e
+      .select(col("user_id"), col("ts"), lit(0).as("is_grid"), col("value"),
+        unix_micros(col("ts")).as("tsm"), col("event_id"))
+      .unionAll(grid.select(col("user_id"), col("grid_ts").as("ts"),
+        lit(1).as("is_grid"), lit(null).cast("double").as("value"),
+        unix_micros(col("grid_ts")).as("tsm"), lit(0L).as("event_id")))
+    val ord = Seq(col("ts"), col("is_grid"), col("event_id"))
+    val wPrev = Window.partitionBy("user_id").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("user_id").orderBy(ord: _*)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val readingTs = when(col("is_grid") === 0, col("tsm"))
+    unioned
+      .withColumn("pv", last("value", ignoreNulls = true).over(wPrev))
+      .withColumn("pt", last(readingTs, ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first("value", ignoreNulls = true).over(wNext))
+      .withColumn("nt", first(readingTs, ignoreNulls = true).over(wNext))
+      .filter(col("is_grid") === 1)
+      .select(col("user_id"), col("ts").as("grid_ts"),
+        rnd(when(col("pt").isNull, col("nv"))
+          .when(col("nt").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("tsm") - col("pt")).cast("double") /
+             (col("nt") - col("pt")).cast("double"))), 4).as("value"),
+        when(col("pt").isNull, "backfill")
+          .when(col("nt").isNull, "hold")
+          .otherwise("interp").as("method"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w9_gap_fill"        -> gapFill,
     "w1_rolling_avg"     -> rollingAvg,
     "w2_pct_change"      -> pctChange,
     "w3_anomaly_2sigma"  -> anomaly2Sigma,
@@ -134,6 +187,33 @@ object AnalyticWindows {
     "w8_latest_per_key"  -> latestPerKey)
 
   val oracles: Map[String, String] = Map(
+    "w9_gap_fill" ->
+      s"""WITH e AS (SELECT user_id, ts, value, event_id FROM events
+                     WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                       AND value IS NOT NULL),
+          g AS (SELECT user_id,
+                  unnest(generate_series(date_trunc('hour', min(ts)),
+                    date_trunc('hour', max(ts)), INTERVAL 1 HOUR)) AS grid_ts
+                FROM e GROUP BY user_id),
+          u AS (SELECT user_id, ts, 0 AS is_grid, value,
+                  epoch_us(ts) AS tsm, event_id FROM e
+                UNION ALL
+                SELECT user_id, grid_ts, 1, NULL, epoch_us(grid_ts), 0 FROM g),
+          w AS (SELECT *,
+                  last_value(value IGNORE NULLS) OVER wp AS pv,
+                  last_value(CASE WHEN is_grid = 0 THEN tsm END IGNORE NULLS) OVER wp AS pt,
+                  first_value(value IGNORE NULLS) OVER wn AS nv,
+                  first_value(CASE WHEN is_grid = 0 THEN tsm END IGNORE NULLS) OVER wn AS nt
+                FROM u
+                WINDOW wp AS (PARTITION BY user_id ORDER BY ts, is_grid, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  wn AS (PARTITION BY user_id ORDER BY ts, is_grid, event_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+          SELECT user_id, ts AS grid_ts,
+            ${sqlRnd("CASE WHEN pt IS NULL THEN nv WHEN nt IS NULL THEN pv ELSE pv + (nv - pv) * (CAST(tsm - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) END", 4)} AS value,
+            CASE WHEN pt IS NULL THEN 'backfill' WHEN nt IS NULL THEN 'hold'
+                 ELSE 'interp' END AS method
+          FROM w WHERE is_grid = 1""",
     "w1_rolling_avg" ->
       s"""SELECT event_id, user_id, ts,
          ${sqlRnd(Exact.sqlAvgOver("value", "w"), 4)} AS rolling_avg_7d

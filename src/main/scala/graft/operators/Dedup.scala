@@ -591,6 +591,27 @@ object Dedup {
           .otherwise("test").as("split"))
   }
 
+  /** M6: duplicate-cluster DENSITY metrics — the release-gate statistics
+    * over the near-dup graph: per cluster its member count, detected-pair
+    * count, and edge density 2E/(N(N−1)). Density 1 = a verified clique
+    * (every member pair collided — high-confidence boilerplate); low
+    * density on a big cluster = chain-linked drift, the clusters a human
+    * reviews before dropping. Two keyed aggregates + one join over the
+    * staged decision table and the CC labels — nothing rescans the
+    * corpus. */
+  def dupDensity(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dupClusters(spark, dir)
+    val pairs = DedupStaging.minhashPairs(spark, dir).select("doc_a", "doc_b")
+    val nodes = labels.groupBy("cluster_id").agg(count(lit(1)).as("n_docs"))
+    val edges = pairs
+      .join(labels.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_edges"))
+    nodes.join(edges, Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_docs"), col("n_edges"),
+        rnd(col("n_edges") * 2.0 / (col("n_docs") * (col("n_docs") - 1)), 4)
+          .as("density"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m6_exact_dedup"   -> exactDedup,
     "m6_corpus_build"  -> corpusBuild,
@@ -600,6 +621,7 @@ object Dedup {
     "m6_incremental_dedup" -> incrementalDedup,
     "m6_incremental_commit" -> incrementalCommit,
     "m6_dup_clusters"  -> dupClusters,
+    "m6_dup_density"   -> dupDensity,
     "m6_decontaminate" -> decontaminate)
 
   private val shSql = s"list_distinct(${sqlShingles("string_split(text, ' ')", 3)})"
@@ -648,10 +670,12 @@ object Dedup {
         m$tag AS (SELECT new_id, count(*) AS n_matches, max(jac) AS best
           FROM ver$tag GROUP BY 1)"""
 
-  /** Recursive transitive-closure CC oracle over any replayed pair query —
-    * shared by m6_dup_clusters and Similarity's m6_embed_clusters (one CTE
-    * shape, parameterized on the pair/id column names). */
-  private[operators] def sqlConnectedComponents(pairsSql: String,
+  /** Recursive transitive-closure CC prelude over any replayed pair query
+    * (CTEs `pairs` → `cl(id, cluster_id)`) — closed by the caller's SELECT;
+    * shared by m6_dup_clusters, m6_dup_density and Similarity's
+    * m6_embed_clusters (one CTE shape, parameterized on the pair/id column
+    * names). */
+  private[operators] def sqlCCPrelude(pairsSql: String,
       aCol: String, bCol: String, idOut: String): String =
     s"""WITH RECURSIVE pairs AS ($pairsSql),
         edges AS (SELECT $aCol AS u, $bCol AS v FROM pairs
@@ -660,8 +684,14 @@ object Dedup {
         reach($idOut, r) AS (
           SELECT $idOut, $idOut FROM verts
           UNION
-          SELECT e.u, reach.r FROM reach JOIN edges e ON e.v = reach.$idOut)
-        SELECT $idOut, min(r) AS cluster_id FROM reach GROUP BY 1"""
+          SELECT e.u, reach.r FROM reach JOIN edges e ON e.v = reach.$idOut),
+        cl AS (SELECT $idOut, min(r) AS cluster_id FROM reach GROUP BY 1)"""
+
+  /** The full CC oracle: prelude + the label select. */
+  private[operators] def sqlConnectedComponents(pairsSql: String,
+      aCol: String, bCol: String, idOut: String): String =
+    s"""${sqlCCPrelude(pairsSql, aCol, bCol, idOut)}
+        SELECT $idOut, cluster_id FROM cl"""
 
   private def sqlAdmissionSelect(batchCte: String, mCte: String): String =
     s"""SELECT b.doc_id AS new_id,
@@ -783,6 +813,16 @@ object Dedup {
     // point the engine iterates to.
     "m6_dup_clusters" ->
       sqlConnectedComponents(minhashOracleSql, "doc_a", "doc_b", "doc_id"),
+    // The CC prelude's `pairs`/`cl` CTEs, aggregated to per-cluster graph
+    // metrics; density = one IEEE multiply-divide of exact longs.
+    "m6_dup_density" ->
+      s"""${sqlCCPrelude(minhashOracleSql, "doc_a", "doc_b", "doc_id")},
+          nodes AS (SELECT cluster_id, count(*) AS n_docs FROM cl GROUP BY 1),
+          ed AS (SELECT cluster_id, count(*) AS n_edges
+                 FROM pairs JOIN cl ON cl.doc_id = pairs.doc_a GROUP BY 1)
+          SELECT cluster_id, n_docs, n_edges,
+                 ${sqlRnd("n_edges * 2.0 / (n_docs * (n_docs - 1))", 4)} AS density
+          FROM nodes JOIN ed USING (cluster_id)""",
     // Composed from the quality and minhash oracles — the build must equal
     // "filter ∘ mix ∘ dedup ∘ split" applied via plain SQL.
     "m6_corpus_build" ->

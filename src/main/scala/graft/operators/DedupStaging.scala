@@ -300,7 +300,8 @@ object DedupStaging {
         "m6_incremental_dedup", "m6_incremental_commit"))("minhash_sigs"),
       Option.when(need("m6_simhash_pairs"))("simhash_sigs"),
       Option.when(need("m6_decontaminate"))("shingle8"),
-      Option.when(need("m6_corpus_build", "m6_dup_clusters"))("minhash_pairs")
+      Option.when(need("m6_corpus_build", "m6_dup_clusters",
+        "m6_dup_density"))("minhash_pairs")
     ).flatten
   }
 
