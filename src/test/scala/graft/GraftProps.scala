@@ -255,6 +255,24 @@ object GraftProps extends Properties("graft") {
         }
     }
 
+  // ---- gap-fill interpolation (AnalyticWindows.gapFill) --------------------
+  // The interpolant is EXACT at the left reading (frac = 0 — the only
+  // on-reading case the engine evaluates, since readings sort before their
+  // co-timed grid point), within an ulp scale of the right reading, and
+  // bounded by its endpoints in between.
+  property("gap fill: linear interpolant is left-exact, right-close, bounded") =
+    forAll(Gen.choose(-1e6, 1e6), Gen.choose(-1e6, 1e6),
+      Gen.choose(0L, 1000000L), Gen.choose(1L, 1000000L)) { (pv, nv, off, span) =>
+      val (pt, nt) = (off, off + span)
+      def interp(t: Long) = pv + (nv - pv) * ((t - pt).toDouble / (nt - pt).toDouble)
+      val mid = pt + span / 2
+      val eps = 1e-9 * (math.abs(pv) + math.abs(nv) + 1)
+      val lo = math.min(pv, nv) - eps
+      val hi = math.max(pv, nv) + eps
+      interp(pt) == pv && math.abs(interp(nt) - nv) <= eps &&
+        interp(mid) >= lo && interp(mid) <= hi
+    }
+
   // ---- portable md5 fold (Exact.fold60) ------------------------------------
   property("fold60: 15 hex chars parse to a non-negative 60-bit long") =
     forAll(Gen.alphaNumStr) { s =>
