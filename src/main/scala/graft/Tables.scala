@@ -28,12 +28,29 @@ object Tables {
     * reader rejects outright. Read it as raw nanos (legacy conf, set at
     * bootstrap) and convert with integer division — nanos values (~1.7e18)
     * overflow double's exact range, so no float math on the way to micros. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    eventsWithRawTs(spark, dir).drop("ts_nanos")
+
+  /** events plus the RAW int64 nanos column (`ts_nanos`): a time bound on
+    * the CONVERTED `ts` hides behind the micros expression — parquet gets
+    * only IsNotNull and every row group is read — while the same bound on
+    * `ts_nanos` (via `Tables.nanos(literal)`) pushes as a plain int64
+    * comparison, restoring row-group stats pruning (and partition pruning
+    * on a date-partitioned layout at scale). Time-bounded readers filter
+    * on `ts_nanos` then drop it (PlanContractSpec pins the pushdown). */
+  def eventsWithRawTs(spark: SparkSession, dir: String): DataFrame = {
     load(spark, dir, "events")
+      .withColumn("ts_nanos", col("ts"))
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .select(col("event_id"), col("ts"), col("user_id"),
+      .select(col("event_id"), col("ts"), col("ts_nanos"), col("user_id"),
         col("event_type"), col("value"), col("props"))
   }
+
+  /** Raw-nanos value of a whole-second UTC literal — the `ts_nanos` bound
+    * matching `col("ts") <op> lit(literal)` under the UTC session. */
+  def nanos(literal: String): Long =
+    java.time.LocalDateTime.parse(literal.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
   /** Fan a CPU-bound stage out to every core. A 100 TB scan arrives as
     * thousands of splits and never needs this; the kilobyte-scale test files
     * are a single parquet split, which would serialize hash/shingle/fold

@@ -507,11 +507,13 @@ object Connectors {
     * the reference's re-sync overwrite), inserted (new days). */
   def upsertSink(spark: SparkSession, dir: String): DataFrame = {
     val target = Files.createTempDirectory("graft-upsert-target-").toString
-    val events = Tables.events(spark, dir)
-    dailyTotals(events.filter(col("ts") < lit(SyncCutoff)))
+    // cutoffs bound the raw nanos column → pushed scans per batch
+    val events = Tables.eventsWithRawTs(spark, dir)
+    val cutoffN = graft.Tables.nanos(SyncCutoff)
+    dailyTotals(events.filter(col("ts_nanos") < lit(cutoffN)))
       .write.partitionBy("day").mode("overwrite").parquet(target)
     mergeInto(spark, target,
-      dailyTotals(events.filter(col("ts") >= lit(SyncCutoff))),
+      dailyTotals(events.filter(col("ts_nanos") >= lit(cutoffN))),
       Seq("user_id", "day"), partitionCol = Some("day"))
     // read back through the pointer protocol: after the merge the root's
     // superseded flat boundary-day dir is retained for one commit window,
@@ -526,8 +528,8 @@ object Connectors {
     * The `ts > prev` predicate is exactly what pushes into the source scan
     * (S7), so the sync never rereads history. */
   def syncWatermark(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .filter(col("ts") > lit(SyncCutoff))
+    Tables.eventsWithRawTs(spark, dir)
+      .filter(col("ts_nanos") > lit(graft.Tables.nanos(SyncCutoff)))
       .agg(
         lit(SyncCutoff).cast("timestamp").as("prev_watermark"),
         max("ts").as("next_watermark"),

@@ -101,16 +101,18 @@ object Joins {
     * the pure-Spark `MERGE INTO`. The streaming foreachBatch upsert sink
     * (graft.streaming.UpsertSink) applies the same last-write-wins rule. */
   def upsertMerge(spark: SparkSession, dir: String): DataFrame = {
-    val events = Tables.events(spark, dir)
-    val cutoff = "2024-01-22 00:00:00"
+    // the batch cutoffs bound the RAW nanos column so they push into the
+    // scan (Tables.eventsWithRawTs — each side reads only its row groups)
+    val events = Tables.eventsWithRawTs(spark, dir)
+    val cutoffN = graft.Tables.nanos("2024-01-22 00:00:00")
     def snap(df: DataFrame): DataFrame =
       df.groupBy(col("user_id"))
         .agg(Exact.rnd(Exact.sumD("value"), 2).as("total_value"),
           count(lit(1)).as("cnt"), max("ts").as("last_ts"))
-    val base    = snap(events.filter(col("ts") <  lit(cutoff)))
+    val base    = snap(events.filter(col("ts_nanos") < lit(cutoffN)))
       .withColumnRenamed("total_value", "b_total").withColumnRenamed("cnt", "b_cnt")
       .withColumnRenamed("last_ts", "b_last").withColumnRenamed("user_id", "b_user")
-    val updates = snap(events.filter(col("ts") >= lit(cutoff)))
+    val updates = snap(events.filter(col("ts_nanos") >= lit(cutoffN)))
     merge(base, updates)
   }
 

@@ -32,11 +32,14 @@ object Serving {
 
   /** S7: incremental watermark read — rows newer than the last sync point,
     * ordered, batched (mongo_to_postgres_sync.py:109-143). The predicate
-    * pushes down to the parquet scan (→ partition pruning on a
-    * date-partitioned layout at scale). */
+    * is applied to the RAW nanos column (Tables.eventsWithRawTs) so it
+    * genuinely pushes down to the parquet scan as an int64 comparison —
+    * a bound on the converted timestamp hides behind the conversion
+    * expression and reads every row group (PlanContractSpec pins this). */
   def incrementalRead(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .filter(col("ts") >= lit("2024-01-25 00:00:00"))
+    Tables.eventsWithRawTs(spark, dir)
+      .filter(col("ts_nanos") >= lit(Tables.nanos("2024-01-25 00:00:00")))
+      .drop("ts_nanos")
       .orderBy(col("ts"), col("event_id"))
       .limit(1000)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
@@ -56,9 +59,10 @@ object Serving {
   /** M5a: per-key time series between dates at hourly granularity
     * (API `GET /sensors/{id}/analytics`, Learning Guide.txt:1084 §2). */
   def timeSeries(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .filter(col("ts") >= lit("2024-01-10 00:00:00") &&
-              col("ts") <  lit("2024-01-20 00:00:00"))
+    Tables.eventsWithRawTs(spark, dir)
+      .filter(col("ts_nanos") >= lit(Tables.nanos("2024-01-10 00:00:00")) &&
+              col("ts_nanos") <  lit(Tables.nanos("2024-01-20 00:00:00")))
+      .drop("ts_nanos")
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
       .agg(Exact.rnd(Exact.avgD("value"), 4).as("avg_value"),
         Exact.rnd(max("value"), 2).as("max_value"),

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The physical-plan CONTRACT: the scale properties README §Scale design
+  * promises — pushdown reaching the scan, dimension broadcasts, sort+limit
+  * as TakeOrderedAndProject, partial+final aggregation, pruned read
+  * schemas — asserted on the executed plans so a future refactor cannot
+  * silently regress them. EXPLAINS.md is the human-reviewable dump; this
+  * spec is the machine gate for the load-bearing subset. */
+class PlanContractSpec extends AnyFunSuite with SparkFixture {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    val s = df.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    s
+  }
+
+  test("pushdown: filters reach the parquet scan") {
+    // s7 is the incremental watermark read — its predicate must be in the
+    // scan, not a post-scan Filter-only plan
+    val p = plan("s7_incremental_read")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
+      s"watermark predicate not pushed:\n$p")
+    val j8 = plan("j8_shipping_priority")
+    assert(j8.contains("GreaterThan(l_shipdate"), "lineitem date bound not pushed")
+    assert(j8.contains("LessThan(o_orderdate"), "orders date bound not pushed")
+    assert(j8.contains("EqualTo(c_mktsegment,BUILDING)"), "segment filter not pushed")
+  }
+
+  test("joins: dimensions broadcast; sort+limit is TakeOrderedAndProject") {
+    assert(plan("j1_broadcast_join").contains("BroadcastHashJoin"))
+    val j8 = plan("j8_shipping_priority")
+    assert(j8.contains("BroadcastHashJoin"), "dimension side must broadcast")
+    assert(j8.contains("TakeOrderedAndProject"), "top-10 must not global-sort")
+    assert(plan("o1_sort_limit").contains("TakeOrderedAndProject"))
+    assert(plan("o3_api_pagination").contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregation: partial+final hash agg, pruned read schema") {
+    val a1 = plan("a1_window_agg")
+    // partial (map-side) + final agg = at least two HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(a1).length >= 2,
+      s"a1 should partial-aggregate before the exchange:\n$a1")
+    // p2 projects three fields from the events scan — the read schema must
+    // not drag the whole row through the JSON projection
+    val p2 = plan("p2_struct_flatten")
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(p2).getOrElse("")
+    assert(!read.contains("props"), s"unused props column read: $read")
+  }
+
+  test("windows: analytic windows are partitioned (no single-partition sort of data)") {
+    // w5 ranks within (event_type); its WindowExec must carry a partition
+    val w5 = plan("w5_rank_by_avg")
+    assert(!w5.contains("Exchange SinglePartition"),
+      s"w5 funnels data through one partition:\n$w5")
+    val w8 = plan("w8_latest_per_key")
+    assert(!w8.contains("Exchange SinglePartition"),
+      s"w8 funnels data through one partition:\n$w8")
+  }
+}
