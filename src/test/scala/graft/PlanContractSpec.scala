@@ -29,6 +29,10 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
     assert(j8.contains("GreaterThan(l_shipdate"), "lineitem date bound not pushed")
     assert(j8.contains("LessThan(o_orderdate"), "orders date bound not pushed")
     assert(j8.contains("EqualTo(c_mktsegment,BUILDING)"), "segment filter not pushed")
+    // the serving time-series is double-bounded on the raw column
+    val m5a = plan("m5a_time_series")
+    assert(m5a.contains("GreaterThanOrEqual(ts") && m5a.contains("LessThan(ts"),
+      s"time-series range not pushed:\n$m5a")
   }
 
   test("joins: dimensions broadcast; sort+limit is TakeOrderedAndProject") {
