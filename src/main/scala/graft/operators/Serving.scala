@@ -56,6 +56,21 @@ object Serving {
       .offset(10).limit(10)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
 
+  /** M5f: keyset pagination — the scale-safe deep-page variant o3's
+    * offset form degrades at depth (offset N still sorts/skips N rows
+    * per page): the client passes the last-seen key and the next page is
+    * `ts < last_seen ORDER BY ts DESC LIMIT n`. The bound rides the RAW
+    * nanos column, so it is a pushed int64 scan predicate + one
+    * TakeOrderedAndProject — page cost is independent of page depth
+    * (PlanContractSpec pins both properties). */
+  def keysetPage(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsWithRawTs(spark, dir)
+      .filter(col("ts_nanos") < lit(Tables.nanos("2024-01-30 00:00:00")))
+      .drop("ts_nanos")
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(10)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+
   /** M5a: per-key time series between dates at hourly granularity
     * (API `GET /sensors/{id}/analytics`, Learning Guide.txt:1084 §2). */
   def timeSeries(spark: SparkSession, dir: String): DataFrame =
@@ -132,6 +147,7 @@ object Serving {
     "m5d_sql_pricing_summary" -> sqlPricingSummary,
     "o2_topk_histogram"   -> topkHistogram,
     "o3_api_pagination"   -> apiPagination,
+    "m5f_keyset_page"     -> keysetPage,
     "s7_incremental_read" -> incrementalRead,
     "m5a_time_series"     -> timeSeries,
     "m5b_staging_transform" -> stagingTransform,
@@ -156,6 +172,10 @@ object Serving {
     "o3_api_pagination" ->
       """SELECT event_id, ts, user_id, value FROM events
          ORDER BY ts DESC, event_id DESC LIMIT 10 OFFSET 10""",
+    "m5f_keyset_page" ->
+      """SELECT event_id, ts, user_id, value FROM events
+         WHERE ts < TIMESTAMP '2024-01-30 00:00:00'
+         ORDER BY ts DESC, event_id DESC LIMIT 10""",
     "s7_incremental_read" ->
       """SELECT event_id, ts, user_id, value FROM events
          WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'

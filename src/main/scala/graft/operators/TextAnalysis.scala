@@ -554,6 +554,31 @@ object TextAnalysis {
         array_join(transform(col("ids"), i => i.cast("string")), ",").as("posting"))
   }
 
+  /** M6: epoch-weighted mixture MATERIALIZATION — sample_mix decides
+    * keep/drop; this op executes a mixture with REPETITION, the way
+    * training runs actually consume weights: a source with weight 2.3 is
+    * seen for 2 full epochs plus a deterministic 30% band of a third,
+    * weight 0.5 for a 50% band of one. Each document emits
+    * floor(w) + (hash band < frac(w)) copies with a copy index — a pure
+    * function of (doc_id, lang), so re-runs and backfills materialize the
+    * identical multiset (a seeded RNG would be engine-specific), and the
+    * whole op is one narrow map + bounded explode: work ∝ output tokens,
+    * which is exactly the budget being spent. */
+  def epochMix(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // weights × 100: en 0.5 (downsample), every other lang 2.3 (upsample)
+    val whole = when(col("lang") === "en", 0).otherwise(2)
+    val fracPct = when(col("lang") === "en", 50).otherwise(30)
+    Tables.documents(spark, dir)
+      .withColumn("band", pmod(Exact.fold60(
+        concat(col("doc_id").cast("string"), lit("|epoch"))), lit(100)))
+      .withColumn("n_copies",
+        whole + when(col("band") < fracPct, 1).otherwise(0))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"), col("n_copies"),
+        explode(sequence(lit(0), col("n_copies") - 1)).as("copy_idx"))
+  }
+
   /** M6: language-ID confusion matrix — the classifier's standard eval
     * artifact (true label × prediction with counts), one keyed aggregation
     * over the langId output. */
@@ -564,6 +589,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m6_lang_confusion" -> langConfusion,
+    "m6_epoch_mix"     -> epochMix,
     "m6_vocab_hll"     -> vocabHll,
     "m6_data_split"    -> dataSplit,
     "m6_sample_mix"    -> sampleMix,
@@ -690,6 +716,16 @@ object TextAnalysis {
     "m6_sample_mix" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id % 100 < CASE WHEN lang = 'en' THEN 30 ELSE 100 END""",
+    "m6_epoch_mix" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+              CASE WHEN lang = 'en' THEN 0 ELSE 2 END
+                + CASE WHEN ${Exact.sqlFold60("CAST(doc_id AS VARCHAR) || '|epoch'")} % 100
+                       < CASE WHEN lang = 'en' THEN 50 ELSE 30 END
+                  THEN 1 ELSE 0 END AS n_copies
+            FROM documents)
+          SELECT doc_id, lang, n_copies, s AS copy_idx
+          FROM t, LATERAL unnest(range(0, n_copies)) AS u(s)
+          WHERE n_copies > 0""",
     "m6_data_split" ->
       s"""SELECT doc_id, lang, CAST(band AS INTEGER) AS band,
           CASE WHEN band < 90 THEN 'train'

@@ -33,6 +33,10 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
     val m5a = plan("m5a_time_series")
     assert(m5a.contains("GreaterThanOrEqual(ts") && m5a.contains("LessThan(ts"),
       s"time-series range not pushed:\n$m5a")
+    // keyset pagination = pushed bound + top-k, cost independent of depth
+    val m5f = plan("m5f_keyset_page")
+    assert(m5f.contains("LessThan(ts") && m5f.contains("TakeOrderedAndProject"),
+      s"keyset page must push its bound and top-k:\n$m5f")
   }
 
   test("joins: dimensions broadcast; sort+limit is TakeOrderedAndProject") {
