@@ -30,7 +30,7 @@ QUERIES = ",".join([
     "m6_postings", "m6_bigram_lm", "m6_token_budget", "m6_chunk_windows",
     "m6_embed_quantize", "m6_ann_sq8", "m6_lang_confusion",
     "j8_shipping_priority", "a12_funnel", "a13_retention",
-    "w9_gap_fill", "m6_dup_density",
+    "w9_gap_fill", "m6_dup_density", "m6_epoch_mix", "m5f_keyset_page",
 ])
 
 
