@@ -139,23 +139,48 @@ object Bench {
     val cpuTotal = results.map(_._3).sum
     val coldJson = stagingCold
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Subtotals: the ~10 streaming drains (m4*) are fixed RocksDB/checkpoint
+    // machinery at test scale and carry nearly all the cross-machine jitter
+    // (round-7 A/B: 57–62 s for near-identical code), so round-over-round
+    // comparison should read batch_total — the number plan changes actually
+    // move — with drain_total and staging_total reported alongside.
+    val stagingNames = staging.map(_._1).toSet
+    def subtotal(p: ((String, Double, Double)) => Boolean) =
+      results.filter(p).map(_._2).sum
+    val stagingTotal = subtotal(r => stagingNames(r._1))
+    val drainTotal = subtotal(r => r._1.startsWith("m4") && !stagingNames(r._1))
+    val batchTotal = total - stagingTotal - drainTotal
+    val loadEnd = os.getSystemLoadAverage
+    // A recording taken under external load is machine noise, not plan cost:
+    // the artifact carries its own contention verdict so a loaded recording
+    // can never masquerade as a regression (or an improvement).
+    val contended = loadStart >= 2.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""batch_total":$batchTotal,"drain_total":$drainTotal,""" +
+      s""""staging_total":$stagingTotal,""" +
       s""""queries":${fmt(results.map(r => r._1 -> r._2))},""" +
       s""""cpu_sec":${fmt(results.map(r => r._1 -> r._3))},""" +
       s""""staging_cold":$coldJson,""" +
       s""""cpu_total":$cpuTotal,"load_avg_start":$loadStart,""" +
-      s""""load_avg_end":${os.getSystemLoadAverage},"sf":"$sfDir"}"""
+      s""""load_avg_end":$loadEnd,"contended":$contended,"sf":"$sfDir"}"""
     println(json)
     // Driver captures tail-truncate the stdout line on large registries
     // (round 6 lost the wall map that way); SPARK_GRAFT_BENCH_OUT persists
-    // the full JSON to a committable artifact. Recordings taken under
-    // external load are machine noise, not plan cost — flag them.
-    if (loadStart >= 2.0)
+    // the full JSON to a committable artifact.
+    if (contended)
       System.err.println(f"[bench] WARNING load_avg_start=$loadStart%.2f >= 2:" +
         " wall numbers reflect machine contention; rerun quiet before recording")
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
-      System.err.println(s"[bench] wrote $p")
+      // a bad path must not fail the run AFTER all measurements completed —
+      // the stdout JSON above is already the primary record
+      try {
+        val path = java.nio.file.Paths.get(p)
+        Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.writeString(path, json + "\n")
+        System.err.println(s"[bench] wrote $p")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] failed to write $p: $e")
+      }
     }
     spark.stop()
   }

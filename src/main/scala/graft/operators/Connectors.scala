@@ -526,10 +526,17 @@ object Connectors {
     * one row — the previous high watermark, the rows the next batch picks up
     * beyond it, and the advanced watermark (max event time of the batch).
     * The `ts > prev` predicate is exactly what pushes into the source scan
-    * (S7), so the sync never rereads history. */
+    * (S7), so the sync never rereads history.
+    *
+    * Raw-nanos bound: `ts > C` over MICROSECOND timestamps is `ts_nanos >=
+    * nanos(C) + 1000` — the next representable microsecond. A strict
+    * `ts_nanos > nanos(C)` would admit events in the (C, C+1µs) nanosecond
+    * band that both the converted-ts predicate and the oracle (which
+    * truncates ns→µs exactly like Spark's `div 1000`) exclude; the >=/<
+    * bounds elsewhere have no such off-by-a-band hazard. */
   def syncWatermark(spark: SparkSession, dir: String): DataFrame =
     Tables.eventsWithRawTs(spark, dir)
-      .filter(col("ts_nanos") > lit(graft.Tables.nanos(SyncCutoff)))
+      .filter(col("ts_nanos") >= lit(graft.Tables.nanos(SyncCutoff) + 1000L))
       .agg(
         lit(SyncCutoff).cast("timestamp").as("prev_watermark"),
         max("ts").as("next_watermark"),

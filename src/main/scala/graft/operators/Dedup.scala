@@ -486,6 +486,15 @@ object Dedup {
   private[graft] def connectedComponentsWithRounds(pairs: DataFrame,
       idOut: String): (DataFrame, Int) = {
     val Array(ca, cb) = pairs.columns
+    // Contract: every id appearing in the pair frame gets a label — a node
+    // whose only appearance is a self-pair (a, a) is a singleton cluster, not
+    // silently dropped. The contraction loop works on proper edges only
+    // (self-loops carry no connectivity), so self-paired ids are re-admitted
+    // after the fixed point via one anti-join; current pair sources never
+    // emit self-pairs, making this a zero-row guard, but the shared helper's
+    // contract must not depend on that.
+    val selfIds = pairs.filter(col(ca) === col(cb))
+      .select(col(ca).as("id")).distinct()
     var edges = pairs
       .select(greatest(col(ca), col(cb)).as("hi"),
         least(col(ca), col(cb)).as("lo"))
@@ -527,7 +536,11 @@ object Dedup {
       .select(col("hi").as(idOut), col("lo").as("cluster_id"))
       .unionAll(edges.select(col("lo")).distinct()
         .select(col("lo").as(idOut), col("lo").as("cluster_id")))
-    (labels, rounds)
+    // self-paired ids not reached by any proper edge: singleton clusters
+    val singletons = selfIds
+      .join(labels.select(col(idOut)), selfIds("id") === col(idOut), "left_anti")
+      .select(col("id").as(idOut), col("id").as("cluster_id"))
+    (labels.unionAll(singletons), rounds)
   }
 
   /** M6: benchmark decontamination — the eval-leak scan every LLM training

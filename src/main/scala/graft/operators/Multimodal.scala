@@ -40,38 +40,77 @@ object Multimodal {
   }
 
   final case class MediaIn(doc_id: Long, payload: Array[Byte])
-  final case class MediaFeatures(
-      doc_id: Long, width: Int, height: Int,
-      n_features: Int, f0: Double, f1: Double, f2: Double, f3: Double)
+  final case class PpmFeatures(
+      doc_id: Long, ok: Boolean, width: Int, height: Int,
+      n_pixels: Int, mean_r: Double, mean_g: Double, mean_b: Double)
 
-  /** STUB decoder — stands in for an image/audio codec (none exists in this
-    * container). Deterministic: "features" are byte-content checksums folded
-    * per stripe. A real implementation would replace only this object. */
-  object StubDecoder {
-    def decode(in: MediaIn): MediaFeatures = {
-      val bytes = in.payload
-      val w = bytes.length % 64 + 16
-      val h = bytes.length % 48 + 16
-      def stripe(k: Int): Double = {
-        var acc = 0L
-        var i = k
-        while (i < bytes.length) { acc = acc * 31 + (bytes(i) & 0xff); i += 4 }
-        Math.floorMod(acc, 10000L) / 10000.0 // floorMod: acc may be negative after overflow
+  /** A REAL binary-format decoder: PPM (P6), the simplest raster format any
+    * codec zoo starts with — ASCII header (`P6\n<w> <h>\n<maxval>\n`) parsed
+    * token-by-token from the raw bytes, then `w·h·3` bytes of RGB pixel
+    * data. Malformed payloads (wrong magic, non-positive dims, maxval ≠
+    * 255, truncated pixel array, junk header tokens) are REJECTED, never
+    * thrown: a 100 TB media scan cannot die on one corrupt blob, so the
+    * error channel is a typed `ok=false` row (MultimodalSpec drives every
+    * rejection path). Features are the per-channel pixel means — the stripe
+    * stats of the original stub, now computed from genuinely decoded
+    * pixels. Each mean is ONE IEEE divide of an exact integer sum, so the
+    * oracle replays it bit-for-bit. */
+  object PpmDecoder {
+    private def isWs(c: Byte) =
+      c == ' ' || c == '\n' || c == '\t' || c == '\r'
+
+    def decode(in: MediaIn): PpmFeatures = {
+      val b = in.payload
+      val bad = PpmFeatures(in.doc_id, ok = false, 0, 0, 0, 0.0, 0.0, 0.0)
+      var i = 0
+      def token(): String = {
+        while (i < b.length && isWs(b(i))) i += 1
+        val s = i
+        while (i < b.length && !isWs(b(i))) i += 1
+        new String(b, s, i - s, java.nio.charset.StandardCharsets.US_ASCII)
       }
-      MediaFeatures(in.doc_id, w, h, 4, stripe(0), stripe(1), stripe(2), stripe(3))
+      def intToken(): Int =
+        try token().toInt catch { case _: NumberFormatException => -1 }
+      if (token() != "P6") return bad
+      val w = intToken(); val h = intToken(); val maxv = intToken()
+      if (w <= 0 || h <= 0 || maxv != 255) return bad
+      i += 1 // exactly one whitespace byte separates the header from pixels
+      val need = w.toLong * h * 3
+      if (need > Int.MaxValue || b.length - i < need) return bad
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var j = i
+      val end = i + need.toInt
+      while (j < end) {
+        sr += b(j) & 0xff; sg += b(j + 1) & 0xff; sb += b(j + 2) & 0xff
+        j += 3
+      }
+      val n = w * h
+      PpmFeatures(in.doc_id, ok = true, w, h, n,
+        sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
     }
   }
 
-  /** M7: typed decode / feature-extract pipeline over the binary column.
-    * `mapPartitions` so decoder setup happens once per partition and rows
-    * stream through it in batch — the shape a real codec/model needs. */
+  /** M7: typed decode / feature-extract pipeline over the binary column —
+    * genuine byte decoding (PpmDecoder) through the `mapPartitions` batch
+    * shape: decoder setup happens once per partition and rows stream
+    * through it (how a real codec/model rides an executor). The corpus has
+    * no media payloads, so each document's bytes are framed in-query as a
+    * deterministic 16-wide PPM whose pixel data is the text itself (padded
+    * with 'x' to the pixel grid) — the SAME framing expression the oracle
+    * replays — and every 61st doc gets a wrong magic number planted, so the
+    * rejection path is exercised corpus-wide in both engines. */
   def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media: Dataset[MediaIn] = Tables.documents(spark, dir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("h", expr("greatest(1, length(text) div 48)"))
+      .select(col("doc_id"), encode(concat(
+          when(col("doc_id") % 61 === 0, lit("P5")).otherwise(lit("P6")),
+          lit("\n16 "), col("h").cast("string"), lit("\n255\n"),
+          expr("substring(rpad(text, cast(h * 48 as int), 'x'), 1, cast(h * 48 as int))")),
+        "UTF-8").as("payload"))
       .as[MediaIn]
     media.mapPartitions { rows =>
-      val decoder = StubDecoder // per-partition init point for a real codec
+      val decoder = PpmDecoder // per-partition init point for a real codec
       rows.map(decoder.decode)
     }.toDF()
   }
@@ -146,35 +185,28 @@ object Multimodal {
             CAST((height * 224 + least(width, height) - 1) // least(width, height) AS INTEGER) AS scaled_h,
             CAST(150528 AS INTEGER) AS out_bytes
           FROM m""",
-    // The stub decoder's stripes are pure byte arithmetic (acc = acc*31 + b
-    // with Java 64-bit wraparound), so DuckDB can replay them: the fold runs
-    // in HUGEINT mod 2^64, then converts to the signed interpretation for
-    // Java's floorMod. `unicode(text[i])` equals the payload byte because the
-    // corpus is pure ASCII (verified: length == octet_length corpus-wide).
+    // Replays the PPM framing + decode arithmetically: the pixel body is the
+    // padded text itself, so each channel mean is a sum of `unicode(px[i])`
+    // over that channel's 1-based positions (ASCII ⇒ codepoint == payload
+    // byte; length == octet_length corpus-wide), divided once in IEEE
+    // double. Malformed plants (doc_id % 61) must come back as rejected
+    // zero rows — the decoder's typed error channel.
     "m7_decode_features" ->
-      s"""WITH folds AS (
-            SELECT doc_id, octet_length(encode(text)) AS blen,
-                   ${(0 until 4).map(k => s"${stripeFoldSql(k)} AS sm$k").mkString(", ")}
+      s"""WITH base AS (
+            SELECT doc_id, doc_id % 61 = 0 AS malformed,
+                   greatest(1, length(text) // 48) AS h,
+                   substring(rpad(text, CAST(greatest(1, length(text) // 48) * 48 AS INTEGER), 'x'),
+                             1, CAST(greatest(1, length(text) // 48) * 48 AS INTEGER)) AS px
             FROM documents)
           SELECT doc_id,
-            CAST(blen % 64 + 16 AS INTEGER) AS width,
-            CAST(blen % 48 + 16 AS INTEGER) AS height,
-            CAST(4 AS INTEGER) AS n_features,
-            ${(0 until 4).map(k => s"${stripeValSql(s"sm$k")} AS f$k").mkString(", ")}
-          FROM folds""")
-
-  /** DuckDB fragment: the stripe-k fold over byte positions k, k+4, …
-    * (1-based SQL indices k+1, k+5, …) in HUGEINT mod 2^64 — Java long
-    * overflow semantics, exactly. */
-  private def stripeFoldSql(k: Int): String =
-    s"""list_reduce(list_prepend(0::HUGEINT,
-        list_transform(range(${k + 1}, length(text) + 1, 4), i -> unicode(text[i])::HUGEINT)),
-        (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT)"""
-
-  /** DuckDB fragment: Math.floorMod(signed(acc), 10000) / 10000.0 over a
-    * mod-2^64 fold value. */
-  private def stripeValSql(acc: String): String =
-    s"""CAST(((CASE WHEN $acc >= 9223372036854775808::HUGEINT
-         THEN $acc - 18446744073709551616::HUGEINT ELSE $acc END) % 10000
-         + 10000) % 10000 AS DOUBLE) / 10000.0"""
+            NOT malformed AS ok,
+            CASE WHEN malformed THEN 0 ELSE 16 END AS width,
+            CASE WHEN malformed THEN 0 ELSE CAST(h AS INTEGER) END AS height,
+            CASE WHEN malformed THEN 0 ELSE CAST(h * 16 AS INTEGER) END AS n_pixels,
+            ${Seq("r" -> 1, "g" -> 2, "b" -> 3).map { case (c, o) =>
+              s"""CASE WHEN malformed THEN 0.0 ELSE
+                  CAST(list_sum(list_transform(range($o, CAST(h * 48 AS BIGINT) + 1, 3),
+                    i -> unicode(px[CAST(i AS INTEGER)]))) AS DOUBLE)
+                  / CAST(h * 16 AS DOUBLE) END AS mean_$c""" }.mkString(", ")}
+          FROM base""")
 }

@@ -539,55 +539,101 @@ object StreamingJobs {
   // M4j: streaming funnel — the ordered-stage conversion state machine
   // (view → click → purchase, batch twin a12) as per-user streaming state.
 
-  final case class FunnelEvent(user_id: Long, tsMicros: Long,
-      event_type: String, event_id: Long)
+  /** `ts` stays in the Dataset (the Reading precedent): the event-time
+    * watermark drives the TTL timers and must survive into the operator. */
+  final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+      tsMicros: Long, event_type: String, event_id: Long)
   /** Stage entry times in micros; −1 = stage not reached. */
   final case class FunnelState(t1: Long, t2: Long, t3: Long)
   final case class FunnelRow(user_id: Long, t1: Option[Long],
       t2: Option[Long], t3: Option[Long])
 
-  /** Advance one user's funnel through a micro-batch. The staged replay is
-    * globally ts-ordered across batches and rows are sorted inside one, so
-    * "first qualifying event in processing order" IS the batch semantics
-    * (min event after the previous stage's entry, strict >): the drained
-    * state must equal a12's chained grouped-mins, which is exactly what the
-    * oracle asserts. */
-  private def advanceFunnel(uid: Long, rows: Iterator[FunnelEvent],
-      state: GroupState[FunnelState]): FunnelRow = {
-    var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
-    rows.toSeq.sortBy(r => (r.tsMicros, r.event_id)).foreach { r =>
-      r.event_type match {
-        case "view" if s.t1 < 0 => s = s.copy(t1 = r.tsMicros)
-        case "click" if s.t1 >= 0 && s.t2 < 0 && r.tsMicros > s.t1 =>
-          s = s.copy(t2 = r.tsMicros)
-        case "purchase" if s.t2 >= 0 && s.t3 < 0 && r.tsMicros > s.t2 =>
-          s = s.copy(t3 = r.tsMicros)
-        case _ => ()
+  /** Event-time TTL for inactive funnel state: 30 days of user inactivity
+    * drops the state (the m4 family's keyed-state budget discipline —
+    * m4c/m4d GC their buckets the same way; unbounded NoTimeout state was
+    * round 7's one footnoted gap). Far beyond the fixture's span, so the
+    * bounded drain never expires anything and m4j's batch oracle is
+    * untouched; StreamingSpec drives a tiny-TTL instance to pin the
+    * drop-and-restart semantics. */
+  private[streaming] val FunnelTtlMs: Long = 30L * 24 * 3600 * 1000
+
+  /** Per-user funnel processor (transformWithState, event-time mode).
+    * Advance semantics: the staged replay is globally ts-ordered across
+    * batches and rows are sorted inside one, so "first qualifying event in
+    * processing order" IS the batch semantics (min event after the previous
+    * stage's entry, strict >): the drained state must equal a12's chained
+    * grouped-mins, which is exactly what the oracle asserts.
+    *
+    * TTL: one sliding event-time timer per user at last-activity + ttl —
+    * each batch deletes the previous timer and re-registers (clamped ahead
+    * of the current watermark — a timer at-or-behind it is rejected). On
+    * expiry the state is cleared; a post-TTL event then finds empty state
+    * and restarts the funnel from stage 1. */
+  class FunnelProcessor(ttlMs: Long)
+      extends StatefulProcessor[Long, FunnelEvent, FunnelRow] {
+    @transient private var st: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState]("funnel",
+        org.apache.spark.sql.Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[FunnelEvent],
+        timerValues: TimerValues): Iterator[FunnelRow] = {
+      var s = if (st.exists()) st.get() else FunnelState(-1L, -1L, -1L)
+      var lastMs = Long.MinValue
+      rows.toSeq.sortBy(r => (r.tsMicros, r.event_id)).foreach { r =>
+        lastMs = math.max(lastMs, r.tsMicros / 1000L)
+        r.event_type match {
+          case "view" if s.t1 < 0 => s = s.copy(t1 = r.tsMicros)
+          case "click" if s.t1 >= 0 && s.t2 < 0 && r.tsMicros > s.t1 =>
+            s = s.copy(t2 = r.tsMicros)
+          case "purchase" if s.t2 >= 0 && s.t3 < 0 && r.tsMicros > s.t2 =>
+            s = s.copy(t3 = r.tsMicros)
+          case _ => ()
+        }
       }
+      st.update(s)
+      getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(
+        math.max(lastMs + ttlMs, timerValues.getCurrentWatermarkInMs() + 1))
+      def opt(v: Long) = if (v < 0) None else Some(v)
+      Iterator.single(FunnelRow(uid, opt(s.t1), opt(s.t2), opt(s.t3)))
     }
-    state.update(s)
-    def opt(v: Long) = if (v < 0) None else Some(v)
-    FunnelRow(uid, opt(s.t1), opt(s.t2), opt(s.t3))
+
+    override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[FunnelRow] = {
+      st.clear()
+      Iterator.empty
+    }
   }
 
-  /** M4j: per-user funnel state maintained by mapGroupsWithState, emitted
-    * in update mode and key-upserted — the sink holds each user's CURRENT
-    * funnel position at every point in the stream, which is what a live
-    * conversion dashboard reads (the batch a12 summary is its end-of-day
-    * rollup). State is three longs per user — bounded by the user
-    * population, the canonical keyed-state budget (a production deploy
-    * adds a TTL for inactive users). */
-  def streamFunnelQuery(spark: SparkSession, dir: String): DataFrame = {
+  /** The funnel topology over any event stream — shared by the registered
+    * drain and StreamingSpec's tiny-TTL harness. */
+  def funnelStates(stream: DataFrame, ttlMs: Long): Dataset[FunnelRow] = {
+    val spark = stream.sparkSession
     import spark.implicits._
-    configureStreaming(spark)
-    val src = stagedEvents(spark, dir, 4)
-    val sink = Files.createTempDirectory("graft-stream-sink-").toString
-    val rows = readEventStream(spark, src)
-      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+    stream
+      .withWatermark("ts", "1 minute")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("tsMicros"),
         col("event_type"), col("event_id"))
       .as[FunnelEvent]
       .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(advanceFunnel _)
+      .transformWithState(new FunnelProcessor(ttlMs),
+        TimeMode.EventTime, OutputMode.Update)
+  }
+
+  /** M4j: per-user funnel state maintained by transformWithState, emitted
+    * in update mode and key-upserted — the sink holds each user's CURRENT
+    * funnel position at every point in the stream, which is what a live
+    * conversion dashboard reads (the batch a12 summary is its end-of-day
+    * rollup). State is three longs per user plus one timer, bounded by the
+    * ACTIVE user population: the event-time TTL drops users idle past
+    * `FunnelTtlMs`. */
+  def streamFunnelQuery(spark: SparkSession, dir: String): DataFrame = {
+    configureStreaming(spark)
+    val src = stagedEvents(spark, dir, 4)
+    val sink = Files.createTempDirectory("graft-stream-sink-").toString
+    val rows = funnelStates(readEventStream(spark, src), FunnelTtlMs)
     drainUpdate(rows.toDF(), sink)
     UpsertSink.lastWriteWins(spark, sink, Seq("user_id"))
       .filter(col("t1").isNotNull) // funnel membership starts at stage 1

@@ -255,6 +255,46 @@ object GraftProps extends Properties("graft") {
         }
     }
 
+  // ---- two-phase token-budget admission (TextAnalysis.budgetAdmit) ---------
+  // JVM model mirroring the DataFrame plan operation-for-operation: phase 1
+  // buckets scores by floor(q·1000) and keeps the buckets whose
+  // strictly-better buckets haven't already exhausted the budget; phase 2
+  // runs the exact ordered admission cumsum over candidate rows only. Must
+  // equal the naive full-corpus windowed-cumsum admission for EVERY corpus
+  // and budget — including zero-token docs, score ties, duplicate ids
+  // across languages, and budgets landing exactly on bucket boundaries.
+  private case class BDoc(id: Long, lang: Int, q: Double, n: Long)
+
+  private def naiveAdmit(docs: Seq[BDoc], budget: Long): Set[(Int, Long)] =
+    docs.groupBy(_.lang).flatMap { case (lang, ds) =>
+      val sorted = ds.sortBy(d => (-d.q, d.id))
+      val before = sorted.scanLeft(0L)(_ + _.n).init // cum BEFORE each doc
+      sorted.zip(before).collect { case (d, b) if b < budget => (lang, d.id) }
+    }.toSet
+
+  private def twoPhaseAdmit(docs: Seq[BDoc], budget: Long): Set[(Int, Long)] = {
+    def qb(d: BDoc): Long = math.floor(d.q * 1000).toLong
+    val hist = docs.groupBy(d => (d.lang, qb(d)))
+      .view.mapValues(_.map(_.n).sum).toMap
+    val cand = hist.keySet.filter { case (lang, b) =>
+      hist.collect { case ((l, b2), t) if l == lang && b2 > b => t }.sum < budget
+    }
+    // phase 2 = the same ordered cumsum, restricted to candidate buckets
+    naiveAdmit(docs.filter(d => cand((d.lang, qb(d)))), budget)
+  }
+
+  private val genBDoc = for {
+    id <- Gen.choose(0L, 60L)
+    lang <- Gen.choose(0, 3)
+    q <- Gen.choose(0, 10000).map(_ / 10000.0) // a 4-decimal score, like rnd(…,4)
+    n <- Gen.choose(0L, 500L)
+  } yield BDoc(id, lang, q, n)
+
+  property("token budget: two-phase threshold admission equals the windowed cumsum") =
+    forAll(Gen.listOf(genBDoc), Gen.choose(1L, 3000L)) { (docs, budget) =>
+      twoPhaseAdmit(docs, budget) == naiveAdmit(docs, budget)
+    }
+
   // ---- gap-fill interpolation (AnalyticWindows.gapFill) --------------------
   // The interpolant is EXACT at the left reading (frac = 0 — the only
   // on-reading case the engine evaluates, since readings sort before their

@@ -241,15 +241,60 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
       s"leaked: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
   }
 
-  test("stub media decode is deterministic and batch-shaped") {
+  test("PPM decode is deterministic, batch-shaped, and rejects exactly the malformed plants") {
     val a = Multimodal.decodeFeatures(spark, dir).orderBy("doc_id").collect()
     val b = Multimodal.decodeFeatures(spark, dir).orderBy("doc_id").collect()
     assert(a.sameElements(b))
     assert(a.length == Tables.documents(spark, dir).count())
-    // features are normalized stripes in [0, 1)
-    val feats = Multimodal.decodeFeatures(spark, dir)
-      .filter(col("f0") < 0 || col("f0") >= 1 || col("f3") < 0 || col("f3") >= 1)
-    assert(feats.count() == 0)
+    a.foreach { r =>
+      val ok = r.getAs[Boolean]("ok")
+      assert(ok == (r.getLong(0) % 61 != 0),
+        s"doc ${r.getLong(0)}: rejection must hit exactly the wrong-magic plants")
+      if (ok) {
+        assert(r.getAs[Int]("width") == 16)
+        assert(r.getAs[Int]("n_pixels") == 16 * r.getAs[Int]("height"))
+        Seq("mean_r", "mean_g", "mean_b").foreach { c =>
+          val m = r.getAs[Double](c)
+          assert(m >= 0.0 && m < 256.0, s"$c=$m out of byte range")
+        }
+      }
+    }
+  }
+
+  test("PPM decoder handles every malformed-bytes path without throwing") {
+    import Multimodal.{MediaIn, PpmDecoder}
+    def d(bytes: Array[Byte]) = PpmDecoder.decode(MediaIn(1L, bytes))
+    val px12 = Array.tabulate(12)(i => (i * 10).toByte) // 2×2 RGB
+    assert(!d("P5\n2 2\n255\n".getBytes ++ px12).ok, "wrong magic accepted")
+    assert(!d("P6\n2 2\n255\n".getBytes ++ px12.take(11)).ok, "truncated pixels accepted")
+    assert(!d("P6\n2 2\n254\n".getBytes ++ px12).ok, "non-255 maxval accepted")
+    assert(!d("P6\nx 2\n255\n".getBytes ++ px12).ok, "junk width token accepted")
+    assert(!d("P6\n-2 2\n255\n".getBytes ++ px12).ok, "negative dimension accepted")
+    assert(!d("P6".getBytes).ok, "header-only payload accepted")
+    assert(!d(Array.emptyByteArray).ok, "empty payload accepted")
+    val good = d("P6\n2 2\n255\n".getBytes ++ px12)
+    assert(good.ok && good.width == 2 && good.height == 2 && good.n_pixels == 4)
+    assert(good.mean_r == (0 + 30 + 60 + 90) / 4.0)
+    assert(good.mean_g == (10 + 40 + 70 + 100) / 4.0)
+    assert(good.mean_b == (20 + 50 + 80 + 110) / 4.0)
+  }
+
+  test("text-analysis operators leave no persisted residue behind") {
+    import graft.operators.TextAnalysis
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Seq[(org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
+      TextAnalysis.cmsHeavyHitters, TextAnalysis.tfidfTerms,
+      TextAnalysis.repetitionFilter)
+      .foreach(f => f(spark, dir).write.format("noop").mode("overwrite").save())
+    val mid = spark.sparkContext.getPersistentRDDs.keySet
+    assert((mid -- before).isEmpty,
+      s"cms/tfidf/repetition leaked persisted RDDs: ${mid -- before}")
+    // postings scopes its internal persist: at most its eagerly-checkpointed
+    // RESULT may remain resident (freed on GC), never the corpus-sized input
+    TextAnalysis.postings(spark, dir).write.format("noop").mode("overwrite").save()
+    val newIds = spark.sparkContext.getPersistentRDDs.keySet -- mid
+    assert(newIds.size <= 1, s"postings leaked beyond its result checkpoint: $newIds")
   }
 
   test("int8 quantization honors its error bound and sq8 search recalls exact top-10") {

@@ -290,6 +290,56 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"resumed drain diverged from batch twin: missing=${(twin -- state).take(3)} extra=${(state -- twin).take(3)}")
   }
 
+  test("funnel TTL drops an inactive user's state and a post-TTL event restarts the funnel") {
+    StreamingJobs.configureStreaming(spark)
+    val base = 1699999800L
+    def funnelDf(rows: Seq[(Long, Long, String, Int)]) = { // (id, user, type, mins)
+      import spark.implicits._
+      rows.map { case (id, user, tpe, mins) =>
+        (id, user, new Timestamp((base + mins * 60L) * 1000L), tpe)
+      }.toDF("event_id", "user_id", "ts", "event_type")
+    }
+    val src = tmp("funnel-src-")
+    // batch 0: user 1 reaches stage 2 (view → click)
+    funnelDf(Seq((1L, 1L, "view", 0), (2L, 1L, "click", 1)))
+      .coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1200)
+    // batch 1: user 2 at minute 30 — next batch's watermark (min 29) passes
+    // user 1's TTL deadline (last activity min 1 + 5-minute test TTL)
+    funnelDf(Seq((3L, 2L, "view", 30)))
+      .coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1200)
+    // batch 2: watermark is now min 29 → user 1's timer fires, state dropped
+    funnelDf(Seq((4L, 2L, "view", 40)))
+      .coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1200)
+    // batch 3: post-TTL event for user 1 — must RESTART the funnel from
+    // stage 1 (a surviving state would ignore this view: t1 was already set)
+    funnelDf(Seq((5L, 1L, "view", 32)))
+      .coalesce(1).write.mode("append").parquet(src)
+
+    val sink = tmp("funnel-sink-")
+    StreamingJobs.drainUpdate(
+      StreamingJobs.funnelStates(
+        StreamingJobs.readEventStream(spark, src), ttlMs = 5 * 60 * 1000L).toDF(),
+      sink)
+
+    val micros = (mins: Int) => (base + mins * 60L) * 1000000L
+    // pre-TTL emission proves the state existed before the drop…
+    val emitted = spark.read.parquet(sink).filter(col("user_id") === 1L)
+      .select("t1", "t2").collect().map(r => (r.get(0), r.get(1))).toSet
+    assert(emitted.contains((micros(0), micros(1))),
+      s"stage-2 state never emitted: $emitted")
+    // …and the final state is the RESTARTED funnel, not the old one
+    val u1 = UpsertSink.lastWriteWins(spark, sink, Seq("user_id"))
+      .filter(col("user_id") === 1L).collect()
+    assert(u1.length == 1)
+    assert(u1(0).getAs[Long]("t1") == micros(32),
+      s"expected restarted funnel at minute 32, got ${u1(0)}")
+    assert(u1(0).get(u1(0).fieldIndex("t2")) == null, "stale t2 survived the TTL drop")
+    assert(u1(0).get(u1(0).fieldIndex("t3")) == null)
+  }
+
   test("UpsertSink is last-write-wins per key and idempotent on batch replay") {
     import spark.implicits._
     val sink = tmp("upsert-sink-")
