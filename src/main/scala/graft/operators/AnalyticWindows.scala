@@ -175,7 +175,36 @@ object AnalyticWindows {
           .otherwise("interp").as("method"))
   }
 
+  /** W10: exponential moving average per sensor — the classic smoothing
+    * recurrence ema_i = 0.8·ema_{i−1} + 0.2·x_i, seeded with the first
+    * reading. A recurrence has no window-function form (each row needs the
+    * previous ROW'S RESULT, not a frame aggregate), so the engine shape is
+    * the fold: one groupBy(user) collects each sensor's (ts, event_id,
+    * value) readings into a sorted array and a single higher-order
+    * `aggregate` runs the recurrence left-to-right — work ∝ readings, one
+    * shuffle on the sensor key, parallel across the sensor population
+    * (the recurrence is inherently sequential WITHIN a sensor; no engine
+    * escapes that). Per-key memory is one sensor's history — the same
+    * per-key budget the session store carries in streaming form. The
+    * closed-form weight expansion (αΣ(1−α)^k·x) would avoid the array but
+    * rides `pow`, whose last-ulp behavior is libm-specific — the fold is
+    * pure mul/add, so DuckDB's identical-order list_reduce replays it
+    * bit-for-bit (rnd 6 guards the final emission only). */
+  def ema(spark: SparkSession, dir: String): DataFrame = {
+    val step = (acc: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) =>
+      when(acc.isNull, x.getField("v"))
+        .otherwise(acc * lit(0.8) + lit(0.2) * x.getField("v"))
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull && col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id").as("eid"), col("value").as("v")))).as("seq"))
+      .select(col("user_id"), size(col("seq")).as("n_events"),
+        rnd(aggregate(col("seq"), lit(null).cast("double"), step), 6).as("ema"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w10_ema"            -> ema,
     "w9_gap_fill"        -> gapFill,
     "w1_rolling_avg"     -> rollingAvg,
     "w2_pct_change"      -> pctChange,
@@ -187,6 +216,17 @@ object AnalyticWindows {
     "w8_latest_per_key"  -> latestPerKey)
 
   val oracles: Map[String, String] = Map(
+    // list() with ORDER BY builds the identical sorted sequence; list_reduce
+    // without an init seeds from the first element, matching the engine's
+    // null-seeded fold — every step is the same mul/add in the same order,
+    // so the doubles agree bit-for-bit before the final rnd.
+    "w10_ema" ->
+      s"""SELECT user_id, CAST(len(l) AS INTEGER) AS n_events,
+          ${sqlRnd("list_reduce(l, (acc, x) -> acc * 0.8 + 0.2 * x)", 6)} AS ema
+          FROM (SELECT user_id, list(value ORDER BY ts, event_id) AS l
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+                GROUP BY 1) t""",
     "w9_gap_fill" ->
       s"""WITH e AS (SELECT user_id, ts, value, event_id FROM events
                      WHERE ts IS NOT NULL AND user_id IS NOT NULL

@@ -625,7 +625,42 @@ object Dedup {
           .as("density"))
   }
 
+  /** M6: PageRank over the near-dup pair graph — the canonical-document
+    * selector a dedup release runs AFTER clustering: inside a duplicate
+    * cluster the highest-PageRank member is the best "representative"
+    * (most-connected variant), and rank mass also surfaces template hubs
+    * that plain cluster size misses. Five fixed power iterations at d =
+    * 0.85 over the STAGED pair table; every node of the symmetric pair
+    * graph has degree ≥ 1, so there is no dangling-mass correction term.
+    *
+    * Scale shape: each iteration is one equi-join (edges ⋈ ranks on the
+    * source id) + one keyed sum — shuffles keyed on node ids, the same
+    * contract as the CC contraction loop, with a FIXED iteration count (no
+    * convergence actions). The iteration plan is built by composition; at
+    * five rounds the tree stays well under the CC loop's checkpoint
+    * threshold. Cross-engine: every per-edge contribution pr/deg is one
+    * IEEE divide; the per-node sum is order-sensitive only in the last
+    * ulps, 10 orders below the rnd(6) emission guard. */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupStaging.minhashPairs(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+    val n = deg.count() // node count: one metadata-sized action, like tfidf's
+    var ranks = deg.select(col("u").as("node"), lit(1.0 / n).as("pr"))
+    for (_ <- 1 to 5) {
+      ranks = edges
+        .join(ranks, edges("u") === ranks("node"))
+        .join(deg, Seq("u"))
+        .select(col("v").as("node"), (col("pr") / col("deg")).as("c"))
+        .groupBy("node")
+        .agg((lit(0.15 / n) + lit(0.85) * sum(col("c"))).as("pr"))
+    }
+    ranks.select(col("node").as("doc_id"), rnd(col("pr"), 6).as("pagerank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_pagerank"      -> pagerank,
     "m6_exact_dedup"   -> exactDedup,
     "m6_corpus_build"  -> corpusBuild,
     "m6_ngram_jaccard" -> ngramJaccard,
@@ -821,6 +856,27 @@ object Dedup {
           nb2 AS (${sqlBands("b2sigs")}),
           ${sqlAdmission("2", "nb2", "rb", "b2hs", "rhs")}
           ${sqlAdmissionSelect("batch2", "m2")}""",
+    // Five power iterations unrolled as chained CTEs over the replayed
+    // MinHash pairs — same init, same damping, same per-edge IEEE divide;
+    // the per-node sums differ only in addition order (last-ulp), ten
+    // orders below the rnd(6) emission guard.
+    "m6_pagerank" -> {
+      val iters = (1 to 5).map { k =>
+        s"""p$k AS (SELECT e.v AS node,
+            0.15 / (SELECT n FROM nn) + 0.85 * sum(p.pr / d.deg) AS pr
+            FROM edges e JOIN p${k - 1} p ON p.node = e.u
+            JOIN deg d ON d.u = e.u
+            GROUP BY e.v)"""
+      }.mkString(", ")
+      s"""WITH pairs AS ($minhashOracleSql),
+          edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                    UNION ALL SELECT doc_b, doc_a FROM pairs),
+          deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY 1),
+          nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+          p0 AS (SELECT u AS node, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
+          $iters
+          SELECT node AS doc_id, ${sqlRnd("pr", 6)} AS pagerank FROM p5"""
+    },
     // Connected components as a recursive transitive-closure CTE over the
     // replayed MinHash pairs: min reachable doc id IS the propagation fixed
     // point the engine iterates to.

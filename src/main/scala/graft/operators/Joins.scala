@@ -67,6 +67,46 @@ object Joins {
       .limit(10)
   }
 
+  /** J9: the 6-table regional-revenue composite (TPC-H Q5 shape) — revenue
+    * by nation for one region and a two-year order window, where the
+    * supplier must be LOCAL to the customer (c_nationkey = s_nationkey).
+    * The deepest join tree in the registry, shaped the way a 100 TB
+    * warehouse must run it: region→nation→supplier collapse into one
+    * broadcast dimension before ever touching a fact; customer broadcasts
+    * against the order side; the single shuffle join is fact⋈fact on
+    * l_orderkey = o_orderkey with the date filter pushed into the orders
+    * scan; the local-supplier equality rides the customer broadcast as a
+    * join condition, never a post-join filter over a wider product. Revenue
+    * runs in DECIMAL end to end (the j1 order-independence discipline) and
+    * the 5-row result sorts trivially. */
+  def regionalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val (lo, hi) = ("1997-01-01", "1999-01-01")
+    val r = Tables.region(spark, dir)
+      .filter(col("r_name") === "ASIA").select("r_regionkey")
+    val n = Tables.nation(spark, dir)
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val s = Tables.supplier(spark, dir)
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+      .select("o_orderkey", "o_custkey")
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1.0) - col("l_discount")).cast("decimal(8,4)")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(Exact.rnd(sum(rev).cast("double"), 2).as("revenue"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** J2: left enrichment join (Learning Guide.txt:1071 §2 Layer 2) —
     * orders enriched with customer attributes. Customer is broadcast. */
   def enrichmentJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -281,6 +321,7 @@ object Joins {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_broadcast_join" -> broadcastJoin,
     "j8_shipping_priority" -> shippingPriority,
+    "j9_regional_revenue" -> regionalRevenue,
     "j5_bucketed_join"  -> bucketedJoin,
     "j6_asof_join"      -> asofJoin,
     "j7_range_join"     -> rangeJoin,
@@ -296,6 +337,21 @@ object Joins {
          count(*) AS cnt
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY 1""",
+    "j9_regional_revenue" ->
+      s"""SELECT n_name,
+         ${Exact.sqlRnd("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE)", 2)} AS revenue,
+         count(*) AS cnt
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1999-01-01'
+         GROUP BY 1
+         ORDER BY revenue DESC, n_name""",
     "j8_shipping_priority" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
          ${Exact.sqlRnd("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE)", 2)} AS revenue

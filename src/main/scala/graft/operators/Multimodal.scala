@@ -115,6 +115,53 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class PcmFrame(doc_id: Long, frame_no: Int, n_samples: Int,
+      energy: Double)
+
+  /** The audio leg of the codec zoo: payload bytes as 16-bit little-endian
+    * PCM, cut into 256-sample frames (trailing partial frame dropped — a
+    * feature extractor wants fixed-size windows), mean-square energy per
+    * frame. The inner loop is exact integer arithmetic (Σ s², one 64-bit
+    * accumulator — 256·32767² is far inside long range); the single IEEE
+    * divide at the end is what the oracle replays bit-for-bit. Sign
+    * extension is real ((hi << 8) | lo as signed 16-bit) even though ASCII
+    * fixture bytes never set the sign bit — MultimodalSpec drives a
+    * synthetic negative-sample payload through it. */
+  object PcmDecoder {
+    val FrameSamples = 256
+    def decode(in: MediaIn): Iterator[PcmFrame] = {
+      val b = in.payload
+      val nFrames = (b.length / 2) / FrameSamples
+      (0 until nFrames).iterator.map { f =>
+        var acc = 0L
+        var i = f * FrameSamples
+        val end = i + FrameSamples
+        while (i < end) {
+          val s = ((b(2 * i + 1): Int) << 8) | (b(2 * i) & 0xff) // LE, signed hi
+          acc += s.toLong * s
+          i += 1
+        }
+        PcmFrame(in.doc_id, f, FrameSamples, acc.toDouble / FrameSamples)
+      }
+    }
+  }
+
+  /** M7: PCM frame energy — the audio feature-extraction pipeline through
+    * the same mapPartitions batch shape as the PPM decoder: decoder bound
+    * once per partition, each payload fanning out to one row per frame
+    * (flatMap — work and output ∝ audio duration). Docs shorter than one
+    * frame (512 bytes) emit nothing, exactly like a sub-window audio clip. */
+  def pcmEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaIn]
+      .mapPartitions { rows =>
+        val decoder = PcmDecoder // per-partition init point for a real codec
+        rows.flatMap(decoder.decode)
+      }.toDF()
+  }
+
   /** M7: frame sampling — every 4th frame of each payload's decode plan,
     * exploded to one row per sampled frame with its byte offset. The
     * video-frame-extraction shape: a narrow explode whose fan-out is bounded
@@ -155,7 +202,8 @@ object Multimodal {
     "m7_binary_meta"    -> binaryMeta,
     "m7_frame_sample"   -> frameSample,
     "m7_resize_plan"    -> resizePlan,
-    "m7_decode_features" -> decodeFeatures)
+    "m7_decode_features" -> decodeFeatures,
+    "m7_pcm_energy"     -> pcmEnergy)
 
   val oracles: Map[String, String] = Map(
     // sha256 of the text's UTF-8 bytes == sha256 of the encoded blob.
@@ -208,5 +256,25 @@ object Multimodal {
                   CAST(list_sum(list_transform(range($o, CAST(h * 48 AS BIGINT) + 1, 3),
                     i -> unicode(px[CAST(i AS INTEGER)]))) AS DOUBLE)
                   / CAST(h * 16 AS DOUBLE) END AS mean_$c""" }.mkString(", ")}
-          FROM base""")
+          FROM base""",
+    // Replays the 16-bit-LE framing arithmetically: sample i is byte 2i
+    // (low) + byte 2i+1 (high) — 1-based text positions 2i+1 / 2i+2; ASCII
+    // bytes never set the sign bit, so the signed interpretation equals the
+    // unsigned one here (the sign-extension path is spec-covered). The
+    // frame sum is exact integer arithmetic; the single divide replays
+    // bit-for-bit.
+    "m7_pcm_energy" ->
+      """WITH f AS (
+           SELECT doc_id, text, (length(text) // 2) // 256 AS n_frames
+           FROM documents),
+         fr AS (
+           SELECT doc_id, text, CAST(u.fn AS INTEGER) AS frame_no
+           FROM f, LATERAL unnest(range(0, n_frames)) AS u(fn))
+         SELECT doc_id, frame_no, CAST(256 AS INTEGER) AS n_samples,
+           CAST(list_sum(list_transform(
+             list_transform(range(0, 256), k ->
+               CAST(unicode(text[CAST(2 * (frame_no * 256 + k) + 2 AS INTEGER)]) * 256
+                    + unicode(text[CAST(2 * (frame_no * 256 + k) + 1 AS INTEGER)]) AS BIGINT)),
+             s -> s * s)) AS DOUBLE) / 256.0 AS energy
+         FROM fr""")
 }

@@ -142,7 +142,26 @@ object Serving {
          GROUP BY l_returnflag, l_linestatus""")
   }
 
+  /** M5g: equi-width value histogram per event class — the
+    * distribution-dashboard serving shape (reading-value spread per sensor
+    * type). 20 fixed 25-unit buckets, clamped at both ends so outliers land
+    * in the edge buckets instead of growing the key space: the output is
+    * bounded at types × 20 rows REGARDLESS of data volume, and the plan is
+    * one narrow bucket map + one map-side-combined aggregation — the
+    * histogram every monitoring UI renders, computed without a sort,
+    * a window, or an unbounded group count. Bucket id is floor(value/25) —
+    * one IEEE divide + floor, identical across engines. */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .withColumn("bucket",
+        least(greatest(floor(col("value") / 25).cast("long"), lit(0L)), lit(19L)))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        Exact.rnd(Exact.sumD("value"), 2).as("sum_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m5g_value_histogram" -> valueHistogram,
     "o1_sort_limit"       -> sortLimit,
     "m5d_sql_pricing_summary" -> sqlPricingSummary,
     "o2_topk_histogram"   -> topkHistogram,
@@ -155,6 +174,14 @@ object Serving {
     "m5e_health_probe"    -> healthProbe)
 
   val oracles: Map[String, String] = Map(
+    "m5g_value_histogram" ->
+      s"""SELECT event_type,
+          CAST(least(greatest(floor(value / 25), 0), 19) AS BIGINT) AS bucket,
+          count(*) AS cnt,
+          ${Exact.sqlRnd(Exact.sqlSum("value"), 2)} AS sum_value
+          FROM events
+          WHERE value IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY 1, 2""",
     "o1_sort_limit" ->
       """SELECT event_id, ts, user_id, value FROM events
          ORDER BY ts, event_id LIMIT 1000""",

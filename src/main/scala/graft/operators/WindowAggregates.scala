@@ -173,6 +173,18 @@ object WindowAggregates {
       .agg(count(lit(1)).as("cnt"), rnd(Exact.sumD("value"), 2).as("total_value"),
         grouping_id().cast("int").as("gid"))
 
+  /** A14: the full CUBE over (event_type, day) — a10's rollup plus the
+    * per-day-across-types slice, i.e. all four grouping sets in ONE pass:
+    * Spark expands the cube on the map side and a single partial+final
+    * aggregation serves every slice, where four separate GROUP BYs would
+    * scan the fact four times. `gid` disambiguates genuine NULL keys from
+    * subtotal rows, exactly as in a10. */
+  def cubeStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .cube(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"), rnd(Exact.sumD("value"), 2).as("total_value"),
+        grouping_id().cast("int").as("gid"))
+
   /** A11: exact distribution percentiles per event class — the latency/SLA
     * quantile shape. Spark's `percentile` is the exact distributed form
     * (per-group sorted buffer; for 100 TB cardinalities swap in
@@ -292,6 +304,7 @@ object WindowAggregates {
     "a11b_percentiles_approx" -> percentilesApprox,
     "a9_event_pivot"       -> eventPivot,
     "a10_rollup"           -> rollupStats,
+    "a14_cube"             -> cubeStats,
     "a7_salted_agg"        -> saltedAgg,
     "a2_hourly_agg"        -> hourlyAgg,
     "a3_daily_mart"        -> dailyMart,
@@ -432,6 +445,12 @@ object WindowAggregates {
           ${sqlRnd(sumV, 2)} AS total_value,
           CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS INTEGER) AS gid
           FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))""",
+    "a14_cube" ->
+      s"""SELECT event_type, CAST(ts AS DATE) AS day,
+          count(*) AS cnt,
+          ${sqlRnd(sumV, 2)} AS total_value,
+          CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS INTEGER) AS gid
+          FROM events GROUP BY CUBE(event_type, CAST(ts AS DATE))""",
     "a5_failure_histogram" ->
       s"""SELECT event_type, cnt,
          ${sqlRnd("cnt * 100.0 / sum(cnt) OVER ()", 4)} AS pct

@@ -279,6 +279,24 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     assert(good.mean_b == (20 + 50 + 80 + 110) / 4.0)
   }
 
+  test("PCM decoder sign-extends, frames exactly, and drops the partial tail") {
+    import Multimodal.{MediaIn, PcmDecoder}
+    // 512 bytes of 0xFF = 256 samples of −1 → one frame, energy 1.0
+    val neg = PcmDecoder.decode(MediaIn(1L, Array.fill(512)(0xFF.toByte))).toSeq
+    assert(neg.map(f => (f.frame_no, f.energy)) == Seq((0, 1.0)))
+    // sample 0x8000 = −32768 (the most negative 16-bit value)
+    val minSample = PcmDecoder.decode(MediaIn(2L,
+      Array.fill(256)(Array(0x00.toByte, 0x80.toByte)).flatten)).toSeq
+    assert(minSample.head.energy == 32768.0 * 32768.0)
+    // little-endian order: (lo=1, hi=0) is +1, not 256
+    val le = PcmDecoder.decode(MediaIn(3L,
+      Array.fill(256)(Array(0x01.toByte, 0x00.toByte)).flatten)).toSeq
+    assert(le.head.energy == 1.0)
+    // sub-frame payload (511 bytes) and the partial tail both emit nothing
+    assert(PcmDecoder.decode(MediaIn(4L, Array.fill(511)(0x7F.toByte))).isEmpty)
+    assert(PcmDecoder.decode(MediaIn(5L, Array.fill(700)(0x10.toByte))).size == 1)
+  }
+
   test("text-analysis operators leave no persisted residue behind") {
     import graft.operators.TextAnalysis
     spark.catalog.clearCache()

@@ -46,6 +46,27 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
     assert(j8.contains("TakeOrderedAndProject"), "top-10 must not global-sort")
     assert(plan("o1_sort_limit").contains("TakeOrderedAndProject"))
     assert(plan("o3_api_pagination").contains("TakeOrderedAndProject"))
+    // j9 (Q5 shape): both dimension stacks broadcast; the date window is
+    // pushed into the orders scan — the only shuffle join is fact⋈fact
+    val j9 = plan("j9_regional_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(j9).length >= 2,
+      s"j9 must broadcast the supplier and customer dimension stacks:\n$j9")
+    assert(j9.contains("GreaterThanOrEqual(o_orderdate") &&
+      j9.contains("LessThan(o_orderdate"),
+      s"j9 order-date window not pushed:\n$j9")
+  }
+
+  test("token budget: no corpus-wide sort — the ordered pass runs post-filter") {
+    // the two-phase reshape's contract: the windowed cumsum (Sort+Window)
+    // must sit ABOVE the candidate semi-join, so its input is the
+    // admission-sized remainder, never a whole language of raw docs
+    val p = plan("m6_token_budget")
+    val semiIdx = p.indexOf("LeftSemi")
+    assert(semiIdx >= 0 && p.contains("BroadcastHashJoin"),
+      s"candidate broadcast semi-join missing:\n$p")
+    val windowIdx = p.indexOf("Window")
+    assert(windowIdx >= 0 && windowIdx < semiIdx,
+      s"admission window must consume the semi-join output (appear above it):\n$p")
   }
 
   test("aggregation: partial+final hash agg, pruned read schema") {
