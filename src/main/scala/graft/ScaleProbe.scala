@@ -27,7 +27,9 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/tmp/graft-sf1"
-    val factor = 10
+    // replica count: 10 builds the sf1 (10×) fixture, 100 the sf10 (100×)
+    // one — same construction, the key stride (10^8) dominates both spans
+    val factor = if (args.length > 2) args(2).toInt else 10
     if (Files.exists(Paths.get(s"$out/_READY"))) {
       println(s"[scale] $out already built"); return
     }
@@ -48,7 +50,7 @@ object ScaleProbe {
     def replicated(t: String, keyCols: Seq[String], perReplica: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
       (0 until factor).map { i =>
         val shifted = keyCols.foldLeft(raw(t))((d, k) =>
-          d.withColumn(k, col(k) + lit(i * 10000000L)))
+          d.withColumn(k, col(k) + lit(i * 100000000L)))
         if (i == 0) raw(t) else perReplica(shifted, i)
       }.reduce(_ unionAll _)
 
@@ -74,11 +76,18 @@ object ScaleProbe {
     // of i^j) and cross-replica cosine sits near 0, far under the 0.95
     // near-dup bar. A modular pattern (e.g. (idx+i)%3) would hand replicas
     // with equal i mod 3 identical vectors — exactly the artificial
-    // cross-replica clique this fixture must not contain.
+    // cross-replica clique this fixture must not contain. With 64 dims the
+    // Walsh index wraps at 64 (idx has 6 bits), so replicas i and i+64
+    // would repeat a pattern at factor 100 — those get a GLOBAL negation
+    // on top (cosine −1 vs their wrap partner: anti-parallel, equally far
+    // from the +0.95 near-dup bar).
     write("embeddings", replicated("embeddings", Seq("vec_id"),
       (d, i) => d.withColumn("embedding",
-        transform(col("embedding"), (x, idx) =>
-          when(bit_count(idx.bitwiseAND(lit(i))) % 2 === 1, -x).otherwise(x)))))
+        transform(col("embedding"), (x, idx) => {
+          val flipped = when(
+            bit_count(idx.bitwiseAND(lit(i % 64))) % 2 === 1, -x).otherwise(x)
+          if (i >= 64) -flipped else flipped
+        }))))
     Seq("region", "nation", "customer", "supplier", "part")
       .foreach(t => write(t, raw(t)))
     Files.writeString(Paths.get(s"$out/_READY"), s"src=$src factor=$factor")

@@ -31,6 +31,9 @@ QUERIES = ",".join([
     "m6_embed_quantize", "m6_ann_sq8", "m6_lang_confusion",
     "j8_shipping_priority", "a12_funnel", "a13_retention",
     "w9_gap_fill", "m6_dup_density", "m6_epoch_mix", "m5f_keyset_page",
+    # round-8 additions
+    "j9_regional_revenue", "a14_cube", "w10_ema", "m5g_value_histogram",
+    "m6_pagerank", "m7_pcm_energy",
 ])
 
 
