@@ -203,8 +203,33 @@ object AnalyticWindows {
         rnd(aggregate(col("seq"), lit(null).cast("double"), step), 6).as("ema"))
   }
 
+  /** W11: distribution deciles per event class — "which decile of its
+    * type's value distribution is this reading in", the percentile-bucket
+    * label feeding SLA dashboards and outlier triage. An `ntile(10)` window
+    * over the raw table would single-thread each event class through one
+    * sort (the W3/W4 anti-shape); instead the TWO-PHASE form: the 9 exact
+    * decile boundaries per class come from one map-side-combined
+    * `percentile` aggregate (a11's machinery), broadcast back, and each
+    * row's decile is a 9-comparison fold over the boundary array — no sort
+    * of raw data anywhere, work ∝ rows. Spark's exact `percentile`
+    * interpolation is bit-identical to DuckDB's quantile_cont (pinned by
+    * a11), so the strict > comparisons agree on every boundary. */
+  def valueDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val probs = (1 to 9).map(p => s"0.$p").mkString(", ")
+    val base = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+    val bounds = base.groupBy("event_type")
+      .agg(expr(s"percentile(value, array($probs))").as("bs"))
+    base.join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        (aggregate(col("bs"), lit(0L),
+          (acc, b) => acc + when(col("value") > b, 1L).otherwise(0L)) + 1)
+          .as("decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w10_ema"            -> ema,
+    "w11_value_deciles"  -> valueDeciles,
     "w9_gap_fill"        -> gapFill,
     "w1_rolling_avg"     -> rollingAvg,
     "w2_pct_change"      -> pctChange,
@@ -216,6 +241,18 @@ object AnalyticWindows {
     "w8_latest_per_key"  -> latestPerKey)
 
   val oracles: Map[String, String] = Map(
+    // quantile_cont's interpolation is bit-identical to Spark's percentile
+    // (the a11 pin), so counting strict >-crossings over the same 9
+    // boundary doubles lands every row in the same decile.
+    "w11_value_deciles" ->
+      """WITH b AS (SELECT event_type,
+             quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+           FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1)
+         SELECT event_id, event_type, value,
+           CAST(len(list_filter(bs, x -> value > x)) + 1 AS BIGINT) AS decile
+         FROM events JOIN b USING (event_type)
+         WHERE value IS NOT NULL AND event_type IS NOT NULL""",
     // list() with ORDER BY builds the identical sorted sequence; list_reduce
     // without an init seeds from the first element, matching the engine's
     // null-seeded fold — every step is the same mul/add in the same order,

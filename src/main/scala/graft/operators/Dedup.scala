@@ -659,8 +659,33 @@ object Dedup {
     ranks.select(col("node").as("doc_id"), rnd(col("pr"), 6).as("pagerank"))
   }
 
+  /** M6: LSH recall/precision evaluation — the standard audit a dedup
+    * release publishes next to its pair set: the banded MinHash candidates
+    * measured against the exact AllPairs baseline at the same 0.8 Jaccard
+    * bar. LlmPillarSpec asserts the recall INVARIANT (exact ⊆ LSH); this
+    * query materializes the NUMBERS as a one-row artifact the release
+    * pipeline can archive and trend. One full-outer equi-join of two
+    * pair sets (both staged-index-driven, both tiny relative to the
+    * corpus), one scalar aggregate. */
+  def lshEval(spark: SparkSession, dir: String): DataFrame = {
+    val exact = ngramJaccard(spark, dir)
+      .filter(col("jaccard") >= 0.8).select(col("doc_a"), col("doc_b"))
+    val lsh = minhashDedup(spark, dir)
+      .select(col("doc_a").as("la"), col("doc_b").as("lb"))
+    exact.join(lsh,
+        col("doc_a") === col("la") && col("doc_b") === col("lb"), "full_outer")
+      .agg(
+        count(col("doc_a")).as("n_exact"),
+        count(col("la")).as("n_lsh"),
+        count(when(col("doc_a").isNotNull && col("la").isNotNull, 1)).as("n_common"))
+      .select(col("n_exact"), col("n_lsh"), col("n_common"),
+        rnd(col("n_common").cast("double") / col("n_exact"), 4).as("recall"),
+        rnd(col("n_common").cast("double") / col("n_lsh"), 4).as("precision"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m6_pagerank"      -> pagerank,
+    "m6_lsh_eval"      -> lshEval,
     "m6_exact_dedup"   -> exactDedup,
     "m6_corpus_build"  -> corpusBuild,
     "m6_ngram_jaccard" -> ngramJaccard,
@@ -748,6 +773,19 @@ object Dedup {
         coalesce(n_matches, 0) = 0 AS admitted
         FROM $batchCte b LEFT JOIN $mCte ON $mCte.new_id = b.doc_id"""
 
+  /** The exact n-gram-Jaccard replay — shared by its own oracle and the
+    * LSH-evaluation composition (which re-filters its ROUNDED jaccard). */
+  private lazy val ngramOracleSql: String =
+    s"""WITH sh AS (SELECT doc_id, lang, n_chars, $shSql AS s FROM documents),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                len(list_intersect(a.s, b.s)) AS ni, len(a.s) + len(b.s) AS ntot
+              FROM sh a JOIN sh b
+                ON a.lang = b.lang AND a.doc_id < b.doc_id
+               AND abs(a.n_chars - b.n_chars) <= 50)
+        SELECT doc_a, doc_b, ${sqlRnd("jac", 4)} AS jaccard FROM (
+          SELECT doc_a, doc_b, ni / CAST(ntot - ni AS DOUBLE) AS jac FROM p) t
+        WHERE jac >= 0.5"""
+
   /** The MinHash pipeline's DuckDB replay — shared by its own oracle and
     * the corpus-build composition. */
   private lazy val minhashOracleSql: String =
@@ -780,16 +818,7 @@ object Dedup {
          GROUP BY 1""",
     // The oracle verifies over the RAW STRING shingles, so the 60-bit hashed
     // representation the engine joins on is itself under test here.
-    "m6_ngram_jaccard" ->
-      s"""WITH sh AS (SELECT doc_id, lang, n_chars, $shSql AS s FROM documents),
-          p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                  len(list_intersect(a.s, b.s)) AS ni, len(a.s) + len(b.s) AS ntot
-                FROM sh a JOIN sh b
-                  ON a.lang = b.lang AND a.doc_id < b.doc_id
-                 AND abs(a.n_chars - b.n_chars) <= 50)
-          SELECT doc_a, doc_b, ${sqlRnd("jac", 4)} AS jaccard FROM (
-            SELECT doc_a, doc_b, ni / CAST(ntot - ni AS DOUBLE) AS jac FROM p) t
-          WHERE jac >= 0.5""",
+    "m6_ngram_jaccard" -> ngramOracleSql,
     "m6_decontaminate" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents
                           UNION ALL
@@ -856,6 +885,24 @@ object Dedup {
           nb2 AS (${sqlBands("b2sigs")}),
           ${sqlAdmission("2", "nb2", "rb", "b2hs", "rhs")}
           ${sqlAdmissionSelect("batch2", "m2")}""",
+    // Composes the two pair oracles (verbatim — including the ROUNDED
+    // jaccard the engine also filters on, so the 0.8 bar can never
+    // boundary-diverge) and counts the full-outer overlap; recall and
+    // precision are single IEEE divides of exact longs.
+    "m6_lsh_eval" -> {
+      s"""WITH ex AS (SELECT doc_a, doc_b FROM ($ngramOracleSql) g
+                      WHERE jaccard >= 0.8),
+          ls AS (SELECT doc_a AS la, doc_b AS lb FROM ($minhashOracleSql) m),
+          j AS (SELECT ex.doc_a, ls.la FROM ex
+                FULL OUTER JOIN ls ON ex.doc_a = ls.la AND ex.doc_b = ls.lb),
+          c AS (SELECT count(doc_a) AS n_exact, count(la) AS n_lsh,
+                  count(CASE WHEN doc_a IS NOT NULL AND la IS NOT NULL THEN 1 END) AS n_common
+                FROM j)
+          SELECT n_exact, n_lsh, n_common,
+            ${sqlRnd("CAST(n_common AS DOUBLE) / n_exact", 4)} AS recall,
+            ${sqlRnd("CAST(n_common AS DOUBLE) / n_lsh", 4)} AS precision
+          FROM c"""
+    },
     // Five power iterations unrolled as chained CTEs over the replayed
     // MinHash pairs — same init, same damping, same per-edge IEEE divide;
     // the per-node sums differ only in addition order (last-ulp), ten

@@ -173,6 +173,22 @@ object WindowAggregates {
       .agg(count(lit(1)).as("cnt"), rnd(Exact.sumD("value"), 2).as("total_value"),
         grouping_id().cast("int").as("gid"))
 
+  /** A15: SLIDING window aggregation — 5-minute windows every 1 minute,
+    * the overlapping-window complement of a1's tumbling form (a live
+    * dashboard smoothing a reading across window boundaries). Spark
+    * expands each event to its 5 covering windows on the map side and one
+    * partial+final keyed aggregation serves all of them — work ∝
+    * events × (window/slide), no state, no self-join; the oracle replays
+    * the expansion as an explicit 5-way unnest onto the same minute grid. */
+  def slidingWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id"), window(col("ts"), "5 minutes", "1 minute"))
+      .agg(rnd(Exact.sumD("value"), 2).as("total_value"),
+        count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("window.start").as("window_start"),
+        col("total_value"), col("cnt"))
+
   /** A14: the full CUBE over (event_type, day) — a10's rollup plus the
     * per-day-across-types slice, i.e. all four grouping sets in ONE pass:
     * Spark expands the cube on the map side and a single partial+final
@@ -305,6 +321,7 @@ object WindowAggregates {
     "a9_event_pivot"       -> eventPivot,
     "a10_rollup"           -> rollupStats,
     "a14_cube"             -> cubeStats,
+    "a15_sliding_window"   -> slidingWindowAgg,
     "a7_salted_agg"        -> saltedAgg,
     "a2_hourly_agg"        -> hourlyAgg,
     "a3_daily_mart"        -> dailyMart,
@@ -445,6 +462,17 @@ object WindowAggregates {
           ${sqlRnd(sumV, 2)} AS total_value,
           CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS INTEGER) AS gid
           FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))""",
+    // An event at time t sits in exactly the 5 slide-aligned windows with
+    // start = minute-floor(t) − k minutes, k ∈ [0,5): minute-floor(t) − 4
+    // is always > t − 5 min, so no start needs filtering out.
+    "a15_sliding_window" ->
+      s"""SELECT user_id,
+          date_trunc('minute', ts) - u.k * INTERVAL 1 MINUTE AS window_start,
+          ${sqlRnd(sumV, 2)} AS total_value,
+          count(*) AS cnt
+          FROM events, LATERAL unnest(range(0, 5)) AS u(k)
+          WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          GROUP BY 1, 2""",
     "a14_cube" ->
       s"""SELECT event_type, CAST(ts AS DATE) AS day,
           count(*) AS cnt,

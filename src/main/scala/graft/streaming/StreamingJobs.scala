@@ -641,6 +641,75 @@ object StreamingJobs {
         timestamp_micros(col("t2")).as("t2"), timestamp_micros(col("t3")).as("t3"))
   }
 
+  // M4k: streaming exponential moving average — the w10 batch fold as live
+  // per-sensor state (the smoothed-reading gauge a dashboard serves).
+
+  final case class EmaEvent(user_id: Long, ts: java.sql.Timestamp,
+      tsMicros: Long, event_id: Long, value: Double)
+  final case class EmaState(ema: Double, n: Long)
+  final case class EmaRow(user_id: Long, n_events: Long, ema: Double)
+
+  /** Per-sensor EMA processor. The recurrence is applied in (tsMicros,
+    * event_id) order inside each batch and the staged replay is globally
+    * ts-ordered across batches, so the fold sequence is IDENTICAL to batch
+    * w10's sorted-array fold — the drained state replays its oracle
+    * bit-for-bit (same mul/add order). State is two numbers per sensor
+    * under the same sliding event-time TTL as the funnel. */
+  class EmaProcessor(ttlMs: Long)
+      extends StatefulProcessor[Long, EmaEvent, EmaRow] {
+    @transient private var st: ValueState[EmaState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[EmaState]("ema",
+        org.apache.spark.sql.Encoders.product[EmaState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[EmaEvent],
+        timerValues: TimerValues): Iterator[EmaRow] = {
+      var s = if (st.exists()) st.get() else EmaState(0.0, 0L)
+      var lastMs = Long.MinValue
+      rows.toSeq.sortBy(r => (r.tsMicros, r.event_id)).foreach { r =>
+        lastMs = math.max(lastMs, r.tsMicros / 1000L)
+        s = EmaState(
+          if (s.n == 0) r.value else s.ema * 0.8 + 0.2 * r.value,
+          s.n + 1)
+      }
+      st.update(s)
+      getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(
+        math.max(lastMs + ttlMs, timerValues.getCurrentWatermarkInMs() + 1))
+      Iterator.single(EmaRow(uid, s.n, s.ema))
+    }
+
+    override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[EmaRow] = {
+      st.clear()
+      Iterator.empty
+    }
+  }
+
+  /** M4k: per-sensor streaming EMA via transformWithState, update-mode
+    * key-upserted; the drained final state must equal batch w10_ema
+    * exactly (same fold, same order, same doubles). */
+  def streamEmaQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    configureStreaming(spark)
+    val src = stagedEvents(spark, dir, 4)
+    val sink = Files.createTempDirectory("graft-stream-sink-").toString
+    val rows = readEventStream(spark, src)
+      .filter(col("value").isNotNull) // the batch twin's null filter
+      .withWatermark("ts", "1 minute")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("tsMicros"),
+        col("event_id"), col("value"))
+      .as[EmaEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new EmaProcessor(FunnelTtlMs),
+        TimeMode.EventTime, OutputMode.Update)
+    drainUpdate(rows.toDF(), sink)
+    UpsertSink.lastWriteWins(spark, sink, Seq("user_id"))
+      .select(col("user_id"), col("n_events").cast("int").as("n_events"),
+        graft.operators.Exact.rnd(col("ema"), 6).as("ema"))
+  }
+
   /** Staged bounded replay of the documents table (doc_id order) — the
     * corpus as a stream, for the ingest-side text operators (m4i). */
   def stagedDocuments(spark: SparkSession, dir: String, nFiles: Int): String =
@@ -661,6 +730,7 @@ object StreamingJobs {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m4i_stream_cms"       -> streamCmsQuery,
     "m4j_stream_funnel"    -> streamFunnelQuery,
+    "m4k_stream_ema"       -> streamEmaQuery,
     "m4_stream_window_agg" -> streamWindowAggQuery,
     "m4f_stream_sessionize" -> streamSessionizeQuery,
     "m4g_stream_enriched"  -> streamEnrichedQuery,
@@ -689,6 +759,9 @@ object StreamingJobs {
          FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""",
     // Identical to the batch a1 oracle: bounded-drain equivalence.
     "m4_stream_window_agg" -> WindowAggregates.oracles("a1_window_agg"),
+    // Identical to the batch w10 oracle: the in-order drain applies the
+    // same fold in the same order, so even the doubles agree.
+    "m4k_stream_ema" -> graft.operators.AnalyticWindows.oracles("w10_ema"),
     // Identical to the batch a8 oracle: the streaming session store's final
     // state must equal the batch gaps-and-islands sessions.
     "m4f_stream_sessionize" -> WindowAggregates.oracles("a8_sessionize"),
