@@ -542,6 +542,34 @@ object Connectors {
         max("ts").as("next_watermark"),
         count(lit(1)).as("rows_to_sync"))
 
+  /** S13: JSON-lines batch source/sink roundtrip — the file-based analog of
+    * the reference's JSON-over-Kafka wire format (producer.py serializes
+    * JSON; here the same records ride newline-delimited files, the landing
+    * format every batch ingest starts from). The write serializes
+    * microsecond timestamps; the read applies an EXPLICIT schema — schema
+    * inference over JSON is a full extra pass at 100 TB and type-unstable
+    * (a column of all-null batches infers string), so production readers
+    * always pin the schema. The roundtrip must be lossless against the
+    * original parquet rows, which is exactly what the oracle checks —
+    * including MICROSECONDS: Spark's default JSON timestampFormat emits
+    * milliseconds, silently widening every sub-ms reading on the way out,
+    * so the format is pinned to micro precision on both sides. */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft-jsonl-").toString
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value").map(col)
+    val microFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(cols: _*)
+      .write.mode("overwrite").option("timestampFormat", microFmt).json(out)
+    spark.read
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE")
+      .option("timestampFormat", microFmt)
+      .json(out)
+      .select(cols: _*)
+  }
+
   // ---- S12: partitioned + coalesced output layout --------------------------
 
   /** S12: date-partitioned, small-file-compacted table write + read-back
@@ -563,7 +591,38 @@ object Connectors {
         col("min_value"), col("cnt"))
   }
 
+  /** S10: catalog/DDL bootstrap — the engine-side analog of the reference's
+    * topic-bootstrap script (kafka/init_topics.py:190-252: idempotent
+    * infrastructure setup, verified before the pipeline starts): the
+    * warehouse layout is materialized (the S12 day-partitioned mart), an
+    * EXTERNAL partitioned table is registered over it with idempotent DDL
+    * (DROP IF EXISTS + CREATE), and partition DISCOVERY (`MSCK REPAIR`)
+    * walks the directory layout into the catalog — the step that makes
+    * partition PRUNING possible for every downstream reader. The registered
+    * query reads back THROUGH the catalog table and aggregates per
+    * partition, so the oracle verifies the whole bootstrap end to end:
+    * DDL, discovery, partition-column recovery, and the data itself. */
+  def catalogBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val loc = Files.createTempDirectory("graft-catalog-").toString
+    WindowAggregates.dailyMart(spark, dir)
+      .repartition(col("day"))
+      .write.partitionBy("day").mode("overwrite").parquet(loc)
+    val table = "graft_daily_mart"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"""CREATE TABLE $table
+          (user_id BIGINT, avg_value DOUBLE, max_value DOUBLE,
+           min_value DOUBLE, cnt BIGINT, day DATE)
+          USING parquet PARTITIONED BY (day) LOCATION '$loc'""")
+    spark.sql(s"MSCK REPAIR TABLE $table")
+    spark.table(table)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sensors"), sum("cnt").as("n_readings"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_catalog_bootstrap" -> catalogBootstrap,
+    "s13_jsonl_roundtrip"   -> jsonlRoundtrip,
     "s1_kafka_roundtrip"    -> kafkaRoundtrip,
     "s2_kafka_envelope"     -> kafkaEnvelope,
     "s8_upsert_sink"        -> upsertSink,
@@ -571,6 +630,17 @@ object Connectors {
     "s12_partitioned_output" -> partitionedOutput)
 
   val oracles: Map[String, String] = Map(
+    // Aggregates the a3 mart oracle per day: the catalog table's partition
+    // discovery + read-back must reproduce the mart's own numbers.
+    "s10_catalog_bootstrap" ->
+      s"""WITH mart AS (${WindowAggregates.oracles("a3_daily_mart")})
+          SELECT day, count(*) AS n_sensors,
+                 CAST(sum(cnt) AS BIGINT) AS n_readings
+          FROM mart GROUP BY 1""",
+    // Lossless roundtrip: the JSONL read-back equals the source rows.
+    "s13_jsonl_roundtrip" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+         WHERE ts IS NOT NULL AND user_id IS NOT NULL""",
     "s1_kafka_roundtrip" ->
       """SELECT CAST(user_id AS VARCHAR) AS kafka_key,
          event_id, user_id, event_type,

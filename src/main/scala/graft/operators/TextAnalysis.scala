@@ -659,6 +659,45 @@ object TextAnalysis {
         explode(sequence(lit(0), col("n_copies") - 1)).as("copy_idx"))
   }
 
+  /** M6: BPE merge-pair statistics — the first iteration of byte-pair-
+    * encoding tokenizer training: adjacent character-pair counts across the
+    * corpus, weighted by word frequency (the argmax is the first merge a
+    * BPE trainer performs). The corpus collapses to its word-frequency
+    * table FIRST (one keyed agg — the vocabulary is tiny next to the token
+    * stream), pairs explode off the distinct words only, so the expensive
+    * explode is ∝ vocabulary size, not corpus size — exactly how real BPE
+    * trainers batch by word frequency. Top-20 via sort+limit
+    * (TakeOrderedAndProject); the rank window runs over 20 rows. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val wf = Tables.fanout(Tables.documents(spark, dir))
+      .select(explode(normTokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("f"))
+    val pairs = wf.select(col("f"), explode(
+        when(length(col("word")) >= 2,
+          transform(sequence(lit(1), length(col("word")) - 1),
+            i => col("word").substr(i, lit(2))))
+          .otherwise(array())).as("pair"))
+    val counts = pairs.groupBy("pair").agg(sum("f").as("cnt"))
+    counts.orderBy(col("cnt").desc, col("pair")).limit(20)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("pair"))).cast("int"))
+  }
+
+  /** M6: per-language document-length profile — the corpus-census artifact
+    * (how long are documents, per mixture component) every data release
+    * reports: exact token-count percentiles plus the exact mean. One keyed
+    * aggregation; `percentile`'s interpolation is the a11-pinned
+    * bit-identical form, and the mean is one divide of exact longs. */
+  def docLenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), size(tokens(col("text"))).as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        rnd(expr("percentile(n_tokens, 0.5)"), 4).as("p50_tokens"),
+        rnd(expr("percentile(n_tokens, 0.9)"), 4).as("p90_tokens"),
+        rnd(expr("percentile(n_tokens, 0.99)"), 4).as("p99_tokens"),
+        rnd(sum("n_tokens").cast("double") / count(lit(1)), 4).as("avg_tokens"))
+
   /** M6: language-ID confusion matrix — the classifier's standard eval
     * artifact (true label × prediction with counts), one keyed aggregation
     * over the langId output. */
@@ -668,6 +707,8 @@ object TextAnalysis {
       .withColumn("correct", col("lang") === col("predicted_lang"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_bpe_pairs"     -> bpePairs,
+    "m6_doc_len_stats" -> docLenStats,
     "m6_lang_confusion" -> langConfusion,
     "m6_epoch_mix"     -> epochMix,
     "m6_vocab_hll"     -> vocabHll,
@@ -727,6 +768,29 @@ object TextAnalysis {
         FROM t"""
 
   val oracles: Map[String, String] = Map(
+    // Pair counts are exact integers; DuckDB's 1-based inclusive slice
+    // word[i:i+1] is the same 2-char window as Spark's substr(i, 2).
+    "m6_bpe_pairs" ->
+      s"""WITH w AS (SELECT unnest(${sqlNormTokens("text")}) AS word FROM documents),
+          wf AS (SELECT word, count(*) AS f FROM w GROUP BY 1),
+          p AS (SELECT unnest(list_transform(range(1, length(word)),
+                  i -> word[CAST(i AS INTEGER):CAST(i + 1 AS INTEGER)])) AS pair, f
+                FROM wf),
+          c AS (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM p GROUP BY 1)
+          SELECT pair, cnt,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INTEGER) AS rk
+          FROM c ORDER BY cnt DESC, pair LIMIT 20""",
+    // quantile_cont ≡ Spark percentile (the a11 pin); the mean is one
+    // divide of exact longs.
+    "m6_doc_len_stats" ->
+      s"""SELECT lang, count(*) AS n_docs,
+          ${sqlRnd("quantile_cont(n_tokens, 0.5)", 4)} AS p50_tokens,
+          ${sqlRnd("quantile_cont(n_tokens, 0.9)", 4)} AS p90_tokens,
+          ${sqlRnd("quantile_cont(n_tokens, 0.99)", 4)} AS p99_tokens,
+          ${sqlRnd("CAST(sum(n_tokens) AS DOUBLE) / count(*)", 4)} AS avg_tokens
+          FROM (SELECT lang, len(string_split(text, ' ')) AS n_tokens
+                FROM documents) t
+          GROUP BY 1""",
     // The estimates replay EXACTLY: bucket sums over the same md5-fold
     // addressing, min over the same 4 rows — every value is integer.
     "m6_cms_heavy_hitters" ->
