@@ -487,17 +487,20 @@ object Dedup {
       idOut: String): (DataFrame, Int) = {
     val Array(ca, cb) = pairs.columns
     // Contract: every id appearing in the pair frame gets a label — a node
-    // whose only appearance is a self-pair (a, a) is a singleton cluster, not
-    // silently dropped. The contraction loop works on proper edges only
-    // (self-loops carry no connectivity), so self-paired ids are re-admitted
-    // after the fixed point via one anti-join; current pair sources never
-    // emit self-pairs, making this a zero-row guard, but the shared helper's
-    // contract must not depend on that.
-    val selfIds = pairs.filter(col(ca) === col(cb))
-      .select(col(ca).as("id")).distinct()
-    var edges = pairs
+    // whose only appearance is a self-pair (a, a) is a singleton cluster,
+    // not silently dropped. The canonical form is checkpointed BEFORE the
+    // self-loop split so the (possibly expensive, non-staged) pair pipeline
+    // evaluates exactly once: the contraction loop and the singleton
+    // re-admission both read the materialized canon. Current pair sources
+    // never emit self-pairs, making the singleton leg a zero-row guard, but
+    // the shared helper's contract must not depend on that.
+    val canon = pairs
       .select(greatest(col(ca), col(cb)).as("hi"),
         least(col(ca), col(cb)).as("lo"))
+      .localCheckpoint()
+    val selfIds = canon.filter(col("hi") === col("lo"))
+      .select(col("hi").as("id")).distinct()
+    var edges = canon
       .filter(col("hi") =!= col("lo")).distinct().localCheckpoint()
     var n = edges.count()
     var rounds = 0
