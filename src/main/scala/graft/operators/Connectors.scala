@@ -570,6 +570,61 @@ object Connectors {
       .select(cols: _*)
   }
 
+  /** S14: CSV batch source/sink roundtrip — the other landing format every
+    * batch ingest starts from. The production option surface, pinned
+    * explicitly: header on, EXPLICIT schema (inference is a full extra read
+    * pass at 100 TB and type-unstable), microsecond timestampFormat (the
+    * S13 lesson — the default silently widens sub-ms readings), and a
+    * nullValue SENTINEL: CSV cannot distinguish NULL from empty string
+    * without one, so a null `value` or `event_type` written as the default
+    * empty field would come back null-for-string/empty-for-double
+    * ambiguous; the sentinel makes nulls roundtrip losslessly, which the
+    * oracle (original parquet rows) verifies. Doubles survive because Java
+    * Double.toString is shortest-roundtrip. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft-csv-").toString
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value").map(col)
+    val microFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(cols: _*)
+      .write.mode("overwrite")
+      .option("header", "true")
+      .option("timestampFormat", microFmt)
+      .option("nullValue", "\\N")
+      .csv(out)
+    spark.read
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE")
+      .option("header", "true")
+      .option("timestampFormat", microFmt)
+      .option("nullValue", "\\N")
+      .csv(out)
+      .select(cols: _*)
+  }
+
+  /** S15: ORC columnar source/sink roundtrip WITH a pushed predicate — the
+    * warehouse's second columnar format (a Hive-side table an engine must
+    * both write and serve). The read-back applies a value bound that must
+    * reach the ORC reader as a pushed filter (ORC carries min/max stripe
+    * statistics exactly like parquet row groups, so the bound skips whole
+    * stripes at scale — the plan audit shows `pushedFilters` on the ORC
+    * scan). ORC timestamps carry nanosecond precision, so Spark's
+    * microsecond timestamps roundtrip losslessly with no format pinning.
+    * The `value >= 0` bound also drops value-NULL rows in both engines —
+    * the oracle states the same bound on the original parquet. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft-orc-").toString
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value").map(col)
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(cols: _*)
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .filter(col("value") >= 0.0)
+      .select(cols: _*)
+  }
+
   // ---- S12: partitioned + coalesced output layout --------------------------
 
   /** S12: date-partitioned, small-file-compacted table write + read-back
@@ -623,6 +678,8 @@ object Connectors {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s10_catalog_bootstrap" -> catalogBootstrap,
     "s13_jsonl_roundtrip"   -> jsonlRoundtrip,
+    "s14_csv_roundtrip"     -> csvRoundtrip,
+    "s15_orc_roundtrip"     -> orcRoundtrip,
     "s1_kafka_roundtrip"    -> kafkaRoundtrip,
     "s2_kafka_envelope"     -> kafkaEnvelope,
     "s8_upsert_sink"        -> upsertSink,
@@ -641,6 +698,14 @@ object Connectors {
     "s13_jsonl_roundtrip" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events
          WHERE ts IS NOT NULL AND user_id IS NOT NULL""",
+    // Null-sentinel CSV roundtrip is lossless against the source rows.
+    "s14_csv_roundtrip" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+         WHERE ts IS NOT NULL AND user_id IS NOT NULL""",
+    // The ORC read-back's pushed bound, stated on the original parquet.
+    "s15_orc_roundtrip" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+         WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value >= 0""",
     "s1_kafka_roundtrip" ->
       """SELECT CAST(user_id AS VARCHAR) AS kafka_key,
          event_id, user_id, event_type,

@@ -309,6 +309,88 @@ object Joins {
         col("session_start"), col("session_end"))
   }
 
+  /** J10: large-order join-back (TPC-H Q18 shape) — orders whose summed
+    * lineitem quantity clears a high threshold, re-joined to their order and
+    * customer rows. The decisive 100 TB property is AGGREGATE-THEN-JOIN:
+    * the only shuffle is the partial+final quantity sum on l_orderkey; the
+    * HAVING bound then cuts the survivor set to the extreme tail (threshold
+    * 300 vs a ~460 max), so BOTH join-backs ride the tiny side as an
+    * explicit broadcast — orders and customer stream through their scans
+    * and never shuffle. Joining before aggregating (the naive Q18 plan)
+    * would shuffle every lineitem AND every order row; this plan moves the
+    * fact tables zero times. Quantities are integral doubles, so the sum is
+    * binary-exact and the rounded threshold compare is engine-portable. */
+  def bigSpenderOrders(spark: SparkSession, dir: String): DataFrame = {
+    val qty = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(Exact.rnd(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > 300.0)
+    val withOrders = Tables.orders(spark, dir)
+      .join(broadcast(qty), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"))
+      .join(broadcast(withOrders), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+  }
+
+  /** J11: small-quantity revenue (TPC-H Q17 shape) — average yearly revenue
+    * lost if small orders (below half the part's average quantity) of one
+    * brand were no longer taken. The correlated subquery decorrelates into
+    * a per-part aggregate joined back to the same brand-filtered lineitems:
+    * the brand dimension broadcasts into the fact scan (lineitem never
+    * shuffles to find its parts), the per-part average is a partial+final
+    * agg whose output is one row per brand part — small by construction, so
+    * the join-back broadcasts too. Two passes over the brand-filtered scan
+    * is the canonical warehouse Q17 plan; a window over partkey would sort
+    * the same shuffled data for no gain. The quantity average is exact
+    * (integral doubles, sum exact in binary), so the `<` boundary compare
+    * is bit-identical cross-engine; revenue runs in DECIMAL (j1). */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val brandParts = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#12").select("p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val bound = li.groupBy(col("l_partkey"))
+      .agg((sum(col("l_quantity")) / count(col("l_quantity")) * 0.5)
+        .as("qty_bound"))
+      .select(col("l_partkey").as("b_partkey"), col("qty_bound"))
+    li.join(broadcast(bound), col("l_partkey") === col("b_partkey"))
+      .filter(col("l_quantity") < col("qty_bound"))
+      .agg(Exact.rnd(Exact.sumD("l_extendedprice") / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  /** J12: promo revenue share (TPC-H Q14 shape) — the share of one month's
+    * revenue earned by promo-type parts. Conditional aggregation over a
+    * single broadcast-joined pass: the month bound pushes into the lineitem
+    * scan (PushedFilters on l_shipdate), the part type rides the broadcast,
+    * and both sums come out of ONE partial+final agg — no second pass, no
+    * join of two aggregates. The share divides the two DECIMAL-exact sums
+    * only after both are rounded doubles, keeping the ratio bit-portable. */
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1.0) - col("l_discount")).cast("decimal(8,4)")
+    val agg = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-09-01") &&
+        col("l_shipdate") < lit("1997-10-01"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        // ELSE NULL: sum skips nulls in both engines, avoiding a zero
+        // literal whose decimal type unification differs cross-engine
+        Exact.rnd(sum(when(col("is_promo"), rev)).cast("double"), 2)
+          .as("promo_revenue"),
+        Exact.rnd(sum(rev).cast("double"), 2).as("total_revenue"))
+    agg.select(col("promo_revenue"), col("total_revenue"),
+      Exact.rnd(col("promo_revenue") * 100.0 / col("total_revenue"), 4)
+        .as("promo_pct"))
+  }
+
   private object BucketedTables {
     // weak keys: a closed session's entry is collectable — a strong
     // SparkSession-keyed map would pin every session a long-lived service
@@ -328,7 +410,10 @@ object Joins {
     "j2_enrichment_join" -> enrichmentJoin,
     "j3_anti_join"      -> antiJoin,
     "j3b_semi_join"     -> semiJoin,
-    "j4_upsert_merge"   -> upsertMerge)
+    "j4_upsert_merge"   -> upsertMerge,
+    "j10_big_spenders"  -> bigSpenderOrders,
+    "j11_small_qty_revenue" -> smallQtyRevenue,
+    "j12_promo_share"   -> promoShare)
 
   val oracles: Map[String, String] = Map(
     "j1_broadcast_join" ->
@@ -432,5 +517,48 @@ object Joins {
            CASE WHEN u.user_id IS NOT NULL AND b.user_id IS NOT NULL THEN 'updated'
                 WHEN u.user_id IS NOT NULL THEN 'inserted'
                 ELSE 'unchanged' END AS merge_action
-         FROM base b FULL OUTER JOIN updates u ON b.user_id = u.user_id""")
+         FROM base b FULL OUTER JOIN updates u ON b.user_id = u.user_id""",
+    // Aggregate-then-join: the HAVING survivor set drives both join-backs.
+    "j10_big_spenders" ->
+      s"""WITH q AS (SELECT l_orderkey,
+                       ${Exact.sqlRnd("sum(l_quantity)", 2)} AS total_qty
+                     FROM lineitem GROUP BY 1
+                     HAVING ${Exact.sqlRnd("sum(l_quantity)", 2)} > 300)
+          SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+                 total_qty
+          FROM q JOIN orders ON o_orderkey = l_orderkey
+                 JOIN customer ON c_custkey = o_custkey""",
+    // Decorrelated Q17: per-part average joined back to the same
+    // brand-filtered lineitems.
+    "j11_small_qty_revenue" ->
+      s"""WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice
+                      FROM lineitem JOIN part ON l_partkey = p_partkey
+                      WHERE p_brand = 'Brand#12'),
+               b AS (SELECT l_partkey AS b_partkey,
+                            sum(l_quantity) / count(l_quantity) * 0.5
+                              AS qty_bound
+                     FROM li GROUP BY 1)
+          SELECT ${Exact.sqlRnd(s"${Exact.sqlSum("l_extendedprice")} / 7.0", 2)}
+                   AS avg_yearly,
+                 count(*) AS n_small
+          FROM li JOIN b ON l_partkey = b_partkey
+          WHERE l_quantity < qty_bound""",
+    // One conditional agg pass; the share divides the rounded doubles.
+    "j12_promo_share" ->
+      s"""SELECT promo_revenue, total_revenue,
+                 ${Exact.sqlRnd("promo_revenue * 100.0 / total_revenue", 4)}
+                   AS promo_pct
+          FROM (SELECT
+                  ${Exact.sqlRnd(
+                    "CAST(sum(CASE WHEN p_type = 'PROMO' THEN " +
+                    "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+                    "CAST(1.0 - l_discount AS DECIMAL(8,4)) END) AS DOUBLE)",
+                    2)} AS promo_revenue,
+                  ${Exact.sqlRnd(
+                    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+                    "CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE)",
+                    2)} AS total_revenue
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+                  AND l_shipdate < TIMESTAMP '1997-10-01')""")
 }

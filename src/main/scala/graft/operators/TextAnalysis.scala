@@ -430,6 +430,38 @@ object TextAnalysis {
       (abs(col("vocab_approx") - col("vocab_exact")) / col("vocab_exact") <= 0.05)
         .as("approx_ok"))
 
+  /** M6: n-gram novelty scoring — per document, the fraction of its
+    * distinct 8-gram spans whose FIRST corpus occurrence (lowest doc_id) is
+    * this document. The span-level twin of exact dedup: where line/sentence
+    * dedup (C4, RefinedWeb) drops repeated spans, novelty SCORES how much
+    * of a document is first-seen material, the signal a curation pipeline
+    * thresholds on before spending training tokens on near-boilerplate.
+    * Shape at 100 TB: tokens are projected once (the HOF-inlining trap —
+    * shingles over an inlined normTokens re-evaluates the filter per
+    * element in interpreted eval), grams explode into TWO aggregations —
+    * first-owner = min(doc_id) per gram (map-side-combinable, the only
+    * gram-cardinality shuffle), per-doc totals on doc_id — and the final
+    * join is doc-cardinality × doc-cardinality, never gram-sized. Docs with
+    * fewer than 8 tokens have no spans and are out of scope (none in this
+    * corpus; the oracle's CTE is identically inner). */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.fanout(Tables.documents(spark, dir))
+      .select(col("doc_id"), normTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("toks"), 8))).as("gram"))
+    val firstOwner = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val novel = firstOwner.groupBy(col("first_doc")).count()
+      .select(col("first_doc").as("doc_id"), col("count").as("n_novel"))
+    val totals = grams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    totals.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        Exact.rnd(coalesce(col("n_novel"), lit(0L)) / col("n_grams"), 4)
+          .as("novelty"))
+  }
+
   /** M6: deterministic data mixing — per-language sampling rates (the
     * corpus-balancing step of a training-data pipeline: downsample the
     * dominant language, keep the rest). The keep-decision is a pure function
@@ -728,7 +760,8 @@ object TextAnalysis {
     "m6_token_count"   -> tokenCount,
     "m6_repetition_filter" -> repetitionFilter,
     "m6_pii_scrub"     -> piiScrub,
-    "m6_fingerprint"   -> fingerprint)
+    "m6_fingerprint"   -> fingerprint,
+    "m6_ngram_novelty" -> ngramNovelty)
 
   /** The m6_lang_id replay, shared verbatim by the confusion-matrix
     * oracle (which aggregates this classifier's output). */
@@ -996,5 +1029,20 @@ object TextAnalysis {
     "m6_fingerprint" ->
       s"""SELECT doc_id,
           list_min(list_transform(${TextAnalysis.sqlShingles("string_split(text, ' ')", 3)}, s -> ${Exact.sqlFold60("s")})) AS fingerprint
-          FROM documents""")
+          FROM documents""",
+    // First-owner = min(doc_id) per distinct 8-gram; BIGINT/BIGINT divides
+    // to DOUBLE in both engines (no CAST needed, no HUGEINT — min, not sum).
+    "m6_ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, ${TextAnalysis.sqlNormTokens("text")} AS toks
+                     FROM documents),
+               g AS (SELECT doc_id,
+                       unnest(list_distinct(${TextAnalysis.sqlShingles("toks", 8)})) AS gram
+                     FROM t),
+               f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1),
+               nov AS (SELECT first_doc AS doc_id, count(*) AS n_novel
+                       FROM f GROUP BY 1),
+               tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1)
+          SELECT tot.doc_id, n_grams, coalesce(n_novel, 0) AS n_novel,
+                 ${Exact.sqlRnd("coalesce(n_novel, 0) / n_grams", 4)} AS novelty
+          FROM tot LEFT JOIN nov USING (doc_id)""")
 }

@@ -81,6 +81,28 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     assert(out.filter(col("keeper_id") >= 1000000L).count() == 0)
   }
 
+  test("ngram novelty: first doc scores 1.0 and novel counts tile the distinct-gram space") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.ngramNovelty(spark, dir)
+      .select(col("doc_id"), col("n_grams"), col("n_novel"), col("novelty"))
+      .cache()
+    try {
+      // no doc owns more firsts than it has grams
+      assert(out.filter(col("n_novel") > col("n_grams")).count() == 0)
+      // the lowest doc_id sees every one of its grams first
+      val first = out.orderBy(col("doc_id")).limit(1).head()
+      assert(first.getAs[Double]("novelty") == 1.0)
+      // every distinct gram has exactly one first owner → novel counts sum
+      // to the corpus' distinct-gram cardinality
+      val novelTotal = out.agg(sum(col("n_novel"))).head().getLong(0)
+      val distinctGrams = Tables.documents(spark, dir)
+        .select(TextAnalysis.normTokens(col("text")).as("toks"))
+        .select(explode(TextAnalysis.shingles(col("toks"), 8)).as("g"))
+        .agg(countDistinct(col("g"))).head().getLong(0)
+      assert(novelTotal == distinctGrams)
+    } finally out.unpersist()
+  }
+
   test("ANN probes only its sign bucket and agrees with brute force on shared pairs") {
     val ann = Similarity.annLsh(spark, dir)
       .select(col("q_id"), col("vec_id"), col("sim").as("ann_sim"))

@@ -56,6 +56,23 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
       s"j9 order-date window not pushed:\n$j9")
   }
 
+  test("aggregate-then-join: j10's survivor set broadcasts both join-backs") {
+    // Q18 shape: the only shuffle is the quantity agg — orders and customer
+    // must stream through broadcast joins, never a shuffled join
+    val j10 = plan("j10_big_spenders")
+    assert("BroadcastHashJoin".r.findAllIn(j10).length == 2,
+      s"both join-backs must broadcast the survivor side:\n$j10")
+    assert(!j10.contains("SortMergeJoin") && !j10.contains("ShuffledHashJoin"),
+      s"j10 must not shuffle a fact table to join:\n$j10")
+  }
+
+  test("ORC read-back carries the pushed value bound") {
+    val s15 = plan("s15_orc_roundtrip")
+    assert(s15.contains("Scan orc"), s"read-back must scan ORC:\n$s15")
+    assert(s15.contains("GreaterThanOrEqual(value,0.0)"),
+      s"value bound must push into the ORC reader:\n$s15")
+  }
+
   test("token budget: no corpus-wide sort — the ordered pass runs post-filter") {
     // the two-phase reshape's contract: the windowed cumsum (Sort+Window)
     // must sit ABOVE the candidate semi-join, so its input is the
