@@ -28,6 +28,7 @@ object SparkEntry {
       (Validation.queries, Validation.oracles),
       (AnalyticWindows.queries, AnalyticWindows.oracles),
       (Joins.queries, Joins.oracles),
+      (SetOps.queries, SetOps.oracles),
       (Serving.queries, Serving.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Dedup.queries, Dedup.oracles),

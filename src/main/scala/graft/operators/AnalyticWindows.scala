@@ -227,7 +227,70 @@ object AnalyticWindows {
           .as("decile"))
   }
 
+  /** W12: median/MAD robust anomaly detection per event class — the
+    * outlier-resistant sibling of W3's mean/2σ flags (a spiky `value` drags
+    * the mean and masks its own anomaly; the median doesn't move). Two exact
+    * percentile passes (the a11 machinery — Spark `percentile` is
+    * bit-identical to DuckDB `quantile_cont`): class medians, then the
+    * median of absolute deviations, each a partial+final agg over the
+    * event-class key with the tiny per-class stats broadcast back — never an
+    * unbounded window over raw rows (the W3/W4 scale discipline). The
+    * anomaly rule `dev > 3·MAD` compares doubles both engines derive through
+    * the identical expression tree, so the strict bound is deterministic.
+    * The dev frame is re-derived (not cached) on each side of the MAD join —
+    * three 2-column pruned scans that collapse map-side, the same
+    * recompute-over-pin choice as tokenBudget/importantParts. */
+  def madAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        rnd(min(col("med")), 4).as("med"),
+        rnd(min(col("mad")), 4).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("dev") > col("mad") * 3.0, 1L).otherwise(0L))
+          .as("n_anomalies"))
+  }
+
+  /** W13: CUSUM level-shift detection per user — the classic changepoint
+    * statistic: the running sum of deviations from the user's own mean,
+    * which hovers near zero under a stable level and ramps linearly once
+    * the level shifts. Numerics make this cross-engine-exact without any
+    * epsilon: the running sum of the 2-decimal `value` is DECIMAL (exact,
+    * order-independent given the deterministic ts+event_id order), the mean
+    * is the exact decimal sum / count, and `cum_dev = cum − k·mean` touches
+    * doubles only in one identical expression tree. The per-user mean is
+    * two-phase (groupBy + broadcast back, the W3 discipline); the running
+    * sum is a genuine ordered window — one shuffle on user_id, frames never
+    * span users. */
+  def cusumShift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val stats = ev.groupBy(col("user_id"))
+      .agg(Exact.avgD("value").as("u_mean"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.join(broadcast(stats), Seq("user_id"))
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("cum_dev",
+        rnd(Exact.sumOver("value", w) - col("k") * col("u_mean"), 4))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        col("cum_dev"), (abs(col("cum_dev")) > 200.0).as("shifted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w13_cusum_shift"    -> cusumShift,
+    "w12_mad_anomaly"    -> madAnomaly,
     "w10_ema"            -> ema,
     "w11_value_deciles"  -> valueDeciles,
     "w9_gap_fill"        -> gapFill,
@@ -241,6 +304,43 @@ object AnalyticWindows {
     "w8_latest_per_key"  -> latestPerKey)
 
   val oracles: Map[String, String] = Map(
+    // Exact decimal running sum minus k·mean through the identical double
+    // tree; order ties impossible (ts, event_id is unique per user).
+    "w13_cusum_shift" -> {
+      val w = "(PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+      s"""WITH e AS (SELECT event_id, ts, user_id, value FROM events
+                     WHERE value IS NOT NULL),
+          s AS (SELECT user_id, ${Exact.sqlAvg("value")} AS u_mean
+                FROM e GROUP BY 1),
+          c AS (SELECT e.user_id, event_id, ts, value,
+                  ${Exact.sqlSumOver("value", w)} AS cum,
+                  count(*) OVER $w AS k, u_mean
+                FROM e JOIN s USING (user_id))
+          SELECT user_id, event_id, ts, value,
+                 ${sqlRnd("cum - k * u_mean", 4)} AS cum_dev,
+                 abs(${sqlRnd("cum - k * u_mean", 4)}) > 200.0 AS shifted
+          FROM c"""
+    },
+    // Same two quantile_cont passes as the Spark plan; med/mad replayed
+    // through the identical expression tree so the 3·MAD strict bound lands
+    // every row on the same side.
+    "w12_mad_anomaly" ->
+      s"""WITH e AS (SELECT event_type, value FROM events
+                     WHERE value IS NOT NULL),
+          med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                  FROM e GROUP BY 1),
+          dev AS (SELECT e.event_type, abs(value - med) AS dev, med
+                  FROM e JOIN med USING (event_type)),
+          mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+                  FROM dev GROUP BY 1)
+          SELECT d.event_type,
+                 ${sqlRnd("min(d.med)", 4)} AS med,
+                 ${sqlRnd("min(m.mad)", 4)} AS mad,
+                 count(*) AS n,
+                 count(*) FILTER (d.dev > m.mad * 3.0) AS n_anomalies
+          FROM dev d JOIN mad m USING (event_type)
+          GROUP BY 1""",
     // quantile_cont's interpolation is bit-identical to Spark's percentile
     // (the a11 pin), so counting strict >-crossings over the same 9
     // boundary doubles lands every row in the same decile.

@@ -391,6 +391,94 @@ object Joins {
         .as("promo_pct"))
   }
 
+  /** J13: the global-threshold filter (TPC-H Q11 shape) — per-part stock
+    * value from one nation's suppliers, keeping parts whose value exceeds a
+    * fixed fraction (1/10000) of the corpus-wide total. The scale-critical
+    * move is the SAME two-phase form as m6_token_budget: per-part sums from
+    * one partial+final hash agg, the grand total as a one-row aggregate of
+    * that (small) frame riding a broadcast crossJoin back — never a
+    * correlated per-group subquery, never an unpartitioned window funneling
+    * every part through one task. Like tokenBudget (and withSharePct), the
+    * threshold branch re-derives pv rather than caching it — two
+    * column-pruned scans, each collapsing map-side, beat pinning a
+    * fact-derived frame in executor memory; a corpus-release pipeline would
+    * stage pv once (the DedupStaging discipline) and read it twice. Sums run
+    * in DECIMAL (exact, order-independent); the threshold compare casts both
+    * exact decimals to double once — a deterministic IEEE compare in both
+    * engines. */
+  def importantParts(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+      .filter(col("s_nationkey") === 5).select("s_suppkey")
+    val value = col("l_extendedprice").cast("decimal(18,2)") *
+      col("l_quantity").cast("decimal(8,0)")
+    val pv = Tables.lineitem(spark, dir)
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(value).as("pv"))
+    val tot = pv.agg(sum(col("pv")).cast("double").as("tot"))
+    pv.crossJoin(broadcast(tot))
+      .filter(col("pv").cast("double") > col("tot") / 10000.0)
+      .select(col("l_partkey"),
+        Exact.rnd(col("pv").cast("double"), 2).as("stock_value"))
+  }
+
+  /** J14: scalar-subquery + anti-join (TPC-H Q22 shape) — wealthy lapsed
+    * customers: balance above the positive-balance average, no order since
+    * 2000-01-01, rolled up per nation. The scalar average is a one-row
+    * broadcast (exact decimal sum / non-null count); the anti-join probes a
+    * pre-distinct'd recent-buyer key set — the date bound is pushed into the
+    * orders scan BEFORE the distinct, so at 100 TB the anti side is pruned
+    * to the recent partitions and collapses map-side before its one shuffle.
+    * Customer never shuffles twice: the average rides a broadcast, the
+    * anti-join hashes on c_custkey, the final rollup on c_nationkey. */
+  def wealthyLapsed(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val avgRow = c.filter(col("c_acctbal") > 0.0)
+      .agg(Exact.avgD("c_acctbal").as("avg_bal"))
+    val recentBuyers = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01"))
+      .select(col("o_custkey")).distinct()
+    c.crossJoin(broadcast(avgRow))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recentBuyers, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        Exact.rnd(Exact.sumD("c_acctbal"), 2).as("total_bal"))
+  }
+
+  /** J15: the decorrelated double-EXISTS (TPC-H Q21 shape) — suppliers who
+    * were the SOLE late shipper on a multi-supplier order ("late" = shipped
+    * more than 120 days after the order date). The textbook form is a
+    * correlated EXISTS(another supplier) AND NOT EXISTS(another late
+    * supplier) per lineitem — a per-row re-probe that dies at scale. The
+    * Spark-first form decorrelates both into ONE per-order aggregate
+    * (distinct suppliers, distinct late suppliers) joined back to the late
+    * lines: the l⋈orders join, the per-order agg, and the join-back all hash
+    * on l_orderkey, so AQE plans one shuffle of each fact side and reuses
+    * the partitioning; supplier names ride a broadcast at the end. numwait
+    * counts distinct orders (a supplier twice-late on one order waits
+    * once). */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 120 DAYS"))
+      .select("l_orderkey", "l_suppkey", "late")
+    val perOrder = l.groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    l.filter(col("late"))
+      .join(perOrder, Seq("l_orderkey"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(countDistinct(col("l_orderkey")).as("numwait"))
+  }
+
   private object BucketedTables {
     // weak keys: a closed session's entry is collectable — a strong
     // SparkSession-keyed map would pin every session a long-lived service
@@ -413,7 +501,10 @@ object Joins {
     "j4_upsert_merge"   -> upsertMerge,
     "j10_big_spenders"  -> bigSpenderOrders,
     "j11_small_qty_revenue" -> smallQtyRevenue,
-    "j12_promo_share"   -> promoShare)
+    "j12_promo_share"   -> promoShare,
+    "j13_important_parts" -> importantParts,
+    "j14_wealthy_lapsed" -> wealthyLapsed,
+    "j15_waiting_suppliers" -> waitingSuppliers)
 
   val oracles: Map[String, String] = Map(
     "j1_broadcast_join" ->
@@ -560,5 +651,51 @@ object Joins {
                     2)} AS total_revenue
                 FROM lineitem JOIN part ON l_partkey = p_partkey
                 WHERE l_shipdate >= TIMESTAMP '1997-09-01'
-                  AND l_shipdate < TIMESTAMP '1997-10-01')""")
+                  AND l_shipdate < TIMESTAMP '1997-10-01')""",
+    // Q11 shape: two-phase global threshold — per-part sums once, the grand
+    // total from the aggregated frame, exact decimals cast to double for the
+    // deterministic compare.
+    "j13_important_parts" ->
+      s"""WITH pv AS (
+            SELECT l_partkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       CAST(l_quantity AS DECIMAL(8,0))) AS pv
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            WHERE s_nationkey = 5 GROUP BY 1)
+          SELECT l_partkey,
+                 ${Exact.sqlRnd("CAST(pv AS DOUBLE)", 2)} AS stock_value
+          FROM pv, (SELECT CAST(sum(pv) AS DOUBLE) AS tot FROM pv) t
+          WHERE CAST(pv AS DOUBLE) > tot / 10000.0""",
+    // Q22 shape: scalar positive-balance average + anti-join on recent
+    // buyers, per-nation rollup.
+    "j14_wealthy_lapsed" ->
+      s"""WITH a AS (SELECT ${Exact.sqlAvg("c_acctbal")} AS avg_bal
+                     FROM customer WHERE c_acctbal > 0.0)
+          SELECT c_nationkey, count(*) AS n_cust,
+                 ${Exact.sqlRnd(Exact.sqlSum("c_acctbal"), 2)} AS total_bal
+          FROM customer, a
+          WHERE c_acctbal > avg_bal
+            AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey
+                              AND o_orderdate >= TIMESTAMP '2000-01-01')
+          GROUP BY 1""",
+    // Q21 shape, decorrelated identically: per-order distinct/late-distinct
+    // supplier counts replace both correlated EXISTS probes.
+    "j15_waiting_suppliers" ->
+      """WITH l AS (
+           SELECT l_orderkey, l_suppkey,
+                  (l_shipdate > o_orderdate + INTERVAL 120 DAY) AS late
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         o AS (
+           SELECT l_orderkey,
+                  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+                  CAST(count(DISTINCT CASE WHEN late THEN l_suppkey END)
+                       AS BIGINT) AS n_late
+           FROM l GROUP BY 1)
+         SELECT s_suppkey, s_name,
+                CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS numwait
+         FROM l JOIN o USING (l_orderkey)
+                JOIN supplier ON l_suppkey = s_suppkey
+         WHERE late AND n_supp >= 2 AND n_late = 1
+         GROUP BY 1, 2""")
 }

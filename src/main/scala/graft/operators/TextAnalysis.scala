@@ -738,7 +738,65 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .withColumn("correct", col("lang") === col("predicted_lang"))
 
+  /** Corpus release card — the one-row summary artifact a dataset ships
+    * with: document/language/source cardinalities, exact character totals,
+    * mean and population stddev of document length, and the exact-dup rate.
+    * One aggregation pass; the three COUNT DISTINCTs expand the input 4×
+    * map-side (Spark's expand-based multi-distinct) but the shuffle carries
+    * only the distinct keys — at 100 TB this is the standard multi-distinct
+    * plan, not a driver-side collect. The stddev comes from exact BIGINT
+    * sums (Σx, Σx², n) pushed through one explicitly-ordered double
+    * expression — both engines evaluate the identical IEEE tree, so the
+    * result is bit-portable where a builtin stddev's partial-merge order
+    * would not be. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val agg = d.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(col("n_chars")).as("total_chars"),
+      sum(col("n_chars") * col("n_chars")).as("_sumsq"),
+      countDistinct(Exact.fold60(col("text"))).as("distinct_texts"))
+    val s = col("total_chars").cast("double")
+    val q = col("_sumsq").cast("double")
+    val n = col("n_docs").cast("double")
+    agg
+      .withColumn("avg_chars", rnd(s / n, 4))
+      .withColumn("std_chars", rnd(sqrt((q - s * s / n) / n), 4))
+      .withColumn("dup_pct",
+        rnd((col("n_docs") - col("distinct_texts")) * 100.0 / col("n_docs"), 4))
+      .drop("_sumsq")
+  }
+
+  /** Candidate-pair verification by edit distance — the precision stage a
+    * fuzzy-dedup release runs after hashing: bucket documents on the 60-bit
+    * fold of their 64-char prefix (hash-equality candidates, never
+    * all-pairs), then score each bucket-local pair with Levenshtein over the
+    * 200-char prefixes and keep the verdict. Work is ∝ candidate pairs ×
+    * bounded O(200²) per pair; the self-join is one hash shuffle on the
+    * bucket key, the same shape as m6_simhash_pairs. Levenshtein (unit-cost
+    * insert/delete/substitute) is exact and integer — both engines agree by
+    * definition. */
+  def editVerify(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      Exact.fold60(substring(col("text"), 1, 64)).as("bucket"),
+      substring(col("text"), 1, 200).as("prefix"))
+    val l = h.select(col("bucket"), col("doc_id").as("l_doc"),
+      col("prefix").as("l_prefix"))
+    val r = h.select(col("bucket"), col("doc_id").as("r_doc"),
+      col("prefix").as("r_prefix"))
+    l.join(r, Seq("bucket"))
+      .filter(col("l_doc") < col("r_doc"))
+      .withColumn("edit_dist", levenshtein(col("l_prefix"), col("r_prefix")))
+      .select(col("l_doc"), col("r_doc"), col("edit_dist"),
+        (col("edit_dist") <= 20).as("verified"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_dataset_card"  -> datasetCard,
+    "m6_edit_verify"   -> editVerify,
     "m6_bpe_pairs"     -> bpePairs,
     "m6_doc_len_stats" -> docLenStats,
     "m6_lang_confusion" -> langConfusion,
@@ -801,6 +859,40 @@ object TextAnalysis {
         FROM t"""
 
   val oracles: Map[String, String] = Map(
+    // Exact BIGINT moments through the identical double expression tree;
+    // DuckDB integer sums are HUGEINT, hence the BIGINT casts.
+    "m6_dataset_card" ->
+      s"""WITH a AS (
+            SELECT count(*) AS n_docs,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(n_chars * n_chars) AS BIGINT) AS sumsq,
+                   CAST(count(DISTINCT ${Exact.sqlFold60("text")}) AS BIGINT)
+                     AS distinct_texts
+            FROM documents)
+          SELECT n_docs, n_langs, n_sources, total_chars, distinct_texts,
+            ${sqlRnd("CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE)", 4)}
+              AS avg_chars,
+            ${sqlRnd(
+              "sqrt((CAST(sumsq AS DOUBLE) - CAST(total_chars AS DOUBLE) * " +
+              "CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE)) / " +
+              "CAST(n_docs AS DOUBLE))", 4)} AS std_chars,
+            ${sqlRnd("(n_docs - distinct_texts) * 100.0 / n_docs", 4)}
+              AS dup_pct
+          FROM a""",
+    // Prefix-hash buckets replayed via the shared md5 fold; DuckDB's
+    // levenshtein is the same unit-cost metric as Spark's.
+    "m6_edit_verify" ->
+      s"""WITH h AS (
+            SELECT doc_id,
+                   ${Exact.sqlFold60("substring(text, 1, 64)")} AS bucket,
+                   substring(text, 1, 200) AS prefix
+            FROM documents)
+          SELECT a.doc_id AS l_doc, b.doc_id AS r_doc,
+                 levenshtein(a.prefix, b.prefix) AS edit_dist,
+                 levenshtein(a.prefix, b.prefix) <= 20 AS verified
+          FROM h a JOIN h b ON a.bucket = b.bucket AND a.doc_id < b.doc_id""",
     // Pair counts are exact integers; DuckDB's 1-based inclusive slice
     // word[i:i+1] is the same 2-char window as Spark's substr(i, 2).
     "m6_bpe_pairs" ->
