@@ -34,6 +34,12 @@ QUERIES = ",".join([
     # round-8 additions
     "j9_regional_revenue", "a14_cube", "w10_ema", "m5g_value_histogram",
     "m6_pagerank", "m7_pcm_energy",
+    # round-8 late additions: set ops, Q11/Q21/Q22 shapes, robust stats,
+    # release artifacts
+    "u1_union_reingest", "u4_except_all_surplus",
+    "j13_important_parts", "j14_wealthy_lapsed", "j15_waiting_suppliers",
+    "w12_mad_anomaly", "w13_cusum_shift",
+    "m6_dataset_card", "m6_edit_verify",
 ])
 
 
