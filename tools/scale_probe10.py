@@ -29,6 +29,11 @@ QUERIES = ",".join([
     "w9_gap_fill",
     "j5_bucketed_join", "j6_asof_join", "j7_range_join",
     "j8_shipping_priority", "j9_regional_revenue",
+    # round-8 late additions: the scale-sensitive subset (fact-side joins,
+    # multiset shuffle, percentile passes, window cumsum, candidate
+    # self-join)
+    "j13_important_parts", "j15_waiting_suppliers", "u4_except_all_surplus",
+    "w12_mad_anomaly", "w13_cusum_shift", "m6_edit_verify",
 ])
 
 
