@@ -129,15 +129,25 @@ object AnalyticWindows {
     * instant: linear interpolation between the surrounding readings,
     * last-value hold past the final reading, backfill before the first.
     *
-    * Shape: the j6 as-of composition, doubled — grid points and readings
-    * UNION into one stream, ONE hash shuffle on the key, one ordered
-    * window pass carrying the last reading forward and (mirror frame) the
-    * next reading backward. No range join, no per-key collect; at 100 TB
-    * this is one exchange of readings ∪ grid and a linear scan per key
-    * partition. Readings sort BEFORE their co-timed grid point, so a grid
-    * instant exactly on a reading reproduces that reading (frac = 0) in
-    * both engines. The interpolation is fixed-order IEEE arithmetic —
-    * bit-identical cross-engine. */
+    * Shape: grid points and readings UNION into one stream, but the
+    * carry-forward/carry-backward window is partitioned by (user, DAY) —
+    * never by the bare key. A per-user unbounded frame sorts a sensor's
+    * ENTIRE history in one window partition (a year of 10 s readings is
+    * ~3M rows in one task's sort buffer), which is exactly the state blow-up
+    * that dies at 100 TB. Bucketing bounds every window partition to one
+    * day of one sensor; the cross-day carry is stitched back in via a
+    * per-bucket 2-row digest: for each (user, day) the last and first
+    * reading as a (tsm, event_id, value) struct, a day-granular window over
+    * that TINY frame (≤ #days rows per user) produces last-before /
+    * first-after each bucket, and one equi-join on (user, day) — the same
+    * hash partitioning the window just established, so no extra exchange
+    * on the big side — fills the grid rows whose neighbor lives in another
+    * day. Output is row-for-row identical to the single-window form
+    * (AnalyticWindowsSpec pins the equivalence; the DuckDB oracle keeps the
+    * declarative single-window spelling). Readings sort BEFORE their
+    * co-timed grid point, so a grid instant exactly on a reading reproduces
+    * that reading (frac = 0) in both engines. The interpolation is
+    * fixed-order IEEE arithmetic — bit-identical cross-engine. */
   def gapFill(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .filter(col("ts").isNotNull && col("user_id").isNotNull && col("value").isNotNull)
@@ -152,26 +162,52 @@ object AnalyticWindows {
       .unionAll(grid.select(col("user_id"), col("grid_ts").as("ts"),
         lit(1).as("is_grid"), lit(null).cast("double").as("value"),
         unix_micros(col("grid_ts")).as("tsm"), lit(0L).as("event_id")))
+      .withColumn("day", to_date(col("ts")))
     val ord = Seq(col("ts"), col("is_grid"), col("event_id"))
-    val wPrev = Window.partitionBy("user_id").orderBy(ord: _*)
+    val wPrev = Window.partitionBy("user_id", "day").orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy("user_id").orderBy(ord: _*)
+    val wNext = Window.partitionBy("user_id", "day").orderBy(ord: _*)
       .rowsBetween(1, Window.unboundedFollowing)
     val readingTs = when(col("is_grid") === 0, col("tsm"))
-    unioned
+    // in-bucket carry: null exactly when the neighboring reading lives in
+    // another day (pv null ⟺ pt null — grid rows carry null value AND null
+    // readingTs, readings carry both)
+    val local = unioned
       .withColumn("pv", last("value", ignoreNulls = true).over(wPrev))
       .withColumn("pt", last(readingTs, ignoreNulls = true).over(wPrev))
       .withColumn("nv", first("value", ignoreNulls = true).over(wNext))
       .withColumn("nt", first(readingTs, ignoreNulls = true).over(wNext))
       .filter(col("is_grid") === 1)
+    // per-bucket boundary digest from the readings alone; struct order
+    // (tsm, event_id, value) replays the window's (ts, event_id) tiebreak
+    val rs = struct(unix_micros(col("ts")).as("t"), col("event_id").as("id"),
+      col("value").as("v"))
+    val ends = e.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(max(rs).as("last_r"), min(rs).as("first_r"))
+    // every bucket the union produces (reading days ⊆ grid day span, so
+    // this is the per-user day sequence); the stitch window runs over ≤
+    // #days rows per user — bounded regardless of reading density
+    val days = unioned.select(col("user_id"), col("day")).distinct()
+    val wDays = Window.partitionBy("user_id").orderBy("day")
+    val bounds = days.join(ends, Seq("user_id", "day"), "left")
+      .withColumn("prev_r", last("last_r", ignoreNulls = true)
+        .over(wDays.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("next_r", first("first_r", ignoreNulls = true)
+        .over(wDays.rowsBetween(1, Window.unboundedFollowing)))
+      .select(col("user_id"), col("day"), col("prev_r"), col("next_r"))
+    local.join(bounds, Seq("user_id", "day"))
+      .withColumn("pv2", coalesce(col("pv"), col("prev_r.v")))
+      .withColumn("pt2", coalesce(col("pt"), col("prev_r.t")))
+      .withColumn("nv2", coalesce(col("nv"), col("next_r.v")))
+      .withColumn("nt2", coalesce(col("nt"), col("next_r.t")))
       .select(col("user_id"), col("ts").as("grid_ts"),
-        rnd(when(col("pt").isNull, col("nv"))
-          .when(col("nt").isNull, col("pv"))
-          .otherwise(col("pv") + (col("nv") - col("pv")) *
-            ((col("tsm") - col("pt")).cast("double") /
-             (col("nt") - col("pt")).cast("double"))), 4).as("value"),
-        when(col("pt").isNull, "backfill")
-          .when(col("nt").isNull, "hold")
+        rnd(when(col("pt2").isNull, col("nv2"))
+          .when(col("nt2").isNull, col("pv2"))
+          .otherwise(col("pv2") + (col("nv2") - col("pv2")) *
+            ((col("tsm") - col("pt2")).cast("double") /
+             (col("nt2") - col("pt2")).cast("double"))), 4).as("value"),
+        when(col("pt2").isNull, "backfill")
+          .when(col("nt2").isNull, "hold")
           .otherwise("interp").as("method"))
   }
 
