@@ -451,13 +451,18 @@ object Joins {
     * more than 120 days after the order date). The textbook form is a
     * correlated EXISTS(another supplier) AND NOT EXISTS(another late
     * supplier) per lineitem — a per-row re-probe that dies at scale. The
-    * Spark-first form decorrelates both into ONE per-order aggregate
-    * (distinct suppliers, distinct late suppliers) joined back to the late
-    * lines: the l⋈orders join, the per-order agg, and the join-back all hash
-    * on l_orderkey, so AQE plans one shuffle of each fact side and reuses
-    * the partitioning; supplier names ride a broadcast at the end. numwait
-    * counts distinct orders (a supplier twice-late on one order waits
-    * once). */
+    * Spark-first form collapses the fact to ONE ROW PER (order, supplier)
+    * first — a plain max(late) aggregate with map-side partials — so the
+    * THREE distincts the textbook plan needs (distinct suppliers, distinct
+    * late suppliers, distinct waited orders) all become plain counts over
+    * an already-distinct frame: no expand, no per-group distinct state.
+    * (The previous two-countDistinct form expanded the joined fact 2× and
+    * was the heaviest join entry at the 100× probe — 1115 CPU-s at sf10.)
+    * The per-order rollup and the join-back hash on l_orderkey over the
+    * deduped pairs (≤ suppliers-per-order rows per order); supplier names
+    * ride a broadcast at the end. numwait counts rows, which ARE distinct
+    * orders here (one row per (order, supplier) by construction — a
+    * supplier twice-late on one order waits once). */
   def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
     val l = Tables.lineitem(spark, dir)
@@ -466,17 +471,19 @@ object Joins {
       .withColumn("late",
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 120 DAYS"))
       .select("l_orderkey", "l_suppkey", "late")
-    val perOrder = l.groupBy(col("l_orderkey"))
+    val supOrder = l.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("late"))
+    val perOrder = supOrder.groupBy(col("l_orderkey"))
       .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+        count(lit(1)).as("n_supp"),
+        count(when(col("late"), lit(1))).as("n_late"))
     val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
-    l.filter(col("late"))
+    supOrder.filter(col("late"))
       .join(perOrder, Seq("l_orderkey"))
       .filter(col("n_supp") >= 2 && col("n_late") === 1)
       .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_suppkey"), col("s_name"))
-      .agg(countDistinct(col("l_orderkey")).as("numwait"))
+      .agg(count(lit(1)).as("numwait"))
   }
 
   private object BucketedTables {
