@@ -132,19 +132,35 @@ object Similarity {
     * search join is equi-keyed on cell id — like annLsh but with
     * data-adaptive cells instead of fixed hyperplanes, trading recall at
     * cell boundaries for balanced lists. */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    ivfSearch(spark, dir, nprobe = 1)
+
+  /** M6: IVF-Flat with nprobe=2 — the standard recall lever for IVF's one
+    * structural weakness: a query sitting near a cell boundary whose true
+    * neighbors were assigned to the cell it did NOT probe. Probing the TWO
+    * nearest centroids and re-ranking the union recovers those pairs at
+    * exactly 2× the candidate work — the corpus-side layout, broadcasted
+    * centroids, and the cell-keyed equi-join are unchanged, so the 100 TB
+    * shape is the same plan with twice the probe fan-out (each corpus
+    * vector still lives in ONE cell; no dedup needed on the candidates).
+    * LlmPillarSpec asserts nprobe=2 recall strictly dominates nprobe=1 on
+    * every query and lifts mean top-10 recall vs exact. */
+  def annIvf2(spark: SparkSession, dir: String): DataFrame =
+    ivfSearch(spark, dir, nprobe = 2)
+
+  private def ivfSearch(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val b = base(spark, dir)
     val cents = b.filter(col("vec_id") % 125 === 0).select(
       col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm"))
-    def assign(df: DataFrame): DataFrame = {
+    def assign(df: DataFrame, k: Int): DataFrame = {
       val scored = df.crossJoin(broadcast(cents))
         .withColumn("csim", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
       val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
-      scored.withColumn("crn", row_number().over(w)).filter(col("crn") === 1)
+      scored.withColumn("crn", row_number().over(w)).filter(col("crn") <= k)
         .select(col("vec_id"), col("v"), col("norm"), col("cent_id").as("cell"))
     }
-    val corpus = assign(b)
-    val probes = assign(b.filter(col("vec_id") % 50 === 0)).select(
+    val corpus = assign(b, 1)
+    val probes = assign(b.filter(col("vec_id") % 50 === 0), nprobe).select(
       col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"), col("cell"))
     val sims = corpus.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -205,6 +221,7 @@ object Similarity {
     "m6_cosine_topk" -> cosineTopK,
     "m6_ann_lsh"     -> ((s, d) => annLsh(s, d, corpusBits(s, d))),
     "m6_ann_ivf"     -> annIvf,
+    "m6_ann_ivf2"    -> annIvf2,
     "m6_embed_dedup" -> ((s, d) => embedDedup(s, d, corpusBits(s, d))),
     "m6_embed_clusters" -> embedClusters,
     "m6_embed_quantize" -> embedQuantize,
@@ -378,6 +395,32 @@ object Similarity {
               FROM n CROSS JOIN cents c) t WHERE crn = 1),
           q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cell FROM assigned
                 WHERE vec_id % 50 = 0),
+          p AS (SELECT q_id, a.vec_id,
+                  list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, a.v), r -> r[1] * r[2])), (x, y) -> x + y)
+                    / (a.nrm * q.qnrm) AS sim
+                FROM assigned a JOIN q USING (cell) WHERE a.vec_id <> q.q_id)
+          SELECT q_id, vec_id, rnk, ${sqlRnd("sim", 4)} AS sim FROM (
+            SELECT q_id, vec_id, sim,
+              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+            FROM p) t
+          WHERE rnk <= 10""",
+    // nprobe=2 replay: corpus assignment stays crn = 1; only the query side
+    // keeps its two nearest centroids before the same cell-keyed join.
+    "m6_ann_ivf2" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          n AS (SELECT vec_id, v, $normSql AS nrm FROM e),
+          cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+                    WHERE vec_id % 125 = 0),
+          scored AS (
+            SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+              row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                list_reduce(list_prepend(0.0, list_transform(list_zip(n.v, c.cv), p -> p[1] * p[2])), (a, b) -> a + b)
+                  / (n.nrm * c.cnrm) DESC, c.cent_id) AS crn
+            FROM n CROSS JOIN cents c),
+          assigned AS (
+            SELECT vec_id, v, nrm, cent_id AS cell FROM scored WHERE crn = 1),
+          q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cent_id AS cell
+                FROM scored WHERE vec_id % 50 = 0 AND crn <= 2),
           p AS (SELECT q_id, a.vec_id,
                   list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, a.v), r -> r[1] * r[2])), (x, y) -> x + y)
                     / (a.nrm * q.qnrm) AS sim

@@ -81,6 +81,20 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     assert(out.filter(col("keeper_id") >= 1000000L).count() == 0)
   }
 
+  test("documents fixture is pure ASCII — the m6_edit_verify oracle pairing rests on it") {
+    // Spark's levenshtein/substring count codepoints; DuckDB's byte/char
+    // handling can diverge on multi-byte text. The cross-engine hash match
+    // for m6_edit_verify is only guaranteed on ASCII, so pin the fixture
+    // property here: a non-ASCII generator change fails THIS test with a
+    // diagnosis instead of a bare hash mismatch in the driver gate.
+    val nonAscii = Tables.documents(spark, dir)
+      .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
+    assert(nonAscii == 0,
+      s"$nonAscii documents contain non-ASCII text; m6_edit_verify's " +
+        "Spark-vs-DuckDB levenshtein pairing no longer holds — restrict its " +
+        "prefix to an ASCII-safe transform before re-enabling")
+  }
+
   test("ngram novelty: first doc scores 1.0 and novel counts tile the distinct-gram space") {
     import graft.operators.TextAnalysis
     val out = TextAnalysis.ngramNovelty(spark, dir)
@@ -351,6 +365,29 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     val recall = exact.map { case (q, ids) =>
       sq8(q).intersect(ids).size.toDouble / ids.size }.sum / exact.size
     assert(recall >= 0.8, f"mean sq8 top-10 recall $recall%.3f below 0.8")
+  }
+
+  test("IVF nprobe=2 recall dominates nprobe=1 on every query and lifts the mean") {
+    // superset candidates re-ranked by the same exact score can only swap
+    // an exact-top-10 member for another exact-top-10 member, so per-query
+    // recall is provably monotone in nprobe — assert it, then the lift
+    def top(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = top(Similarity.cosineTopK(spark, dir).select("q_id", "vec_id"))
+    val p1 = top(Similarity.annIvf(spark, dir).select("q_id", "vec_id"))
+    val p2 = top(Similarity.annIvf2(spark, dir).select("q_id", "vec_id"))
+    def recall(ann: Map[Long, Set[Long]])(q: Long) =
+      ann.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / exact(q).size
+    val qs = exact.keys.toSeq // toSeq: Set.map would collapse EQUAL recalls
+    val worse = qs.filter(q => recall(p2)(q) < recall(p1)(q))
+    assert(worse.isEmpty, s"nprobe=2 lost recall on queries: $worse")
+    val m1 = qs.map(recall(p1)).sum / qs.size
+    val m2 = qs.map(recall(p2)).sum / qs.size
+    assert(m2 >= m1, f"mean recall fell: $m1%.3f -> $m2%.3f")
+    // measured at this fixture: nprobe=1 ≈ 0.48, nprobe=2 ≈ 0.77 over 8
+    // cells — the bound pins the lift with headroom for fixture drift
+    assert(m2 >= 0.7, f"nprobe=2 mean top-10 recall $m2%.3f below 0.7")
   }
 
   test("connected components contracts a 1000-node path in O(log n) rounds") {
