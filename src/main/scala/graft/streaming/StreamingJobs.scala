@@ -105,6 +105,34 @@ object StreamingJobs {
           .select("event_id", "message_id", "user_id", "ts", "value", "event_type"),
         nFiles))
 
+  /** M4l staging: the in-order event files PLUS a final tranche that is
+    * PROVABLY beyond the watermark when it arrives — every tranche row is
+    * a re-send of a first-hour reading with its value shifted +1000, so
+    * its 5-minute window closed ≥ 2 hours before the stream's max event
+    * time, while the 1-minute watermark delay puts the post-drain
+    * watermark only 1 minute behind that max. A correct engine must DROP
+    * the whole tranche; an engine that leaks it into closed windows shifts
+    * those windows' averages by construction and fails the hash gate. The
+    * one bounds collect is harness scaffolding (the "broker" replay), not
+    * part of any query plan. */
+  def stagedLateEvents(spark: SparkSession, dir: String, nFiles: Int): String =
+    stagedDirs.getOrElseUpdate((dir, nFiles, "late"), {
+      val ev = Tables.events(spark, dir)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      val src = stage(ev, nFiles)
+      val b = ev.agg(unix_micros(min(col("ts"))).as("lo"),
+        unix_micros(max(col("ts"))).as("hi")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      // first-hour tranche + ≥2 h margin below the watermark: needs a
+      // fixture spanning ≥ 4 h so "late" is provable, not racy
+      require(hi - lo >= 4L * 3600 * 1000000,
+        s"$dir: events span under 4h — cannot stage a provably-late tranche")
+      ev.filter(unix_micros(col("ts")) < lo + 3600L * 1000000)
+        .withColumn("value", col("value") + lit(1000.0))
+        .coalesce(1).write.mode("append").parquet(src)
+      src
+    })
+
   def stage(df: DataFrame, nFiles: Int): String = {
     val src = Files.createTempDirectory("graft-stream-src-").toString
     val events = df.filter(col("ts").isNotNull && col("user_id").isNotNull)
@@ -210,6 +238,24 @@ object StreamingJobs {
   def streamWindowAggQuery(spark: SparkSession, dir: String): DataFrame = {
     configureStreaming(spark)
     val src = stagedEvents(spark, dir, 4)
+    val sink = Files.createTempDirectory("graft-stream-sink-").toString
+    drainUpdate(streamWindowAgg(readEventStream(spark, src)), sink)
+    UpsertSink.lastWriteWins(spark, sink, Seq("user_id", "window_start"))
+  }
+
+  /** M4l: the watermark DROP leg — the same pipeline as M4, but the staged
+    * stream ends with a beyond-watermark tranche (see stagedLateEvents).
+    * The drained state must equal the batch A1 answer over the ON-TIME
+    * rows alone: the oracle is the plain batch SQL, which excludes the
+    * tranche by construction, so the DuckDB hash gate now covers the late-
+    * data-drop semantics that were previously spec-only (reference drop
+    * behavior: streaming_job.py:303, docs/topic3_usage_guide.md:254-263).
+    * Files drain one per micro-batch (maxFilesPerTrigger=1), so by the
+    * time the tranche's batch runs, the watermark sits 1 minute behind the
+    * stream's max event time — hours past every tranche window's end. */
+  def streamLateDropQuery(spark: SparkSession, dir: String): DataFrame = {
+    configureStreaming(spark)
+    val src = stagedLateEvents(spark, dir, 3)
     val sink = Files.createTempDirectory("graft-stream-sink-").toString
     drainUpdate(streamWindowAgg(readEventStream(spark, src)), sink)
     UpsertSink.lastWriteWins(spark, sink, Seq("user_id", "window_start"))
@@ -732,6 +778,7 @@ object StreamingJobs {
     "m4j_stream_funnel"    -> streamFunnelQuery,
     "m4k_stream_ema"       -> streamEmaQuery,
     "m4_stream_window_agg" -> streamWindowAggQuery,
+    "m4l_stream_late_drop" -> streamLateDropQuery,
     "m4f_stream_sessionize" -> streamSessionizeQuery,
     "m4g_stream_enriched"  -> streamEnrichedQuery,
     "m4h_stream_join"      -> streamStreamJoinQuery,
@@ -759,6 +806,10 @@ object StreamingJobs {
          FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""",
     // Identical to the batch a1 oracle: bounded-drain equivalence.
     "m4_stream_window_agg" -> WindowAggregates.oracles("a1_window_agg"),
+    // ALSO the batch a1 oracle — that is the point: the staged stream
+    // carries an extra beyond-watermark tranche the oracle never sees, so
+    // the hash only matches if the engine DROPS every late row.
+    "m4l_stream_late_drop" -> WindowAggregates.oracles("a1_window_agg"),
     // Identical to the batch w10 oracle: the in-order drain applies the
     // same fold in the same order, so even the doubles agree.
     "m4k_stream_ema" -> graft.operators.AnalyticWindows.oracles("w10_ema"),

@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.WindowAggregates
 import graft.streaming.{Metrics, StreamingJobs, UpsertSink}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -113,6 +114,30 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       // ... while same timestamp + different message_id is only a near-dup
       assert(out.filter(col("event_id") === 2L && col("dup_class") === "near_dup").count() == 1)
     }
+  }
+
+  test("m4l late-drop drain equals on-time batch A1 and the tranche is non-vacuous") {
+    val dir = "/root/testdata/sf0.001"
+    val onTime = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+    val drained = StreamingJobs.streamLateDropQuery(spark, dir)
+      .collect().map(_.toString).sorted
+    val batch = WindowAggregates.aggregateWindows(onTime)
+      .collect().map(_.toString).sorted
+    assert(drained.sameElements(batch),
+      "late-drop drain diverged from the on-time batch answer")
+    // non-vacuity: had the tranche leaked in, the answer WOULD differ —
+    // replay the batch agg over on-time ∪ tranche and require a difference
+    val b = onTime.agg(unix_micros(min(col("ts"))),
+      unix_micros(max(col("ts")))).head()
+    val tranche = onTime
+      .filter(unix_micros(col("ts")) < b.getLong(0) + 3600L * 1000000)
+      .withColumn("value", col("value") + lit(1000.0))
+    assert(tranche.count() > 0, "fixture has no first-hour rows to re-send")
+    val leaked = WindowAggregates.aggregateWindows(onTime.unionByName(tranche))
+      .collect().map(_.toString).sorted
+    assert(!leaked.sameElements(batch),
+      "tranche does not change the aggregate — the drop test is vacuous")
   }
 
   test("StreamingQueryListener records batches and input rows") {
