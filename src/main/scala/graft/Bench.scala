@@ -4,6 +4,28 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Wait-until-quiet gate: two driver rounds in a row recorded at
+    // load_avg >= 2.4, which inflates wall numbers with machine contention
+    // a warning alone did not prevent. Poll the 1-min load average BEFORE
+    // the session spins up; proceed once quiet or when the bounded budget
+    // expires (the artifact's `contended` flag still records the truth
+    // either way). SPARK_GRAFT_LOAD_WAIT_SEC=0 disables the wait for dev
+    // loops.
+    locally {
+      val osb = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      val budgetSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SEC", "600").toInt
+      val t0 = System.nanoTime()
+      var load = osb.getSystemLoadAverage
+      while (load >= 2.0 && (System.nanoTime() - t0) / 1e9 < budgetSec) {
+        System.err.println(f"[bench] load_avg $load%.2f >= 2 — waiting for a " +
+          f"quiet machine (budget ${budgetSec}s)")
+        Thread.sleep(15000)
+        load = osb.getSystemLoadAverage
+      }
+      if (load >= 2.0 && budgetSec > 0)
+        System.err.println(f"[bench] still loaded ($load%.2f) after ${budgetSec}s" +
+          " — proceeding; artifact will carry contended=true")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

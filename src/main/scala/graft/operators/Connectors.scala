@@ -19,6 +19,14 @@ import java.util.Comparator
   */
 object Connectors {
 
+  /** Ceiling on the distinct partition values one merge batch may touch.
+    * The merge commit collects that list to the driver to prune the
+    * snapshot read and write the manifest — legitimate at partition
+    * cardinality (days, hours, tenants), pathological at row cardinality.
+    * 100k values ≈ 274 years of day-partitions: far above any real layout,
+    * far below driver-OOM territory. */
+  val MaxTouchedPartitions = 100000
+
   // ---- S2/S3: producer envelope + explicit partitioner ---------------------
 
   /** S2+S3: the Kafka producer's record envelope (reference
@@ -143,7 +151,19 @@ object Connectors {
       partitionCol match {
         case Some(p) =>
           require(keys.contains(p), s"partition column $p must be a merge key")
-          val touched = updates.select(col(p)).distinct().collect().map(_.get(0))
+          // the touched-partition list is metadata-scale (same class as a
+          // table format's commit path) and is the ONLY driver
+          // materialization in the merge — cap it so a pathological update
+          // set (e.g. a per-row-unique "partition" column) fails fast with
+          // a diagnosis instead of OOMing the driver. limit(cap+1) bounds
+          // the collect itself; the require distinguishes overflow from use.
+          val cap = MaxTouchedPartitions
+          val touched0 = updates.select(col(p)).distinct().limit(cap + 1).collect()
+          require(touched0.length <= cap,
+            s"mergeInto: update batch touches > $cap distinct '$p' partitions — " +
+              "that is row-scale, not partition-scale; repartition the table " +
+              "on a coarser column or merge unpartitioned")
+          val touched = touched0.map(_.get(0))
           // empty incremental batch: nothing to merge, target untouched
           if (touched.isEmpty) return
           val vals = touched.filterNot(_ == null)

@@ -257,6 +257,25 @@ class ConnectorsSpec extends AnyFunSuite with SparkFixture {
     assert(out == Seq((1L, "d1", 1.0), (2L, "d2", 2.0)))
   }
 
+  test("partitioned merge fails fast past the touched-partition cap") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("merge-cap-").toString + "/t"
+    Connectors.replaceTable(spark, t, Seq((1L, "d1", 1.0)).toDF("k", "day", "v"))
+    Connectors.compact(spark, t, partitionCol = Some("day"))
+    // a per-row-unique "partition" column: row-scale, not partition-scale —
+    // must be rejected with a diagnosis, never collected unbounded
+    val wide = spark.range(Connectors.MaxTouchedPartitions + 1)
+      .select(col("id").as("k"), concat(lit("d"), col("id")).as("day"),
+        lit(0.0).as("v"))
+    val ex = intercept[IllegalArgumentException] {
+      Connectors.mergeInto(spark, t, wide, Seq("k", "day"),
+        partitionCol = Some("day"))
+    }
+    assert(ex.getMessage.contains("distinct 'day' partitions"))
+    // the target is untouched by the rejected merge
+    assert(Connectors.readTable(spark, t).count() == 1)
+  }
+
   test("compact folds an appended table into one generation without changing contents") {
     import spark.implicits._
     val t = Files.createTempDirectory("compact-test-").toString + "/t"
