@@ -42,8 +42,11 @@ object SetOps {
   private def week2(spark: SparkSession, dir: String) = window(spark, dir, W1Hi, W2Hi)
 
   /** U1: re-ingest UNION — the inverse of the V8 split. The valid stream
-    * passes through untouched; DLQ rows whose failures are repairable
-    * (out-of-range value → clamp to [0,100], fixable casing/padding →
+    * passes through untouched — including rows whose event_type is merely
+    * padded (' click '): the format rule tests the TRIMMED value, so
+    * padding alone is valid and the direct branch preserves the raw bytes,
+    * exactly like the V8 split it inverts. DLQ rows whose failures are
+    * repairable (out-of-range value → clamp to [0,100], fixable CASING →
     * lower+trim) are repaired and re-unioned with provenance; rows with
     * missing required fields or a critically-empty event_type have nothing
     * to repair from and stay dead. Same rule set as Validation.eventRules

@@ -744,11 +744,14 @@ object TextAnalysis {
     * One aggregation pass; the three COUNT DISTINCTs expand the input 4×
     * map-side (Spark's expand-based multi-distinct) but the shuffle carries
     * only the distinct keys — at 100 TB this is the standard multi-distinct
-    * plan, not a driver-side collect. The stddev comes from exact BIGINT
+    * plan, not a driver-side collect. The stddev comes from exact integer
     * sums (Σx, Σx², n) pushed through one explicitly-ordered double
     * expression — both engines evaluate the identical IEEE tree, so the
     * result is bit-portable where a builtin stddev's partial-merge order
-    * would not be. */
+    * would not be. Σx² accumulates in DECIMAL(38,0): a BIGINT sum of
+    * squares wraps silently past 2^63 (10^12 docs of 3k chars gets there),
+    * and the DuckDB oracle accumulates in HUGEINT — the decimal sum keeps
+    * both engines exact at any corpus size. */
   def datasetCard(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val agg = d.agg(
@@ -756,7 +759,7 @@ object TextAnalysis {
       countDistinct(col("lang")).as("n_langs"),
       countDistinct(col("source")).as("n_sources"),
       sum(col("n_chars")).as("total_chars"),
-      sum(col("n_chars") * col("n_chars")).as("_sumsq"),
+      sum(col("n_chars").cast("decimal(19,0)") * col("n_chars")).as("_sumsq"),
       countDistinct(Exact.fold60(col("text"))).as("distinct_texts"))
     val s = col("total_chars").cast("double")
     val q = col("_sumsq").cast("double")
@@ -777,7 +780,11 @@ object TextAnalysis {
     * bounded O(200²) per pair; the self-join is one hash shuffle on the
     * bucket key, the same shape as m6_simhash_pairs. Levenshtein (unit-cost
     * insert/delete/substitute) is exact and integer — both engines agree by
-    * definition. */
+    * definition ON ASCII: Spark counts codepoints while DuckDB's substring /
+    * levenshtein pairing can differ on multi-byte text, so the oracle
+    * pairing rests on the documents fixture being pure ASCII
+    * (LlmPillarSpec pins that assumption — a non-ASCII generator change
+    * fails the pin, not the hash gate). */
   def editVerify(spark: SparkSession, dir: String): DataFrame = {
     val h = Tables.documents(spark, dir).select(
       col("doc_id"),
@@ -867,7 +874,7 @@ object TextAnalysis {
                    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
                    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,
-                   CAST(sum(n_chars * n_chars) AS BIGINT) AS sumsq,
+                   sum(CAST(n_chars AS DECIMAL(19,0)) * n_chars) AS sumsq,
                    CAST(count(DISTINCT ${Exact.sqlFold60("text")}) AS BIGINT)
                      AS distinct_texts
             FROM documents)
