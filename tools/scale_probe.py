@@ -51,11 +51,17 @@ def run(cmd, env=None):
 
 
 def bench(sfdir, out):
+    # cold-vs-cold staging: fresh warehouse root per leg so m6_stage_base
+    # measures build-vs-build (see scale_probe10.py for the full story)
+    import shutil
+    wh = f"/tmp/graft-probe-wh-{os.path.basename(sfdir.rstrip('/'))}"
+    shutil.rmtree(wh, ignore_errors=True)
     run("runMain graft.Bench", {
         "SPARK_GRAFT_SF_DIR": sfdir,
         "SPARK_GRAFT_CPUS": "32",
         "SPARK_GRAFT_QUERIES": QUERIES,
         "SPARK_GRAFT_BENCH_OUT": out,
+        "SPARK_GRAFT_WAREHOUSE": wh,
     })
     return json.load(open(out))
 

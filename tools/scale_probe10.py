@@ -45,11 +45,21 @@ def run(cmd, env=None):
 
 
 def bench(sfdir, out):
+    # COLD-vs-COLD staging: each leg gets a fresh warehouse root so
+    # m6_stage_base measures build-vs-build. Without this the sf0.1 leg
+    # reuses the committed warehouse from earlier dev runs (warm read-back,
+    # ~0.7 s) while the fresh sf10 fixture builds cold (~78 s) — the
+    # round-8 headline "113.7x" ratio was exactly that artifact, not a
+    # scaling signal.
+    import shutil
+    wh = f"/tmp/graft-probe10-wh-{os.path.basename(sfdir.rstrip('/'))}"
+    shutil.rmtree(wh, ignore_errors=True)
     run("runMain graft.Bench", {
         "SPARK_GRAFT_SF_DIR": sfdir,
         "SPARK_GRAFT_CPUS": "32",
         "SPARK_GRAFT_QUERIES": QUERIES,
         "SPARK_GRAFT_BENCH_OUT": out,
+        "SPARK_GRAFT_WAREHOUSE": wh,
     })
     return json.load(open(out))
 
@@ -67,7 +77,9 @@ art = {
         "sf10_load": [big["load_avg_start"], big["load_avg_end"]],
     },
     "staging_cold": {"sf0.1": small.get("staging_cold", {}),
-                     "sf10": big.get("staging_cold", {})},
+                     "sf10": big.get("staging_cold", {}),
+                     "note": "both legs run against a fresh warehouse root "
+                             "(cold-vs-cold) so m6_stage_base is build-vs-build"},
     "queries": {
         q: {
             "sf0.1_wall": round(small["queries"][q], 2),
