@@ -124,14 +124,15 @@ object Similarity {
   }
 
   /** M6: IVF-Flat ANN — the inverted-file index structure: a small coarse
-    * quantizer (here 1/125th of the corpus by fixed id rule — deterministic
-    * in both engines; a production build would k-means them) partitions the
-    * corpus into cells; a query probes only its nearest cell's list
-    * (nprobe=1). The 100 TB shape: centroids broadcast everywhere,
-    * assignment is a narrow argmax over ~√N centroids (no shuffle), and the
-    * search join is equi-keyed on cell id — like annLsh but with
-    * data-adaptive cells instead of fixed hyperplanes, trading recall at
-    * cell boundaries for balanced lists. */
+    * quantizer (a deterministic id-stride rule, stride = `ivfStride` ≈ √N —
+    * identical in both engines; a production build would k-means them)
+    * partitions the corpus into cells; a query probes only its nearest
+    * cell's list (nprobe=1). The 100 TB shape: K ≈ N/stride ≈ √N centroids
+    * broadcast everywhere (√N-sized, megabytes at 20M vectors), assignment
+    * is a narrow argmax over those ~√N centroids (no shuffle, N·K ≈ N^1.5
+    * total — sublinear per row), and the search join is equi-keyed on cell
+    * id — like annLsh but with data-adaptive cells instead of fixed
+    * hyperplanes, trading recall at cell boundaries for balanced lists. */
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     ivfSearch(spark, dir, nprobe = 1)
 
@@ -148,9 +149,24 @@ object Similarity {
   def annIvf2(spark: SparkSession, dir: String): DataFrame =
     ivfSearch(spark, dir, nprobe = 2)
 
+  /** IVF id-stride (= cell size): max(125, ⌊√N⌋). At scale this is the
+    * standard nlist ≈ √N rule — K = N/stride ≈ √N centroids, so centroid
+    * assignment costs N·K ≈ N^1.5 (sublinear per row) and the centroid
+    * broadcast is √N-sized, while cells hold ≈ √N vectors each; the 125
+    * floor keeps small corpora from degenerating into single-digit cells
+    * (below N = 125² the un-floored rule would make MORE cells, not fewer,
+    * than one per 125 rows). Both engines take floor(sqrt(n)) of a
+    * correctly-rounded IEEE double: for n = k²−1 < 2^51 the gap between
+    * √(k²−1) and k (≈ 1/2k) exceeds an ulp (≈ k·2⁻⁵²), so the rounded sqrt
+    * never crosses the integer boundary and Scala and DuckDB agree for
+    * every reachable corpus size. GraftProps pins the sizing. */
+  private[graft] def ivfStride(n: Long): Long =
+    math.max(125L, math.floor(math.sqrt(n.toDouble)).toLong)
+
   private def ivfSearch(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val b = base(spark, dir)
-    val cents = b.filter(col("vec_id") % 125 === 0).select(
+    val stride = ivfStride(Tables.embeddings(spark, dir).count())
+    val cents = b.filter(col("vec_id") % stride === 0).select(
       col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm"))
     def assign(df: DataFrame, k: Int): DataFrame = {
       val scored = df.crossJoin(broadcast(cents))
@@ -295,6 +311,11 @@ object Similarity {
   private val normSql = "sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b))"
   private val dotSql =
     "list_reduce(list_prepend(0.0, list_transform(list_zip(qv, v), p -> p[1] * p[2])), (a, b) -> a + b)"
+  /** The same corpus-adaptive IVF stride as `ivfStride`, computed in-query
+    * (see ivfStride for why floor-of-IEEE-sqrt agrees across engines). */
+  private val strideSql =
+    "strd AS (SELECT greatest(125, CAST(floor(sqrt(count(*))) AS BIGINT)) AS m FROM embeddings)"
+
   /** The same corpus-adaptive width as `lshBits`, computed in-query (see
     * lshBits for why the two formulations are exactly equal). */
   private val bitsSql =
@@ -383,9 +404,10 @@ object Similarity {
           WHERE rnk <= 10""",
     "m6_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          $strideSql,
           n AS (SELECT vec_id, v, $normSql AS nrm FROM e),
           cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
-                    WHERE vec_id % 125 = 0),
+                    WHERE vec_id % (SELECT m FROM strd) = 0),
           assigned AS (
             SELECT vec_id, v, nrm, cent_id AS cell FROM (
               SELECT n.vec_id, n.v, n.nrm, c.cent_id,
@@ -408,9 +430,10 @@ object Similarity {
     // keeps its two nearest centroids before the same cell-keyed join.
     "m6_ann_ivf2" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          $strideSql,
           n AS (SELECT vec_id, v, $normSql AS nrm FROM e),
           cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
-                    WHERE vec_id % 125 = 0),
+                    WHERE vec_id % (SELECT m FROM strd) = 0),
           scored AS (
             SELECT n.vec_id, n.v, n.nrm, c.cent_id,
               row_number() OVER (PARTITION BY n.vec_id ORDER BY
