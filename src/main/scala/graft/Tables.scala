@@ -15,42 +15,44 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Session confs + native-function registry every entry point
-    * (Verify/Bench/tests) sets once at bootstrap — not inside table
-    * loaders, which would mutate shared session state as a
-    * query-construction side effect. */
+  /** Native-function registry every entry point (Verify/Bench/tests) sets
+    * once at bootstrap — not inside table loaders, which would mutate
+    * shared session state as a query-construction side effect. */
   def bootstrap(spark: SparkSession): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.functions.GraftFunctions.register(spark)
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read it as raw nanos (legacy conf, set at
-    * bootstrap) and convert with integer division — nanos values (~1.7e18)
-    * overflow double's exact range, so no float math on the way to micros. */
+  /** `events.ts` is parquet TIMESTAMP(MICROS) with no timezone metadata
+    * (isAdjustedToUTC=false), which Spark reads as TIMESTAMP_NTZ. Downstream
+    * operators run on session-zone TIMESTAMP (windows, watermarks, the
+    * oracle dumps all agreed on it): under the pinned UTC session the
+    * NTZ→LTZ cast is wall-clock-preserving, so every instant matches what
+    * DuckDB computes from the same naive micros. */
   def events(spark: SparkSession, dir: String): DataFrame =
-    eventsWithRawTs(spark, dir).drop("ts_nanos")
+    eventsWithRawTs(spark, dir).drop("ts_raw")
 
-  /** events plus the RAW int64 nanos column (`ts_nanos`): a time bound on
-    * the CONVERTED `ts` hides behind the micros expression — parquet gets
-    * only IsNotNull and every row group is read — while the same bound on
-    * `ts_nanos` (via `Tables.nanos(literal)`) pushes as a plain int64
-    * comparison, restoring row-group stats pruning (and partition pruning
-    * on a date-partitioned layout at scale). Time-bounded readers filter
-    * on `ts_nanos` then drop it (PlanContractSpec pins the pushdown). */
+  /** events plus the UNCAST scan column (`ts_raw`, TIMESTAMP_NTZ): a time
+    * bound on the CONVERTED `ts` hides behind the NTZ→LTZ cast — parquet
+    * gets only IsNotNull and every row group is read — while the same bound
+    * on `ts_raw` (via `lit(Tables.rawTs(literal))`) pushes as a plain
+    * micros comparison on the stored column, restoring row-group stats
+    * pruning (and partition pruning on a date-partitioned layout at scale).
+    * Time-bounded readers filter on `ts_raw` then drop it (PlanContractSpec
+    * pins the pushdown). */
   def eventsWithRawTs(spark: SparkSession, dir: String): DataFrame = {
     load(spark, dir, "events")
-      .withColumn("ts_nanos", col("ts"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .select(col("event_id"), col("ts"), col("ts_nanos"), col("user_id"),
+      .withColumn("ts_raw", col("ts"))
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(col("event_id"), col("ts"), col("ts_raw"), col("user_id"),
         col("event_type"), col("value"), col("props"))
   }
 
-  /** Raw-nanos value of a whole-second UTC literal — the `ts_nanos` bound
-    * matching `col("ts") <op> lit(literal)` under the UTC session. */
-  def nanos(literal: String): Long =
+  /** NTZ literal of a whole-second UTC wall time — the `ts_raw` bound
+    * matching `col("ts") <op> lit(literal)` under the UTC session
+    * (`lit(LocalDateTime)` is a TIMESTAMP_NTZ literal, same type as the
+    * scan column, so the comparison pushes without a cast). */
+  def rawTs(literal: String): java.time.LocalDateTime =
     java.time.LocalDateTime.parse(literal.replace(' ', 'T'))
-      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
   /** Fan a CPU-bound stage out to every core. A 100 TB scan arrives as
     * thousands of splits and never needs this; the kilobyte-scale test files
     * are a single parquet split, which would serialize hash/shingle/fold

@@ -527,13 +527,13 @@ object Connectors {
     * the reference's re-sync overwrite), inserted (new days). */
   def upsertSink(spark: SparkSession, dir: String): DataFrame = {
     val target = Files.createTempDirectory("graft-upsert-target-").toString
-    // cutoffs bound the raw nanos column → pushed scans per batch
+    // cutoffs bound the raw scan column → pushed scans per batch
     val events = Tables.eventsWithRawTs(spark, dir)
-    val cutoffN = graft.Tables.nanos(SyncCutoff)
-    dailyTotals(events.filter(col("ts_nanos") < lit(cutoffN)))
+    val cutoffN = graft.Tables.rawTs(SyncCutoff)
+    dailyTotals(events.filter(col("ts_raw") < lit(cutoffN)))
       .write.partitionBy("day").mode("overwrite").parquet(target)
     mergeInto(spark, target,
-      dailyTotals(events.filter(col("ts_nanos") >= lit(cutoffN))),
+      dailyTotals(events.filter(col("ts_raw") >= lit(cutoffN))),
       Seq("user_id", "day"), partitionCol = Some("day"))
     // read back through the pointer protocol: after the merge the root's
     // superseded flat boundary-day dir is retained for one commit window,
@@ -548,15 +548,13 @@ object Connectors {
     * The `ts > prev` predicate is exactly what pushes into the source scan
     * (S7), so the sync never rereads history.
     *
-    * Raw-nanos bound: `ts > C` over MICROSECOND timestamps is `ts_nanos >=
-    * nanos(C) + 1000` — the next representable microsecond. A strict
-    * `ts_nanos > nanos(C)` would admit events in the (C, C+1µs) nanosecond
-    * band that both the converted-ts predicate and the oracle (which
-    * truncates ns→µs exactly like Spark's `div 1000`) exclude; the >=/<
-    * bounds elsewhere have no such off-by-a-band hazard. */
+    * The strict `ts_raw > C` bound rides the raw MICROSECOND scan column,
+    * so it pushes as a plain GreaterThan and matches the oracle's `ts > C`
+    * exactly — the stored precision IS the compared precision, with no
+    * sub-microsecond band to fall through. */
   def syncWatermark(spark: SparkSession, dir: String): DataFrame =
     Tables.eventsWithRawTs(spark, dir)
-      .filter(col("ts_nanos") >= lit(graft.Tables.nanos(SyncCutoff) + 1000L))
+      .filter(col("ts_raw") > lit(graft.Tables.rawTs(SyncCutoff)))
       .agg(
         lit(SyncCutoff).cast("timestamp").as("prev_watermark"),
         max("ts").as("next_watermark"),

@@ -141,18 +141,18 @@ object Joins {
     * the pure-Spark `MERGE INTO`. The streaming foreachBatch upsert sink
     * (graft.streaming.UpsertSink) applies the same last-write-wins rule. */
   def upsertMerge(spark: SparkSession, dir: String): DataFrame = {
-    // the batch cutoffs bound the RAW nanos column so they push into the
+    // the batch cutoffs bound the RAW scan column so they push into the
     // scan (Tables.eventsWithRawTs — each side reads only its row groups)
     val events = Tables.eventsWithRawTs(spark, dir)
-    val cutoffN = graft.Tables.nanos("2024-01-22 00:00:00")
+    val cutoffN = graft.Tables.rawTs("2024-01-22 00:00:00")
     def snap(df: DataFrame): DataFrame =
       df.groupBy(col("user_id"))
         .agg(Exact.rnd(Exact.sumD("value"), 2).as("total_value"),
           count(lit(1)).as("cnt"), max("ts").as("last_ts"))
-    val base    = snap(events.filter(col("ts_nanos") < lit(cutoffN)))
+    val base    = snap(events.filter(col("ts_raw") < lit(cutoffN)))
       .withColumnRenamed("total_value", "b_total").withColumnRenamed("cnt", "b_cnt")
       .withColumnRenamed("last_ts", "b_last").withColumnRenamed("user_id", "b_user")
-    val updates = snap(events.filter(col("ts_nanos") >= lit(cutoffN)))
+    val updates = snap(events.filter(col("ts_raw") >= lit(cutoffN)))
     merge(base, updates)
   }
 

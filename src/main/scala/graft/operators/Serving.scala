@@ -32,14 +32,14 @@ object Serving {
 
   /** S7: incremental watermark read — rows newer than the last sync point,
     * ordered, batched (mongo_to_postgres_sync.py:109-143). The predicate
-    * is applied to the RAW nanos column (Tables.eventsWithRawTs) so it
-    * genuinely pushes down to the parquet scan as an int64 comparison —
+    * is applied to the RAW scan column (Tables.eventsWithRawTs) so it
+    * genuinely pushes down to the parquet scan as a plain micros comparison —
     * a bound on the converted timestamp hides behind the conversion
     * expression and reads every row group (PlanContractSpec pins this). */
   def incrementalRead(spark: SparkSession, dir: String): DataFrame =
     Tables.eventsWithRawTs(spark, dir)
-      .filter(col("ts_nanos") >= lit(Tables.nanos("2024-01-25 00:00:00")))
-      .drop("ts_nanos")
+      .filter(col("ts_raw") >= lit(Tables.rawTs("2024-01-25 00:00:00")))
+      .drop("ts_raw")
       .orderBy(col("ts"), col("event_id"))
       .limit(1000)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
@@ -60,13 +60,13 @@ object Serving {
     * offset form degrades at depth (offset N still sorts/skips N rows
     * per page): the client passes the last-seen key and the next page is
     * `ts < last_seen ORDER BY ts DESC LIMIT n`. The bound rides the RAW
-    * nanos column, so it is a pushed int64 scan predicate + one
+    * scan column, so it is a pushed micros scan predicate + one
     * TakeOrderedAndProject — page cost is independent of page depth
     * (PlanContractSpec pins both properties). */
   def keysetPage(spark: SparkSession, dir: String): DataFrame =
     Tables.eventsWithRawTs(spark, dir)
-      .filter(col("ts_nanos") < lit(Tables.nanos("2024-01-30 00:00:00")))
-      .drop("ts_nanos")
+      .filter(col("ts_raw") < lit(Tables.rawTs("2024-01-30 00:00:00")))
+      .drop("ts_raw")
       .orderBy(col("ts").desc, col("event_id").desc)
       .limit(10)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
@@ -75,9 +75,9 @@ object Serving {
     * (API `GET /sensors/{id}/analytics`, Learning Guide.txt:1084 §2). */
   def timeSeries(spark: SparkSession, dir: String): DataFrame =
     Tables.eventsWithRawTs(spark, dir)
-      .filter(col("ts_nanos") >= lit(Tables.nanos("2024-01-10 00:00:00")) &&
-              col("ts_nanos") <  lit(Tables.nanos("2024-01-20 00:00:00")))
-      .drop("ts_nanos")
+      .filter(col("ts_raw") >= lit(Tables.rawTs("2024-01-10 00:00:00")) &&
+              col("ts_raw") <  lit(Tables.rawTs("2024-01-20 00:00:00")))
+      .drop("ts_raw")
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
       .agg(Exact.rnd(Exact.avgD("value"), 4).as("avg_value"),
         Exact.rnd(max("value"), 2).as("max_value"),

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   * then Generate to replicate survivors) — none of them ever materialize a
   * cross product or a driver-side set, so each survives a 100× scale-up as
   * ordinary keyed shuffles. The period bounds are pushed to the parquet scan
-  * as raw-nanos int64 comparisons (`Tables.eventsWithRawTs` — row-group
+  * as plain micros comparisons (`Tables.eventsWithRawTs` — row-group
   * pruning now, partition pruning on a date-partitioned layout at scale).
   */
 object SetOps {
@@ -30,13 +30,13 @@ object SetOps {
   private val W1Hi = "2024-01-08 00:00:00"
   private val W2Hi = "2024-01-15 00:00:00"
 
-  /** Events of [lo, hi) with the time bound pushed on the raw int64 nanos
+  /** Events of [lo, hi) with the time bound pushed on the raw micros
     * column (PlanContractSpec pins this pattern's pushdown). */
   private def window(spark: SparkSession, dir: String, lo: String, hi: String): DataFrame =
     Tables.eventsWithRawTs(spark, dir)
-      .filter(col("ts_nanos") >= lit(Tables.nanos(lo)) &&
-              col("ts_nanos") < lit(Tables.nanos(hi)))
-      .drop("ts_nanos")
+      .filter(col("ts_raw") >= lit(Tables.rawTs(lo)) &&
+              col("ts_raw") < lit(Tables.rawTs(hi)))
+      .drop("ts_raw")
 
   private def week1(spark: SparkSession, dir: String) = window(spark, dir, W1Lo, W1Hi)
   private def week2(spark: SparkSession, dir: String) = window(spark, dir, W1Hi, W2Hi)
