@@ -223,6 +223,18 @@ object GraftProps extends Properties("graft") {
       inRange && covers && minimal && monotone
     }
 
+  // ---- corpus-adaptive IVF stride (Similarity.ivfStride) -------------------
+  property("ivfStride: floored sqrt cell size, monotone, sqrt-bracketed") =
+    forAll(Gen.choose(1L, 1L << 40)) { n =>
+      val s = graft.operators.Similarity.ivfStride(n)
+      val floored = s >= 125L
+      val agrees = s == math.max(125L, math.floor(math.sqrt(n.toDouble)).toLong)
+      // above the floor's reach, stride is the integer sqrt: s² ≤ n < (s+1)²
+      val bracketed = n < 125L * 125L || (s * s <= n && n < (s + 1) * (s + 1))
+      val monotone = graft.operators.Similarity.ivfStride(n + 1) >= s
+      floored && agrees && bracketed && monotone
+    }
+
   // ---- corpus-adaptive pack shards (TextAnalysis.packShards) ---------------
   property("packShards: minimal power of two with ~256 docs/shard, monotone, clamped") =
     forAll(Gen.choose(1L, 1L << 24)) { n =>
