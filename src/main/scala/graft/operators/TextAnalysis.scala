@@ -210,17 +210,31 @@ object TextAnalysis {
     // corpus cardinality via parquet metadata — the same number a catalog
     // serves for free (corpusBits precedent, Similarity.scala)
     val n = Tables.documents(spark, dir).count()
-    // NO persist for the shared (doc, term, tf) subplan: len, df and the
-    // final join all contain its identical aggregation exchange, which the
-    // planner dedupes (ReusedExchange / AQE stage reuse) — the explode pass
-    // runs once; only vocabulary-sized merges repeat. See cmsHeavyHitters
-    // for the persist-vs-reuse tradeoff (the round-7 cache-leak fix).
+    // NO persist for the shared (doc, term, tf) subplan: both remaining
+    // consumers contain its identical aggregation exchange, which AQE's
+    // stage cache dedupes at runtime — the explode pass runs once; shuffle
+    // files are the (free) materialization. Two details make the subtrees
+    // canonically EQUAL, which reuse requires (PlanContractSpec pins it):
+    //  - `len` is a windowed sum over tf, not a join-back: partitions are
+    //    (doc_id)-bounded — a document's distinct terms — and the window
+    //    consumes tf's exchange directly instead of cloning the subtree
+    //    with a different join-inferred IsNotNull filter.
+    //  - `dfreq` aggregates sum(least(tf, 1)) — value-identical to the
+    //    document count, since every tf >= 1 — instead of count(*):
+    //    a bare count never inspects tf, so Catalyst would prune tf out
+    //    of that branch's aggregate, leaving a keys-only distinct whose
+    //    partial stage no longer canonicalizes to the shared exchange
+    //    (and the explode would run twice). (A df-by-window would NOT
+    //    be scale-safe: partition = one term's posting list, and a
+    //    stopword's list is corpus-sized — the keyed agg keeps df
+    //    map-side-combined and broadcast-sized.)
     val tf = Tables.fanout(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(normTokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val len = tf.groupBy("doc_id").agg(sum("tf").as("len"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(len, Seq("doc_id")).join(dfreq, Seq("term"))
+    val lenW = Window.partitionBy("doc_id")
+    val dfreq = tf.groupBy("term").agg(sum(least(col("tf"), lit(1L))).as("df"))
+    val scored = tf.withColumn("len", sum("tf").over(lenW))
+      .join(dfreq, Seq("term"))
       .withColumn("s",
         (col("tf").cast("double") / col("len")) * (lit(n.toDouble) / col("df")))
     val w = Window.partitionBy("doc_id").orderBy(col("s").desc, col("term"))

@@ -98,6 +98,24 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
     assert(!read.contains("props"), s"unused props column read: $read")
   }
 
+  test("tfidf: the (doc,term) explode stage is computed once and reused") {
+    // the tf subplan feeds both the len window and the df aggregate; the
+    // executed AQE plan must share ONE shuffle stage between them — scan
+    // and explode each run once, shuffle files are the materialization.
+    // The static plan cannot show this (AQE defers reuse to runtime), so
+    // materialize and inspect the final adaptive plan.
+    val df = SparkEntry.queries("m6_tfidf")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    assert(p.contains("isFinalPlan=true"), s"plan did not finalize:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"tf subplan not reused — explode would run per consumer:\n$p")
+    assert("Generate explode".r.findAllIn(
+        p.substring(0, p.indexOf("== Initial Plan =="))).length == 1,
+      s"final plan must contain exactly one explode:\n$p")
+  }
+
   test("windows: analytic windows are partitioned (no single-partition sort of data)") {
     // w5 ranks within (event_type); its WindowExec must carry a partition
     val w5 = plan("w5_rank_by_avg")
