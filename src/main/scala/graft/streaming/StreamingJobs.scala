@@ -86,7 +86,17 @@ object StreamingJobs {
     * bounded stream, so the staged files are built once per (table, nFiles,
     * fixture) and shared. Staging is harness scaffolding (the "broker"), not
     * part of any query's plan — sharing it changes no semantics: each drain
-    * still runs its own checkpoint, state store, and sink. */
+    * still runs its own checkpoint, state store, and sink.
+    *
+    * The registered drains stage TWO files: the minimum that still
+    * exercises cross-batch state (carry-forward, watermark advance between
+    * batches, update-mode re-emission) under maxFilesPerTrigger=1. Each
+    * extra micro-batch is ~1 s of pure fixed cost at test scale (state
+    * store open/commit per partition, offset WAL, sink append — measured,
+    * not plan work), and every stateful operator sorts rows by event time
+    * inside a batch while files replay in time order, so batch count never
+    * changes which rows a key's state sees or their order — only how many
+    * times the machinery cycles. */
   def stagedEvents(spark: SparkSession, dir: String, nFiles: Int): String =
     stagedDirs.getOrElseUpdate((dir, nFiles, "events"),
       stage(Tables.events(spark, dir), nFiles))
@@ -237,7 +247,7 @@ object StreamingJobs {
     * oracle. */
   def streamWindowAggQuery(spark: SparkSession, dir: String): DataFrame = {
     configureStreaming(spark)
-    val src = stagedEvents(spark, dir, 4)
+    val src = stagedEvents(spark, dir, 2)
     val sink = Files.createTempDirectory("graft-stream-sink-").toString
     drainUpdate(streamWindowAgg(readEventStream(spark, src)), sink)
     UpsertSink.lastWriteWins(spark, sink, Seq("user_id", "window_start"))
@@ -255,7 +265,7 @@ object StreamingJobs {
     * stream's max event time — hours past every tranche window's end. */
   def streamLateDropQuery(spark: SparkSession, dir: String): DataFrame = {
     configureStreaming(spark)
-    val src = stagedLateEvents(spark, dir, 3)
+    val src = stagedLateEvents(spark, dir, 2)
     val sink = Files.createTempDirectory("graft-stream-sink-").toString
     drainUpdate(streamWindowAgg(readEventStream(spark, src)), sink)
     UpsertSink.lastWriteWins(spark, sink, Seq("user_id", "window_start"))
@@ -269,7 +279,7 @@ object StreamingJobs {
     * the deterministic surface is the key set. */
   def streamDedupQuery(spark: SparkSession, dir: String): DataFrame = {
     configureStreaming(spark)
-    val src = stagedEvents(spark, dir, 4)
+    val src = stagedEvents(spark, dir, 2)
     val sink = Files.createTempDirectory("graft-stream-sink-").toString
     val deduped = readEventStream(spark, src)
       .withColumn("bucket", expr("(unix_micros(ts) div 5000000) * 5"))
@@ -360,7 +370,7 @@ object StreamingJobs {
 
   def statefulDedupQuery(spark: SparkSession, dir: String): DataFrame = {
     configureStreaming(spark)
-    val src = stagedCorrupted(spark, dir, 4)
+    val src = stagedCorrupted(spark, dir, 2)
     val sink = Files.createTempDirectory("graft-stream-sink-").toString
     drainAppend(classifyDups(readEventStream(spark, src)).toDF(), sink)
     UpsertSink.appended(spark, sink)
@@ -426,7 +436,7 @@ object StreamingJobs {
 
   def statefulDedupTwsQuery(spark: SparkSession, dir: String): DataFrame = {
     configureStreaming(spark)
-    val src = stagedCorrupted(spark, dir, 4)
+    val src = stagedCorrupted(spark, dir, 2)
     val sink = Files.createTempDirectory("graft-stream-sink-").toString
     drainAppend(classifyDupsTws(readEventStream(spark, src)).toDF(), sink)
     UpsertSink.appended(spark, sink)
@@ -442,7 +452,7 @@ object StreamingJobs {
     * intermediate hop, one shuffle total (the window agg's). */
   def validatedPipelineQuery(spark: SparkSession, dir: String): DataFrame = {
     configureStreaming(spark)
-    val src = stagedEvents(spark, dir, 4)
+    val src = stagedEvents(spark, dir, 2)
     val sink = Files.createTempDirectory("graft-stream-sink-").toString
     val valid = graft.operators.Validation
       .withFailures(readEventStream(spark, src), graft.operators.Validation.eventRules)
@@ -468,7 +478,7 @@ object StreamingJobs {
     * and the drained state must equal the batch sessions (a8's oracle). */
   def streamSessionizeQuery(spark: SparkSession, dir: String): DataFrame = {
     configureStreaming(spark)
-    val src = stagedEvents(spark, dir, 4)
+    val src = stagedEvents(spark, dir, 2)
     val sink = Files.createTempDirectory("graft-stream-sink-").toString
     val sessions = readEventStream(spark, src)
       .withWatermark("ts", "1 minute")
@@ -494,7 +504,7 @@ object StreamingJobs {
     * the join. */
   def streamEnrichedQuery(spark: SparkSession, dir: String): DataFrame = {
     configureStreaming(spark)
-    val src = stagedEvents(spark, dir, 4)
+    val src = stagedEvents(spark, dir, 2)
     val sink = Files.createTempDirectory("graft-stream-sink-").toString
     val dim = broadcast(Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment")))
@@ -525,7 +535,7 @@ object StreamingJobs {
     * the same staged replay as independent file sources of one query. */
   def streamStreamJoinQuery(spark: SparkSession, dir: String): DataFrame = {
     configureStreaming(spark)
-    val src = stagedEvents(spark, dir, 4)
+    val src = stagedEvents(spark, dir, 2)
     val sink = Files.createTempDirectory("graft-stream-sink-").toString
     val views = readEventStream(spark, src)
       .filter(col("event_type") === "view")
@@ -563,7 +573,7 @@ object StreamingJobs {
     import graft.operators.TextAnalysis
     configureStreaming(spark)
     graft.functions.GraftFunctions.register(spark)
-    val src = stagedDocuments(spark, dir, 4)
+    val src = stagedDocuments(spark, dir, 2)
     val sink = Files.createTempDirectory("graft-stream-sink-").toString
     val schema = spark.read.parquet(src).schema
     val sketchStream = spark.readStream.schema(schema)
@@ -677,7 +687,7 @@ object StreamingJobs {
     * `FunnelTtlMs`. */
   def streamFunnelQuery(spark: SparkSession, dir: String): DataFrame = {
     configureStreaming(spark)
-    val src = stagedEvents(spark, dir, 4)
+    val src = stagedEvents(spark, dir, 2)
     val sink = Files.createTempDirectory("graft-stream-sink-").toString
     val rows = funnelStates(readEventStream(spark, src), FunnelTtlMs)
     drainUpdate(rows.toDF(), sink)
@@ -739,7 +749,7 @@ object StreamingJobs {
   def streamEmaQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     configureStreaming(spark)
-    val src = stagedEvents(spark, dir, 4)
+    val src = stagedEvents(spark, dir, 2)
     val sink = Files.createTempDirectory("graft-stream-sink-").toString
     val rows = readEventStream(spark, src)
       .filter(col("value").isNotNull) // the batch twin's null filter
