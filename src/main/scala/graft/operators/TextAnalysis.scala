@@ -626,6 +626,64 @@ object TextAnalysis {
         least(col("c_start") + win, col("n")).as("c_end"))
   }
 
+  /** M6: passage-level boilerplate scrub — the paragraph-granularity dedup
+    * every web-scale corpus build runs between document dedup and training
+    * (CCNet/Gopher-style: headers, navigation chrome and license blurbs
+    * repeat across sites whose documents are otherwise distinct, and
+    * document-level near-dup never removes them). The fixture's documents
+    * are flat token streams, so the "paragraph" unit here is the
+    * non-overlapping 10-token passage (the chunkWindows boundary algebra
+    * with stride = width); a passage whose 60-bit content hash appears in
+    * ≥ 3 DISTINCT documents is boilerplate, and every occurrence is
+    * scrubbed. Output per document: the reassembled clean text (kept
+    * passages in order + the sub-passage tail, which is never a dedup
+    * candidate), passage counts, and how many were removed.
+    *
+    * 100 TB shape: one explode to corpus-tokens/10 passage rows; the flood
+    * set is a map-side-combined (hash, distinct-doc) count — never a list;
+    * the scrub is a hash-keyed LEFT ANTI join (no flood row ever carries a
+    * posting list, the m6_postings df-first lesson); reassembly is one
+    * shuffle keyed by doc_id with array_sort inside the group — no window,
+    * no skew (passage hashes are near-uniform, reassembly partitions are
+    * documents). Work is linear in corpus tokens at every stage. */
+  def passageScrub(spark: SparkSession, dir: String): DataFrame = {
+    val P = 10
+    val minDocs = 3
+    val base = Tables.fanout(Tables.documents(spark, dir))
+      .select(col("doc_id"), normTokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
+      .filter(col("n") >= 1)
+      .withColumn("n_passages", expr(s"n div $P"))
+      .withColumn("tail_txt",
+        array_join(slice(col("toks"),
+          (col("n_passages") * P + 1).cast("int"), lit(P)), " "))
+    val passages = base
+      .filter(col("n_passages") >= 1)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), col("n_passages") - 1)).as("p_idx"))
+      .select(col("doc_id"), col("p_idx"),
+        array_join(slice(col("toks"),
+          (col("p_idx") * P + 1).cast("int"), lit(P)), " ").as("passage"))
+      .withColumn("h", Exact.fold60(col("passage")))
+    val flood = passages.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+    val rebuilt = passages.join(flood, Seq("h"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("p_idx"), col("passage")))),
+          s => s.getField("passage")), " ").as("kept_txt"))
+    base.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(filter(array(
+          coalesce(col("kept_txt"), lit("")), col("tail_txt")),
+          t => t =!= ""), " ").as("clean_text"),
+        col("n_passages"),
+        (col("n_passages") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** M6: inverted-index postings — the index-release artifact behind
     * phrase retrieval: for each selective 3-shingle (2 ≤ df ≤ 50 —
     * singletons index nothing, common phrases flood; single tokens are
@@ -832,6 +890,7 @@ object TextAnalysis {
     "m6_bigram_lm"     -> bigramLm,
     "m6_token_budget"  -> tokenBudget,
     "m6_chunk_windows" -> chunkWindows,
+    "m6_passage_scrub" -> passageScrub,
     "m6_postings"      -> postings,
     "m6_quality_score" -> qualityScore,
     "m6_lang_profile"  -> langProfile,
@@ -1067,6 +1126,37 @@ object TextAnalysis {
                 least(s + 128, n) AS c_end
          FROM t, LATERAL unnest(range(0, n, 64)) AS u(s)
          WHERE n >= 1""",
+    "m6_passage_scrub" ->
+      s"""WITH tk AS (SELECT doc_id, ${sqlNormTokens("text")} AS toks FROM documents),
+          base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+                   FROM tk WHERE len(toks) >= 1),
+          b2 AS (SELECT doc_id, toks, n, n // 10 AS n_passages,
+                   -- array_to_string of an EMPTY list is NULL in DuckDB
+                   -- where Spark's array_join is '' — coalesce to match
+                   coalesce(array_to_string(
+                     toks[CAST(n // 10 * 10 + 1 AS INTEGER) :
+                          CAST(n AS INTEGER)], ' '), '') AS tail_txt
+                 FROM base),
+          ph AS (SELECT doc_id, p_idx,
+                   array_to_string(
+                     toks[CAST(p_idx * 10 + 1 AS INTEGER) :
+                          CAST(p_idx * 10 + 10 AS INTEGER)], ' ') AS passage
+                 FROM b2, LATERAL unnest(range(0, n_passages)) AS u(p_idx)),
+          hp AS (SELECT doc_id, p_idx, passage,
+                   ${Exact.sqlFold60("passage")} AS h FROM ph),
+          flood AS (SELECT h FROM hp
+                    GROUP BY h HAVING count(DISTINCT doc_id) >= 3),
+          kept AS (SELECT hp.* FROM hp ANTI JOIN flood USING (h)),
+          reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                    string_agg(passage, ' ' ORDER BY p_idx) AS kept_txt
+                  FROM kept GROUP BY doc_id)
+          SELECT b2.doc_id,
+            CASE WHEN coalesce(kept_txt, '') = '' THEN tail_txt
+                 WHEN tail_txt = '' THEN kept_txt
+                 ELSE kept_txt || ' ' || tail_txt END AS clean_text,
+            n_passages,
+            n_passages - coalesce(n_kept, 0) AS n_removed
+          FROM b2 LEFT JOIN reb USING (doc_id)""",
     "m6_postings" ->
       s"""WITH tk AS (SELECT doc_id, ${sqlNormTokens("text")} AS t FROM documents),
           dt AS (SELECT doc_id, unnest(list_distinct(${sqlShingles("t", 3)})) AS term

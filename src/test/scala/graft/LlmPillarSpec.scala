@@ -206,6 +206,48 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     assert(naturalMaxDup3 < 0.25, s"natural dup3 max $naturalMaxDup3")
   }
 
+  test("passage scrub removes exactly the cross-doc flood passages, in place") {
+    import graft.operators.TextAnalysis
+    // planted corpus: passage windows are fixed 10-token spans, so the
+    // boilerplate block is 10-aligned by construction (one unique leading
+    // passage per doc). Three docs share the block (>= 3 distinct docs =
+    // flood), one doc is clean, tails are sub-passage and never candidates.
+    val boiler = "nav nav nav home about contact legal privacy terms cookie"
+    def uniq(i: Int) = (1 to 10).map(k => s"u${i}t$k").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-passage-").toString
+    import spark.implicits._
+    Seq(
+      (1L, uniq(1) + " " + boiler + " tail one"),
+      (2L, uniq(2) + " " + boiler + " tail two"),
+      (3L, uniq(3) + " " + boiler),
+      (4L, uniq(4) + " solo passage")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.passageScrub(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1).getAs[Long]("n_removed") == 1L)
+    assert(out(1).getAs[String]("clean_text") == uniq(1) + " tail one")
+    assert(out(2).getAs[String]("clean_text") == uniq(2) + " tail two")
+    assert(out(3).getAs[String]("clean_text") == uniq(3))
+    assert(out(4).getAs[Long]("n_removed") == 0L)
+    assert(out(4).getAs[String]("clean_text") == uniq(4) + " solo passage")
+
+    // fixture-wide accounting invariants: passages tile the token stream,
+    // and the clean text is exactly the stream minus 10 tokens per removal
+    val acc = TextAnalysis.passageScrub(spark, dir)
+      .withColumn("clean_n", when(col("clean_text") === "", lit(0))
+        .otherwise(size(split(col("clean_text"), " "))).cast("long"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"),
+        size(TextAnalysis.normTokens(col("text"))).cast("long").as("n")),
+        Seq("doc_id"))
+    assert(acc.filter(col("n_passages") =!= expr("n div 10")).count() == 0)
+    assert(acc.filter(col("clean_n") =!= col("n") - col("n_removed") * 10).count() == 0)
+    assert(acc.filter(col("n_removed") > 0).count() > 0,
+      "fixture contains no flood passages — the scrub leg is untested")
+  }
+
   test("PII scrub leaves zero residual matches and counts exactly the plants") {
     import graft.operators.TextAnalysis
     val out = TextAnalysis.piiScrub(spark, dir)
