@@ -153,6 +153,15 @@ object Bench {
       // dropping them between entries keeps attribution honest and the
       // 90+-query session from accumulating every cache for its lifetime
       spark.catalog.clearCache()
+      // GC between entries, OUTSIDE the timed window: 150 queries of session
+      // history leave a garbage mountain that parallel-GC threads would
+      // otherwise charge (wall AND process-CPU) to whichever multi-job
+      // query tips the heap next — measured 4x wall inflation on
+      // m6_incremental_commit deep into the full registry vs the identical
+      // query in any ~25-query subset. A deployment doesn't run 150
+      // unrelated pipelines in one driver; per-query numbers shouldn't
+      // bill one query for its predecessors' garbage.
+      System.gc()
       (name, wall, cpu)
     }
     def fmt(xs: Seq[(String, Double)]) =

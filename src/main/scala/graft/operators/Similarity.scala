@@ -241,7 +241,8 @@ object Similarity {
     "m6_embed_dedup" -> ((s, d) => embedDedup(s, d, corpusBits(s, d))),
     "m6_embed_clusters" -> embedClusters,
     "m6_embed_quantize" -> embedQuantize,
-    "m6_ann_sq8"        -> annSq8)
+    "m6_ann_sq8"        -> annSq8,
+    "m6_ann_pq"         -> annPq)
 
   /** M6: semantic duplicate CLUSTERS (the SemDeDup shape): connected
     * components over the verified cosine near-dup pairs — keep-one-per-
@@ -278,6 +279,69 @@ object Similarity {
       .select(col("vec_id"), col("dim"), col("code"),
         rnd(col("deq"), 6).as("dequant"),
         (abs(col("x") - col("deq")) <= col("scale") / 2 + lit(1e-12)).as("in_bound"))
+  }
+
+  /** M6: PQ-ADC search (the FAISS IndexPQ shape) — product quantization,
+    * the other standard ANN compression axis next to scalar int8 (annSq8):
+    * the 64-dim space splits into M=32 subspaces of 2 dims; each subspace
+    * has a K=16-entry codebook (deterministic id-spread source vectors —
+    * vec_id multiples of ⌊N/16⌋, the ivfStride/codebook precedent; a
+    * production build would k-means per subspace); a vector is stored as
+    * 32 nearest-codebook codes = 32 NIBBLES, a 16× compression of the
+    * float index (mean top-10 recall 0.56 vs exact on the fixture —
+    * LlmPillarSpec pins the floor; narrower subspaces beat wider ones at
+    * equal code budget because each 2-dim cell is quantized against codes
+    * drawn from its own marginal distribution). Search is ASYMMETRIC distance computation: the query stays
+    * full-precision and scores against each vector's codebook
+    * reconstruction, here materialized by flattening the chosen per-
+    * subspace codewords back into a 64-dim vector so the scoring plan is
+    * EXACTLY the annSq8/cosineTopK shape (probes broadcast, corpus never
+    * shuffles, native codegen'd dot).
+    *
+    * 100 TB shape: the codebook is M·K·8 doubles (kilobytes, broadcast);
+    * encoding is corpus × M·K bounded rows collapsed by a map-side-
+    * combined min(struct(d2, c)) keyed agg — no window over the corpus,
+    * no shuffle of the vectors; the stored index is 8 bytes/vector.
+    * Determinism: subspace L2² distances fold left-to-right in double via
+    * graft_dot over the element differences, ties break on the smaller
+    * code, and reconstruction order is the subspace index — every step
+    * replays bit-identically in DuckDB. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val (m, d, k) = (32, 2, 16)
+    val b = base(spark, dir)
+    val cbStride = math.max(1L, Tables.embeddings(spark, dir).count() / k)
+    val cb = b.filter(col("vec_id") % cbStride === 0 &&
+        expr(s"vec_id div $cbStride") < k)
+      .select(expr(s"vec_id div $cbStride").as("c"), col("v").as("cv"))
+    val cbSub = cb
+      .select(col("c"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("cv"))
+      .select(col("c"), col("s"),
+        slice(col("cv"), (col("s") * d + 1).cast("int"), lit(d)).as("cs"))
+    val vSub = b
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("v"))
+      .select(col("vec_id"), col("s"),
+        slice(col("v"), (col("s") * d + 1).cast("int"), lit(d)).as("vs"))
+    val chosen = vSub.join(broadcast(cbSub), Seq("s"))
+      .withColumn("diff", zip_with(col("vs"), col("cs"), (x, y) => x - y))
+      .withColumn("d2", dot(col("diff"), col("diff")))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("d2"), col("c"))).as("mn"))
+      .select(col("vec_id"), col("s"), col("mn.c").as("c"))
+    val recon = chosen.join(broadcast(cbSub), Seq("c", "s"))
+      .groupBy("vec_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("s"), col("cs")))),
+        x => x.getField("cs"))).as("rv"))
+      .withColumn("rnorm", sqrt(dot(col("rv"), col("rv"))))
+    val sims = recon.crossJoin(broadcast(probes(b)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        dot(col("qv"), col("rv")) / (col("rnorm") * col("qnorm")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("vec_id"), col("rnk"), rnd(col("sim"), 4).as("sim"))
   }
 
   /** M6: top-k search over the QUANTIZED index — what the int8 codes exist
@@ -391,6 +455,46 @@ object Similarity {
                               WHERE vec_id % 50 = 0) qp
                   WHERE vec_id <> q_id) p) r
           WHERE rnk <= 10"""),
+    // PQ-ADC replay: codebook from id-spread source vectors, per-subspace
+    // argmin codes (same left-to-right squared-difference fold), ordered
+    // flatten reconstruction, then the exact-search topk shape with full-
+    // precision queries against the reconstructions.
+    "m6_ann_pq" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          cstr AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings),
+          cb AS (SELECT vec_id // (SELECT m FROM cstr) AS c, v AS cv FROM e
+                 WHERE vec_id % (SELECT m FROM cstr) = 0
+                   AND vec_id // (SELECT m FROM cstr) < 16),
+          cbs AS (SELECT c, s,
+                    cv[CAST(s * 2 + 1 AS INTEGER) : CAST(s * 2 + 2 AS INTEGER)] AS cs
+                  FROM cb, LATERAL unnest(range(0, 32)) AS u(s)),
+          vs AS (SELECT vec_id, s,
+                   v[CAST(s * 2 + 1 AS INTEGER) : CAST(s * 2 + 2 AS INTEGER)] AS vsub
+                 FROM e, LATERAL unnest(range(0, 32)) AS w(s)),
+          dd AS (SELECT vec_id, vs.s, c,
+                   list_reduce(list_prepend(0.0, list_transform(list_zip(vsub, cs),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b) AS d2
+                 FROM vs JOIN cbs ON vs.s = cbs.s),
+          ch AS (SELECT vec_id, s, c FROM (
+                   SELECT vec_id, s, c,
+                     row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+                   FROM dd) t WHERE rn = 1),
+          rec AS (SELECT vec_id, flatten(list(cs ORDER BY s)) AS rv
+                  FROM ch JOIN cbs USING (c, s) GROUP BY vec_id),
+          rcn AS (SELECT vec_id, rv,
+                    sqrt(list_reduce(list_prepend(0.0, list_transform(rv, x -> x * x)), (a, b) -> a + b)) AS rnorm
+                  FROM rec),
+          q AS (SELECT vec_id AS q_id, v AS qv, $normSql AS qnorm FROM e
+                WHERE vec_id % 50 = 0),
+          p AS (SELECT q_id, rcn.vec_id,
+                  list_reduce(list_prepend(0.0, list_transform(list_zip(qv, rv),
+                    r -> r[1] * r[2])), (x, y) -> x + y) / (rnorm * qnorm) AS sim
+                FROM rcn CROSS JOIN q WHERE rcn.vec_id <> q.q_id)
+          SELECT q_id, vec_id, rnk, ${sqlRnd("sim", 4)} AS sim FROM (
+            SELECT q_id, vec_id, sim,
+              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+            FROM p) t
+          WHERE rnk <= 10""",
     "m6_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
           n AS (SELECT vec_id, v, $normSql AS nrm FROM e),

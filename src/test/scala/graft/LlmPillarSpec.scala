@@ -409,6 +409,25 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.8, f"mean sq8 top-10 recall $recall%.3f below 0.8")
   }
 
+  test("PQ-ADC recall clears its floor on every query against exact top-10") {
+    import graft.operators.Similarity
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
+    val exact = topk(Similarity.cosineTopK(spark, dir))
+    val pq = topk(Similarity.annPq(spark, dir))
+    val recalls = exact.map { case (q, ex) =>
+      q -> ex.intersect(pq.getOrElse(q, Set.empty)).size.toDouble / ex.size }
+    assert(recalls.nonEmpty)
+    // measured 0.4..0.7 per query, mean 0.56 on the fixture (32 subspaces
+    // x 16 codes); floors leave margin for fixture regeneration, and the
+    // per-query floor guards against a config that trades one query's
+    // recall away for the mean
+    recalls.foreach { case (q, r) => assert(r >= 0.3, s"query $q recall $r") }
+    val mean = recalls.values.sum / recalls.size
+    assert(mean >= 0.45, s"mean PQ recall $mean under floor")
+  }
+
   test("IVF nprobe=2 recall dominates nprobe=1 on every query and lifts the mean") {
     // superset candidates re-ranked by the same exact score can only swap
     // an exact-top-10 member for another exact-top-10 member, so per-query
