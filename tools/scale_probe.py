@@ -40,6 +40,11 @@ QUERIES = ",".join([
     "j13_important_parts", "j14_wealthy_lapsed", "j15_waiting_suppliers",
     "w12_mad_anomaly", "w13_cusum_shift",
     "m6_dataset_card", "m6_edit_verify",
+    # round-9/11 additions: the late-drop drain, corpus-adaptive IVF (both
+    # probe widths — the round-10 sqrt(N) stride fix validated at 10x),
+    # PQ-ADC, passage scrub
+    "m4l_stream_late_drop", "m6_ann_ivf", "m6_ann_ivf2",
+    "m6_ann_pq", "m6_passage_scrub",
 ])
 
 

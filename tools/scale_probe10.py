@@ -34,6 +34,11 @@ QUERIES = ",".join([
     # self-join)
     "j13_important_parts", "j15_waiting_suppliers", "u4_except_all_surplus",
     "w12_mad_anomaly", "w13_cusum_shift", "m6_edit_verify",
+    # round-10/11 additions: corpus-adaptive IVF (the sqrt(N)-stride fix's
+    # 100x validation — the old N/125 rule was quadratic in assignment),
+    # PQ-ADC, the shared-stage tfidf, passage scrub
+    "m6_ann_ivf", "m6_ann_ivf2", "m6_ann_pq", "m6_tfidf",
+    "m6_passage_scrub",
 ])
 
 
