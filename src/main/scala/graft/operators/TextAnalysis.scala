@@ -626,6 +626,45 @@ object TextAnalysis {
         least(col("c_start") + win, col("n")).as("c_end"))
   }
 
+  /** M6: LM-support quality score — the log-free stand-in for the CCNet/
+    * KenLM perplexity filter every web-corpus build runs: score each
+    * document by the mean corpus support of its bigrams (how many times
+    * each consecutive token pair occurs corpus-wide, averaged over the
+    * document's positions). Fluent, typical prose re-uses common
+    * transitions and scores high; gibberish and mangled extractions sit at
+    * support ≈ 1. A true LM score would be mean log-probability — but `ln`
+    * is implementation-defined in its last ulp across libms, which a hash
+    * gate would expose (the m6_tfidf raw-ratio precedent); mean support is
+    * computed from INTEGER counts summed exactly in both engines plus one
+    * correctly-rounded divide, so it is bit-portable while ranking the
+    * same degenerate tails a perplexity cut targets.
+    *
+    * 100 TB shape: one bigram explode (corpus-token volume), one
+    * map-side-combined (w1, w2) count, one hash join of positions against
+    * that count table (keyed shuffle, near-uniform bigram keys), one
+    * doc-keyed integer aggregation. No windows, no sorts, no driver state;
+    * the count table is itself useful release metadata (bigramLm serves
+    * its head). */
+  def lmSupport(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.fanout(Tables.documents(spark, dir))
+      .select(col("doc_id"), normTokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), (size(col("t")) - 1).cast("long").as("n_bigrams"),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("n_bigrams"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cnts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+    bg.join(cnts, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(max("n_bigrams").as("n_bigrams"), sum("cab").as("support"))
+      .select(col("doc_id"), col("n_bigrams"),
+        rnd(col("support").cast("double") / col("n_bigrams").cast("double"), 4)
+          .as("support_score"))
+  }
+
   /** M6: passage-level boilerplate scrub — the paragraph-granularity dedup
     * every web-scale corpus build runs between document dedup and training
     * (CCNet/Gopher-style: headers, navigation chrome and license blurbs
@@ -890,6 +929,7 @@ object TextAnalysis {
     "m6_bigram_lm"     -> bigramLm,
     "m6_token_budget"  -> tokenBudget,
     "m6_chunk_windows" -> chunkWindows,
+    "m6_lm_support"    -> lmSupport,
     "m6_passage_scrub" -> passageScrub,
     "m6_postings"      -> postings,
     "m6_quality_score" -> qualityScore,
@@ -1126,6 +1166,19 @@ object TextAnalysis {
                 least(s + 128, n) AS c_end
          FROM t, LATERAL unnest(range(0, n, 64)) AS u(s)
          WHERE n >= 1""",
+    "m6_lm_support" ->
+      s"""WITH tk AS (SELECT doc_id, ${sqlNormTokens("text")} AS t FROM documents),
+          bg AS (SELECT doc_id, CAST(len(t) - 1 AS BIGINT) AS n_bigrams,
+                   unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+                 FROM tk WHERE len(t) >= 2),
+          b2 AS (SELECT doc_id, n_bigrams, p[1] AS w1, p[2] AS w2 FROM bg),
+          c AS (SELECT w1, w2, count(*) AS cab FROM b2 GROUP BY 1, 2),
+          s AS (SELECT doc_id, max(n_bigrams) AS n_bigrams,
+                  CAST(sum(cab) AS BIGINT) AS support
+                FROM b2 JOIN c USING (w1, w2) GROUP BY 1)
+          SELECT doc_id, n_bigrams,
+                 ${sqlRnd("CAST(support AS DOUBLE) / CAST(n_bigrams AS DOUBLE)", 4)} AS support_score
+          FROM s""",
     "m6_passage_scrub" ->
       s"""WITH tk AS (SELECT doc_id, ${sqlNormTokens("text")} AS toks FROM documents),
           base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n

@@ -206,6 +206,33 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     assert(naturalMaxDup3 < 0.25, s"natural dup3 max $naturalMaxDup3")
   }
 
+  test("LM support separates shared-transition prose from singleton gibberish") {
+    import graft.operators.TextAnalysis
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lmsup-").toString
+    import spark.implicits._
+    val fluent = Seq.fill(15)("data table scan").mkString(" ")
+    Seq(
+      (1L, fluent), (2L, fluent), (3L, fluent),
+      (4L, (1 to 20).map(i => s"zq$i").mkString(" "))
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.lmSupport(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // every bigram of doc 4 occurs exactly once corpus-wide -> support 1.0,
+    // the degenerate tail an LM filter cuts; the shared prose scores the
+    // corpus-wide transition counts
+    assert(out(4L).getAs[Double]("support_score") == 1.0)
+    assert(out(1L).getAs[Double]("support_score") > 10.0)
+    assert(out(1L).getAs[Long]("n_bigrams") == 44L)
+
+    // fixture-wide: scores are positive and bounded by total bigram volume
+    val scores = TextAnalysis.lmSupport(spark, dir).collect()
+    assert(scores.nonEmpty)
+    assert(scores.forall(_.getAs[Double]("support_score") >= 1.0))
+  }
+
   test("passage scrub removes exactly the cross-doc flood passages, in place") {
     import graft.operators.TextAnalysis
     // planted corpus: passage windows are fixed 10-token spans, so the
