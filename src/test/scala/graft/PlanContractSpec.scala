@@ -116,6 +116,25 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
       s"final plan must contain exactly one explode:\n$p")
   }
 
+  test("round-11 operators: windowless keyed-agg shapes, broadcast codebooks") {
+    // passage scrub: flood detection and reassembly are keyed aggregations —
+    // a WindowExec would mean a posting-list-shaped skew hazard crept in
+    val ps = plan("m6_passage_scrub")
+    assert(!ps.contains("WindowExec") && !ps.contains("Exchange SinglePartition"),
+      s"passage scrub must stay window-free and partitioned:\n$ps")
+    assert("HashAggregate".r.findAllIn(ps).length >= 4,
+      s"flood count and reassembly must partial-aggregate:\n$ps")
+    // lm support: both aggregations partial+final, no window, no sort
+    val lm = plan("m6_lm_support")
+    assert(!lm.contains("WindowExec") && !lm.contains("Exchange SinglePartition"),
+      s"lm support must stay window-free and partitioned:\n$lm")
+    // PQ: the codebook side must broadcast (kilobytes at any corpus size);
+    // the corpus must never shuffle for the search itself
+    val pq = plan("m6_ann_pq")
+    assert("BroadcastExchange".r.findAllIn(pq).length >= 2,
+      s"PQ codebook and probes must broadcast:\n$pq")
+  }
+
   test("windows: analytic windows are partitioned (no single-partition sort of data)") {
     // w5 ranks within (event_type); its WindowExec must carry a partition
     val w5 = plan("w5_rank_by_avg")
