@@ -444,6 +444,34 @@ object Dedup {
     connectedComponents(
       DedupStaging.minhashPairs(spark, dir).select("doc_a", "doc_b"), "doc_id")
 
+  /** M6: quality-aware canonical selection — the keep-one-per-cluster rule
+    * an actual corpus release applies: within each near-dup cluster, keep
+    * the HIGHEST-quality member (ties to the smaller doc_id), not the
+    * smallest id. Min-id keep-one (dupClusters/corpus_build) is the right
+    * graph primitive, but a release wants the best exemplar of each
+    * duplicated content group — the quality scorer already ranks them.
+    * Shape: the cluster labels (CC over staged MinHash pairs) join the
+    * per-doc quality frame, and the keeper is a map-side-combined
+    * min(struct(-quality, doc_id)) per cluster — an argmax with a
+    * deterministic tie, no window over the corpus; the keeper frame is
+    * cluster-sized and joins back on the cluster key. */
+  def clusterKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dupClusters(spark, dir)
+    val q = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val scored = labels.join(q, Seq("doc_id"))
+    val best = scored
+      .withColumn("negq", -col("quality_score"))
+      .groupBy("cluster_id")
+      .agg(min(struct(col("negq"), col("doc_id"))).as("m"))
+      .select(col("cluster_id"), col("m.doc_id").as("keeper_id"),
+        (-col("m.negq")).as("keeper_quality"))
+    scored.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("kept"),
+        col("keeper_quality"))
+  }
+
   /** Connected components over a two-column pair frame (shared by the
     * MinHash text clusters and the embedding-cosine SemDeDup-style
     * clusters — any near-dup pair source), via alternating
@@ -697,6 +725,7 @@ object Dedup {
     "m6_incremental_dedup" -> incrementalDedup,
     "m6_incremental_commit" -> incrementalCommit,
     "m6_dup_clusters"  -> dupClusters,
+    "m6_cluster_keep_best" -> clusterKeepBest,
     "m6_dup_density"   -> dupDensity,
     "m6_decontaminate" -> decontaminate)
 
@@ -932,6 +961,23 @@ object Dedup {
     // point the engine iterates to.
     "m6_dup_clusters" ->
       sqlConnectedComponents(minhashOracleSql, "doc_a", "doc_b", "doc_id"),
+    // CC labels joined to the quality replay; keeper = top quality per
+    // cluster with the doc_id tie — row_number replays min(struct) exactly
+    // because quality_score is already rounded on both sides.
+    "m6_cluster_keep_best" ->
+      s"""${sqlCCPrelude(minhashOracleSql, "doc_a", "doc_b", "doc_id")},
+          q AS (${TextAnalysis.oracles("m6_quality_score")}),
+          sc AS (SELECT cl.doc_id, cluster_id, quality_score
+                 FROM cl JOIN q USING (doc_id)),
+          b AS (SELECT cluster_id, doc_id AS keeper_id,
+                  quality_score AS keeper_quality FROM (
+                    SELECT cluster_id, doc_id, quality_score,
+                      row_number() OVER (PARTITION BY cluster_id
+                        ORDER BY quality_score DESC, doc_id) AS rn
+                    FROM sc) t WHERE rn = 1)
+          SELECT sc.doc_id, cluster_id, keeper_id,
+                 sc.doc_id = keeper_id AS kept, keeper_quality
+          FROM sc JOIN b USING (cluster_id)""",
     // The CC prelude's `pairs`/`cl` CTEs, aggregated to per-cluster graph
     // metrics; density = one IEEE multiply-divide of exact longs.
     "m6_dup_density" ->

@@ -206,6 +206,29 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     assert(naturalMaxDup3 < 0.25, s"natural dup3 max $naturalMaxDup3")
   }
 
+  test("cluster keep-best selects exactly one max-quality keeper per cluster") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val out = Dedup.clusterKeepBest(spark, dir).collect()
+    assert(out.nonEmpty)
+    val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+    val q = TextAnalysis.qualityScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality_score")).toMap
+    byCluster.foreach { case (cid, rows) =>
+      val keepers = rows.filter(_.getAs[Boolean]("kept"))
+      assert(keepers.length == 1, s"cluster $cid keeps ${keepers.length}")
+      val keeper = keepers.head.getAs[Long]("keeper_id")
+      // the keeper dominates every member on (quality desc, doc_id asc)
+      rows.foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        assert(q(keeper) > q(id) || (q(keeper) == q(id) && keeper <= id),
+          s"cluster $cid: member $id (q=${q(id)}) beats keeper $keeper (q=${q(keeper)})")
+        assert(r.getAs[Double]("keeper_quality") == q(keeper))
+      }
+    }
+    // clusters are non-trivial on the fixture: at least one has > 1 member
+    assert(byCluster.exists(_._2.length > 1))
+  }
+
   test("LM support separates shared-transition prose from singleton gibberish") {
     import graft.operators.TextAnalysis
     val tmp = java.nio.file.Files.createTempDirectory("graft-lmsup-").toString
