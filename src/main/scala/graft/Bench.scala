@@ -107,7 +107,7 @@ object Bench {
     val dedupFamily = Set("m6_ngram_jaccard", "m6_minhash_dedup",
       "m6_simhash_pairs", "m6_decontaminate", "m6_corpus_build",
       "m6_incremental_dedup", "m6_incremental_commit", "m6_dup_clusters",
-      "m6_dup_density")
+      "m6_dup_density", "m6_cluster_keep_best")
     // Staging failures degrade like query failures (logged, zero-cost entry,
     // bench continues) — a custom sf dir missing a table must not abort the
     // other ~90 entries. Builds are scoped to the selection.

@@ -301,7 +301,7 @@ object DedupStaging {
       Option.when(need("m6_simhash_pairs"))("simhash_sigs"),
       Option.when(need("m6_decontaminate"))("shingle8"),
       Option.when(need("m6_corpus_build", "m6_dup_clusters",
-        "m6_dup_density"))("minhash_pairs")
+        "m6_dup_density", "m6_cluster_keep_best"))("minhash_pairs")
     ).flatten
   }
 

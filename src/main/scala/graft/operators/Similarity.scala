@@ -163,20 +163,49 @@ object Similarity {
   private[graft] def ivfStride(n: Long): Long =
     math.max(125L, math.floor(math.sqrt(n.toDouble)).toLong)
 
-  private def ivfSearch(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  /** The IVF coarse assignment shared by the searches and the index-health
+    * report: centroids at every `ivfStride`-th id, broadcast; each vector
+    * keeps its k nearest cells. */
+  private def ivfAssign(spark: SparkSession, dir: String,
+      df: DataFrame, k: Int): DataFrame = {
     val b = base(spark, dir)
     val stride = ivfStride(Tables.embeddings(spark, dir).count())
     val cents = b.filter(col("vec_id") % stride === 0).select(
       col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm"))
-    def assign(df: DataFrame, k: Int): DataFrame = {
-      val scored = df.crossJoin(broadcast(cents))
-        .withColumn("csim", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
-      val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
-      scored.withColumn("crn", row_number().over(w)).filter(col("crn") <= k)
-        .select(col("vec_id"), col("v"), col("norm"), col("cent_id").as("cell"))
-    }
-    val corpus = assign(b, 1)
-    val probes = assign(b.filter(col("vec_id") % 50 === 0), nprobe).select(
+    val scored = df.crossJoin(broadcast(cents))
+      .withColumn("csim", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    scored.withColumn("crn", row_number().over(w)).filter(col("crn") <= k)
+      .select(col("vec_id"), col("v"), col("norm"), col("cent_id").as("cell"))
+  }
+
+  /** M6: IVF index-health report — the one-row release artifact an ANN
+    * index build publishes next to the index: cell count, population
+    * min/max/mean and the imbalance factor (max/mean). IVF search cost per
+    * probe is the PROBED CELL's size, so imbalance is the number that says
+    * whether p99 latency will hold — a balanced index sits near 1, a
+    * degenerate quantizer concentrates the corpus in few cells. Same
+    * broadcast-centroid assignment as the searches; the report is a single
+    * map-side-combined cell count plus a scalar aggregate. */
+  def ivfStats(spark: SparkSession, dir: String): DataFrame = {
+    val cells = ivfAssign(spark, dir, base(spark, dir), 1)
+      .groupBy("cell").agg(count(lit(1)).as("pop"))
+    cells.agg(
+        count(lit(1)).as("n_cells"),
+        sum("pop").as("n_vectors"),
+        min("pop").as("min_pop"),
+        max("pop").as("max_pop"))
+      .select(col("n_cells"), col("n_vectors"), col("min_pop"), col("max_pop"),
+        rnd(col("n_vectors").cast("double") / col("n_cells").cast("double"), 4)
+          .as("mean_pop"),
+        rnd(col("max_pop").cast("double") * col("n_cells").cast("double")
+          / col("n_vectors").cast("double"), 4).as("imbalance"))
+  }
+
+  private def ivfSearch(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val b = base(spark, dir)
+    val corpus = ivfAssign(spark, dir, b, 1)
+    val probes = ivfAssign(spark, dir, b.filter(col("vec_id") % 50 === 0), nprobe).select(
       col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"), col("cell"))
     val sims = corpus.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -242,7 +271,8 @@ object Similarity {
     "m6_embed_clusters" -> embedClusters,
     "m6_embed_quantize" -> embedQuantize,
     "m6_ann_sq8"        -> annSq8,
-    "m6_ann_pq"         -> annPq)
+    "m6_ann_pq"         -> annPq,
+    "m6_ivf_stats"      -> ivfStats)
 
   /** M6: semantic duplicate CLUSTERS (the SemDeDup shape): connected
     * components over the verified cosine near-dup pairs — keep-one-per-
@@ -495,6 +525,32 @@ object Similarity {
               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
             FROM p) t
           WHERE rnk <= 10""",
+    // The IVF assignment replay (same as m6_ann_ivf's crn=1 CTE) reduced
+    // to per-cell populations and the one-row health report; every integer
+    // is CAST BIGINT out of DuckDB's HUGEINT aggregates, and the two
+    // derived doubles replay Spark's operand order exactly.
+    "m6_ivf_stats" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          $strideSql,
+          n AS (SELECT vec_id, v, $normSql AS nrm FROM e),
+          cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+                    WHERE vec_id % (SELECT m FROM strd) = 0),
+          assigned AS (
+            SELECT vec_id, cent_id AS cell FROM (
+              SELECT n.vec_id, c.cent_id,
+                row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                  list_reduce(list_prepend(0.0, list_transform(list_zip(n.v, c.cv), p -> p[1] * p[2])), (a, b) -> a + b)
+                    / (n.nrm * c.cnrm) DESC, c.cent_id) AS crn
+              FROM n CROSS JOIN cents c) t WHERE crn = 1),
+          cl AS (SELECT cell, CAST(count(*) AS BIGINT) AS pop
+                 FROM assigned GROUP BY 1),
+          agg AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                    CAST(sum(pop) AS BIGINT) AS n_vectors,
+                    min(pop) AS min_pop, max(pop) AS max_pop FROM cl)
+          SELECT n_cells, n_vectors, min_pop, max_pop,
+            ${sqlRnd("CAST(n_vectors AS DOUBLE) / CAST(n_cells AS DOUBLE)", 4)} AS mean_pop,
+            ${sqlRnd("CAST(max_pop AS DOUBLE) * CAST(n_cells AS DOUBLE) / CAST(n_vectors AS DOUBLE)", 4)} AS imbalance
+          FROM agg""",
     "m6_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
           n AS (SELECT vec_id, v, $normSql AS nrm FROM e),
