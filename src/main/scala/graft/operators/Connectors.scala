@@ -542,6 +542,31 @@ object Connectors {
       .select(col("user_id"), col("day"), col("total_value"), col("cnt"))
   }
 
+  /** S16: append → OPTIMIZE → pointer read-back — the full log-structured
+    * table lifecycle under the oracle gate (previously only ConnectorsSpec
+    * exercised compact): three midnight-disjoint daily-total batches land
+    * as three appended members, `compact` rewrites the snapshot into one
+    * fresh generation behind the same atomic pointer flip, and the served
+    * result must equal the one-shot aggregation of the whole table — the
+    * OPTIMIZE rewrite is correct only if it is byte-equivalent to never
+    * having fragmented at all. Each batch's time bound rides the raw scan
+    * column (pushed row-group pruning per batch). */
+  def compactRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val target = Files.createTempDirectory("graft-compact-target-").toString
+    val events = Tables.eventsWithRawTs(spark, dir)
+    val c1 = lit(Tables.rawTs("2024-01-11 00:00:00"))
+    val c2 = lit(Tables.rawTs("2024-01-21 00:00:00"))
+    appendTo(spark, target,
+      dailyTotals(events.filter(col("ts_raw") < c1)).coalesce(1))
+    appendTo(spark, target,
+      dailyTotals(events.filter(col("ts_raw") >= c1 && col("ts_raw") < c2)).coalesce(1))
+    appendTo(spark, target,
+      dailyTotals(events.filter(col("ts_raw") >= c2)).coalesce(1))
+    compact(spark, target)
+    readTable(spark, target)
+      .select(col("user_id"), col("day"), col("total_value"), col("cnt"))
+  }
+
   /** S9: sync-watermark bookkeeping (mongo_to_postgres_sync.py:241-294):
     * one row — the previous high watermark, the rows the next batch picks up
     * beyond it, and the advanced watermark (max event time of the batch).
@@ -701,6 +726,7 @@ object Connectors {
     "s1_kafka_roundtrip"    -> kafkaRoundtrip,
     "s2_kafka_envelope"     -> kafkaEnvelope,
     "s8_upsert_sink"        -> upsertSink,
+    "s16_compact_roundtrip" -> compactRoundtrip,
     "s9_sync_watermark"     -> syncWatermark,
     "s12_partitioned_output" -> partitionedOutput)
 
@@ -757,6 +783,12 @@ object Connectors {
          FROM base FULL OUTER JOIN u
            ON base.user_id IS NOT DISTINCT FROM u.user_id
           AND base.day IS NOT DISTINCT FROM u.day""",
+    // The compacted read-back must equal the never-fragmented aggregation.
+    "s16_compact_roundtrip" ->
+      s"""SELECT user_id, CAST(ts AS DATE) AS day,
+          ${Exact.sqlRnd(Exact.sqlSum("value"), 2)} AS total_value,
+          count(*) AS cnt
+          FROM events GROUP BY 1, 2""",
     "s9_sync_watermark" ->
       s"""SELECT TIMESTAMP '$SyncCutoff' AS prev_watermark,
           max(ts) AS next_watermark, count(*) AS rows_to_sync
