@@ -495,6 +495,35 @@ object Joins {
         new java.util.WeakHashMap[SparkSession, String])
   }
 
+  /** J16: cheapest-supplier-per-part — the TPC-H Q2 shape (min-cost
+    * correlated subquery, decorrelated): per (part, supplier) the average
+    * sale price, per part the supplier achieving the minimum (ties to the
+    * smaller suppkey), joined back through the supplier→nation dimension
+    * stack. The decorrelation is the argmin-as-aggregate pattern: one
+    * map-side-combined min(struct(cost, suppkey)) per part key — no window
+    * over the fact, no correlated re-scan. At scale: the (part, supplier)
+    * aggregate is the only fact shuffle; part joins as a keyed equi-join
+    * (part is fact-sized at TPC-H scale, AQE may still broadcast at test
+    * SF), supplier and nation broadcast. */
+  def cheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val pc = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(Exact.rnd(Exact.avgD("l_extendedprice"), 2).as("cost"))
+    val best = pc.groupBy(col("l_partkey"))
+      .agg(min(struct(col("cost"), col("l_suppkey"))).as("m"))
+      .select(col("l_partkey"), col("m.l_suppkey").as("l_suppkey"),
+        col("m.cost").as("best_cost"))
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_name", "s_nationkey")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    best
+      .join(Tables.part(spark, dir).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
+        col("best_cost"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_broadcast_join" -> broadcastJoin,
     "j8_shipping_priority" -> shippingPriority,
@@ -511,7 +540,8 @@ object Joins {
     "j12_promo_share"   -> promoShare,
     "j13_important_parts" -> importantParts,
     "j14_wealthy_lapsed" -> wealthyLapsed,
-    "j15_waiting_suppliers" -> waitingSuppliers)
+    "j15_waiting_suppliers" -> waitingSuppliers,
+    "j16_cheapest_supplier" -> cheapestSupplier)
 
   val oracles: Map[String, String] = Map(
     "j1_broadcast_join" ->
@@ -688,6 +718,23 @@ object Joins {
           GROUP BY 1""",
     // Q21 shape, decorrelated identically: per-order distinct/late-distinct
     // supplier counts replace both correlated EXISTS probes.
+    // Q2-shape replay: the same rounded per-(part,supplier) cost, argmin
+    // via row_number (ties to the smaller suppkey), dimension join-backs.
+    "j16_cheapest_supplier" ->
+      s"""WITH pc AS (
+           SELECT l_partkey, l_suppkey,
+                  ${Exact.sqlRnd(Exact.sqlAvg("l_extendedprice"), 2)} AS cost
+           FROM lineitem GROUP BY 1, 2),
+         b AS (
+           SELECT l_partkey, l_suppkey, cost FROM (
+             SELECT l_partkey, l_suppkey, cost,
+               row_number() OVER (PARTITION BY l_partkey
+                 ORDER BY cost, l_suppkey) AS rn
+             FROM pc) t WHERE rn = 1)
+         SELECT p_partkey, p_brand, s_name, n_name, cost AS best_cost
+         FROM b JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey""",
     "j15_waiting_suppliers" ->
       """WITH l AS (
            SELECT l_orderkey, l_suppkey,
