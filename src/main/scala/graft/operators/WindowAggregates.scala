@@ -310,6 +310,29 @@ object WindowAggregates {
       .agg(countDistinct(col("user_id")).as("active_users"))
   }
 
+  /** A16: daily active users with an HLL sketch twin — the dashboard
+    * cardinality every serving layer approximates at scale: per day, the
+    * exact distinct-user count (the multi-distinct plan: one expand
+    * shuffle, no driver state) next to approx_count_distinct (HLL++,
+    * rsd 0.02 — constant memory per day regardless of user cardinality,
+    * the 100 TB path where exact distinct becomes the widest shuffle in
+    * the mart). Sketch internals are engine-specific, so the registered
+    * surface follows the m6_vocab_hll pattern: emit the exact twin plus
+    * `approx_ok` = relative error ≤ 0.05, and the oracle asserts the same
+    * columns with approx_ok constant-true — a sketch drifting out of
+    * bound fails the hash gate. */
+  def dailyUsersHll(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("users_approx"),
+        countDistinct(col("user_id")).as("users_exact"),
+        count(lit(1)).as("n_events"))
+      .select(col("day"), col("users_exact"), col("n_events"),
+        (abs(col("users_approx") - col("users_exact")) / col("users_exact")
+          <= 0.05).as("approx_ok"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a12_funnel"           -> funnel,
     "a13_retention"        -> retentionCohorts,
@@ -322,6 +345,7 @@ object WindowAggregates {
     "a10_rollup"           -> rollupStats,
     "a14_cube"             -> cubeStats,
     "a15_sliding_window"   -> slidingWindowAgg,
+    "a16_daily_users"      -> dailyUsersHll,
     "a7_salted_agg"        -> saltedAgg,
     "a2_hourly_agg"        -> hourlyAgg,
     "a3_daily_mart"        -> dailyMart,
@@ -465,6 +489,14 @@ object WindowAggregates {
     // An event at time t sits in exactly the 5 slide-aligned windows with
     // start = minute-floor(t) − k minutes, k ∈ [0,5): minute-floor(t) − 4
     // is always > t − 5 min, so no start needs filtering out.
+    // Exact twin + constant-true approx_ok (the m6_vocab_hll pattern:
+    // sketch values are engine-specific; their error bound is the gate).
+    "a16_daily_users" ->
+      """SELECT CAST(ts AS DATE) AS day,
+         count(DISTINCT user_id) AS users_exact,
+         count(*) AS n_events, TRUE AS approx_ok
+         FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         GROUP BY 1""",
     "a15_sliding_window" ->
       s"""SELECT user_id,
           date_trunc('minute', ts) - u.k * INTERVAL 1 MINUTE AS window_start,
