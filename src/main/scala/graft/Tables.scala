@@ -15,10 +15,17 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Native-function registry every entry point (Verify/Bench/tests) sets
-    * once at bootstrap — not inside table loaders, which would mutate
-    * shared session state as a query-construction side effect. */
+  /** Session confs + native-function registry every entry point
+    * (Verify/Bench/Explain/tests) sets once at bootstrap — not inside table
+    * loaders, which would mutate shared session state as a
+    * query-construction side effect. The UTC pin matters since the
+    * micros-timestamp migration: `events.ts` is stored NTZ and cast to
+    * session-zone TIMESTAMP ([[events]]), so a host-zone session would
+    * shift every window boundary (and a DST fall-back would make the cast
+    * non-injective). Verify pins UTC independently; pinning here keeps
+    * Bench and Explain on the same wall clock. */
   def bootstrap(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     graft.functions.GraftFunctions.register(spark)
   }
 

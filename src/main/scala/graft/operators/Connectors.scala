@@ -554,14 +554,26 @@ object Connectors {
   def compactRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val target = Files.createTempDirectory("graft-compact-target-").toString
     val events = Tables.eventsWithRawTs(spark, dir)
-    val c1 = lit(Tables.rawTs("2024-01-11 00:00:00"))
-    val c2 = lit(Tables.rawTs("2024-01-21 00:00:00"))
+    // The oracle aggregates the WHOLE table in one shot, so the three
+    // batches must partition every row: cutoffs land on day boundaries
+    // (no (user_id, day) group may span two batches) and the last batch
+    // sweeps null timestamps (they group under a null day on both sides).
+    // A misaligned cutoff would surface as a confusing hash mismatch —
+    // fail loudly here instead.
+    val (cut1, cut2) = ("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+    Seq(cut1, cut2).foreach { c =>
+      require(c.endsWith(" 00:00:00"),
+        s"compactRoundtrip cutoff '$c' is not midnight-aligned: a (user_id, day) " +
+          "group would span two appended batches and double-count after compact")
+    }
+    val c1 = lit(Tables.rawTs(cut1))
+    val c2 = lit(Tables.rawTs(cut2))
     appendTo(spark, target,
       dailyTotals(events.filter(col("ts_raw") < c1)).coalesce(1))
     appendTo(spark, target,
       dailyTotals(events.filter(col("ts_raw") >= c1 && col("ts_raw") < c2)).coalesce(1))
     appendTo(spark, target,
-      dailyTotals(events.filter(col("ts_raw") >= c2)).coalesce(1))
+      dailyTotals(events.filter(col("ts_raw") >= c2 || col("ts_raw").isNull)).coalesce(1))
     compact(spark, target)
     readTable(spark, target)
       .select(col("user_id"), col("day"), col("total_value"), col("cnt"))

@@ -314,12 +314,15 @@ object Similarity {
   /** M6: PQ-ADC search (the FAISS IndexPQ shape) — product quantization,
     * the other standard ANN compression axis next to scalar int8 (annSq8):
     * the 64-dim space splits into M=32 subspaces of 2 dims; each subspace
-    * has a K=16-entry codebook (deterministic id-spread source vectors —
-    * vec_id multiples of ⌊N/16⌋, the ivfStride/codebook precedent; a
-    * production build would k-means per subspace); a vector is stored as
-    * 32 nearest-codebook codes = 32 NIBBLES, a 16× compression of the
-    * float index (mean top-10 recall 0.56 vs exact on the fixture —
-    * LlmPillarSpec pins the floor; narrower subspaces beat wider ones at
+    * has a K=16-entry codebook seeded from deterministic id-spread source
+    * vectors (vec_id multiples of ⌊N/16⌋, the ivfStride/codebook
+    * precedent) and then REFINED by one Lloyd (k-means) iteration — assign
+    * every subvector to its nearest seed codeword, recompute each codeword
+    * as its cell's mean — the standard PQ training step, held at a fixed
+    * iteration count so the oracle replays it. A vector is stored as
+    * 32 nearest-codebook codes = 32 NIBBLES = 16 bytes, a 16× compression
+    * of the float index (LlmPillarSpec pins the measured mean top-10
+    * recall floor; narrower subspaces beat wider ones at
     * equal code budget because each 2-dim cell is quantized against codes
     * drawn from its own marginal distribution). Search is ASYMMETRIC distance computation: the query stays
     * full-precision and scores against each vector's codebook
@@ -328,42 +331,94 @@ object Similarity {
     * EXACTLY the annSq8/cosineTopK shape (probes broadcast, corpus never
     * shuffles, native codegen'd dot).
     *
-    * 100 TB shape: the codebook is M·K·8 doubles (kilobytes, broadcast);
+    * 100 TB shape: the codebook is M·K·d doubles (kilobytes, broadcast);
     * encoding is corpus × M·K bounded rows collapsed by a map-side-
     * combined min(struct(d2, c)) keyed agg — no window over the corpus,
-    * no shuffle of the vectors; the stored index is 8 bytes/vector.
+    * no shuffle of the vectors; the Lloyd means are M·K-keyed aggregates
+    * of the same shape; the stored index is 16 bytes/vector.
     * Determinism: subspace L2² distances fold left-to-right in double via
     * graft_dot over the element differences, ties break on the smaller
-    * code, and reconstruction order is the subspace index — every step
-    * replays bit-identically in DuckDB. */
+    * code, and reconstruction order is the subspace index. The Lloyd mean
+    * is the one place a naive build would lose the oracle: a float sum's
+    * value depends on accumulation order, which Spark does not fix. Each
+    * coordinate is therefore summed as a half-up FIXED-POINT integer
+    * (⌊x·10⁶ + 0.5⌋ as long — exact, associative, order-free) and divided
+    * back in one pinned order (sum→double, /count, /10⁶), so the refined
+    * codeword replays bit-identically in DuckDB regardless of either
+    * engine's aggregation order. */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val (m, d, k) = (32, 2, 16)
     val b = base(spark, dir)
+    val recon = pqReconstruct(b, pqRefinedCodebook(spark, dir, b))
+    pqTopK(b, recon)
+  }
+
+  /** (M, d, K): 32 subspaces × 2 dims, 16 codes each — 32 nibbles/vector. */
+  private[graft] val PqGeom = (32, 2, 16)
+
+  /** Seed codebook subspace slices (c, s, cs): K id-spread source vectors,
+    * split into the M d-dim subspaces. */
+  private def pqSeedCodebook(spark: SparkSession, dir: String,
+      b: DataFrame): DataFrame = {
+    val (m, d, k) = PqGeom
     val cbStride = math.max(1L, Tables.embeddings(spark, dir).count() / k)
-    val cb = b.filter(col("vec_id") % cbStride === 0 &&
+    b.filter(col("vec_id") % cbStride === 0 &&
         expr(s"vec_id div $cbStride") < k)
       .select(expr(s"vec_id div $cbStride").as("c"), col("v").as("cv"))
-    val cbSub = cb
       .select(col("c"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("cv"))
       .select(col("c"), col("s"),
         slice(col("cv"), (col("s") * d + 1).cast("int"), lit(d)).as("cs"))
-    val vSub = b
-      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("v"))
+  }
+
+  /** The corpus split into (vec_id, s, vs) subvectors. */
+  private def pqSubvectors(b: DataFrame): DataFrame = {
+    val (m, d, _) = PqGeom
+    b.select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("v"))
       .select(col("vec_id"), col("s"),
         slice(col("v"), (col("s") * d + 1).cast("int"), lit(d)).as("vs"))
-    val chosen = vSub.join(broadcast(cbSub), Seq("s"))
+  }
+
+  /** Nearest-codeword assignment of every subvector against `cb`, carrying
+    * the subvector itself for the Lloyd mean (it is constant per
+    * (vec_id, s) group, so it never influences the min(struct) tie-break —
+    * (d2, c) pairs are already distinct). */
+  private def pqAssign(b: DataFrame, cb: DataFrame): DataFrame =
+    pqSubvectors(b).join(broadcast(cb), Seq("s"))
       .withColumn("diff", zip_with(col("vs"), col("cs"), (x, y) => x - y))
       .withColumn("d2", dot(col("diff"), col("diff")))
       .groupBy("vec_id", "s")
-      .agg(min(struct(col("d2"), col("c"))).as("mn"))
-      .select(col("vec_id"), col("s"), col("mn.c").as("c"))
-    val recon = chosen.join(broadcast(cbSub), Seq("c", "s"))
+      .agg(min(struct(col("d2"), col("c"), col("vs"))).as("mn"))
+      .select(col("vec_id"), col("s"), col("mn.c").as("c"), col("mn.vs").as("vs"))
+
+  /** One Lloyd iteration over the seed codebook: per-cell fixed-point-exact
+    * means (see annPq's determinism note); a cell that captured no
+    * subvectors keeps its seed codeword. */
+  private[operators] def pqRefinedCodebook(spark: SparkSession, dir: String,
+      b: DataFrame): DataFrame = {
+    val seed = pqSeedCodebook(spark, dir, b)
+    val sums = pqAssign(b, seed).groupBy("c", "s").agg(
+      count(lit(1)).as("cnt"),
+      sum(floor(element_at(col("vs"), 1) * 1e6 + 0.5).cast("long")).as("sx0"),
+      sum(floor(element_at(col("vs"), 2) * 1e6 + 0.5).cast("long")).as("sx1"))
+    seed.join(sums, Seq("c", "s"), "left")
+      .select(col("c"), col("s"),
+        when(col("cnt").isNull, col("cs")).otherwise(array(
+          col("sx0").cast("double") / col("cnt") / lit(1e6),
+          col("sx1").cast("double") / col("cnt") / lit(1e6))).as("cs"))
+  }
+
+  /** Codes → reconstructed vectors (vec_id, rv, rnorm): the ADC target. */
+  private def pqReconstruct(b: DataFrame, cb: DataFrame): DataFrame =
+    pqAssign(b, cb).select(col("vec_id"), col("s"), col("c"))
+      .join(broadcast(cb), Seq("c", "s"))
       .groupBy("vec_id")
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("s"), col("cs")))),
         x => x.getField("cs"))).as("rv"))
       .withColumn("rnorm", sqrt(dot(col("rv"), col("rv"))))
+
+  /** Full-precision probes against the reconstructions — the cosineTopK
+    * scoring shape over the compressed index. */
+  private def pqTopK(b: DataFrame, recon: DataFrame): DataFrame = {
     val sims = recon.crossJoin(broadcast(probes(b)))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim",
@@ -485,10 +540,13 @@ object Similarity {
                               WHERE vec_id % 50 = 0) qp
                   WHERE vec_id <> q_id) p) r
           WHERE rnk <= 10"""),
-    // PQ-ADC replay: codebook from id-spread source vectors, per-subspace
-    // argmin codes (same left-to-right squared-difference fold), ordered
-    // flatten reconstruction, then the exact-search topk shape with full-
-    // precision queries against the reconstructions.
+    // PQ-ADC replay: seed codebook from id-spread source vectors, one Lloyd
+    // iteration (per-subspace argmin vs the seed, then per-cell fixed-point-
+    // exact means — see pqRefinedCodebook's determinism note), per-subspace
+    // argmin codes vs the REFINED codebook (same left-to-right squared-
+    // difference fold), ordered flatten reconstruction, then the exact-
+    // search topk shape with full-precision queries against the
+    // reconstructions.
     "m6_ann_pq" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
           cstr AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings),
@@ -501,16 +559,33 @@ object Similarity {
           vs AS (SELECT vec_id, s,
                    v[CAST(s * 2 + 1 AS INTEGER) : CAST(s * 2 + 2 AS INTEGER)] AS vsub
                  FROM e, LATERAL unnest(range(0, 32)) AS w(s)),
+          dd0 AS (SELECT vec_id, vs.s, c, vsub,
+                    list_reduce(list_prepend(0.0, list_transform(list_zip(vsub, cs),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b) AS d2
+                  FROM vs JOIN cbs ON vs.s = cbs.s),
+          a0 AS (SELECT vec_id, s, c, vsub FROM (
+                   SELECT vec_id, s, c, vsub,
+                     row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+                   FROM dd0) t WHERE rn = 1),
+          sms AS (SELECT c, s, count(*) AS cnt,
+                    sum(CAST(floor(vsub[1] * 1000000.0 + 0.5) AS BIGINT)) AS sx0,
+                    sum(CAST(floor(vsub[2] * 1000000.0 + 0.5) AS BIGINT)) AS sx1
+                  FROM a0 GROUP BY 1, 2),
+          rcb AS (SELECT c, s,
+                    CASE WHEN cnt IS NULL THEN cs
+                         ELSE [CAST(sx0 AS DOUBLE) / cnt / 1000000.0,
+                               CAST(sx1 AS DOUBLE) / cnt / 1000000.0] END AS cs
+                  FROM cbs LEFT JOIN sms USING (c, s)),
           dd AS (SELECT vec_id, vs.s, c,
                    list_reduce(list_prepend(0.0, list_transform(list_zip(vsub, cs),
                      p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b) AS d2
-                 FROM vs JOIN cbs ON vs.s = cbs.s),
+                 FROM vs JOIN rcb ON vs.s = rcb.s),
           ch AS (SELECT vec_id, s, c FROM (
                    SELECT vec_id, s, c,
                      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
                    FROM dd) t WHERE rn = 1),
           rec AS (SELECT vec_id, flatten(list(cs ORDER BY s)) AS rv
-                  FROM ch JOIN cbs USING (c, s) GROUP BY vec_id),
+                  FROM ch JOIN rcb USING (c, s) GROUP BY vec_id),
           rcn AS (SELECT vec_id, rv,
                     sqrt(list_reduce(list_prepend(0.0, list_transform(rv, x -> x * x)), (a, b) -> a + b)) AS rnorm
                   FROM rec),

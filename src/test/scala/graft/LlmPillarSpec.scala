@@ -469,13 +469,14 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     val recalls = exact.map { case (q, ex) =>
       q -> ex.intersect(pq.getOrElse(q, Set.empty)).size.toDouble / ex.size }
     assert(recalls.nonEmpty)
-    // measured 0.4..0.7 per query, mean 0.56 on the fixture (32 subspaces
-    // x 16 codes); floors leave margin for fixture regeneration, and the
-    // per-query floor guards against a config that trades one query's
-    // recall away for the mean
+    // measured 0.4..0.8 per query, mean 0.65 on the fixture (32 subspaces
+    // x 16 codes, one Lloyd refinement — up from 0.56 with the raw
+    // id-spread seed codebook); floors leave margin for fixture
+    // regeneration, and the per-query floor guards against a config that
+    // trades one query's recall away for the mean
     recalls.foreach { case (q, r) => assert(r >= 0.3, s"query $q recall $r") }
     val mean = recalls.values.sum / recalls.size
-    assert(mean >= 0.45, s"mean PQ recall $mean under floor")
+    assert(mean >= 0.55, s"mean PQ recall $mean under floor")
   }
 
   test("IVF nprobe=2 recall dominates nprobe=1 on every query and lifts the mean") {

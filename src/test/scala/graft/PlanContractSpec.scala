@@ -111,8 +111,11 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("isFinalPlan=true"), s"plan did not finalize:\n$p")
     assert(p.contains("ReusedExchange"),
       s"tf subplan not reused — explode would run per consumer:\n$p")
+    val initialPlanCut = p.indexOf("== Initial Plan ==")
+    assert(initialPlanCut >= 0,
+      s"AQE toString lost its '== Initial Plan ==' section — update the marker:\n$p")
     assert("Generate explode".r.findAllIn(
-        p.substring(0, p.indexOf("== Initial Plan =="))).length == 1,
+        p.substring(0, initialPlanCut)).length == 1,
       s"final plan must contain exactly one explode:\n$p")
   }
 
