@@ -108,6 +108,7 @@ object Bench {
       "m6_simhash_pairs", "m6_decontaminate", "m6_corpus_build",
       "m6_incremental_dedup", "m6_incremental_commit", "m6_dup_clusters",
       "m6_dup_density", "m6_cluster_keep_best")
+    val annFamily = Set("m6_ann_ivf", "m6_ann_ivf2", "m6_ivf_stats", "m6_ann_pq")
     // Staging failures degrade like query failures (logged, zero-cost entry,
     // bench continues) — a custom sf dir missing a table must not abort the
     // other ~90 entries. Builds are scoped to the selection.
@@ -131,6 +132,17 @@ object Bench {
         staged("m6_stage_base") {
           graft.operators.DedupStaging.ensureFor(spark, sfDir,
             selectedNames.intersect(dedupFamily))
+        }
+      } else Seq.empty) ++
+      // the ANN index build (IVF cell table + PQ codebook/codes) is its own
+      // release artifact — staged once per corpus version like the text
+      // family, timed separately so search entries measure search alone
+      (if (selectedNames.exists(annFamily)) {
+        stagingCold("m6_stage_ann") = !graft.operators.DedupStaging
+          .isAnnStagedFor(sfDir, selectedNames.intersect(annFamily))
+        staged("m6_stage_ann") {
+          graft.operators.DedupStaging.ensureAnnFor(spark, sfDir,
+            selectedNames.intersect(annFamily))
         }
       } else Seq.empty) ++
       // the bucketed-layout DDL behind j5 is the same one-time-cost shape

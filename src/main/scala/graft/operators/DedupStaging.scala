@@ -43,19 +43,26 @@ object DedupStaging {
     sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE",
       s"${sys.props("java.io.tmpdir")}/graft-warehouse")
 
-  /** Content fingerprint of a fixture dir — the staged tables all derive
-    * from `documents.parquet`, so its (size, mtime) identifies the corpus
-    * version. A regenerated fixture changes the fingerprint, which changes
-    * every staged path: stale staged parquet can never be read against a
-    * newer corpus (it is swept on the next build instead). */
+  /** Content fingerprint of a fixture dir — the staged tables derive from
+    * `documents.parquet` (text/dedup family) or `embeddings.parquet` (ANN
+    * index family), so the pair of (size, mtime) signatures identifies the
+    * corpus version. A regenerated fixture changes the fingerprint, which
+    * changes every staged path: stale staged parquet can never be read
+    * against a newer corpus (it is swept on the next build instead). One
+    * fingerprint over both sources keeps the commit/sweep protocol
+    * single-rooted; the cost — a docs-only regen also invalidates the ANN
+    * tables — is one extra index build per regeneration, disclosed by
+    * Bench's staging_cold flag. */
   private def fingerprint(dir: String): String = {
-    val p = java.nio.file.Paths.get(dir, "documents.parquet")
-    val sig =
+    def sig(name: String): String = {
+      val p = java.nio.file.Paths.get(dir, name)
       if (java.nio.file.Files.exists(p))
         s"${java.nio.file.Files.size(p)}-${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
       else "absent"
+    }
     val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$sig".getBytes("UTF-8"))
+      .digest(s"$dir|${sig("documents.parquet")}|${sig("embeddings.parquet")}"
+        .getBytes("UTF-8"))
     md.take(6).map(b => f"$b%02x").mkString
   }
 
@@ -285,6 +292,36 @@ object DedupStaging {
       Dedup.minhashDedup(spark, dir)
     }
 
+  /** The IVF-Flat index: the corpus stored WITH its coarse-cell assignment
+    * (vec_id, v, norm, cell) — what a production ANN deployment builds once
+    * per corpus release and every search reads (FAISS's IndexIVFFlat stores
+    * exactly this: vectors grouped into inverted lists). Before r12 the
+    * searches re-ran the N×√N centroid assignment per query; now that cost
+    * is paid once here, and a search is the cell-keyed equi-join alone.
+    * Correctness is unchanged by construction: the build is the same
+    * deterministic assignment, and the oracles still replay it from raw
+    * embeddings. */
+  def ivfCells(spark: SparkSession, dir: String): DataFrame =
+    materialize(spark, dir, "ivf_cells") {
+      Similarity.ivfIndexBuild(spark, dir)
+    }
+
+  /** The Lloyd-refined PQ codebook (c, s, cs) — M·K rows, kilobytes; the
+    * training artifact a PQ index ships next to its codes. */
+  def pqCodebook(spark: SparkSession, dir: String): DataFrame =
+    materialize(spark, dir, "pq_codebook") {
+      Similarity.pqCodebookBuild(spark, dir)
+    }
+
+  /** The PQ-encoded corpus (vec_id, codes[M]) — the 16-byte/vector
+    * compressed index itself, stored in subspace order. Encoding against
+    * the refined codebook happens once here; the ADC search reconstructs
+    * from these codes instead of re-encoding the corpus per query. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    materialize(spark, dir, "pq_codes") {
+      Similarity.pqCodesBuild(spark, dir, pqCodebook(spark, dir))
+    }
+
   /** Staged tables the named queries read, in dependency order (shingle3
     * feeds the signature builds) — the single source for both the build
     * hook and the temperature probe. */
@@ -305,6 +342,20 @@ object DedupStaging {
     ).flatten
   }
 
+  /** The ANN-index staged tables the named queries read — kept separate
+    * from neededTables so Bench can time the vector-index build as its own
+    * `m6_stage_ann` entry (a different release artifact than the text
+    * staging area, built from a different source table). */
+  private def annTables(names: Set[String]): Seq[String] = {
+    val all = names.isEmpty
+    def need(qs: String*) = all || qs.exists(names)
+    Seq(
+      Option.when(need("m6_ann_ivf", "m6_ann_ivf2", "m6_ivf_stats"))("ivf_cells"),
+      Option.when(need("m6_ann_pq"))("pq_codebook"),
+      Option.when(need("m6_ann_pq"))("pq_codes")
+    ).flatten
+  }
+
   /** Build only the staged tables the named queries read — Bench's
     * pre-stage hook, scoped so a one-query dev loop doesn't pay for the
     * whole staging area (minhashPairs in particular runs the full LSH
@@ -319,6 +370,19 @@ object DedupStaging {
       case "minhash_pairs" => minhashPairs(spark, dir)
     }
 
+  /** Build the ANN index tables the named queries read (Bench's
+    * `m6_stage_ann` hook). */
+  def ensureAnnFor(spark: SparkSession, dir: String, names: Set[String]): Unit =
+    annTables(names).foreach {
+      case "ivf_cells"   => ivfCells(spark, dir)
+      case "pq_codebook" => pqCodebook(spark, dir)
+      case "pq_codes"    => pqCodes(spark, dir)
+    }
+
+  /** Stage-temperature probe for the ANN index tables. */
+  def isAnnStagedFor(dir: String, names: Set[String]): Boolean =
+    annTables(names).forall(t => Connectors.isCommitted(tablePath(dir, t)))
+
   /** Whether every staged table the named queries read is already committed
     * in the warehouse — Bench's stage-TEMPERATURE probe: the same
     * `m6_stage_base` entry measures ~seconds cold (first build for this
@@ -329,6 +393,8 @@ object DedupStaging {
     neededTables(names).forall(t => Connectors.isCommitted(tablePath(dir, t)))
 
   /** Build every staged table. */
-  def ensureAll(spark: SparkSession, dir: String): Unit =
+  def ensureAll(spark: SparkSession, dir: String): Unit = {
     ensureFor(spark, dir, Set.empty)
+    ensureAnnFor(spark, dir, Set.empty)
+  }
 }

@@ -163,9 +163,16 @@ object Similarity {
   private[graft] def ivfStride(n: Long): Long =
     math.max(125L, math.floor(math.sqrt(n.toDouble)).toLong)
 
-  /** The IVF coarse assignment shared by the searches and the index-health
-    * report: centroids at every `ivfStride`-th id, broadcast; each vector
-    * keeps its k nearest cells. */
+  /** The IVF-Flat index build: the whole corpus with its nearest-cell
+    * assignment — staged once per corpus version by DedupStaging.ivfCells
+    * (the build-once/search-many shape; before r12 every search re-ran
+    * this N×√N pass). */
+  private[operators] def ivfIndexBuild(spark: SparkSession, dir: String): DataFrame =
+    ivfAssign(spark, dir, base(spark, dir), 1)
+
+  /** The IVF coarse assignment shared by the index build and the QUERY-side
+    * probe routing: centroids at every `ivfStride`-th id, broadcast; each
+    * vector keeps its k nearest cells. */
   private def ivfAssign(spark: SparkSession, dir: String,
       df: DataFrame, k: Int): DataFrame = {
     val b = base(spark, dir)
@@ -188,7 +195,7 @@ object Similarity {
     * broadcast-centroid assignment as the searches; the report is a single
     * map-side-combined cell count plus a scalar aggregate. */
   def ivfStats(spark: SparkSession, dir: String): DataFrame = {
-    val cells = ivfAssign(spark, dir, base(spark, dir), 1)
+    val cells = DedupStaging.ivfCells(spark, dir)
       .groupBy("cell").agg(count(lit(1)).as("pop"))
     cells.agg(
         count(lit(1)).as("n_cells"),
@@ -204,7 +211,10 @@ object Similarity {
 
   private def ivfSearch(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val b = base(spark, dir)
-    val corpus = ivfAssign(spark, dir, b, 1)
+    // corpus side: the staged index (vectors grouped by cell); query side:
+    // probe routing is query-time work by nature — nprobe nearest centroids
+    // against the broadcast centroid set, never a corpus pass
+    val corpus = DedupStaging.ivfCells(spark, dir)
     val probes = ivfAssign(spark, dir, b.filter(col("vec_id") % 50 === 0), nprobe).select(
       col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"), col("cell"))
     val sims = corpus.join(probes, Seq("cell"))
@@ -348,8 +358,12 @@ object Similarity {
     * engine's aggregation order. */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val b = base(spark, dir)
-    val recon = pqReconstruct(b, pqRefinedCodebook(spark, dir, b))
-    pqTopK(b, recon)
+    // search-time plan: staged 16-byte codes + staged kilobyte codebook →
+    // reconstructions; the corpus floats are only read for the probe side
+    val cb = DedupStaging.pqCodebook(spark, dir)
+    val chosen = DedupStaging.pqCodes(spark, dir)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "c")))
+    pqTopK(b, pqReconstruct(chosen, cb))
   }
 
   /** (M, d, K): 32 subspaces × 2 dims, 16 codes each — 32 nibbles/vector. */
@@ -389,10 +403,24 @@ object Similarity {
       .agg(min(struct(col("d2"), col("c"), col("vs"))).as("mn"))
       .select(col("vec_id"), col("s"), col("mn.c").as("c"), col("mn.vs").as("vs"))
 
+  /** The staged-codebook build (DedupStaging.pqCodebook). */
+  private[operators] def pqCodebookBuild(spark: SparkSession, dir: String): DataFrame =
+    pqRefinedCodebook(spark, dir, base(spark, dir))
+
+  /** The staged-codes build (DedupStaging.pqCodes): every corpus vector
+    * encoded against the refined codebook as its M codes in subspace
+    * order — the compressed index itself. */
+  private[operators] def pqCodesBuild(spark: SparkSession, dir: String,
+      cb: DataFrame): DataFrame =
+    pqAssign(base(spark, dir), cb)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("c")))),
+        x => x.getField("c").cast("int")).as("codes"))
+
   /** One Lloyd iteration over the seed codebook: per-cell fixed-point-exact
     * means (see annPq's determinism note); a cell that captured no
     * subvectors keeps its seed codeword. */
-  private[operators] def pqRefinedCodebook(spark: SparkSession, dir: String,
+  private def pqRefinedCodebook(spark: SparkSession, dir: String,
       b: DataFrame): DataFrame = {
     val seed = pqSeedCodebook(spark, dir, b)
     val sums = pqAssign(b, seed).groupBy("c", "s").agg(
@@ -406,10 +434,10 @@ object Similarity {
           col("sx1").cast("double") / col("cnt") / lit(1e6))).as("cs"))
   }
 
-  /** Codes → reconstructed vectors (vec_id, rv, rnorm): the ADC target. */
-  private def pqReconstruct(b: DataFrame, cb: DataFrame): DataFrame =
-    pqAssign(b, cb).select(col("vec_id"), col("s"), col("c"))
-      .join(broadcast(cb), Seq("c", "s"))
+  /** Codes (vec_id, s, c) → reconstructed vectors (vec_id, rv, rnorm):
+    * the ADC target. */
+  private def pqReconstruct(chosen: DataFrame, cb: DataFrame): DataFrame =
+    chosen.join(broadcast(cb), Seq("c", "s"))
       .groupBy("vec_id")
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("s"), col("cs")))),
