@@ -39,6 +39,9 @@ QUERIES = ",".join([
     # PQ-ADC, the shared-stage tfidf, passage scrub
     "m6_ann_ivf", "m6_ann_ivf2", "m6_ann_pq", "m6_tfidf",
     "m6_passage_scrub",
+    # round-12 additions: the six r11 operators previously unprobed
+    "m6_lm_support", "m6_cluster_keep_best", "m6_ivf_stats",
+    "a16_daily_users", "j16_cheapest_supplier", "s16_compact_roundtrip",
 ])
 
 
