@@ -579,6 +579,45 @@ object Connectors {
       .select(col("user_id"), col("day"), col("total_value"), col("cnt"))
   }
 
+  /** S17: additive schema evolution — the ADD COLUMN every long-lived table
+    * undergoes: v1 batches land as (user_id, day, total_value); the
+    * pipeline is upgraded and v2 batches land with an added `cnt` column;
+    * a mergeSchema read reconciles both generations, surfacing cnt = NULL
+    * on v1 history. At 100 TB the alternative — rewriting every historical
+    * file on a schema change — is a full-corpus write; additive
+    * merge-on-read is the production move (the same contract Delta/Iceberg
+    * schema evolution provides; parquet footers carry per-file schemas and
+    * the scan unions them, so old files are read untouched). Two pinned
+    * footguns: `mergeSchema` is OFF by default — a plain read silently
+    * adopts a single file's schema and either drops `cnt` or drops v1
+    * rows' columns depending on file order; and the evolution must be
+    * ADDITIVE-NULLABLE only (a type change or a dropped column is a
+    * rewrite, not an evolution). The cutoff is day-aligned (s16
+    * precedent) so each (user_id, day) group lives wholly in one
+    * generation, and the v2 filter sweeps null timestamps so the two
+    * generations partition every row — the oracle rebuilds both
+    * generations and UNION ALLs them. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft-evolve-").toString
+    val events = Tables.eventsWithRawTs(spark, dir)
+    val cut = "2024-01-21 00:00:00"
+    require(cut.endsWith(" 00:00:00"),
+      s"schemaEvolution cutoff '$cut' is not midnight-aligned: a (user_id, day) " +
+        "group would span both schema generations and double-report")
+    val c = lit(Tables.rawTs(cut))
+    events.filter(col("ts_raw") < c)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(Exact.rnd(Exact.sumD("value"), 2).as("total_value"))
+      .coalesce(1).write.mode("append").parquet(out)
+    events.filter(col("ts_raw") >= c || col("ts_raw").isNull)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(Exact.rnd(Exact.sumD("value"), 2).as("total_value"),
+        count(lit(1)).as("cnt"))
+      .coalesce(1).write.mode("append").parquet(out)
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .select(col("user_id"), col("day"), col("total_value"), col("cnt"))
+  }
+
   /** S9: sync-watermark bookkeeping (mongo_to_postgres_sync.py:241-294):
     * one row — the previous high watermark, the rows the next batch picks up
     * beyond it, and the advanced watermark (max event time of the batch).
@@ -739,6 +778,7 @@ object Connectors {
     "s2_kafka_envelope"     -> kafkaEnvelope,
     "s8_upsert_sink"        -> upsertSink,
     "s16_compact_roundtrip" -> compactRoundtrip,
+    "s17_schema_evolution" -> schemaEvolution,
     "s9_sync_watermark"     -> syncWatermark,
     "s12_partitioned_output" -> partitionedOutput)
 
@@ -795,6 +835,19 @@ object Connectors {
          FROM base FULL OUTER JOIN u
            ON base.user_id IS NOT DISTINCT FROM u.user_id
           AND base.day IS NOT DISTINCT FROM u.day""",
+    // Both schema generations rebuilt and UNION ALL'd: v1 history carries
+    // cnt = NULL exactly as the mergeSchema read surfaces it.
+    "s17_schema_evolution" ->
+      s"""SELECT user_id, CAST(ts AS DATE) AS day,
+          ${Exact.sqlRnd(Exact.sqlSum("value"), 2)} AS total_value,
+          CAST(NULL AS BIGINT) AS cnt
+          FROM events WHERE ts < TIMESTAMP '2024-01-21 00:00:00' GROUP BY 1, 2
+          UNION ALL
+          SELECT user_id, CAST(ts AS DATE) AS day,
+          ${Exact.sqlRnd(Exact.sqlSum("value"), 2)} AS total_value,
+          CAST(count(*) AS BIGINT) AS cnt
+          FROM events WHERE ts >= TIMESTAMP '2024-01-21 00:00:00' OR ts IS NULL
+          GROUP BY 1, 2""",
     // The compacted read-back must equal the never-fragmented aggregation.
     "s16_compact_roundtrip" ->
       s"""SELECT user_id, CAST(ts AS DATE) AS day,

@@ -322,6 +322,23 @@ object DedupStaging {
       Similarity.pqCodesBuild(spark, dir, pqCodebook(spark, dir))
     }
 
+  /** The Lloyd-refined IVF-PQ codebook trained on cell RESIDUALS — same
+    * geometry as pq_codebook, different training input (FAISS trains
+    * IndexIVFPQ's product quantizer on residuals for exactly this reason:
+    * see Similarity.ivfPqCodebookBuild). */
+  def ivfPqCodebook(spark: SparkSession, dir: String): DataFrame =
+    materialize(spark, dir, "ivfpq_codebook") {
+      Similarity.ivfPqCodebookBuild(spark, dir)
+    }
+
+  /** The IVF-PQ inverted-list payload (vec_id, cell, codes[M]) — cell id +
+    * 16-byte residual code per vector, the entire search-time corpus
+    * footprint of m6_ann_ivfpq. */
+  def ivfPqCodes(spark: SparkSession, dir: String): DataFrame =
+    materialize(spark, dir, "ivfpq_codes") {
+      Similarity.ivfPqCodesBuild(spark, dir, ivfPqCodebook(spark, dir))
+    }
+
   /** Staged tables the named queries read, in dependency order (shingle3
     * feeds the signature builds) — the single source for both the build
     * hook and the temperature probe. */
@@ -350,9 +367,12 @@ object DedupStaging {
     val all = names.isEmpty
     def need(qs: String*) = all || qs.exists(names)
     Seq(
-      Option.when(need("m6_ann_ivf", "m6_ann_ivf2", "m6_ivf_stats"))("ivf_cells"),
+      Option.when(need("m6_ann_ivf", "m6_ann_ivf2", "m6_ivf_stats",
+        "m6_ann_ivfpq"))("ivf_cells"),
       Option.when(need("m6_ann_pq"))("pq_codebook"),
-      Option.when(need("m6_ann_pq"))("pq_codes")
+      Option.when(need("m6_ann_pq"))("pq_codes"),
+      Option.when(need("m6_ann_ivfpq"))("ivfpq_codebook"),
+      Option.when(need("m6_ann_ivfpq"))("ivfpq_codes")
     ).flatten
   }
 
@@ -374,9 +394,11 @@ object DedupStaging {
     * `m6_stage_ann` hook). */
   def ensureAnnFor(spark: SparkSession, dir: String, names: Set[String]): Unit =
     annTables(names).foreach {
-      case "ivf_cells"   => ivfCells(spark, dir)
-      case "pq_codebook" => pqCodebook(spark, dir)
-      case "pq_codes"    => pqCodes(spark, dir)
+      case "ivf_cells"      => ivfCells(spark, dir)
+      case "pq_codebook"    => pqCodebook(spark, dir)
+      case "pq_codes"       => pqCodes(spark, dir)
+      case "ivfpq_codebook" => ivfPqCodebook(spark, dir)
+      case "ivfpq_codes"    => ivfPqCodes(spark, dir)
     }
 
   /** Stage-temperature probe for the ANN index tables. */

@@ -282,6 +282,7 @@ object Similarity {
     "m6_embed_quantize" -> embedQuantize,
     "m6_ann_sq8"        -> annSq8,
     "m6_ann_pq"         -> annPq,
+    "m6_ann_ivfpq"      -> annIvfPq,
     "m6_ivf_stats"      -> ivfStats)
 
   /** M6: semantic duplicate CLUSTERS (the SemDeDup shape): connected
@@ -457,6 +458,93 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rnk"), rnd(col("sim"), 4).as("sim"))
   }
 
+  /** Centroid vectors keyed by the cell id they define (a cell's id IS its
+    * centroid's vec_id) — the √N-row broadcast table the residual
+    * subtraction and the IVF-PQ decode both read. */
+  private def ivfCentroidVectors(spark: SparkSession, dir: String): DataFrame = {
+    val stride = ivfStride(Tables.embeddings(spark, dir).count())
+    base(spark, dir).filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+  }
+
+  /** The IVF-PQ training/encoding input: every corpus vector minus its
+    * cell's centroid (vec − centroid, element-wise — exact IEEE
+    * subtraction, so the oracle replays it bit-identically). Encoding
+    * residuals instead of raw vectors is what makes IVF-PQ beat flat PQ at
+    * equal code budget: within a cell the residual distribution is centered
+    * and tight, so the same 16-entry-per-subspace codebook spends its codes
+    * on local structure instead of re-describing the coarse cell position
+    * the inverted list already encodes. Reads the staged cells; the
+    * subtraction is a map-side zip against the broadcast centroid table. */
+  private def ivfResiduals(spark: SparkSession, dir: String): DataFrame =
+    DedupStaging.ivfCells(spark, dir)
+      .join(broadcast(ivfCentroidVectors(spark, dir)), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("v"))
+
+  /** The staged IVF-PQ codebook build: the same seed + one-Lloyd-iteration
+    * training as flat PQ (pqRefinedCodebook), run over RESIDUALS. */
+  private[operators] def ivfPqCodebookBuild(spark: SparkSession, dir: String): DataFrame =
+    pqRefinedCodebook(spark, dir, ivfResiduals(spark, dir))
+
+  /** The staged IVF-PQ codes build: every corpus residual encoded against
+    * the residual codebook, carrying the vector's cell — (vec_id, cell,
+    * codes[M]) is exactly FAISS IndexIVFPQ's inverted-list payload (list id
+    * + 16-byte code per vector). */
+  private[operators] def ivfPqCodesBuild(spark: SparkSession, dir: String,
+      cb: DataFrame): DataFrame = {
+    val res = ivfResiduals(spark, dir)
+    pqAssign(res, cb)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("c")))),
+        x => x.getField("c").cast("int")).as("codes"))
+      .join(res.select("vec_id", "cell"), Seq("vec_id"))
+  }
+
+  /** M6: IVF-PQ ADC search (the FAISS IndexIVFPQ shape) — the production
+    * large-corpus ANN index: IVF's inverted lists bound the candidate set
+    * (only the query's nprobe=2 nearest cells are scanned) and PQ's 16-byte
+    * residual codes bound the memory per candidate — the two compression
+    * axes composed, which is what actually serves billion-vector corpora.
+    * Search is asymmetric: the full-precision query scores against
+    * centroid + decoded-residual reconstructions of only the probed cells'
+    * codes.
+    *
+    * 100 TB shape: the staged index is (vec_id, cell, 16-byte codes) — the
+    * float corpus is never read at search time except for the probe rows;
+    * the codebook (kilobytes) and the √N-row centroid table broadcast; the
+    * candidate join is equi-keyed on cell (each corpus vector lives in ONE
+    * cell, so the nprobe=2 union needs no dedup); decode + add-centroid is
+    * map-side; ranking reuses the exact-search top-k shape. Determinism:
+    * residual subtraction and centroid re-addition are element-wise IEEE
+    * ops in pinned order; everything else inherits the flat-PQ
+    * determinism contract (left-to-right folds, fixed-point Lloyd means,
+    * ties to the smaller code / cent_id). */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir)
+    val cb = DedupStaging.ivfPqCodebook(spark, dir)
+    val chosen = DedupStaging.ivfPqCodes(spark, dir)
+      .select(col("vec_id"), col("cell"), posexplode(col("codes")).as(Seq("s", "c")))
+    val recon = chosen.join(broadcast(cb), Seq("c", "s"))
+      .groupBy("vec_id", "cell")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("s"), col("cs")))),
+        x => x.getField("cs"))).as("rr"))
+      .join(broadcast(ivfCentroidVectors(spark, dir)), Seq("cell"))
+      .withColumn("rv", zip_with(col("cv"), col("rr"), (c, r) => c + r))
+      .withColumn("rnorm", sqrt(dot(col("rv"), col("rv"))))
+    val qs = ivfAssign(spark, dir, b.filter(col("vec_id") % 50 === 0), 2)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("cell"))
+    val sims = recon.join(qs, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", dot(col("qv"), col("rv")) / (col("rnorm") * col("qnorm")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("vec_id"), col("rnk"), rnd(col("sim"), 4).as("sim"))
+  }
+
   /** M6: top-k search over the QUANTIZED index — what the int8 codes exist
     * for: the whole search (norms, dots, ranking) runs on dequantized
     * vectors, i.e. on 4×-compressed storage, with exact cosine as the
@@ -623,6 +711,84 @@ object Similarity {
                   list_reduce(list_prepend(0.0, list_transform(list_zip(qv, rv),
                     r -> r[1] * r[2])), (x, y) -> x + y) / (rnorm * qnorm) AS sim
                 FROM rcn CROSS JOIN q WHERE rcn.vec_id <> q.q_id)
+          SELECT q_id, vec_id, rnk, ${sqlRnd("sim", 4)} AS sim FROM (
+            SELECT q_id, vec_id, sim,
+              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+            FROM p) t
+          WHERE rnk <= 10""",
+    // IVF-PQ replay: the IVF assignment (crn=1) supplies cells, residual =
+    // v − centroid (exact element-wise IEEE subtraction), then the flat-PQ
+    // replay (seed → one Lloyd iteration → argmin codes) runs over the
+    // RESIDUALS, reconstruction re-adds the centroid, and the nprobe=2
+    // query side (crn <= 2) joins the probed cells — each CTE is the
+    // corresponding m6_ann_ivf2 / m6_ann_pq CTE with `v` swapped for `r`.
+    "m6_ann_ivfpq" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          $strideSql,
+          n AS (SELECT vec_id, v, $normSql AS nrm FROM e),
+          cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+                    WHERE vec_id % (SELECT m FROM strd) = 0),
+          scored AS (
+            SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+              row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                list_reduce(list_prepend(0.0, list_transform(list_zip(n.v, c.cv), p -> p[1] * p[2])), (a, b) -> a + b)
+                  / (n.nrm * c.cnrm) DESC, c.cent_id) AS crn
+            FROM n CROSS JOIN cents c),
+          assigned AS (
+            SELECT vec_id, v, nrm, cent_id AS cell FROM scored WHERE crn = 1),
+          res AS (SELECT a.vec_id, a.cell,
+                    list_transform(list_zip(a.v, c.cv), p -> p[1] - p[2]) AS r
+                  FROM assigned a JOIN cents c ON a.cell = c.cent_id),
+          cstr AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings),
+          cb AS (SELECT vec_id // (SELECT m FROM cstr) AS c, r AS cv FROM res
+                 WHERE vec_id % (SELECT m FROM cstr) = 0
+                   AND vec_id // (SELECT m FROM cstr) < 16),
+          cbs AS (SELECT c, s,
+                    cv[CAST(s * 2 + 1 AS INTEGER) : CAST(s * 2 + 2 AS INTEGER)] AS cs
+                  FROM cb, LATERAL unnest(range(0, 32)) AS u(s)),
+          vs AS (SELECT vec_id, s,
+                   r[CAST(s * 2 + 1 AS INTEGER) : CAST(s * 2 + 2 AS INTEGER)] AS vsub
+                 FROM res, LATERAL unnest(range(0, 32)) AS w(s)),
+          dd0 AS (SELECT vec_id, vs.s, c, vsub,
+                    list_reduce(list_prepend(0.0, list_transform(list_zip(vsub, cs),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b) AS d2
+                  FROM vs JOIN cbs ON vs.s = cbs.s),
+          a0 AS (SELECT vec_id, s, c, vsub FROM (
+                   SELECT vec_id, s, c, vsub,
+                     row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+                   FROM dd0) t WHERE rn = 1),
+          sms AS (SELECT c, s, count(*) AS cnt,
+                    sum(CAST(floor(vsub[1] * 1000000.0 + 0.5) AS BIGINT)) AS sx0,
+                    sum(CAST(floor(vsub[2] * 1000000.0 + 0.5) AS BIGINT)) AS sx1
+                  FROM a0 GROUP BY 1, 2),
+          rcb AS (SELECT c, s,
+                    CASE WHEN cnt IS NULL THEN cs
+                         ELSE [CAST(sx0 AS DOUBLE) / cnt / 1000000.0,
+                               CAST(sx1 AS DOUBLE) / cnt / 1000000.0] END AS cs
+                  FROM cbs LEFT JOIN sms USING (c, s)),
+          dd AS (SELECT vec_id, vs.s, c,
+                   list_reduce(list_prepend(0.0, list_transform(list_zip(vsub, cs),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b) AS d2
+                 FROM vs JOIN rcb ON vs.s = rcb.s),
+          ch AS (SELECT vec_id, s, c FROM (
+                   SELECT vec_id, s, c,
+                     row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+                   FROM dd) t WHERE rn = 1),
+          recr AS (SELECT vec_id, flatten(list(cs ORDER BY s)) AS rr
+                   FROM ch JOIN rcb USING (c, s) GROUP BY vec_id),
+          rcn AS (SELECT res.vec_id, res.cell,
+                    list_transform(list_zip(c.cv, recr.rr), p -> p[1] + p[2]) AS rv
+                  FROM recr JOIN res USING (vec_id)
+                  JOIN cents c ON res.cell = c.cent_id),
+          rcn2 AS (SELECT vec_id, cell, rv,
+                     sqrt(list_reduce(list_prepend(0.0, list_transform(rv, x -> x * x)), (a, b) -> a + b)) AS rnorm
+                   FROM rcn),
+          q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cent_id AS cell
+                FROM scored WHERE vec_id % 50 = 0 AND crn <= 2),
+          p AS (SELECT q_id, rcn2.vec_id,
+                  list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, rcn2.rv), t -> t[1] * t[2])), (x, y) -> x + y)
+                    / (rcn2.rnorm * q.qnrm) AS sim
+                FROM rcn2 JOIN q USING (cell) WHERE rcn2.vec_id <> q.q_id)
           SELECT q_id, vec_id, rnk, ${sqlRnd("sim", 4)} AS sim FROM (
             SELECT q_id, vec_id, sim,
               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk

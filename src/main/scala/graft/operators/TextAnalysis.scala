@@ -912,7 +912,48 @@ object TextAnalysis {
         (col("edit_dist") <= 20).as("verified"))
   }
 
+  /** M6: hashed-feature linear quality classifier — the fastText-shaped
+    * MODEL-BASED filter production corpus pipelines run next to the
+    * heuristic scores (the CCNet / LLaMA-style quality gate): features are
+    * unigrams plus space-joined bigrams, hashed into 4096 buckets (the
+    * hashing trick — collisions share weights by design, which is what
+    * bounds the model size independently of vocabulary), each bucket
+    * carrying a fixed signed integer weight in [-1000, 1000] derived from
+    * the portable 60-bit fold of the bucket id — a deterministic stand-in
+    * for shipped trained weights that exercises the exact inference
+    * plumbing. The document score is bias + mean bucket weight
+    * (0.1 + sw/(1000·n)), and the keep decision is evaluated in EXACT
+    * integer space (sw ≥ −100·n, algebraically the same gate), so the
+    * boolean never depends on float rounding. Documents whose normalized
+    * text has no tokens produce no features and drop out on both engines.
+    *
+    * 100 TB shape: inference is one explode and one partial+final keyed
+    * aggregation on doc_id — no weight-table join (the weight derives from
+    * the bucket id in-register; a shipped-weights deployment broadcasts
+    * the 4096-row table), no window, no driver state, integer sums only.
+    * The only double math is two divides and one add in pinned order on
+    * exact integer aggregates, so the oracle replays bit-identically. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = 4096
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), normTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(concat(col("toks"), shingles(col("toks"), 2))).as("feat"))
+      .withColumn("bucket",
+        pmod(Exact.fold60(concat(col("feat"), lit("|qc"))), lit(buckets)))
+      .withColumn("w",
+        pmod(Exact.fold60(concat(col("bucket").cast("string"), lit("|qw"))),
+          lit(2001)) - 1000)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_features"), sum("w").as("sw"))
+      .select(col("doc_id"), col("n_features"),
+        rnd(lit(0.1) + col("sw").cast("double")
+          / col("n_features").cast("double") / lit(1000.0), 4).as("score"),
+        (col("sw") >= lit(-100L) * col("n_features")).as("keep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_quality_classifier" -> qualityClassifier,
     "m6_dataset_card"  -> datasetCard,
     "m6_edit_verify"   -> editVerify,
     "m6_bpe_pairs"     -> bpePairs,
@@ -979,6 +1020,24 @@ object TextAnalysis {
         FROM t"""
 
   val oracles: Map[String, String] = Map(
+    // Hashed-feature replay: same fold60 bucket/weight derivation, exact
+    // integer sums, the same pinned divide-divide-add, and the keep gate
+    // compared in integer space on both sides.
+    "m6_quality_classifier" ->
+      s"""WITH tk AS (SELECT doc_id, ${sqlNormTokens("text")} AS t FROM documents),
+          f AS (SELECT doc_id, unnest(t || ${sqlShingles("t", 2)}) AS feat FROM tk),
+          b AS (SELECT doc_id,
+                  ${Exact.sqlFold60("feat || '|qc'")} % 4096 AS bucket FROM f),
+          w AS (SELECT doc_id,
+                  ${Exact.sqlFold60("CAST(bucket AS VARCHAR) || '|qw'")} % 2001 - 1000 AS w
+                FROM b),
+          a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+                  CAST(sum(w) AS BIGINT) AS sw
+                FROM w GROUP BY 1)
+          SELECT doc_id, n_features,
+            ${sqlRnd("0.1 + CAST(sw AS DOUBLE) / CAST(n_features AS DOUBLE) / 1000.0", 4)} AS score,
+            sw >= -100 * n_features AS keep
+          FROM a""",
     // Exact BIGINT moments through the identical double expression tree;
     // DuckDB integer sums are HUGEINT, hence the BIGINT casts.
     "m6_dataset_card" ->

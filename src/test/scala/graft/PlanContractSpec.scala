@@ -138,6 +138,28 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
       s"PQ codebook and probes must broadcast:\n$pq")
   }
 
+  test("round-12: IVF-PQ search broadcasts its small sides and joins on cell") {
+    // the codebook (kilobytes), the centroid table (√N rows) and the probe
+    // side must all broadcast; the candidate join is equi-keyed on cell —
+    // a SortMergeJoin or a single-partition exchange would mean the
+    // compressed corpus started shuffling for the search
+    val p = plan("m6_ann_ivfpq")
+    assert("BroadcastExchange".r.findAllIn(p).length >= 3,
+      s"codebook/centroids/probes must broadcast:\n$p")
+    assert(!p.contains("Exchange SinglePartition") || p.contains("TakeOrderedAndProject"),
+      s"ivfpq must not funnel the corpus through one partition:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"ivfpq candidate join must stay equi-keyed (no cartesian):\n$p")
+    // classifier inference: one partial+final keyed agg, no window, no
+    // weight-table join (weights derive in-register from the bucket id)
+    val qc = plan("m6_quality_classifier")
+    assert(!qc.contains("WindowExec") && !qc.contains("Exchange SinglePartition"),
+      s"classifier must stay window-free and partitioned:\n$qc")
+    assert(!qc.contains("Join"), s"classifier must not join a weight table:\n$qc")
+    assert("HashAggregate".r.findAllIn(qc).length >= 2,
+      s"classifier doc agg must partial-aggregate:\n$qc")
+  }
+
   test("windows: analytic windows are partitioned (no single-partition sort of data)") {
     // w5 ranks within (event_type); its WindowExec must carry a partition
     val w5 = plan("w5_rank_by_avg")

@@ -44,7 +44,7 @@ QUERIES = ",".join([
     # probe widths — the round-10 sqrt(N) stride fix validated at 10x),
     # PQ-ADC, passage scrub
     "m4l_stream_late_drop", "m6_ann_ivf", "m6_ann_ivf2",
-    "m6_ann_pq", "m6_passage_scrub",
+    "m6_ann_pq", "m6_ann_ivfpq", "m6_passage_scrub",
     # round-12 additions: the six r11 operators previously unprobed
     "m6_lm_support", "m6_cluster_keep_best", "m6_ivf_stats",
     "a16_daily_users", "j16_cheapest_supplier", "s16_compact_roundtrip",

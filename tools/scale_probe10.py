@@ -37,7 +37,7 @@ QUERIES = ",".join([
     # round-10/11 additions: corpus-adaptive IVF (the sqrt(N)-stride fix's
     # 100x validation — the old N/125 rule was quadratic in assignment),
     # PQ-ADC, the shared-stage tfidf, passage scrub
-    "m6_ann_ivf", "m6_ann_ivf2", "m6_ann_pq", "m6_tfidf",
+    "m6_ann_ivf", "m6_ann_ivf2", "m6_ann_pq", "m6_ann_ivfpq", "m6_tfidf",
     "m6_passage_scrub",
     # round-12 additions: the six r11 operators previously unprobed
     "m6_lm_support", "m6_cluster_keep_best", "m6_ivf_stats",
