@@ -107,7 +107,7 @@ object Bench {
     val dedupFamily = Set("m6_ngram_jaccard", "m6_minhash_dedup",
       "m6_simhash_pairs", "m6_decontaminate", "m6_corpus_build",
       "m6_incremental_dedup", "m6_incremental_commit", "m6_dup_clusters",
-      "m6_dup_density", "m6_cluster_keep_best")
+      "m6_dup_density", "m6_cluster_keep_best", "m6_containment")
     val annFamily = Set("m6_ann_ivf", "m6_ann_ivf2", "m6_ivf_stats", "m6_ann_pq",
       "m6_ann_ivfpq")
     // Staging failures degrade like query failures (logged, zero-cost entry,

@@ -86,6 +86,48 @@ object Dedup {
     * |Δchars| ≤ 50 predicate still prune candidates at the join, and exact
     * Jaccard over the full shingle sets still verifies every pair, so the
     * output is unchanged (same oracle, over raw string shingles). */
+  /** M6: shingle-containment doc-in-doc detection — the asymmetric dedup
+    * axis Jaccard is blind to: a short document wholly quoted inside a much
+    * longer one scores C(A→B) = |S_A ∩ S_B| / |S_A| ≈ 1 while its Jaccard
+    * ≈ |S_A|/|S_B| ≈ 0 (the RefinedWeb/quote-extraction case). Measured
+    * over DISCRIMINATIVE shingles only (2 ≤ df ≤ 50): df ≥ 2 because a
+    * unique shingle can never intersect anything, and df ≤ 50 as the flood
+    * guard (the m6_postings precedent) — boilerplate shared by hundreds of
+    * documents says nothing about copying and is exactly what would turn
+    * the candidate join quadratic. Both |∩| and |S_A| are counted over the
+    * SAME filtered universe, so the ratio stays a true containment.
+    *
+    * 100 TB shape: candidates ARE the intersection counts — one self-join
+    * equi-keyed on shingle hash (per-hash fan-out capped at df² ≤ 2500 by
+    * the df bound, so candidate volume tracks shared-content density, not
+    * corpus size) feeding a pair-keyed count; sizes join back doc-keyed;
+    * no window, no all-pairs stage, staged shingle base read, not rebuilt.
+    * Pairs orient small ⊆ big (size tie → smaller id first) and report at
+    * C ≥ 0.8. */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    val d = DedupStaging.shingleBase(spark, dir)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val dfreq = d.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 50)
+    val disc = d.join(dfreq.select("h"), Seq("h"))
+    val lens = disc.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = disc.as("a").join(disc.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_small"), col("b.doc_id").as("doc_big"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(lens.select(col("doc_id").as("doc_small"), col("n").as("n_small")),
+        Seq("doc_small"))
+      .join(lens.select(col("doc_id").as("doc_big"), col("n").as("n_big")),
+        Seq("doc_big"))
+      .filter(col("n_small") < col("n_big") ||
+        (col("n_small") === col("n_big") && col("doc_small") < col("doc_big")))
+      .withColumn("c", col("n_shared").cast("double") / col("n_small").cast("double"))
+      .filter(col("c") >= 0.8)
+      .select(col("doc_small"), col("doc_big"), col("n_small"), col("n_big"),
+        col("n_shared"), rnd(col("c"), 4).as("containment"))
+  }
+
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // both candidate-join sides read the STAGED prefix index and the
     // verification join reads the staged shingle base (parquet, built once
@@ -720,6 +762,7 @@ object Dedup {
     "m6_exact_dedup"   -> exactDedup,
     "m6_corpus_build"  -> corpusBuild,
     "m6_ngram_jaccard" -> ngramJaccard,
+    "m6_containment"   -> containment,
     "m6_minhash_dedup" -> minhashDedup,
     "m6_simhash_pairs" -> simhashPairs,
     "m6_incremental_dedup" -> incrementalDedup,
@@ -851,6 +894,34 @@ object Dedup {
     // The oracle verifies over the RAW STRING shingles, so the 60-bit hashed
     // representation the engine joins on is itself under test here.
     "m6_ngram_jaccard" -> ngramOracleSql,
+    // Containment replay: same staged-shingle derivation as the minhash
+    // oracle's hs CTE, the same 2..50 df band, |∩| and |S_small| counted
+    // over the same filtered universe, small-⊆-big orientation with the
+    // id tie-break.
+    "m6_containment" ->
+      s"""WITH sh AS (SELECT doc_id, $shSql AS s FROM documents),
+          hs AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${sqlMd5Fold60("x")})) AS h FROM sh),
+          d AS (SELECT doc_id, unnest(h) AS h FROM hs),
+          fr AS (SELECT h FROM d GROUP BY h
+                 HAVING count(*) >= 2 AND count(*) <= 50),
+          disc AS (SELECT d.doc_id, d.h FROM d JOIN fr USING (h)),
+          lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                   FROM disc GROUP BY 1),
+          inter AS (SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+                      CAST(count(*) AS BIGINT) AS n_shared
+                    FROM disc a JOIN disc b
+                      ON a.h = b.h AND a.doc_id <> b.doc_id
+                    GROUP BY 1, 2),
+          sc AS (SELECT doc_small, doc_big, ls.n AS n_small, lb.n AS n_big,
+                   n_shared,
+                   CAST(n_shared AS DOUBLE) / CAST(ls.n AS DOUBLE) AS c
+                 FROM inter
+                 JOIN lens ls ON ls.doc_id = doc_small
+                 JOIN lens lb ON lb.doc_id = doc_big
+                 WHERE ls.n < lb.n OR (ls.n = lb.n AND doc_small < doc_big))
+          SELECT doc_small, doc_big, n_small, n_big, n_shared,
+            ${sqlRnd("c", 4)} AS containment
+          FROM sc WHERE c >= 0.8""",
     "m6_decontaminate" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents
                           UNION ALL

@@ -348,7 +348,7 @@ object DedupStaging {
     Seq(
       Option.when(need("m6_ngram_jaccard", "m6_minhash_dedup",
         "m6_corpus_build", "m6_incremental_dedup",
-        "m6_incremental_commit"))("shingle3"),
+        "m6_incremental_commit", "m6_containment"))("shingle3"),
       Option.when(need("m6_ngram_jaccard"))("prefix3"),
       Option.when(need("m6_minhash_dedup", "m6_corpus_build",
         "m6_incremental_dedup", "m6_incremental_commit"))("minhash_sigs"),

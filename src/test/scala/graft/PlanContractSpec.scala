@@ -158,6 +158,14 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
     assert(!qc.contains("Join"), s"classifier must not join a weight table:\n$qc")
     assert("HashAggregate".r.findAllIn(qc).length >= 2,
       s"classifier doc agg must partial-aggregate:\n$qc")
+    // containment: candidate generation must stay equi-keyed on the
+    // shingle hash — a cartesian or a window over the corpus would mean
+    // the df-bounded self-join shape regressed to all-pairs
+    val ct = plan("m6_containment")
+    assert(!ct.contains("CartesianProduct") && !ct.contains("WindowExec"),
+      s"containment must stay a hash-keyed self-join:\n$ct")
+    assert(!ct.contains("Exchange SinglePartition"),
+      s"containment must stay partitioned:\n$ct")
   }
 
   test("windows: analytic windows are partitioned (no single-partition sort of data)") {

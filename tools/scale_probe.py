@@ -19,7 +19,7 @@ QUERIES = ",".join([
     "j5_bucketed_join", "j6_asof_join", "j7_range_join",
     "m6_corpus_build", "m6_decontaminate", "m6_exact_dedup",
     "m6_incremental_commit", "m6_incremental_dedup", "m6_minhash_dedup",
-    "m6_ngram_jaccard", "m6_simhash_pairs",
+    "m6_ngram_jaccard", "m6_containment", "m6_simhash_pairs",
     "m4_stream_window_agg", "m4b_stream_dedup", "m4c_stateful_dedup",
     "m4d_stateful_dedup_tws", "m4e_validated_pipeline", "m4f_stream_sessionize",
     "m4g_stream_enriched", "m4h_stream_join",
@@ -48,6 +48,8 @@ QUERIES = ",".join([
     # round-12 additions: the six r11 operators previously unprobed
     "m6_lm_support", "m6_cluster_keep_best", "m6_ivf_stats",
     "a16_daily_users", "j16_cheapest_supplier", "s16_compact_roundtrip",
+    # round-12 operators
+    "m6_quality_classifier", "s17_schema_evolution",
 ])
 
 

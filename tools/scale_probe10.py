@@ -22,7 +22,7 @@ SF10 = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft-sf10"
 # noise-dominated at test scale in rounds 4-7.
 QUERIES = ",".join([
     "m6_exact_dedup", "m6_minhash_dedup", "m6_simhash_pairs",
-    "m6_ngram_jaccard", "m6_decontaminate", "m6_corpus_build",
+    "m6_ngram_jaccard", "m6_containment", "m6_decontaminate", "m6_corpus_build",
     "m6_incremental_dedup", "m6_incremental_commit",
     "m6_dup_clusters", "m6_dup_density", "m6_embed_clusters", "m6_pagerank",
     "m6_token_budget", "m6_postings",
@@ -42,6 +42,8 @@ QUERIES = ",".join([
     # round-12 additions: the six r11 operators previously unprobed
     "m6_lm_support", "m6_cluster_keep_best", "m6_ivf_stats",
     "a16_daily_users", "j16_cheapest_supplier", "s16_compact_roundtrip",
+    # round-12 operators
+    "m6_quality_classifier", "s17_schema_evolution",
 ])
 
 
