@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -524,6 +524,287 @@ object Joins {
         col("best_cost"))
   }
 
+  /** The exact 2-decimal revenue term every TPC-H shape shares (j1's
+    * order-independence discipline). */
+  private def lineRev: Column =
+    col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1.0) - col("l_discount")).cast("decimal(8,4)")
+
+  /** J17: order-priority late-shipment census — the TPC-H Q4 shape. The
+    * correlated EXISTS (any lineitem shipped > 60 days after the order
+    * date) compiles to one LEFT SEMI hash join on the order key with the
+    * date comparison as a residual condition — the probe never duplicates
+    * an order however many lineitems are late, so the count needs no
+    * distinct. At scale: both sides are facts; the semi join shuffles each
+    * once on the shared key and the quarter filter reaches the orders scan
+    * as a pushed predicate. */
+  def latePriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-04-01"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    o.join(l,
+        o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "leftsemi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** J18: shipping-class priority split — the TPC-H Q12 shape with
+    * `l_returnflag` standing in for the absent l_shipmode: per class, how
+    * many 1998 shipments belonged to high-priority orders vs not. One
+    * fact-fact equi-join (orders projected to two columns) and a single
+    * conditional-aggregation pass — the two counts are CASE branches of
+    * one agg, never two scans. */
+  def priorityByClass(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1998-01-01") &&
+        col("l_shipdate") < lit("1999-01-01"))
+      .select("l_orderkey", "l_returnflag")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(when(high, lit(1))).as("high_line_count"),
+        count(when(!high, lit(1))).as("low_line_count"))
+  }
+
+  /** J19: customer order-count distribution — the TPC-H Q13 shape: LEFT
+    * OUTER join so never-ordered customers survive with c_count = 0, the
+    * priority filter standing in for the absent comment anti-pattern, then
+    * the distribution of customers over order counts. Two aggregations:
+    * the first shuffles on the customer key (the outer join already
+    * co-partitions), the second runs over at most |distinct counts| rows. */
+  def custOrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .select("o_orderkey", "o_custkey")
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** J20: part-supplier census — the TPC-H Q16 shape over the lineitem
+    * bridge (the schema has no partsupp): distinct suppliers per
+    * (brand, type, size) for non-PROMO parts in the sampled size set,
+    * excluding flagged suppliers (negative balance standing in for the
+    * complaints filter) by a broadcast ANTI join BEFORE the expensive
+    * distinct aggregation, so excluded rows never reach the shuffle. */
+  def partSupplierCensus(spark: SparkSession, dir: String): DataFrame = {
+    val bad = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 9, 17, 25, 33, 41, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** J21: disjunctive-predicate revenue — the TPC-H Q19 shape: an
+    * OR-of-ANDs over columns of BOTH join sides. Catalyst cannot push the
+    * disjunction through the join, so the per-side ENVELOPES (the union of
+    * each branch's bounds: quantity ∈ [1,30], size ∈ [1,15], the three
+    * brands) are stated explicitly ahead of the join — each scan prunes
+    * with its implied predicate and the exact disjunction evaluates on the
+    * joined survivors only. The filtered part side broadcasts. */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand").isin("Brand#12", "Brand#15", "Brand#23") &&
+        col("p_size").between(1, 15))
+      .select("p_partkey", "p_brand", "p_size")
+    val hit =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(hit)
+      .agg(
+        Exact.rnd(sum(lineRev).cast("double"), 2).as("revenue"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** J22: dominant-supplier detection — the TPC-H Q20 shape inverted for
+    * the partsupp-less schema: suppliers who shipped MORE THAN HALF of a
+    * SMALL-type part's total 1997 volume. Two keyed aggregations (the
+    * second reuses the first's frame), the half-share test in exact
+    * DECIMAL via `2·q_sp > q_p` (no 0.5 float), dimensions broadcast at
+    * the end. At scale the only fact shuffles are the (part, supplier)
+    * rollup and its per-part reduction. */
+  def dominantSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === "SMALL").select("p_partkey")
+    val qsp = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(28,2)")).as("q_sp"))
+    val qp = qsp.groupBy(col("l_partkey"))
+      .agg(sum(col("q_sp")).as("q_p"))
+    val sup = Tables.supplier(spark, dir)
+      .select("s_suppkey", "s_name", "s_nationkey")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    qsp.join(qp, Seq("l_partkey"))
+      .filter(col("q_sp") * 2 > col("q_p"))
+      .groupBy(col("l_suppkey"))
+      .agg(
+        count(lit(1)).as("n_dominated"),
+        Exact.rnd(max(col("q_sp")).cast("double"), 2).as("max_qty"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        col("n_dominated"), col("max_qty"))
+  }
+
+  /** J23: two-nation trade flow — the TPC-H Q7 shape: revenue between
+    * supplier nation and customer nation per ship year, both directions.
+    * The nation filter reaches each dimension BEFORE it touches a fact
+    * (supplier and customer shrink to 2/25ths), the filtered supplier side
+    * broadcasts into the lineitem scan, and the one unavoidable fact-fact
+    * shuffle is the orderkey join; the final cross-pair filter runs on
+    * already-tagged rows. */
+  def nationFlow(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+      .filter(col("n_name").isin("NATION_3", "NATION_7"))
+      .select("n_nationkey", "n_name")
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(
+        (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(Exact.rnd(sum(lineRev).cast("double"), 2).as("revenue"))
+  }
+
+  /** J24: national market share — the TPC-H Q8 shape: of the STANDARD-part
+    * revenue bought by ASIA customers in 1996-97, the share supplied by
+    * NATION_7, per order year. The share is one conditional-agg pass (the
+    * numerator is a CASE branch of the same sum), region/nation membership
+    * resolves dimension-side, and the exact DECIMAL sums cast to double
+    * only for the final division. */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val asiaN = Tables.nation(spark, dir)
+      .join(broadcast(
+          Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === "STANDARD").select("p_partkey")
+    val supN = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val natRev = sum(when(col("supp_nation") === "NATION_7", lineRev))
+      .cast("double")
+    val totRev = sum(lineRev).cast("double")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        Exact.rnd(natRev, 2).as("nation_rev"),
+        Exact.rnd(totRev, 2).as("total_rev"),
+        Exact.rnd(natRev / totRev, 6).as("mkt_share"))
+  }
+
+  /** J25: product-line profit — the TPC-H Q9 shape: per supplier nation and
+    * order year, the profit on parts matching a name pattern, with
+    * 0.6 · retail price · quantity standing in for the absent
+    * ps_supplycost. All arithmetic stays DECIMAL to the final cast; part
+    * filters at the scan (the LIKE prunes nothing columnar but the join
+    * shrinks to matching parts), supplier/nation broadcast, the orderkey
+    * join is the one fact-fact shuffle. */
+  def productProfit(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").like("%red%"))
+      .select("p_partkey", "p_retailprice")
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+    val amount = lineRev -
+      col("p_retailprice").cast("decimal(18,2)") *
+        col("l_quantity").cast("decimal(8,0)") *
+        lit(0.6).cast("decimal(2,1)")
+    Tables.lineitem(spark, dir)
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(Exact.rnd(sum(amount).cast("double"), 2).as("sum_profit"))
+  }
+
+  /** J26: returned-item revenue ranking — the TPC-H Q10 shape: the 20
+    * customers who returned the most Q1-1997 revenue. The returnflag and
+    * quarter filters reach both fact scans, the per-customer rollup is the
+    * one planned shuffle, customer joins as a keyed equi-join (fact-sized
+    * at TPC-H scale — AQE may still broadcast at test SF), nation
+    * broadcasts, and the final `ORDER BY … LIMIT 20` compiles to
+    * TakeOrderedAndProject — never a global sort. */
+  def returnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-04-01"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(Exact.rnd(sum(lineRev).cast("double"), 2).as("revenue"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_broadcast_join" -> broadcastJoin,
     "j8_shipping_priority" -> shippingPriority,
@@ -541,7 +822,17 @@ object Joins {
     "j13_important_parts" -> importantParts,
     "j14_wealthy_lapsed" -> wealthyLapsed,
     "j15_waiting_suppliers" -> waitingSuppliers,
-    "j16_cheapest_supplier" -> cheapestSupplier)
+    "j16_cheapest_supplier" -> cheapestSupplier,
+    "j17_late_priority"     -> latePriority,
+    "j18_class_priority"    -> priorityByClass,
+    "j19_custdist"          -> custOrderDistribution,
+    "j20_partsupp_census"   -> partSupplierCensus,
+    "j21_disjunctive_revenue" -> disjunctiveRevenue,
+    "j22_dominant_suppliers" -> dominantSuppliers,
+    "j23_nation_flow"       -> nationFlow,
+    "j24_market_share"      -> marketShare,
+    "j25_product_profit"    -> productProfit,
+    "j26_returned_revenue"  -> returnedRevenue)
 
   val oracles: Map[String, String] = Map(
     "j1_broadcast_join" ->
@@ -751,5 +1042,148 @@ object Joins {
          FROM l JOIN o USING (l_orderkey)
                 JOIN supplier ON l_suppkey = s_suppkey
          WHERE late AND n_supp >= 2 AND n_late = 1
-         GROUP BY 1, 2""")
+         GROUP BY 1, 2""",
+    // Q4 shape: the correlated EXISTS replays as-is — DuckDB decorrelates
+    // it to the same semi join the Spark plan states explicitly.
+    "j17_late_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1997-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY 1""",
+    "j18_class_priority" ->
+      """SELECT l_returnflag,
+                count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                           THEN 1 END) AS high_line_count,
+                count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                           THEN 1 END) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+           AND l_shipdate < TIMESTAMP '1999-01-01'
+         GROUP BY 1""",
+    // Q13 shape: the priority predicate lives in the OUTER join condition,
+    // so filtered-out orders still leave their customer behind at count 0.
+    "j19_custdist" ->
+      """WITH per AS (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey
+            AND o_orderpriority <> '4-NOT SPECIFIED'
+           GROUP BY 1)
+         SELECT c_count, count(*) AS custdist FROM per GROUP BY 1""",
+    "j20_partsupp_census" ->
+      """SELECT p_brand, p_type, p_size,
+                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_type <> 'PROMO' AND p_size IN (1,9,17,25,33,41,49)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3""",
+    // Q19 shape: the bare disjunction — the engine-side envelope filters
+    // are implied by it, so the oracle needs none of them.
+    "j21_disjunctive_revenue" ->
+      s"""SELECT
+         ${Exact.sqlRnd("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE)", 2)} AS revenue,
+         count(*) AS cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)""",
+    // Q20 shape: the half-share test stays in DECIMAL (2·q_sp > q_p), so
+    // both engines compare exact values.
+    "j22_dominant_suppliers" ->
+      s"""WITH qsp AS (
+           SELECT l_partkey, l_suppkey,
+                  sum(CAST(l_quantity AS DECIMAL(28,2))) AS q_sp
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_type = 'SMALL'
+             AND l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01'
+           GROUP BY 1, 2),
+         qp AS (SELECT l_partkey, sum(q_sp) AS q_p FROM qsp GROUP BY 1),
+         dom AS (
+           SELECT l_suppkey, count(*) AS n_dominated,
+                  ${Exact.sqlRnd("CAST(max(q_sp) AS DOUBLE)", 2)} AS max_qty
+           FROM qsp JOIN qp USING (l_partkey)
+           WHERE q_sp * 2 > q_p
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, n_name, n_dominated, max_qty
+         FROM dom JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey""",
+    "j23_nation_flow" ->
+      s"""SELECT supp_nation, cust_nation, l_year,
+         ${Exact.sqlRnd("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE)", 2)} AS revenue
+         FROM (SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                      year(l_shipdate) AS l_year,
+                      l_extendedprice, l_discount
+               FROM lineitem
+               JOIN supplier ON l_suppkey = s_suppkey
+               JOIN nation ns ON s_nationkey = ns.n_nationkey
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation nc ON c_nationkey = nc.n_nationkey
+               WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate < TIMESTAMP '1998-01-01'
+                 AND ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7')
+                   OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3')))
+         GROUP BY 1, 2, 3""",
+    // Q8 shape: the share divides the UNROUNDED exact doubles; each output
+    // column rounds independently, mirroring the engine's agg expressions.
+    "j24_market_share" ->
+      s"""SELECT o_year,
+                 ${Exact.sqlRnd("nation_rev", 2)} AS nation_rev,
+                 ${Exact.sqlRnd("total_rev", 2)} AS total_rev,
+                 ${Exact.sqlRnd("nation_rev / total_rev", 6)} AS mkt_share
+         FROM (SELECT year(o_orderdate) AS o_year,
+                 CAST(sum(CASE WHEN sn = 'NATION_7' THEN rev END) AS DOUBLE)
+                   AS nation_rev,
+                 CAST(sum(rev) AS DOUBLE) AS total_rev
+               FROM (SELECT o_orderdate, ns.n_name AS sn,
+                       CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       CAST(1.0 - l_discount AS DECIMAL(8,4)) AS rev
+                     FROM lineitem
+                     JOIN part ON l_partkey = p_partkey
+                     JOIN supplier ON l_suppkey = s_suppkey
+                     JOIN nation ns ON s_nationkey = ns.n_nationkey
+                     JOIN orders ON l_orderkey = o_orderkey
+                     JOIN customer ON o_custkey = c_custkey
+                     JOIN nation nc ON c_nationkey = nc.n_nationkey
+                     JOIN region ON nc.n_regionkey = r_regionkey
+                     WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+                       AND o_orderdate >= TIMESTAMP '1996-01-01'
+                       AND o_orderdate < TIMESTAMP '1998-01-01')
+               GROUP BY 1)""",
+    "j25_product_profit" ->
+      s"""SELECT n_name, year(o_orderdate) AS o_year,
+         ${Exact.sqlRnd(
+           "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+           "CAST(1.0 - l_discount AS DECIMAL(8,4)) - " +
+           "CAST(p_retailprice AS DECIMAL(18,2)) * " +
+           "CAST(l_quantity AS DECIMAL(8,0)) * " +
+           "CAST(0.6 AS DECIMAL(2,1))) AS DOUBLE)", 2)} AS sum_profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY 1, 2""",
+    "j26_returned_revenue" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name, revenue
+         FROM (SELECT o_custkey,
+                 ${Exact.sqlRnd("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE)", 2)} AS revenue
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               WHERE l_returnflag = 'R'
+                 AND o_orderdate >= TIMESTAMP '1997-01-01'
+                 AND o_orderdate < TIMESTAMP '1997-04-01'
+               GROUP BY 1)
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY revenue DESC, c_custkey LIMIT 20""")
 }

@@ -168,6 +168,40 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
       s"containment must stay partitioned:\n$ct")
   }
 
+  test("round-12 TPC-H sweep: semi join, pushed envelopes, top-k, no windows") {
+    // Q4 shape: the EXISTS is a LEFT SEMI join — the probe must not
+    // duplicate orders (an inner join + distinct would) — with the quarter
+    // window pushed into the orders scan
+    val j17 = plan("j17_late_priority")
+    assert(j17.contains("LeftSemi"), s"Q4 EXISTS must plan as a semi join:\n$j17")
+    assert(j17.contains("GreaterThanOrEqual(o_orderdate") &&
+      j17.contains("LessThan(o_orderdate"),
+      s"j17 quarter window not pushed:\n$j17")
+    // Q19 shape: the hand-stated per-side envelopes must reach BOTH scans —
+    // without them the disjunction blocks all pushdown
+    val j21 = plan("j21_disjunctive_revenue")
+    assert(j21.contains("GreaterThanOrEqual(l_quantity") &&
+      j21.contains("LessThanOrEqual(l_quantity"),
+      s"j21 lineitem quantity envelope not pushed:\n$j21")
+    assert(j21.contains("In(p_brand") || j21.contains("EqualTo(p_brand"),
+      s"j21 part brand envelope not pushed:\n$j21")
+    assert(j21.contains("BroadcastHashJoin"),
+      s"j21 filtered part side must broadcast:\n$j21")
+    // Q10 shape: top-20 compiles to TakeOrderedAndProject with the
+    // returnflag filter in the lineitem scan
+    val j26 = plan("j26_returned_revenue")
+    assert(j26.contains("TakeOrderedAndProject"),
+      s"j26 top-20 must not global-sort:\n$j26")
+    assert(j26.contains("EqualTo(l_returnflag,R)"),
+      s"j26 returnflag not pushed:\n$j26")
+    // Q20 shape: the two-phase half-share threshold is keyed aggs + an
+    // equi-join — a WindowExec here would funnel each part's suppliers
+    // through a sort, and nothing may cartesian
+    val j22 = plan("j22_dominant_suppliers")
+    assert(!j22.contains("WindowExec") && !j22.contains("CartesianProduct"),
+      s"j22 must stay window-free keyed aggregation:\n$j22")
+  }
+
   test("windows: analytic windows are partitioned (no single-partition sort of data)") {
     // w5 ranks within (event_type); its WindowExec must carry a partition
     val w5 = plan("w5_rank_by_avg")
