@@ -756,7 +756,93 @@ object Dedup {
         rnd(col("n_common").cast("double") / col("n_lsh"), 4).as("precision"))
   }
 
+  /** M6: cross-source overlap matrix — the corpus census a mixture designer
+    * reads before weighting sources: for every source pair, the exact
+    * 3-shingle Jaccard AND its 16-hash MinHash estimate from SKETCH-MERGED
+    * signatures (the min-hash of a union is the elementwise min of member
+    * min-hashes, so a source's sketch reduces out of the staged per-doc
+    * signatures without touching text). At 100 TB the estimate path is the
+    * product: per-source state is 16 longs regardless of corpus size,
+    * merged map-side in one keyed agg. The exact side stays feasible
+    * because the (source, shingle) frame is vocabulary-bounded and its
+    * self-join is equi-keyed on the shingle hash with per-key fanout
+    * ≤ |sources|² — never all-pairs over documents. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select("doc_id", "source")
+    val ssig = DedupStaging.minhashSigs(spark, dir)
+      .join(src, Seq("doc_id"))
+      .groupBy("source")
+      .agg(min(col("h0")).as("h0"),
+        (1 until MinhashK).map(j => min(col(s"h$j")).as(s"h$j")): _*)
+    val sv = DedupStaging.shingleBase(spark, dir)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(src, Seq("doc_id"))
+      .select("source", "h").distinct()
+    val sizes = sv.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = sv.as("a")
+      .join(sv.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("ninter"))
+    val matches = (0 until MinhashK)
+      .map(j => when(col(s"x.h$j") === col(s"y.h$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val ni = coalesce(col("ninter"), lit(0L))
+    ssig.as("x")
+      .join(ssig.as("y"), col("x.source") < col("y.source"))
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+        (matches.cast("double") / lit(16)).as("est_jaccard"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")),
+        Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        ni.as("ninter"),
+        rnd(ni / (col("n_a") + col("n_b") - ni).cast("double"), 4)
+          .as("jaccard"),
+        col("est_jaccard"))
+  }
+
+  /** M6: graded benchmark-contamination score — decontaminate's hard
+    * ≥1-shared-8-gram gate generalized to the fraction a filter can
+    * threshold: per training document, |its 8-grams ∩ held-out 8-grams| /
+    * |its 8-grams|. Held-out membership is doc_id % 97 as in
+    * decontaminate; the natural corpus shares no 8-grams across documents,
+    * so PARTIAL plants are injected (held-out text with every 16th token
+    * mutated — 8-gram windows inside the unmutated 15-token runs still
+    * match, the rest don't) and score strictly between 0 and 1, which is
+    * the regime this operator exists for. The hit set rides a broadcast
+    * (held-out benchmarks stay small in production by definition); the two
+    * distinct counts are branches of ONE keyed aggregation pass. */
+  def contaminationScore(spark: SparkSession, dir: String): DataFrame = {
+    val s8 = DedupStaging.shingle8(spark, dir)
+    val mutated = transform(
+      TextAnalysis.normTokens(col("text")),
+      (t, i) => when(i % 16 === 0, concat(t, lit("x"))).otherwise(t))
+    val plants = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + 3000000).as("doc_id"),
+        array_distinct(shingles(mutated, 8)).as("sh"))
+      .select(col("doc_id"),
+        explode(transform(col("sh"), s => md5Fold60(s))).as("h"))
+    val bench = s8.filter(col("doc_id") % 97 === 0)
+      .select("h").distinct().withColumn("hit", lit(1))
+    s8.filter(col("doc_id") % 97 =!= 0)
+      .unionAll(plants)
+      .join(broadcast(bench), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("h")).as("n_grams"),
+        countDistinct(when(col("hit") === 1, col("h"))).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        rnd(col("n_hit").cast("double") / col("n_grams").cast("double"), 4)
+          .as("contamination"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_source_overlap" -> sourceOverlap,
+    "m6_contamination_score" -> contaminationScore,
     "m6_pagerank"      -> pagerank,
     "m6_lsh_eval"      -> lshEval,
     "m6_exact_dedup"   -> exactDedup,
@@ -884,6 +970,69 @@ object Dedup {
         FROM scored WHERE jac >= 0.8"""
 
   val oracles: Map[String, String] = Map(
+    // Sketch-merge replay: the same folds and XOR seeds as the minhash
+    // oracle, reduced per source (min of mins = min of the union); the
+    // exact side recounts the vocabulary-bounded (source, shingle) frame.
+    "m6_source_overlap" ->
+      s"""WITH sh AS (SELECT doc_id, $shSql AS s FROM documents),
+          hs AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${sqlMd5Fold60("x")})) AS h FROM sh),
+          sigs AS (${sqlSigs("hs")}),
+          ssig AS (SELECT source,
+                     ${(0 until MinhashK).map(j => s"min(h$j) AS h$j").mkString(", ")}
+                   FROM sigs JOIN documents USING (doc_id) GROUP BY 1),
+          sv AS (SELECT DISTINCT source, h
+                 FROM (SELECT source, unnest(h) AS h
+                       FROM hs JOIN documents USING (doc_id))),
+          sizes AS (SELECT source, count(*) AS n FROM sv GROUP BY 1),
+          inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                      count(*) AS ninter
+                    FROM sv a JOIN sv b
+                      ON a.h = b.h AND a.source < b.source
+                    GROUP BY 1, 2),
+          est AS (SELECT x.source AS src_a, y.source AS src_b,
+                    CAST((${(0 until MinhashK).map(j =>
+                      s"CASE WHEN x.h$j = y.h$j THEN 1 ELSE 0 END")
+                      .mkString(" + ")}) AS DOUBLE) / 16 AS est_jaccard
+                  FROM ssig x JOIN ssig y ON x.source < y.source)
+          SELECT est.src_a, est.src_b, sa.n AS n_a, sb.n AS n_b,
+                 coalesce(ninter, 0) AS ninter,
+                 ${sqlRnd(
+                   "coalesce(ninter, 0) / CAST(sa.n + sb.n - coalesce(ninter, 0) AS DOUBLE)",
+                   4)} AS jaccard,
+                 est_jaccard
+          FROM est
+          LEFT JOIN inter ON est.src_a = inter.src_a AND est.src_b = inter.src_b
+          JOIN sizes sa ON sa.source = est.src_a
+          JOIN sizes sb ON sb.source = est.src_b""",
+    // Same token/shingle derivation as the decontaminate oracle, graded:
+    // the per-document hit fraction instead of the shared-count gate, with
+    // the partial plants mutated at the same every-16th-token positions
+    // (DuckDB lambda indexes are 1-based where Spark's are 0-based, hence
+    // the (i-1)).
+    "m6_contamination_score" ->
+      s"""WITH tk AS (SELECT doc_id, ${TextAnalysis.sqlNormTokens("text")} AS toks FROM documents),
+          ptk AS (SELECT doc_id + 3000000 AS doc_id,
+                    list_transform(toks, (x, i) ->
+                      CASE WHEN (i - 1) % 16 = 0 THEN x || 'x' ELSE x END)
+                      AS toks
+                  FROM tk WHERE doc_id % 97 = 0),
+          sh AS (SELECT doc_id, $sh8Sql AS s FROM tk
+                 UNION ALL
+                 SELECT doc_id, $sh8Sql AS s FROM ptk),
+          ex AS (SELECT doc_id, unnest(list_transform(s, x -> ${sqlMd5Fold60("x")})) AS h FROM sh),
+          held AS (SELECT DISTINCT h FROM ex WHERE doc_id % 97 = 0
+                                               AND doc_id < 3000000),
+          agg AS (SELECT ex.doc_id,
+                    count(DISTINCT ex.h) AS n_grams,
+                    count(DISTINCT CASE WHEN held.h IS NOT NULL THEN ex.h END)
+                      AS n_hit
+                  FROM ex LEFT JOIN held ON ex.h = held.h
+                  WHERE ex.doc_id % 97 <> 0 OR ex.doc_id >= 3000000
+                  GROUP BY 1)
+          SELECT doc_id, n_grams, n_hit,
+                 ${sqlRnd("CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE)", 4)}
+                   AS contamination
+          FROM agg""",
     "m6_exact_dedup" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keeper_id,
          count(*) AS n_copies

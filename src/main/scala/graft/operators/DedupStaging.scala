@@ -348,12 +348,15 @@ object DedupStaging {
     Seq(
       Option.when(need("m6_ngram_jaccard", "m6_minhash_dedup",
         "m6_corpus_build", "m6_incremental_dedup",
-        "m6_incremental_commit", "m6_containment"))("shingle3"),
+        "m6_incremental_commit", "m6_containment",
+        "m6_source_overlap"))("shingle3"),
       Option.when(need("m6_ngram_jaccard"))("prefix3"),
       Option.when(need("m6_minhash_dedup", "m6_corpus_build",
-        "m6_incremental_dedup", "m6_incremental_commit"))("minhash_sigs"),
+        "m6_incremental_dedup", "m6_incremental_commit",
+        "m6_source_overlap"))("minhash_sigs"),
       Option.when(need("m6_simhash_pairs"))("simhash_sigs"),
-      Option.when(need("m6_decontaminate"))("shingle8"),
+      Option.when(need("m6_decontaminate",
+        "m6_contamination_score"))("shingle8"),
       Option.when(need("m6_corpus_build", "m6_dup_clusters",
         "m6_dup_density", "m6_cluster_keep_best"))("minhash_pairs")
     ).flatten

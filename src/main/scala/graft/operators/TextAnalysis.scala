@@ -952,7 +952,36 @@ object TextAnalysis {
         (col("sw") >= lit(-100L) * col("n_features")).as("keep"))
   }
 
+  /** M6: deterministic training-shard manifest — the export step after
+    * curation: every document lands in one of 64 shards by a salted
+    * portable hash of its id, ordered within the shard by a SECOND
+    * independent hash (the global shuffle a trainer needs, with no global
+    * sort — ordering is per-shard, applied by the shard writer). The
+    * manifest is the auditable artifact: per shard, document and token
+    * counts plus the first/last documents in shuffle order (argmin/argmax
+    * via min/max(struct) keyed aggs — no window). At 100 TB: one scan, one
+    * 64-way keyed aggregation; shard sizes concentrate tightly (the hash
+    * is uniform), and a writer repartitions by the same shard column so
+    * the manifest provably describes the files. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.fanout(Tables.documents(spark, dir))
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_toks"))
+      .withColumn("ord",
+        Exact.fold60(concat(lit("graft-shard:"), col("doc_id"))))
+      .withColumn("shard", pmod(col("ord"), lit(64)))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        min(struct(col("ord"), col("doc_id"))).as("f"),
+        max(struct(col("ord"), col("doc_id"))).as("l"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        col("f.doc_id").as("first_doc"), col("l.doc_id").as("last_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_shard_manifest" -> shardManifest,
     "m6_quality_classifier" -> qualityClassifier,
     "m6_dataset_card"  -> datasetCard,
     "m6_edit_verify"   -> editVerify,
@@ -1020,6 +1049,21 @@ object TextAnalysis {
         FROM t"""
 
   val oracles: Map[String, String] = Map(
+    // Shard replay: same salted fold for shard and order; first/last via
+    // an ordered list (ties broken by doc_id on both sides).
+    "m6_shard_manifest" ->
+      s"""WITH d AS (SELECT doc_id,
+                       len(string_split(text, ' ')) AS n_toks,
+                       ${Exact.sqlFold60("'graft-shard:' || doc_id")} AS ord
+                     FROM documents),
+          r AS (SELECT ord % 64 AS shard,
+                  count(*) AS n_docs,
+                  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                  list(doc_id ORDER BY ord, doc_id) AS ids
+                FROM d GROUP BY 1)
+          SELECT shard, n_docs, n_tokens,
+                 ids[1] AS first_doc, ids[-1] AS last_doc
+          FROM r""",
     // Hashed-feature replay: same fold60 bucket/weight derivation, exact
     // integer sums, the same pinned divide-divide-add, and the keep gate
     // compared in integer space on both sides.

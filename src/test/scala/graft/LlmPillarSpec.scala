@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -562,5 +562,64 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     }
     // and the registered query picks the corpus-dictated shard count
     assert(TextAnalysis.packShards(Tables.documents(spark, dir).count()) == 8)
+  }
+
+  test("source overlap: sketch estimate tracks exact Jaccard within MinHash error") {
+    val rows = Dedup.sourceOverlap(spark, dir)
+      .select("jaccard", "est_jaccard").collect()
+    assert(rows.length == 190, "20 sources -> 190 unordered pairs")
+    // 16 hashes: per-pair std ~ sqrt(p(1-p)/16) <= 0.125; the mean abs
+    // error across 190 pairs concentrates far tighter. Measured on the
+    // fixture: mean 0.034, max 0.17 — bounds at ~2x headroom.
+    val errs = rows.map(r => math.abs(r.getDouble(0) - r.getDouble(1)))
+    assert(errs.max <= 0.35, s"sketch estimate off by ${errs.max}")
+    assert(errs.sum / errs.length <= 0.08,
+      s"mean sketch error ${errs.sum / errs.length}")
+    rows.foreach(r => assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+
+  test("contamination score grades the partial plants strictly between 0 and 1") {
+    val out = Dedup.contaminationScore(spark, dir).cache()
+    try {
+      val plants = out.filter(col("doc_id") >= 3000000)
+        .select("contamination").collect().map(_.getDouble(0))
+      assert(plants.nonEmpty, "partial plants must be present")
+      // every-16th-token mutation: windows inside the 15-token clean runs
+      // survive — scores must land mid-range, neither the hard-gate 1.0
+      // nor the no-overlap 0.0
+      plants.foreach(c => assert(c > 0.2 && c < 0.9,
+        s"plant contamination $c outside the graded regime"))
+      // the natural corpus shares no 8-grams with the held-out slice
+      assert(out.filter(col("doc_id") < 3000000 && col("contamination") > 0)
+        .count() == 0)
+      // and no doc can hit more grams than it has
+      assert(out.filter(col("n_hit") > col("n_grams")).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("shard manifest covers the corpus exactly and bounds hash skew") {
+    val m = TextAnalysis.shardManifest(spark, dir).cache()
+    try {
+      val total = Tables.documents(spark, dir).count()
+      assert(m.agg(sum("n_docs")).head.getLong(0) == total,
+        "every document lands in exactly one shard")
+      assert(m.filter(col("shard") < 0 || col("shard") >= 64).count() == 0)
+      val counts = m.select("n_docs").collect().map(_.getLong(0))
+      // uniform hash at 500 docs / 64 shards: no empty shard, no shard
+      // over 4x the mean (measured spread 2..15 around mean 7.8)
+      assert(counts.forall(c => c >= 1 && c <= 4 * total / 64),
+        s"shard skew out of bounds: min ${counts.min} max ${counts.max}")
+      // first/last really belong to their shard under the same salted fold
+      m.select("shard", "first_doc", "last_doc").collect().foreach { r =>
+        Seq(r.getLong(1), r.getLong(2)).foreach { id =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"graft-shard:$id".getBytes("UTF-8"))
+          val fold = java.lang.Long.parseLong(
+            md.map("%02x".format(_)).mkString.substring(0, 15), 16)
+          assert(fold % 64 == r.getLong(0),
+            s"doc $id listed in shard ${r.getLong(0)} but hashes to ${fold % 64}")
+        }
+      }
+    } finally m.unpersist()
   }
 }
