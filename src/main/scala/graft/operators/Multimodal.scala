@@ -88,6 +88,67 @@ object Multimodal {
       PpmFeatures(in.doc_id, ok = true, w, h, n,
         sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
     }
+
+    /** Per-pixel gray values (r+g+b, no divide — exact integers) of a valid
+      * P6 payload, or None for any malformed byte stream (same rejection
+      * rules as decode). The pixel view behind the perceptual hash. */
+    def grayPixels(in: MediaIn): Option[Array[Int]] = {
+      val b = in.payload
+      var i = 0
+      def token(): String = {
+        while (i < b.length && isWs(b(i))) i += 1
+        val s = i
+        while (i < b.length && !isWs(b(i))) i += 1
+        new String(b, s, i - s, java.nio.charset.StandardCharsets.US_ASCII)
+      }
+      def intToken(): Int =
+        try token().toInt catch { case _: NumberFormatException => -1 }
+      if (token() != "P6") return None
+      val w = intToken(); val h = intToken(); val maxv = intToken()
+      if (w <= 0 || h <= 0 || maxv != 255) return None
+      i += 1
+      val need = w.toLong * h * 3
+      if (need > Int.MaxValue || b.length - i < need) return None
+      val n = w * h
+      val out = new Array[Int](n)
+      var j = i; var p = 0
+      while (p < n) {
+        out(p) = (b(j) & 0xff) + (b(j + 1) & 0xff) + (b(j + 2) & 0xff)
+        j += 3; p += 1
+      }
+      Some(out)
+    }
+  }
+
+  final case class AHashRow(doc_id: Long, ok: Boolean, hash_hi: Long, hash_lo: Long)
+
+  /** 64-bit block-mean average hash (aHash) of a gray-pixel array: the
+    * pixel run splits into 64 floor-boundary blocks (block k spans
+    * [k·n/64, (k+1)·n/64), nonempty whenever n ≥ 64) and bit k is set when
+    * the block's mean gray is at least the image mean — compared in exact
+    * integer cross-multiplied form (`blocksum·n ≥ total·blocksize`), so
+    * the oracle replays every bit. Stored as two 32-bit halves, the
+    * SimHash signature convention (bit 63 of a single long would need
+    * unsigned arithmetic DuckDB rejects). */
+  private[operators] def ahashOf(gray: Array[Int]): (Long, Long) = {
+    val n = gray.length
+    var total = 0L
+    var p = 0
+    while (p < n) { total += gray(p); p += 1 }
+    var hi = 0L; var lo = 0L
+    var k = 0
+    while (k < 64) {
+      val s = (k.toLong * n / 64).toInt
+      val e = ((k + 1).toLong * n / 64).toInt
+      var bs = 0L
+      var q = s
+      while (q < e) { bs += gray(q); q += 1 }
+      if (bs * n >= total * (e - s)) {
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      }
+      k += 1
+    }
+    (hi, lo)
   }
 
   /** M7: typed decode / feature-extract pipeline over the binary column —
@@ -198,7 +259,72 @@ object Multimodal {
       lit(224 * 224 * 3).as("out_bytes"))
   }
 
+  /** M7: perceptual image near-dup detection — the multimodal twin of the
+    * text dedup family: 64-bit block-mean aHash from REAL decoded pixels
+    * (PpmDecoder.grayPixels through the mapPartitions batch shape), then
+    * the SimHash retrieval machinery verbatim — w-bit chunk buckets with
+    * the corpus-adaptive Manku width (Dedup.simhashChunkBits: 8-bit chunks
+    * / Hamming ≤ 7 at test scale, 16-bit / ≤ 3 past 4096 images) and exact
+    * bit_count verification, so recall at the bound is pigeonhole-exact.
+    * Plants: every 31st image re-encoded verbatim (Hamming 0) and every
+    * 23rd with its last two pixels perturbed (a near-identical frame — the
+    * thumbnail/re-encode case perceptual hashing exists for). At 100 TB:
+    * hashing is a narrow map over the decoded stream; the only shuffle is
+    * the chunk-keyed candidate join, and bucket population falls with the
+    * adaptive width exactly as in the text family. */
+  def ahashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val mutated = docs.filter(col("doc_id") % 23 === 0)
+      .select((col("doc_id") + 4000000).as("doc_id"),
+        concat(expr("substring(text, 1, length(text) - 6)"),
+          lit("qqqqqq")).as("text"))
+    val exact = docs.filter(col("doc_id") % 31 === 0)
+      .select((col("doc_id") + 5000000).as("doc_id"), col("text"))
+    val corpus = docs.unionAll(mutated).unionAll(exact)
+    val w = Dedup.simhashChunkBits(corpus.count())
+    val nchunks = 64 / w
+    val perHalf = 32 / w
+    val mask = (1L << w) - 1
+    val media: Dataset[MediaIn] = corpus
+      .withColumn("h", expr("greatest(4, length(text) div 48)"))
+      .select(col("doc_id"), encode(concat(
+          lit("P6\n16 "), col("h").cast("string"), lit("\n255\n"),
+          expr("substring(rpad(text, cast(h * 48 as int), 'x'), 1, cast(h * 48 as int))")),
+        "UTF-8").as("payload"))
+      .as[MediaIn]
+    val hashed = media.mapPartitions { rows =>
+      val decoder = PpmDecoder // per-partition init point for a real codec
+      rows.map { m =>
+        decoder.grayPixels(m) match {
+          case Some(g) =>
+            val (hi, lo) = ahashOf(g)
+            AHashRow(m.doc_id, ok = true, hi, lo)
+          case None => AHashRow(m.doc_id, ok = false, 0L, 0L)
+        }
+      }
+    }.toDF().filter(col("ok")).select("doc_id", "hash_hi", "hash_lo")
+    val chunkCols = (0 until nchunks).map { c =>
+      val src = if (c < perHalf) col("hash_lo") else col("hash_hi")
+      struct(lit(c).as("c"),
+        shiftright(src, w * (c % perHalf)).bitwiseAND(lit(mask)).as("chunk"))
+    }
+    val chunks = hashed
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+        explode(array(chunkCols: _*)).as("ck"))
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+        col("ck.c").as("c"), col("ck.chunk").as("chunk"))
+    chunks.as("x").join(chunks.as("y"), Seq("c", "chunk"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        (bit_count(col("x.hash_hi").bitwiseXOR(col("y.hash_hi"))) +
+         bit_count(col("x.hash_lo").bitwiseXOR(col("y.hash_lo")))).as("hamming"))
+      .filter(col("hamming") <= nchunks - 1)
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_ahash_neardup"  -> ahashNearDup,
     "m7_binary_meta"    -> binaryMeta,
     "m7_frame_sample"   -> frameSample,
     "m7_resize_plan"    -> resizePlan,
@@ -206,6 +332,53 @@ object Multimodal {
     "m7_pcm_energy"     -> pcmEnergy)
 
   val oracles: Map[String, String] = Map(
+    // Full aHash replay: same framing, same exact integer block-mean bits,
+    // same adaptive chunk geometry (count >= 4096, the simhashChunkBits
+    // rule), candidate chunks re-assembled from the bit vector, Hamming as
+    // the differing-bit count over the same 64 bits.
+    "m7_ahash_neardup" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 4000000, substring(text, 1, length(text) - 6) || 'qqqqqq'
+           FROM documents WHERE doc_id % 23 = 0
+           UNION ALL
+           SELECT doc_id + 5000000, text FROM documents WHERE doc_id % 31 = 0),
+         geom AS (SELECT CASE WHEN count(*) >= 4096 THEN 16 ELSE 8 END AS w,
+                         CASE WHEN count(*) >= 4096 THEN 4 ELSE 8 END AS nchunks
+                  FROM corpus),
+         img AS (SELECT doc_id, 16 * greatest(4, length(text) // 48) AS n,
+                   substring(rpad(text, CAST(greatest(4, length(text) // 48) * 48 AS INTEGER), 'x'),
+                             1, CAST(greatest(4, length(text) // 48) * 48 AS INTEGER)) AS px
+                 FROM corpus),
+         g AS (SELECT doc_id, n,
+                 list_transform(range(0, n), j ->
+                   unicode(px[CAST(3*j+1 AS INTEGER)])
+                   + unicode(px[CAST(3*j+2 AS INTEGER)])
+                   + unicode(px[CAST(3*j+3 AS INTEGER)])) AS gr
+               FROM img),
+         t AS (SELECT doc_id, n, gr, list_sum(gr) AS tot FROM g),
+         bits AS (SELECT doc_id,
+                    list_transform(range(0, 64), k ->
+                      CASE WHEN list_sum(gr[CAST(k*n//64 + 1 AS INTEGER) : CAST((k+1)*n//64 AS INTEGER)]) * n
+                                >= tot * ((k+1)*n//64 - k*n//64)
+                           THEN 1 ELSE 0 END) AS bv
+                  FROM t),
+         chunks AS (SELECT doc_id, bv, c,
+                      list_sum(list_transform(range(0, w), tt ->
+                        bv[CAST(c*w + tt + 1 AS INTEGER)] * (1 << CAST(tt AS INTEGER)))) AS chunk
+                    FROM bits, geom, (SELECT unnest(range(0, 8)) AS c) cl
+                    WHERE c < nchunks),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                  FROM chunks x JOIN chunks y ON x.c = y.c AND x.chunk = y.chunk
+                  WHERE x.doc_id < y.doc_id),
+         ham AS (SELECT doc_a, doc_b,
+                   len(list_filter(range(0, 64), t ->
+                     a.bv[CAST(t + 1 AS INTEGER)] <> b.bv[CAST(t + 1 AS INTEGER)])) AS hamming
+                 FROM cand JOIN bits a ON a.doc_id = cand.doc_a
+                           JOIN bits b ON b.doc_id = cand.doc_b)
+         SELECT doc_a, doc_b, hamming
+         FROM ham, geom WHERE hamming <= nchunks - 1""",
     // sha256 of the text's UTF-8 bytes == sha256 of the encoded blob.
     "m7_binary_meta" ->
       """SELECT doc_id,

@@ -564,6 +564,32 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     assert(TextAnalysis.packShards(Tables.documents(spark, dir).count()) == 8)
   }
 
+  test("aHash near-dup: exact re-encodes at Hamming 0, perturbed frames recalled") {
+    val out = Multimodal.ahashNearDup(spark, dir).cache()
+    try {
+      val docs = Tables.documents(spark, dir).select("doc_id")
+      val exactIds = docs.filter(col("doc_id") % 31 === 0)
+        .collect().map(_.getLong(0))
+      val pairs = out.select("doc_a", "doc_b", "hamming").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+      // every verbatim re-encode collides with its source at distance 0
+      exactIds.foreach { id =>
+        assert(pairs.get((id, id + 5000000)).contains(0),
+          s"exact re-encode of $id not found at Hamming 0")
+      }
+      // the bound is the pigeonhole radius of the adaptive chunk geometry
+      val n = Tables.documents(spark, dir).count() * 2 // corpus < 4096 here
+      assert(n < 4096, "fixture should exercise the 8-bit-chunk config")
+      assert(pairs.values.forall(_ <= 7), "pair beyond the Hamming bound")
+      // two-pixel perturbation: most mutated plants stay inside the radius
+      val mutIds = docs.filter(col("doc_id") % 23 === 0)
+        .collect().map(_.getLong(0))
+      val recalled = mutIds.count(id => pairs.contains((id, id + 4000000)))
+      assert(recalled.toDouble / mutIds.length >= 0.8,
+        s"only $recalled/${mutIds.length} perturbed frames recalled")
+    } finally out.unpersist()
+  }
+
   test("source overlap: sketch estimate tracks exact Jaccard within MinHash error") {
     val rows = Dedup.sourceOverlap(spark, dir)
       .select("jaccard", "est_jaccard").collect()

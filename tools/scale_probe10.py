@@ -44,6 +44,11 @@ QUERIES = ",".join([
     "a16_daily_users", "j16_cheapest_supplier", "s16_compact_roundtrip",
     # round-12 operators
     "m6_quality_classifier", "s17_schema_evolution",
+    # round-12 join sweep (scale-sensitive subset) and curation census ops
+    "j17_late_priority", "j19_custdist", "j22_dominant_suppliers",
+    "j24_market_share", "j25_product_profit", "j26_returned_revenue",
+    "m6_source_overlap", "m6_contamination_score", "m6_shard_manifest",
+    "m7_ahash_neardup", "j23_nation_flow",
 ])
 
 
