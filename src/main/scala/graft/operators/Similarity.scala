@@ -39,20 +39,49 @@ object Similarity {
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
   }
 
-  private def probes(b: DataFrame): DataFrame =
-    b.filter(col("vec_id") % 50 === 0)
+  /** Probe-workload stride: the query batch is FIXED SIZE (~40 probes)
+    * however large the corpus — stride = max(50, ⌊N/40⌋), same integer
+    * rule in the oracles from count(*). A production search serves a
+    * constant query batch against a growing index; the old fixed `% 50`
+    * tied probe count to corpus size, which silently made every FLAT scan
+    * (cosine/sq8/pq) quadratic — corpus × corpus/50 — and the 100× probe
+    * measured exactly that (m6_ann_pq 610× CPU at 100× data) while the
+    * cell-probed IVF paths hid it. Identical to `% 50` at every committed
+    * test sf (N ≤ 2000), so gate hashes and spec recall floors are
+    * untouched; at the 100× fixture the stride is 5000 and flat-scan work
+    * is linear again. */
+  private[graft] def probeStride(n: Long): Long = math.max(50L, n / 40L)
+
+  /** The stride for this fixture's embeddings corpus (metadata-cheap
+    * count, the ivfStride precedent). */
+  private def strideOf(spark: SparkSession, dir: String): Long =
+    probeStride(Tables.embeddings(spark, dir).count())
+
+  private def probes(spark: SparkSession, dir: String, b: DataFrame): DataFrame =
+    b.filter(col("vec_id") % strideOf(spark, dir) === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+
+  /** Per-probe top-10 over a scored candidate frame. The rank window sees
+    * ONLY the skinny (q_id, vec_id, sim) projection — scored rows must
+    * drop their vectors BEFORE the rank shuffle. The fat-row variant
+    * (ranking `sims` while every row still carried the 64-double
+    * reconstruction plus the probe vector) moved gigabytes through one
+    * sort per probe and cost m6_ann_pq 610× CPU at the 100× probe; the
+    * skinny frame is ~30 bytes/row at any corpus size. */
+  private def topKBySim(sims: DataFrame): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    sims.select(col("q_id"), col("vec_id"), col("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("vec_id"), col("rnk"), rnd(col("sim"), 4).as("sim"))
+  }
 
   /** M6: exact cosine top-10 per probe vector (brute force baseline). */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val b = base(spark, dir)
-    val sims = b.crossJoin(broadcast(probes(b)))
+    topKBySim(b.crossJoin(broadcast(probes(spark, dir, b)))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("sim", dot(col("qv"), col("v")) / (col("norm") * col("qnorm")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-    sims.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
-      .select(col("q_id"), col("vec_id"), col("rnk"), rnd(col("sim"), 4).as("sim"))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("norm") * col("qnorm"))))
   }
 
   /** Sign-pattern LSH bucket of a double vector: one bit per leading
@@ -112,15 +141,11 @@ object Similarity {
     * IVF-style plan that survives a corpus that no longer broadcasts. */
   def annLsh(spark: SparkSession, dir: String, bits: Int = 8): DataFrame = {
     val b = base(spark, dir).withColumn("bucket", signBucket(col("v"), bits))
-    val q = probes(b.drop("bucket"))
+    val q = probes(spark, dir, b.drop("bucket"))
       .withColumn("bucket", signBucket(col("qv"), bits))
-    val sims = b.join(q, Seq("bucket"))
+    topKBySim(b.join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("sim", dot(col("qv"), col("v")) / (col("norm") * col("qnorm")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-    sims.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
-      .select(col("q_id"), col("vec_id"), col("rnk"), rnd(col("sim"), 4).as("sim"))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("norm") * col("qnorm"))))
   }
 
   /** M6: IVF-Flat ANN — the inverted-file index structure: a small coarse
@@ -215,15 +240,12 @@ object Similarity {
     // probe routing is query-time work by nature — nprobe nearest centroids
     // against the broadcast centroid set, never a corpus pass
     val corpus = DedupStaging.ivfCells(spark, dir)
-    val probes = ivfAssign(spark, dir, b.filter(col("vec_id") % 50 === 0), nprobe).select(
+    val probes = ivfAssign(spark, dir,
+      b.filter(col("vec_id") % strideOf(spark, dir) === 0), nprobe).select(
       col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"), col("cell"))
-    val sims = corpus.join(probes, Seq("cell"))
+    topKBySim(corpus.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("sim", dot(col("qv"), col("v")) / (col("norm") * col("qnorm")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-    sims.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
-      .select(col("q_id"), col("vec_id"), col("rnk"), rnd(col("sim"), 4).as("sim"))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("norm") * col("qnorm"))))
   }
 
   /** M6: embedding-cosine near-duplicate pairs — the semantic-dedup
@@ -364,7 +386,7 @@ object Similarity {
     val cb = DedupStaging.pqCodebook(spark, dir)
     val chosen = DedupStaging.pqCodes(spark, dir)
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "c")))
-    pqTopK(b, pqReconstruct(chosen, cb))
+    pqTopK(spark, dir, b, pqReconstruct(chosen, cb))
   }
 
   /** (M, d, K): 32 subspaces × 2 dims, 16 codes each — 32 nibbles/vector. */
@@ -447,16 +469,12 @@ object Similarity {
 
   /** Full-precision probes against the reconstructions — the cosineTopK
     * scoring shape over the compressed index. */
-  private def pqTopK(b: DataFrame, recon: DataFrame): DataFrame = {
-    val sims = recon.crossJoin(broadcast(probes(b)))
+  private def pqTopK(spark: SparkSession, dir: String, b: DataFrame,
+      recon: DataFrame): DataFrame =
+    topKBySim(recon.crossJoin(broadcast(probes(spark, dir, b)))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim",
-        dot(col("qv"), col("rv")) / (col("rnorm") * col("qnorm")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-    sims.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
-      .select(col("q_id"), col("vec_id"), col("rnk"), rnd(col("sim"), 4).as("sim"))
-  }
+        dot(col("qv"), col("rv")) / (col("rnorm") * col("qnorm"))))
 
   /** Centroid vectors keyed by the cell id they define (a cell's id IS its
     * centroid's vec_id) — the √N-row broadcast table the residual
@@ -533,16 +551,13 @@ object Similarity {
       .join(broadcast(ivfCentroidVectors(spark, dir)), Seq("cell"))
       .withColumn("rv", zip_with(col("cv"), col("rr"), (c, r) => c + r))
       .withColumn("rnorm", sqrt(dot(col("rv"), col("rv"))))
-    val qs = ivfAssign(spark, dir, b.filter(col("vec_id") % 50 === 0), 2)
+    val qs = ivfAssign(spark, dir,
+      b.filter(col("vec_id") % strideOf(spark, dir) === 0), 2)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("norm").as("qnorm"), col("cell"))
-    val sims = recon.join(qs, Seq("cell"))
+    topKBySim(recon.join(qs, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("sim", dot(col("qv"), col("rv")) / (col("rnorm") * col("qnorm")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-    sims.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
-      .select(col("q_id"), col("vec_id"), col("rnk"), rnd(col("sim"), 4).as("sim"))
+      .withColumn("sim", dot(col("qv"), col("rv")) / (col("rnorm") * col("qnorm"))))
   }
 
   /** M6: top-k search over the QUANTIZED index — what the int8 codes exist
@@ -560,16 +575,12 @@ object Similarity {
       .agg(transform(sort_array(collect_list(struct(col("dim"), col("dequant")))),
         s => s.getField("dequant")).as("v"))
       .withColumn("norm", sqrt(call_function("graft_dot", col("v"), col("v"))))
-    val probes = deq.filter(col("vec_id") % 50 === 0)
+    val probes = deq.filter(col("vec_id") % strideOf(spark, dir) === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
-    val sims = deq.crossJoin(broadcast(probes))
+    topKBySim(deq.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim",
-        call_function("graft_dot", col("qv"), col("v")) / (col("norm") * col("qnorm")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-    sims.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
-      .select(col("q_id"), col("vec_id"), col("rnk"), rnd(col("sim"), 4).as("sim"))
+        call_function("graft_dot", col("qv"), col("v")) / (col("norm") * col("qnorm"))))
   }
 
   private val vSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -632,6 +643,11 @@ object Similarity {
         d AS (SELECT vec_id, dim, code, mn + code * scale AS deq, x, scale FROM q)
         $body"""
 
+  /** The probe-workload stride (probeStride) as a scalar subquery — the
+    * same max(50, N/40) integer rule from the corpus row count. */
+  private val probeStrideSql =
+    "greatest(50, (SELECT count(*) FROM embeddings) // 40)"
+
   val oracles: Map[String, String] = Map(
     // Same fixed-order IEEE arithmetic as the engine; the scale divide and
     // the half-up floor are single correctly-rounded ops, so codes match
@@ -653,7 +669,7 @@ object Similarity {
                   CROSS JOIN (SELECT vec_id AS q_id, v AS qv, $normSql AS qnrm
                               FROM (SELECT vec_id, list(${sqlRnd("deq", 6)} ORDER BY dim) AS v
                                     FROM d GROUP BY 1) lq
-                              WHERE vec_id % 50 = 0) qp
+                              WHERE vec_id % $probeStrideSql = 0) qp
                   WHERE vec_id <> q_id) p) r
           WHERE rnk <= 10"""),
     // PQ-ADC replay: seed codebook from id-spread source vectors, one Lloyd
@@ -706,7 +722,7 @@ object Similarity {
                     sqrt(list_reduce(list_prepend(0.0, list_transform(rv, x -> x * x)), (a, b) -> a + b)) AS rnorm
                   FROM rec),
           q AS (SELECT vec_id AS q_id, v AS qv, $normSql AS qnorm FROM e
-                WHERE vec_id % 50 = 0),
+                WHERE vec_id % $probeStrideSql = 0),
           p AS (SELECT q_id, rcn.vec_id,
                   list_reduce(list_prepend(0.0, list_transform(list_zip(qv, rv),
                     r -> r[1] * r[2])), (x, y) -> x + y) / (rnorm * qnorm) AS sim
@@ -784,7 +800,7 @@ object Similarity {
                      sqrt(list_reduce(list_prepend(0.0, list_transform(rv, x -> x * x)), (a, b) -> a + b)) AS rnorm
                    FROM rcn),
           q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cent_id AS cell
-                FROM scored WHERE vec_id % 50 = 0 AND crn <= 2),
+                FROM scored WHERE vec_id % $probeStrideSql = 0 AND crn <= 2),
           p AS (SELECT q_id, rcn2.vec_id,
                   list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, rcn2.rv), t -> t[1] * t[2])), (x, y) -> x + y)
                     / (rcn2.rnorm * q.qnrm) AS sim
@@ -823,7 +839,7 @@ object Similarity {
     "m6_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
           n AS (SELECT vec_id, v, $normSql AS nrm FROM e),
-          q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 50 = 0),
+          q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id % $probeStrideSql = 0),
           p AS (SELECT q_id, vec_id, $dotSql / (nrm * qnrm) AS sim
                 FROM n CROSS JOIN q WHERE vec_id <> q_id)
           SELECT q_id, vec_id, rnk, ${sqlRnd("sim", 4)} AS sim FROM (
@@ -845,7 +861,7 @@ object Similarity {
                     / (n.nrm * c.cnrm) DESC, c.cent_id) AS crn
               FROM n CROSS JOIN cents c) t WHERE crn = 1),
           q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cell FROM assigned
-                WHERE vec_id % 50 = 0),
+                WHERE vec_id % $probeStrideSql = 0),
           p AS (SELECT q_id, a.vec_id,
                   list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, a.v), r -> r[1] * r[2])), (x, y) -> x + y)
                     / (a.nrm * q.qnrm) AS sim
@@ -872,7 +888,7 @@ object Similarity {
           assigned AS (
             SELECT vec_id, v, nrm, cent_id AS cell FROM scored WHERE crn = 1),
           q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cent_id AS cell
-                FROM scored WHERE vec_id % 50 = 0 AND crn <= 2),
+                FROM scored WHERE vec_id % $probeStrideSql = 0 AND crn <= 2),
           p AS (SELECT q_id, a.vec_id,
                   list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, a.v), r -> r[1] * r[2])), (x, y) -> x + y)
                     / (a.nrm * q.qnrm) AS sim
@@ -894,7 +910,7 @@ object Similarity {
       s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
           $bitsSql,
           n AS (SELECT vec_id, v, $normSql AS nrm, ${bucketSql("v")} AS bucket FROM e),
-          q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, bucket FROM n WHERE vec_id % 50 = 0),
+          q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, bucket FROM n WHERE vec_id % $probeStrideSql = 0),
           p AS (SELECT q_id, n.vec_id, $dotSql / (nrm * qnrm) AS sim
                 FROM n JOIN q USING (bucket) WHERE n.vec_id <> q.q_id)
           SELECT q_id, vec_id, rnk, ${sqlRnd("sim", 4)} AS sim FROM (
