@@ -204,11 +204,18 @@ object Similarity {
     val stride = ivfStride(Tables.embeddings(spark, dir).count())
     val cents = b.filter(col("vec_id") % stride === 0).select(
       col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    // score, then rank the SKINNY (vec_id, cent_id, csim) frame — the
+    // N×√N assignment window must not carry the vectors through its sort
+    // (the topKBySim argument, at index-build volume); the kept cells join
+    // back to the input on the vector key to reattach v/norm.
     val scored = df.crossJoin(broadcast(cents))
       .withColumn("csim", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+      .select(col("vec_id"), col("cent_id"), col("csim"))
     val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
-    scored.withColumn("crn", row_number().over(w)).filter(col("crn") <= k)
-      .select(col("vec_id"), col("v"), col("norm"), col("cent_id").as("cell"))
+    val kept = scored.withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= k).select(col("vec_id"), col("cent_id").as("cell"))
+    df.join(kept, Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
   }
 
   /** M6: IVF index-health report — the one-row release artifact an ANN

@@ -235,6 +235,20 @@ object GraftProps extends Properties("graft") {
       floored && agrees && bracketed && monotone
     }
 
+  // ---- fixed-size ANN probe batch (Similarity.probeStride) -----------------
+  property("probeStride: floored at 50, monotone, probe batch stays ~40") =
+    forAll(Gen.choose(1L, 1L << 40)) { n =>
+      val s = graft.operators.Similarity.probeStride(n)
+      val floored = s >= 50L
+      val agrees = s == math.max(50L, n / 40L)
+      // the whole point: the number of probes (ids ≡ 0 mod stride among
+      // 0..n-1) never grows with the corpus — it is ≤ 41 for n > 2000 and
+      // ≤ n/50 + 1 ≤ 41 below
+      val batchBounded = (n - 1) / s + 1 <= 41
+      val monotone = graft.operators.Similarity.probeStride(n + 1) >= s
+      floored && agrees && batchBounded && monotone
+    }
+
   // ---- corpus-adaptive pack shards (TextAnalysis.packShards) ---------------
   property("packShards: minimal power of two with ~256 docs/shard, monotone, clamped") =
     forAll(Gen.choose(1L, 1L << 24)) { n =>

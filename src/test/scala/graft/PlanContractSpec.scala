@@ -202,6 +202,29 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
       s"j22 must stay window-free keyed aggregation:\n$j22")
   }
 
+  test("ANN top-k: the rank window sorts skinny rows (no vectors) and probes stay fixed-size") {
+    // the round-12 100× finding: ranking rows that still carry the
+    // 64-double vectors moves gigabytes through the per-probe sort. The
+    // WindowExec's input schema must be vector-free for every ANN search.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.types.ArrayType
+    for (q <- Seq("m6_cosine_topk", "m6_ann_lsh", "m6_ann_sq8", "m6_ann_pq",
+        "m6_ann_ivf", "m6_ann_ivfpq")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      // the OPTIMIZED plan decides what the rank sort materializes (AQE
+      // hides physical nodes until execution)
+      val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      spark.catalog.clearCache()
+      assert(wins.nonEmpty, s"$q: expected a rank window")
+      wins.foreach { w =>
+        val fat = w.child.output.filter(_.dataType.isInstanceOf[ArrayType])
+        assert(fat.isEmpty,
+          s"$q: rank window input carries array columns ${fat.map(_.name)} — " +
+            "vectors must be projected away before the sort")
+      }
+    }
+  }
+
   test("windows: analytic windows are partitioned (no single-partition sort of data)") {
     // w5 ranks within (event_type); its WindowExec must carry a partition
     val w5 = plan("w5_rank_by_avg")
