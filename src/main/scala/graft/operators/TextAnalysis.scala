@@ -980,7 +980,46 @@ object TextAnalysis {
         col("f.doc_id").as("first_doc"), col("l.doc_id").as("last_doc"))
   }
 
+  /** M6: BPE tokenizer TRAINING — the real merge-learning loop, not just
+    * the one-step pair census (m6_bpe_pairs): 8 rounds of count-all-pairs →
+    * global argmax → corpus-wide merge, the Sennrich BPE algorithm. Words
+    * render as '|'-anchored char sequences ('abc' → "|a |b |c"; normTokens
+    * guarantees '|' never occurs in a token), so a merge is one literal
+    * `replace` of the winning pair — leftmost non-overlapping in both
+    * engines, and the anchor makes a pair match only at true symbol
+    * boundaries. The argmax is ORDER BY freq DESC, pair LIMIT 1 riding a
+    * one-row broadcast crossJoin — no driver-side state.
+    *
+    * 100 TB shape: after the single corpus pass that builds word
+    * frequencies, EVERY round runs over the vocabulary table (distinct
+    * words), which is millions of rows at web scale — not the corpus. Each
+    * round eagerly localCheckpoints the vocab frame (the CC-loop
+    * precedent) so round i+1 reads materialized rows instead of recursing
+    * through i plans; Explain's lazyPlans flag returns the pure lazy
+    * composition for plan audit. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val lzy = lazyPlans(spark)
+    var w = Tables.fanout(Tables.documents(spark, dir))
+      .select(explode(normTokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .select(col("word"), col("f"),
+        concat(lit("|"), array_join(split(col("word"), ""), " |")).as("seq"))
+    val steps = (1 to 8).map { i =>
+      if (!lzy) w = w.localCheckpoint(true)
+      val top = w
+        .select(col("f"), explode(shingles(tokens(col("seq")), 2)).as("pr"))
+        .groupBy("pr").agg(sum("f").as("freq"))
+        .orderBy(col("freq").desc, col("pr")).limit(1)
+      w = w.crossJoin(broadcast(top.select(col("pr").as("mpr"))))
+        .withColumn("seq", expr("replace(seq, mpr, replace(mpr, ' |', ''))"))
+        .drop("mpr")
+      top.select(lit(i).as("step"), col("pr").as("merge_pair"), col("freq"))
+    }
+    steps.reduce(_ unionAll _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_bpe_train"     -> bpeTrain,
     "m6_shard_manifest" -> shardManifest,
     "m6_quality_classifier" -> qualityClassifier,
     "m6_dataset_card"  -> datasetCard,
@@ -1048,7 +1087,34 @@ object TextAnalysis {
           ${sqlRnd("0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) + 0.3 * (1.0 - len(list_filter(toks, x -> x IN ('the','a','of','and','in','to'))) / CAST(len(toks) AS DOUBLE)) + 0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)", 4)} AS quality_score
         FROM t"""
 
+  /** The 8-round BPE replay: one CTE pair (pair-count + argmax + merged
+    * vocab) per round, generated to mirror the engine loop exactly. */
+  private lazy val BpeTrainOracle: String = {
+    val base =
+      s"""w0 AS (
+           SELECT word, count(*) AS f,
+                  '|' || array_to_string(string_split(word, ''), ' |') AS seq
+           FROM (SELECT unnest(${sqlNormTokens("text")}) AS word
+                 FROM documents) u
+           GROUP BY 1)"""
+    val rounds = (1 to 8).map { i =>
+      s"""p$i AS (SELECT pr, CAST(sum(f) AS BIGINT) AS freq
+            FROM (SELECT f, unnest(${sqlShingles(s"string_split(seq, ' ')", 2)}) AS pr
+                  FROM w${i - 1}) x
+            GROUP BY 1),
+          t$i AS (SELECT pr, freq FROM p$i ORDER BY freq DESC, pr LIMIT 1),
+          w$i AS (SELECT word, f,
+                    replace(seq, t$i.pr, replace(t$i.pr, ' |', '')) AS seq
+                  FROM w${i - 1}, t$i)"""
+    }
+    val sel = (1 to 8)
+      .map(i => s"SELECT $i AS step, pr AS merge_pair, freq FROM t$i")
+      .mkString(" UNION ALL ")
+    s"WITH $base, ${rounds.mkString(", ")} $sel"
+  }
+
   val oracles: Map[String, String] = Map(
+    "m6_bpe_train" -> BpeTrainOracle,
     // Shard replay: same salted fold for shard and order; first/last via
     // an ordered list (ties broken by doc_id on both sides).
     "m6_shard_manifest" ->

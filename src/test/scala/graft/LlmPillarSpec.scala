@@ -590,6 +590,23 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     } finally out.unpersist()
   }
 
+  test("BPE training: 8 well-formed rounds and the merge loop feeds itself") {
+    val steps = TextAnalysis.bpeTrain(spark, dir)
+      .orderBy("step").collect()
+    assert(steps.map(_.getInt(0)).toSeq == (1 to 8),
+      "one merge per round, in order")
+    steps.foreach { r =>
+      assert(r.getString(1).matches("^\\|[a-z0-9]+ \\|[a-z0-9]+$"),
+        s"malformed merge pair '${r.getString(1)}'")
+      assert(r.getLong(2) > 0)
+    }
+    // at least one later winner must merge a symbol BUILT by an earlier
+    // round (a multi-char side) — the signature of real iterative BPE, as
+    // opposed to a static bigram census
+    assert(steps.exists(_.getString(1).split(" ").exists(_.length > 2)),
+      s"no compound symbol among winners: ${steps.map(_.getString(1)).mkString(", ")}")
+  }
+
   test("source overlap: sketch estimate tracks exact Jaccard within MinHash error") {
     val rows = Dedup.sourceOverlap(spark, dir)
       .select("jaccard", "est_jaccard").collect()

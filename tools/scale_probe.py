@@ -56,7 +56,7 @@ QUERIES = ",".join([
     "j17_late_priority", "j19_custdist", "j22_dominant_suppliers",
     "j24_market_share", "j25_product_profit", "j26_returned_revenue",
     "m6_source_overlap", "m6_contamination_score", "m6_shard_manifest",
-    "m7_ahash_neardup", "j23_nation_flow",
+    "m7_ahash_neardup", "j23_nation_flow", "m6_bpe_train",
 ])
 
 
