@@ -933,9 +933,15 @@ object TextAnalysis {
     * the 4096-row table), no window, no driver state, integer sums only.
     * The only double math is two divides and one add in pinned order on
     * exact integer aggregates, so the oracle replays bit-identically. */
-  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    classifyFrame(Tables.documents(spark, dir))
+
+  /** The classifier core over any (doc_id, text) frame — shared verbatim by
+    * the batch query and the streaming gate (m4m), which is what makes the
+    * bounded-drain equivalence a real statement about the topology. */
+  private[graft] def classifyFrame(docs: DataFrame): DataFrame = {
     val buckets = 4096
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), normTokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(concat(col("toks"), shingles(col("toks"), 2))).as("feat"))

@@ -783,7 +783,31 @@ object StreamingJobs {
       src
     })
 
+  /** M4m: streaming quality gate — the m6_quality_classifier inference
+    * topology as a stream: documents arrive in micro-batches, features
+    * explode and reduce through the SAME frame-level classifier core
+    * (TextAnalysis.classifyFrame — shared code, not a re-implementation),
+    * per-document state accumulates in update mode, and the drained final
+    * state must hash-equal the batch classifier's oracle. The per-doc
+    * aggregation is unkeyed by time on purpose: a quality gate is not
+    * windowed — a document's score is final once its features are in,
+    * whichever micro-batch carried them. */
+  def streamQualityQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    configureStreaming(spark)
+    graft.functions.GraftFunctions.register(spark)
+    val src = stagedDocuments(spark, dir, 2)
+    val sink = Files.createTempDirectory("graft-stream-sink-").toString
+    val schema = spark.read.parquet(src).schema
+    val scored = TextAnalysis.classifyFrame(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src))
+    drainUpdate(scored, sink)
+    UpsertSink.lastWriteWins(spark, sink, Seq("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m4m_stream_quality"   -> streamQualityQuery,
     "m4i_stream_cms"       -> streamCmsQuery,
     "m4j_stream_funnel"    -> streamFunnelQuery,
     "m4k_stream_ema"       -> streamEmaQuery,
@@ -798,6 +822,10 @@ object StreamingJobs {
     "m4d_stateful_dedup_tws" -> statefulDedupTwsQuery)
 
   val oracles: Map[String, String] = Map(
+    // Identical to the batch classifier oracle: feature sums are
+    // associative, so the drained per-doc state equals the batch scores.
+    "m4m_stream_quality" ->
+      graft.operators.TextAnalysis.oracles("m6_quality_classifier"),
     // Identical to the batch CMS oracle: bucket sums are associative, so
     // the incrementally-merged sketch replays the batch estimates exactly.
     "m4i_stream_cms" -> graft.operators.TextAnalysis.oracles("m6_cms_heavy_hitters"),
