@@ -225,6 +225,14 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("BPE train: every round's argmax is TakeOrderedAndProject, never a vocab-wide window") {
+    val p = plan("m6_bpe_train")
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 8,
+      s"each of the 8 rounds must pick its merge via top-1, not a sort:\n${p.take(4000)}")
+    assert(!p.contains("WindowExec"),
+      s"no window may scan the vocabulary:\n${p.take(4000)}")
+  }
+
   test("windows: analytic windows are partitioned (no single-partition sort of data)") {
     // w5 ranks within (event_type); its WindowExec must carry a partition
     val w5 = plan("w5_rank_by_avg")
