@@ -103,11 +103,32 @@ object SetOps {
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("surplus"))
 
+  /** U5: UNION (distinct) — the pair universe across both weeks, the one
+    * ANSI form u1's narrow re-ingest UNION ALL doesn't exercise: the
+    * concatenation is narrow, the DISTINCT is the single pair-keyed
+    * shuffle with map-side partial aggregation. */
+  def unionDistinct(spark: SparkSession, dir: String): DataFrame =
+    week1(spark, dir).select(col("user_id"), col("event_type"))
+      .union(week2(spark, dir).select(col("user_id"), col("event_type")))
+      .distinct()
+
+  /** U6: INTERSECT ALL — multiset overlap: each pair as many times as it
+    * appears in BOTH weeks (min of the two multiplicities). Spark's
+    * signed-multiplicity rewrite keeps it one shuffle; the trailing count
+    * reuses the same partitioning, mirroring u4. */
+  def intersectAllOverlap(spark: SparkSession, dir: String): DataFrame =
+    week1(spark, dir).select(col("user_id"), col("event_type"))
+      .intersectAll(week2(spark, dir).select(col("user_id"), col("event_type")))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("overlap"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u1_union_reingest"   -> unionReingest,
     "u2_intersect_active" -> intersectActive,
     "u3_except_churned"   -> exceptChurned,
-    "u4_except_all_surplus" -> exceptAllSurplus)
+    "u4_except_all_surplus" -> exceptAllSurplus,
+    "u5_union_distinct"   -> unionDistinct,
+    "u6_intersect_all_overlap" -> intersectAllOverlap)
 
   private val W1 = s"ts >= TIMESTAMP '$W1Lo' AND ts < TIMESTAMP '$W1Hi'"
   private val W2 = s"ts >= TIMESTAMP '$W1Hi' AND ts < TIMESTAMP '$W2Hi'"
@@ -144,6 +165,16 @@ object SetOps {
       s"""SELECT user_id, event_type, count(*) AS surplus
           FROM ((SELECT user_id, event_type FROM events WHERE $W1)
                 EXCEPT ALL
+                (SELECT user_id, event_type FROM events WHERE $W2))
+          GROUP BY 1, 2""",
+    "u5_union_distinct" ->
+      s"""(SELECT user_id, event_type FROM events WHERE $W1)
+          UNION
+          (SELECT user_id, event_type FROM events WHERE $W2)""",
+    "u6_intersect_all_overlap" ->
+      s"""SELECT user_id, event_type, count(*) AS overlap
+          FROM ((SELECT user_id, event_type FROM events WHERE $W1)
+                INTERSECT ALL
                 (SELECT user_id, event_type FROM events WHERE $W2))
           GROUP BY 1, 2""")
 }
