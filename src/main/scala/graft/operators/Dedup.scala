@@ -791,7 +791,7 @@ object Dedup {
     ssig.as("x")
       .join(ssig.as("y"), col("x.source") < col("y.source"))
       .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
-        (matches.cast("double") / lit(16)).as("est_jaccard"))
+        (matches.cast("double") / lit(MinhashK)).as("est_jaccard"))
       .join(inter, Seq("src_a", "src_b"), "left")
       .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")),
         Seq("src_a"))
@@ -992,7 +992,7 @@ object Dedup {
           est AS (SELECT x.source AS src_a, y.source AS src_b,
                     CAST((${(0 until MinhashK).map(j =>
                       s"CASE WHEN x.h$j = y.h$j THEN 1 ELSE 0 END")
-                      .mkString(" + ")}) AS DOUBLE) / 16 AS est_jaccard
+                      .mkString(" + ")}) AS DOUBLE) / $MinhashK AS est_jaccard
                   FROM ssig x JOIN ssig y ON x.source < y.source)
           SELECT est.src_a, est.src_b, sa.n AS n_a, sb.n AS n_b,
                  coalesce(ninter, 0) AS ninter,

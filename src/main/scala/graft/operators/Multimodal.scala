@@ -271,10 +271,21 @@ object Multimodal {
     * thumbnail/re-encode case perceptual hashing exists for). At 100 TB:
     * hashing is a narrow map over the decoded stream; the only shuffle is
     * the chunk-keyed candidate join, and bucket population falls with the
-    * adaptive width exactly as in the text family. */
+    * adaptive width exactly as in the text family.
+    *
+    * ASCII precondition: the fake frame treats one CHARACTER of text as one
+    * BYTE of pixel payload (length/substring/rpad count characters against
+    * the decoder's byte budget, and the oracle grays code points where the
+    * decoder grays UTF-8 bytes) — coherent only when every character IS one
+    * byte. Non-ASCII documents are excluded up front by the
+    * byte-length = char-length test, identically on both engines, instead
+    * of silently producing engine/oracle divergence if the fixture ever
+    * grows non-ASCII text. A real image pipeline takes binary payloads and
+    * never faces this; it is a property of the text-as-pixels fixture. */
   def ahashNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .filter(octet_length(col("text")) === length(col("text")))
     val mutated = docs.filter(col("doc_id") % 23 === 0)
       .select((col("doc_id") + 4000000).as("doc_id"),
         concat(expr("substring(text, 1, length(text) - 6)"),
@@ -337,13 +348,16 @@ object Multimodal {
     // rule), candidate chunks re-assembled from the bit vector, Hamming as
     // the differing-bit count over the same 64 bits.
     "m7_ahash_neardup" ->
-      """WITH corpus AS (
+      """WITH ascii_docs AS (
            SELECT doc_id, text FROM documents
+           WHERE octet_length(encode(text)) = length(text)),
+         corpus AS (
+           SELECT doc_id, text FROM ascii_docs
            UNION ALL
            SELECT doc_id + 4000000, substring(text, 1, length(text) - 6) || 'qqqqqq'
-           FROM documents WHERE doc_id % 23 = 0
+           FROM ascii_docs WHERE doc_id % 23 = 0
            UNION ALL
-           SELECT doc_id + 5000000, text FROM documents WHERE doc_id % 31 = 0),
+           SELECT doc_id + 5000000, text FROM ascii_docs WHERE doc_id % 31 = 0),
          geom AS (SELECT CASE WHEN count(*) >= 4096 THEN 16 ELSE 8 END AS w,
                          CASE WHEN count(*) >= 4096 THEN 4 ELSE 8 END AS nchunks
                   FROM corpus),

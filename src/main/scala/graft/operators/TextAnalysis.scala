@@ -986,24 +986,33 @@ object TextAnalysis {
         col("f.doc_id").as("first_doc"), col("l.doc_id").as("last_doc"))
   }
 
-  /** M6: BPE tokenizer TRAINING — the real merge-learning loop, not just
-    * the one-step pair census (m6_bpe_pairs): 8 rounds of count-all-pairs →
-    * global argmax → corpus-wide merge, the Sennrich BPE algorithm. Words
-    * render as '|'-anchored char sequences ('abc' → "|a |b |c"; normTokens
-    * guarantees '|' never occurs in a token), so a merge is one literal
-    * `replace` of the winning pair — leftmost non-overlapping in both
-    * engines, and the anchor makes a pair match only at true symbol
-    * boundaries. The argmax is ORDER BY freq DESC, pair LIMIT 1 riding a
-    * one-row broadcast crossJoin — no driver-side state.
-    *
-    * 100 TB shape: after the single corpus pass that builds word
-    * frequencies, EVERY round runs over the vocabulary table (distinct
-    * words), which is millions of rows at web scale — not the corpus. Each
-    * round eagerly localCheckpoints the vocab frame (the CC-loop
-    * precedent) so round i+1 reads materialized rows instead of recursing
-    * through i plans; Explain's lazyPlans flag returns the pure lazy
-    * composition for plan audit. */
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  /** One merge application of winning pair `mpr` ("X Y") to a '|'-anchored
+    * symbol sequence `seq`: rewrite every occurrence of the pair AT TRUE
+    * SYMBOL BOUNDARIES to the merged symbol "XY". Both edges are anchored:
+    * the LEFT edge by the representation itself ('|' opens every symbol and
+    * occurs nowhere else — normTokens strips it — so the pattern's leading
+    * '|X' can never start mid-symbol), the RIGHT edge by a trailing-space
+    * sentinel — `seq` gains one trailing ' ' so every symbol occurrence,
+    * including the last, is space-terminated, and the pattern matches
+    * "X Y " (trailing space included). Without the sentinel, "X Y" also
+    * matches where Y is a strict PREFIX of a longer merged symbol (after
+    * rounds merging (|b,|c) then (|a,|b), "|a |bc" would rewrite to
+    * "|abc" — a merge of a pair that never existed, silently corrupting
+    * every later round). Replacement is leftmost non-overlapping in both
+    * engines (java.lang.String.replace / DuckDB replace), which is the
+    * Sennrich merge order; rtrim strips exactly the sentinel (symbols never
+    * end in a space). */
+  private[graft] def applyMerge(seq: Column, mpr: Column): Column =
+    rtrim(replace(concat(seq, lit(" ")), concat(mpr, lit(" ")),
+      concat(replace(mpr, lit(" |"), lit("")), lit(" "))))
+
+  /** The shared 8-round Sennrich merge learner behind m6_bpe_train and
+    * m6_bpe_encode: per round, count adjacent symbol pairs over the VOCAB
+    * table, take the global argmax, apply the merge (applyMerge) to every
+    * word's symbol sequence. Returns the per-round winner frames and the
+    * final merged vocabulary (word, f, seq). */
+  private[graft] def bpeLearn(spark: SparkSession, dir: String)
+      : (Seq[DataFrame], DataFrame) = {
     val lzy = lazyPlans(spark)
     var w = Tables.fanout(Tables.documents(spark, dir))
       .select(explode(normTokens(col("text"))).as("word"))
@@ -1017,15 +1026,81 @@ object TextAnalysis {
         .groupBy("pr").agg(sum("f").as("freq"))
         .orderBy(col("freq").desc, col("pr")).limit(1)
       w = w.crossJoin(broadcast(top.select(col("pr").as("mpr"))))
-        .withColumn("seq", expr("replace(seq, mpr, replace(mpr, ' |', ''))"))
+        .withColumn("seq", applyMerge(col("seq"), col("mpr")))
         .drop("mpr")
       top.select(lit(i).as("step"), col("pr").as("merge_pair"), col("freq"))
     }
-    steps.reduce(_ unionAll _)
+    (steps, w)
+  }
+
+  /** M6: BPE tokenizer TRAINING — the real merge-learning loop, not just
+    * the one-step pair census (m6_bpe_pairs): 8 rounds of count-all-pairs →
+    * global argmax → corpus-wide merge, the Sennrich BPE algorithm. Words
+    * render as '|'-anchored char sequences ('abc' → "|a |b |c"; normTokens
+    * guarantees '|' never occurs in a token), so a merge is one literal
+    * `replace` of the winning pair, boundary-anchored on both edges
+    * (applyMerge has the anchoring argument). The argmax is ORDER BY freq
+    * DESC, pair LIMIT 1 riding a one-row broadcast crossJoin — no
+    * driver-side state.
+    *
+    * 100 TB shape: after the single corpus pass that builds word
+    * frequencies, EVERY round runs over the vocabulary table (distinct
+    * words), which is millions of rows at web scale — not the corpus. Each
+    * round eagerly localCheckpoints the vocab frame (the CC-loop
+    * precedent) so round i+1 reads materialized rows instead of recursing
+    * through i plans; Explain's lazyPlans flag returns the pure lazy
+    * composition for plan audit. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeLearn(spark, dir)._1.reduce(_ unionAll _)
+
+  /** M6: BPE corpus ENCODING — the other half of tokenizer training, and
+    * the half a training-data pipeline actually runs at corpus scale (train
+    * once on the vocabulary, encode 100 TB of documents into token ids):
+    * apply the 8 learned merges to every document and emit, per document,
+    * its encoded length, the first 12 token ids, and a 60-bit fingerprint
+    * of the full id sequence — the manifest row a tokenized-shard writer
+    * records next to the ids themselves.
+    *
+    * The encode path is WORD-MEMOIZED, exactly like fast BPE encoders
+    * (each distinct word is segmented once; documents look their words up):
+    * the trained vocab table already holds every word's final symbol
+    * sequence, so encoding is corpus → (doc, word-position) explode → one
+    * equi-join against the vocab on the word — at 100 TB a broadcast of
+    * the vocabulary or a shuffle bounded by it, never per-document merge
+    * loops. Token ids come from the symbol table (distinct final symbols,
+    * ranked alphabetically) — bounded by base alphabet + one new symbol
+    * per merge (≤ ~44 rows here), so its rank window is over a
+    * constant-size frame and the id table broadcasts everywhere. The
+    * per-document id sequence is ordered by (word position, symbol
+    * position) — a bounded per-document array sort, no corpus window. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vocab = bpeLearn(spark, dir)._2
+    val ids = vocab.select(explode(tokens(col("seq"))).as("sym")).distinct()
+      .withColumn("token_id",
+        (row_number().over(Window.orderBy("sym")) - 1).cast("int"))
+    val words = Tables.fanout(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        posexplode(normTokens(col("text"))).as(Seq("wpos", "word")))
+    words.join(vocab.select("word", "seq"), Seq("word"))
+      .select(col("doc_id"), col("wpos"),
+        posexplode(tokens(col("seq"))).as(Seq("spos", "sym")))
+      .join(broadcast(ids), Seq("sym"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(
+        struct(col("wpos"), col("spos"), col("token_id")))).as("e"))
+      .select(col("doc_id"),
+        size(col("e")).as("n_ids"),
+        array_join(slice(transform(col("e"),
+          x => x.getField("token_id").cast("string")), 1, 12), " ")
+          .as("ids_head"),
+        Exact.fold60(array_join(transform(col("e"),
+          x => x.getField("token_id").cast("string")), " ")).as("ids_fp"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m6_bpe_train"     -> bpeTrain,
+    "m6_bpe_encode"    -> bpeEncode,
     "m6_shard_manifest" -> shardManifest,
     "m6_quality_classifier" -> qualityClassifier,
     "m6_dataset_card"  -> datasetCard,
@@ -1093,9 +1168,13 @@ object TextAnalysis {
           ${sqlRnd("0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) + 0.3 * (1.0 - len(list_filter(toks, x -> x IN ('the','a','of','and','in','to'))) / CAST(len(toks) AS DOUBLE)) + 0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)", 4)} AS quality_score
         FROM t"""
 
-  /** The 8-round BPE replay: one CTE pair (pair-count + argmax + merged
-    * vocab) per round, generated to mirror the engine loop exactly. */
-  private lazy val BpeTrainOracle: String = {
+  /** The 8-round BPE replay CTE chain (w0 … w8 + per-round argmaxes),
+    * generated to mirror the engine loop exactly — shared by the train
+    * oracle (which reads the t$i winners) and the encode oracle (which
+    * reads the final w8 vocabulary). The w$i merge is the same
+    * both-edges-anchored replace as applyMerge: trailing-space sentinel,
+    * pattern and replacement space-terminated, rtrim'd back. */
+  private lazy val BpeRoundsCtes: String = {
     val base =
       s"""w0 AS (
            SELECT word, count(*) AS f,
@@ -1110,17 +1189,48 @@ object TextAnalysis {
             GROUP BY 1),
           t$i AS (SELECT pr, freq FROM p$i ORDER BY freq DESC, pr LIMIT 1),
           w$i AS (SELECT word, f,
-                    replace(seq, t$i.pr, replace(t$i.pr, ' |', '')) AS seq
+                    rtrim(replace(seq || ' ', t$i.pr || ' ',
+                      replace(t$i.pr, ' |', '') || ' ')) AS seq
                   FROM w${i - 1}, t$i)"""
     }
+    s"$base, ${rounds.mkString(", ")}"
+  }
+
+  private lazy val BpeTrainOracle: String = {
     val sel = (1 to 8)
       .map(i => s"SELECT $i AS step, pr AS merge_pair, freq FROM t$i")
       .mkString(" UNION ALL ")
-    s"WITH $base, ${rounds.mkString(", ")} $sel"
+    s"WITH $BpeRoundsCtes $sel"
   }
+
+  /** The encode replay: the trained w8 vocabulary, the alphabetical symbol
+    * id table, the word-memoized corpus join, and the (wpos, spos)-ordered
+    * id list reduced to the manifest row. */
+  private lazy val BpeEncodeOracle: String =
+    s"""WITH $BpeRoundsCtes,
+        syms AS (SELECT DISTINCT unnest(string_split(seq, ' ')) AS sym FROM w8),
+        ids AS (SELECT sym,
+                  CAST(row_number() OVER (ORDER BY sym) - 1 AS INTEGER) AS token_id
+                FROM syms),
+        tk AS (SELECT doc_id, ${sqlNormTokens("text")} AS toks FROM documents),
+        dw AS (SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS wpos,
+                 toks[CAST(u.i AS INTEGER)] AS word
+               FROM tk, LATERAL unnest(range(1, len(toks) + 1)) AS u(i)),
+        ds AS (SELECT doc_id, wpos, CAST(v.j - 1 AS INTEGER) AS spos,
+                 string_split(w8.seq, ' ')[CAST(v.j AS INTEGER)] AS sym
+               FROM dw JOIN w8 USING (word),
+                    LATERAL unnest(range(1, len(string_split(w8.seq, ' ')) + 1)) AS v(j)),
+        di AS (SELECT doc_id,
+                 list(CAST(token_id AS VARCHAR) ORDER BY wpos, spos) AS l
+               FROM ds JOIN ids USING (sym) GROUP BY 1)
+        SELECT doc_id, CAST(len(l) AS INTEGER) AS n_ids,
+               array_to_string(l[1:12], ' ') AS ids_head,
+               ${Exact.sqlFold60("array_to_string(l, ' ')")} AS ids_fp
+        FROM di"""
 
   val oracles: Map[String, String] = Map(
     "m6_bpe_train" -> BpeTrainOracle,
+    "m6_bpe_encode" -> BpeEncodeOracle,
     // Shard replay: same salted fold for shard and order; first/last via
     // an ordered list (ties broken by doc_id on both sides).
     "m6_shard_manifest" ->

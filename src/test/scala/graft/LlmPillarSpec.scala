@@ -607,6 +607,65 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
       s"no compound symbol among winners: ${steps.map(_.getString(1)).mkString(", ")}")
   }
 
+  test("BPE merge application anchors both symbol edges") {
+    import spark.implicits._
+    val cases = Seq(
+      // the corruption case the right-edge sentinel exists for: after
+      // earlier rounds built |bc, winner (|a,|b) must NOT match inside
+      // "|a |bc" (its right symbol is a strict prefix of a longer merge
+      // product — the unanchored replace rewrote this to "|abc", a merge
+      // of a pair that never existed)
+      ("|a |bc", "|a |b", "|a |bc"),
+      ("|a |b |c", "|a |b", "|ab |c"),     // interior boundary match
+      ("|x |a |b", "|a |b", "|x |ab"),     // match at end-of-sequence
+      ("|a |b |a |b", "|a |b", "|ab |ab"), // repeated non-overlapping
+      ("|a |a |a", "|a |a", "|aa |a"),     // self-pair: leftmost, no overlap
+      ("|ca |b", "|a |b", "|ca |b"))       // left edge: '|' opens every symbol
+    cases.toDF("seq", "mpr", "want")
+      .withColumn("got", TextAnalysis.applyMerge(col("seq"), col("mpr")))
+      .collect().foreach { r =>
+        assert(r.getAs[String]("got") == r.getAs[String]("want"),
+          s"applyMerge('${r.getAs[String]("seq")}', '${r.getAs[String]("mpr")}')" +
+            s" = '${r.getAs[String]("got")}', want '${r.getAs[String]("want")}'")
+      }
+  }
+
+  test("BPE encode matches a reference Sennrich replay on every vocab word") {
+    // reference implementation: apply the trainer's own merge list, in
+    // order, greedy leftmost non-overlapping — the semantics applyMerge
+    // claims — to every distinct word, and require the engine's final
+    // vocabulary to agree symbol-for-symbol (encode∘train coherence)
+    val merges = TextAnalysis.bpeTrain(spark, dir).orderBy("step")
+      .collect().map(_.getString(1))
+    def encodeWord(word: String): Vector[String] = {
+      var syms = word.map(ch => s"|$ch").toVector
+      merges.foreach { m =>
+        val Array(x, y) = m.split(" ")
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+            out += x + y.stripPrefix("|"); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val vocab = TextAnalysis.bpeLearn(spark, dir)._2
+      .select("word", "seq").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(vocab.nonEmpty)
+    vocab.foreach { case (word, seq) =>
+      val want = encodeWord(word).mkString(" ")
+      assert(seq == want, s"'$word' segmented '$seq', reference '$want'")
+      // lossless round-trip: stripping the anchors reproduces the word
+      assert(seq.replace(" ", "").replace("|", "") == word)
+    }
+    // and the fixture actually exercises multi-symbol segmentations
+    assert(vocab.exists(_._2.contains(" ")), "no word split into >1 symbol")
+  }
+
   test("source overlap: sketch estimate tracks exact Jaccard within MinHash error") {
     val rows = Dedup.sourceOverlap(spark, dir)
       .select("jaccard", "est_jaccard").collect()
