@@ -109,7 +109,7 @@ object Bench {
       "m6_incremental_dedup", "m6_incremental_commit", "m6_dup_clusters",
       "m6_dup_density", "m6_cluster_keep_best", "m6_containment")
     val annFamily = Set("m6_ann_ivf", "m6_ann_ivf2", "m6_ivf_stats", "m6_ann_pq",
-      "m6_ann_ivfpq")
+      "m6_ann_ivfpq", "m6_ann_ivfpq_rerank")
     // Staging failures degrade like query failures (logged, zero-cost entry,
     // bench continues) — a custom sf dir missing a table must not abort the
     // other ~90 entries. Builds are scoped to the selection.

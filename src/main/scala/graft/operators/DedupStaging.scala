@@ -371,11 +371,11 @@ object DedupStaging {
     def need(qs: String*) = all || qs.exists(names)
     Seq(
       Option.when(need("m6_ann_ivf", "m6_ann_ivf2", "m6_ivf_stats",
-        "m6_ann_ivfpq"))("ivf_cells"),
+        "m6_ann_ivfpq", "m6_ann_ivfpq_rerank"))("ivf_cells"),
       Option.when(need("m6_ann_pq"))("pq_codebook"),
       Option.when(need("m6_ann_pq"))("pq_codes"),
-      Option.when(need("m6_ann_ivfpq"))("ivfpq_codebook"),
-      Option.when(need("m6_ann_ivfpq"))("ivfpq_codes")
+      Option.when(need("m6_ann_ivfpq", "m6_ann_ivfpq_rerank"))("ivfpq_codebook"),
+      Option.when(need("m6_ann_ivfpq", "m6_ann_ivfpq_rerank"))("ivfpq_codes")
     ).flatten
   }
 

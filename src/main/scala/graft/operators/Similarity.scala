@@ -312,6 +312,7 @@ object Similarity {
     "m6_ann_sq8"        -> annSq8,
     "m6_ann_pq"         -> annPq,
     "m6_ann_ivfpq"      -> annIvfPq,
+    "m6_ann_ivfpq_rerank" -> annIvfPqRerank,
     "m6_ivf_stats"      -> ivfStats)
 
   /** M6: semantic duplicate CLUSTERS (the SemDeDup shape): connected
@@ -545,8 +546,14 @@ object Similarity {
     * ops in pinned order; everything else inherits the flat-PQ
     * determinism contract (left-to-right folds, fixed-point Lloyd means,
     * ties to the smaller code / cent_id). */
-  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val b = base(spark, dir)
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame =
+    topKBySim(ivfPqAdcSims(spark, dir, base(spark, dir)))
+
+  /** The skinny ADC-scored candidate frame (q_id, vec_id, sim) behind both
+    * IVF-PQ searches: decoded-residual + centroid reconstructions of the
+    * probed cells' codes, scored against full-precision queries. */
+  private def ivfPqAdcSims(spark: SparkSession, dir: String,
+      b: DataFrame): DataFrame = {
     val cb = DedupStaging.ivfPqCodebook(spark, dir)
     val chosen = DedupStaging.ivfPqCodes(spark, dir)
       .select(col("vec_id"), col("cell"), posexplode(col("codes")).as(Seq("s", "c")))
@@ -562,9 +569,49 @@ object Similarity {
       b.filter(col("vec_id") % strideOf(spark, dir) === 0), 2)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("norm").as("qnorm"), col("cell"))
-    topKBySim(recon.join(qs, Seq("cell"))
+    recon.join(qs, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("sim", dot(col("qv"), col("rv")) / (col("rnorm") * col("qnorm"))))
+      .withColumn("sim", dot(col("qv"), col("rv")) / (col("rnorm") * col("qnorm")))
+      .select(col("q_id"), col("vec_id"), col("sim"))
+  }
+
+  /** ADC shortlist depth for the refine stage: 4 × k — FAISS's usual
+    * k_factor for IndexRefineFlat. Recall is then bounded only by the
+    * nprobe=2 cell selection (a probed-cell exact-top-10 member missing
+    * from the shortlist would need 30+ compressed scores to beat it —
+    * LlmPillarSpec measures the recovered recall at the flat-IVF level). */
+  private[graft] val RerankR = 40
+
+  /** M6: IVF-PQ ADC search WITH the exact re-rank stage — the production
+    * composition (FAISS IndexRefineFlat over IndexIVFPQ): the 16-byte ADC
+    * scores produce a per-query shortlist of R = 4k candidates, which are
+    * re-scored EXACTLY against the staged full-precision vectors
+    * (ivf_cells — already resident for the coarse index) and re-ranked.
+    * This recovers the recall the residual codes lose (ADC ordering errors
+    * inside the shortlist vanish; only true cell misses remain), which is
+    * why billion-vector deployments ship PQ with a refine stage rather
+    * than widening the codes.
+    *
+    * 100 TB shape: the shortlist is probe-batch × R rows (kilobytes) and
+    * BROADCASTS into the staged float corpus — the refine join is a
+    * broadcast-semi over vec_id, so the corpus still never shuffles and
+    * full-precision vectors are touched for exactly R rows per query; the
+    * probes broadcast as in the exact baseline. Work per query is the ADC
+    * scan (compressed) + R exact dots. Determinism: ADC sims are the
+    * m6_ann_ivfpq values (raw doubles), shortlist ties break on vec_id,
+    * and the exact re-score is the cosineTopK arithmetic verbatim. */
+  def annIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir)
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    val shortlist = ivfPqAdcSims(spark, dir, b)
+      .withColumn("arn", row_number().over(w))
+      .filter(col("arn") <= RerankR)
+      .select(col("q_id"), col("vec_id"))
+    val cand = DedupStaging.ivfCells(spark, dir)
+      .select(col("vec_id"), col("v"), col("norm"))
+      .join(broadcast(shortlist), Seq("vec_id"))
+    topKBySim(cand.join(broadcast(probes(spark, dir, b)), Seq("q_id"))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("norm") * col("qnorm"))))
   }
 
   /** M6: top-k search over the QUANTIZED index — what the int8 codes exist
@@ -654,6 +701,78 @@ object Similarity {
     * same max(50, N/40) integer rule from the corpus row count. */
   private val probeStrideSql =
     "greatest(50, (SELECT count(*) FROM embeddings) // 40)"
+
+  /** The shared IVF-PQ ADC replay CTE chain, ending at `p` — the skinny
+    * (q_id, vec_id, sim) ADC scores — consumed by the raw-ADC oracle's
+    * top-k and the refine oracle's shortlist/re-score (which also reads
+    * `assigned` for the full-precision vectors and `n` for the probes). */
+  private lazy val ivfPqAdcCtes: String =
+    s"""e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          $strideSql,
+          n AS (SELECT vec_id, v, $normSql AS nrm FROM e),
+          cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+                    WHERE vec_id % (SELECT m FROM strd) = 0),
+          scored AS (
+            SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+              row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                list_reduce(list_prepend(0.0, list_transform(list_zip(n.v, c.cv), p -> p[1] * p[2])), (a, b) -> a + b)
+                  / (n.nrm * c.cnrm) DESC, c.cent_id) AS crn
+            FROM n CROSS JOIN cents c),
+          assigned AS (
+            SELECT vec_id, v, nrm, cent_id AS cell FROM scored WHERE crn = 1),
+          res AS (SELECT a.vec_id, a.cell,
+                    list_transform(list_zip(a.v, c.cv), p -> p[1] - p[2]) AS r
+                  FROM assigned a JOIN cents c ON a.cell = c.cent_id),
+          cstr AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings),
+          cb AS (SELECT vec_id // (SELECT m FROM cstr) AS c, r AS cv FROM res
+                 WHERE vec_id % (SELECT m FROM cstr) = 0
+                   AND vec_id // (SELECT m FROM cstr) < 16),
+          cbs AS (SELECT c, s,
+                    cv[CAST(s * 2 + 1 AS INTEGER) : CAST(s * 2 + 2 AS INTEGER)] AS cs
+                  FROM cb, LATERAL unnest(range(0, 32)) AS u(s)),
+          vs AS (SELECT vec_id, s,
+                   r[CAST(s * 2 + 1 AS INTEGER) : CAST(s * 2 + 2 AS INTEGER)] AS vsub
+                 FROM res, LATERAL unnest(range(0, 32)) AS w(s)),
+          dd0 AS (SELECT vec_id, vs.s, c, vsub,
+                    list_reduce(list_prepend(0.0, list_transform(list_zip(vsub, cs),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b) AS d2
+                  FROM vs JOIN cbs ON vs.s = cbs.s),
+          a0 AS (SELECT vec_id, s, c, vsub FROM (
+                   SELECT vec_id, s, c, vsub,
+                     row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+                   FROM dd0) t WHERE rn = 1),
+          sms AS (SELECT c, s, count(*) AS cnt,
+                    sum(CAST(floor(vsub[1] * 1000000.0 + 0.5) AS BIGINT)) AS sx0,
+                    sum(CAST(floor(vsub[2] * 1000000.0 + 0.5) AS BIGINT)) AS sx1
+                  FROM a0 GROUP BY 1, 2),
+          rcb AS (SELECT c, s,
+                    CASE WHEN cnt IS NULL THEN cs
+                         ELSE [CAST(sx0 AS DOUBLE) / cnt / 1000000.0,
+                               CAST(sx1 AS DOUBLE) / cnt / 1000000.0] END AS cs
+                  FROM cbs LEFT JOIN sms USING (c, s)),
+          dd AS (SELECT vec_id, vs.s, c,
+                   list_reduce(list_prepend(0.0, list_transform(list_zip(vsub, cs),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b) AS d2
+                 FROM vs JOIN rcb ON vs.s = rcb.s),
+          ch AS (SELECT vec_id, s, c FROM (
+                   SELECT vec_id, s, c,
+                     row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+                   FROM dd) t WHERE rn = 1),
+          recr AS (SELECT vec_id, flatten(list(cs ORDER BY s)) AS rr
+                   FROM ch JOIN rcb USING (c, s) GROUP BY vec_id),
+          rcn AS (SELECT res.vec_id, res.cell,
+                    list_transform(list_zip(c.cv, recr.rr), p -> p[1] + p[2]) AS rv
+                  FROM recr JOIN res USING (vec_id)
+                  JOIN cents c ON res.cell = c.cent_id),
+          rcn2 AS (SELECT vec_id, cell, rv,
+                     sqrt(list_reduce(list_prepend(0.0, list_transform(rv, x -> x * x)), (a, b) -> a + b)) AS rnorm
+                   FROM rcn),
+          q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cent_id AS cell
+                FROM scored WHERE vec_id % $probeStrideSql = 0 AND crn <= 2),
+          p AS (SELECT q_id, rcn2.vec_id,
+                  list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, rcn2.rv), t -> t[1] * t[2])), (x, y) -> x + y)
+                    / (rcn2.rnorm * q.qnrm) AS sim
+                FROM rcn2 JOIN q USING (cell) WHERE rcn2.vec_id <> q.q_id)"""
 
   val oracles: Map[String, String] = Map(
     // Same fixed-order IEEE arithmetic as the engine; the scale divide and
@@ -746,76 +865,32 @@ object Similarity {
     // query side (crn <= 2) joins the probed cells — each CTE is the
     // corresponding m6_ann_ivf2 / m6_ann_pq CTE with `v` swapped for `r`.
     "m6_ann_ivfpq" ->
-      s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
-          $strideSql,
-          n AS (SELECT vec_id, v, $normSql AS nrm FROM e),
-          cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
-                    WHERE vec_id % (SELECT m FROM strd) = 0),
-          scored AS (
-            SELECT n.vec_id, n.v, n.nrm, c.cent_id,
-              row_number() OVER (PARTITION BY n.vec_id ORDER BY
-                list_reduce(list_prepend(0.0, list_transform(list_zip(n.v, c.cv), p -> p[1] * p[2])), (a, b) -> a + b)
-                  / (n.nrm * c.cnrm) DESC, c.cent_id) AS crn
-            FROM n CROSS JOIN cents c),
-          assigned AS (
-            SELECT vec_id, v, nrm, cent_id AS cell FROM scored WHERE crn = 1),
-          res AS (SELECT a.vec_id, a.cell,
-                    list_transform(list_zip(a.v, c.cv), p -> p[1] - p[2]) AS r
-                  FROM assigned a JOIN cents c ON a.cell = c.cent_id),
-          cstr AS (SELECT greatest(1, count(*) // 16) AS m FROM embeddings),
-          cb AS (SELECT vec_id // (SELECT m FROM cstr) AS c, r AS cv FROM res
-                 WHERE vec_id % (SELECT m FROM cstr) = 0
-                   AND vec_id // (SELECT m FROM cstr) < 16),
-          cbs AS (SELECT c, s,
-                    cv[CAST(s * 2 + 1 AS INTEGER) : CAST(s * 2 + 2 AS INTEGER)] AS cs
-                  FROM cb, LATERAL unnest(range(0, 32)) AS u(s)),
-          vs AS (SELECT vec_id, s,
-                   r[CAST(s * 2 + 1 AS INTEGER) : CAST(s * 2 + 2 AS INTEGER)] AS vsub
-                 FROM res, LATERAL unnest(range(0, 32)) AS w(s)),
-          dd0 AS (SELECT vec_id, vs.s, c, vsub,
-                    list_reduce(list_prepend(0.0, list_transform(list_zip(vsub, cs),
-                      p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b) AS d2
-                  FROM vs JOIN cbs ON vs.s = cbs.s),
-          a0 AS (SELECT vec_id, s, c, vsub FROM (
-                   SELECT vec_id, s, c, vsub,
-                     row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
-                   FROM dd0) t WHERE rn = 1),
-          sms AS (SELECT c, s, count(*) AS cnt,
-                    sum(CAST(floor(vsub[1] * 1000000.0 + 0.5) AS BIGINT)) AS sx0,
-                    sum(CAST(floor(vsub[2] * 1000000.0 + 0.5) AS BIGINT)) AS sx1
-                  FROM a0 GROUP BY 1, 2),
-          rcb AS (SELECT c, s,
-                    CASE WHEN cnt IS NULL THEN cs
-                         ELSE [CAST(sx0 AS DOUBLE) / cnt / 1000000.0,
-                               CAST(sx1 AS DOUBLE) / cnt / 1000000.0] END AS cs
-                  FROM cbs LEFT JOIN sms USING (c, s)),
-          dd AS (SELECT vec_id, vs.s, c,
-                   list_reduce(list_prepend(0.0, list_transform(list_zip(vsub, cs),
-                     p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b) AS d2
-                 FROM vs JOIN rcb ON vs.s = rcb.s),
-          ch AS (SELECT vec_id, s, c FROM (
-                   SELECT vec_id, s, c,
-                     row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
-                   FROM dd) t WHERE rn = 1),
-          recr AS (SELECT vec_id, flatten(list(cs ORDER BY s)) AS rr
-                   FROM ch JOIN rcb USING (c, s) GROUP BY vec_id),
-          rcn AS (SELECT res.vec_id, res.cell,
-                    list_transform(list_zip(c.cv, recr.rr), p -> p[1] + p[2]) AS rv
-                  FROM recr JOIN res USING (vec_id)
-                  JOIN cents c ON res.cell = c.cent_id),
-          rcn2 AS (SELECT vec_id, cell, rv,
-                     sqrt(list_reduce(list_prepend(0.0, list_transform(rv, x -> x * x)), (a, b) -> a + b)) AS rnorm
-                   FROM rcn),
-          q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cent_id AS cell
-                FROM scored WHERE vec_id % $probeStrideSql = 0 AND crn <= 2),
-          p AS (SELECT q_id, rcn2.vec_id,
-                  list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, rcn2.rv), t -> t[1] * t[2])), (x, y) -> x + y)
-                    / (rcn2.rnorm * q.qnrm) AS sim
-                FROM rcn2 JOIN q USING (cell) WHERE rcn2.vec_id <> q.q_id)
+      s"""WITH $ivfPqAdcCtes
           SELECT q_id, vec_id, rnk, ${sqlRnd("sim", 4)} AS sim FROM (
             SELECT q_id, vec_id, sim,
               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
             FROM p) t
+          WHERE rnk <= 10""",
+    // The refine replay: ADC top-40 shortlist per query (ties to the
+    // smaller vec_id, as in the engine window), re-scored exactly against
+    // the assigned full-precision vectors, re-ranked to top-10.
+    "m6_ann_ivfpq_rerank" ->
+      s"""WITH $ivfPqAdcCtes,
+          sl AS (SELECT q_id, vec_id FROM (
+                   SELECT q_id, vec_id,
+                     row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS arn
+                   FROM p) t WHERE arn <= $RerankR),
+          qq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n
+                 WHERE vec_id % $probeStrideSql = 0),
+          ex AS (SELECT sl.q_id, sl.vec_id,
+                   list_reduce(list_prepend(0.0, list_transform(list_zip(qq.qv, av.v), pp -> pp[1] * pp[2])), (x, y) -> x + y)
+                     / (av.nrm * qq.qnrm) AS sim
+                 FROM sl JOIN assigned av ON sl.vec_id = av.vec_id
+                         JOIN qq ON sl.q_id = qq.q_id)
+          SELECT q_id, vec_id, rnk, ${sqlRnd("sim", 4)} AS sim FROM (
+            SELECT q_id, vec_id, sim,
+              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+            FROM ex) t
           WHERE rnk <= 10""",
     // The IVF assignment replay (same as m6_ann_ivf's crn=1 CTE) reduced
     // to per-cell populations and the one-row health report; every integer

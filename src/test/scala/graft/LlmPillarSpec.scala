@@ -503,6 +503,37 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     assert(mean >= 0.4, f"mean IVF-PQ recall $mean%.3f under floor")
   }
 
+  test("IVF-PQ re-rank recovers flat-IVF recall: adc <= rerank <= ivf2 per query") {
+    def top(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = top(Similarity.cosineTopK(spark, dir).select("q_id", "vec_id"))
+    val adc = top(Similarity.annIvfPq(spark, dir).select("q_id", "vec_id"))
+    val rr = top(Similarity.annIvfPqRerank(spark, dir).select("q_id", "vec_id"))
+    val ivf2 = top(Similarity.annIvf2(spark, dir).select("q_id", "vec_id"))
+    def recall(ann: Map[Long, Set[Long]])(q: Long) =
+      ann.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / exact(q).size
+    val qs = exact.keys.toSeq
+    // lower structural bound: any exact-top-10 member ADC ranks into its
+    // top-10 is also in the top-R shortlist, and exact re-scoring can only
+    // displace it with other exact-top-10 members — so re-ranking never
+    // loses a recalled neighbor
+    val below = qs.filter(q => recall(rr)(q) < recall(adc)(q))
+    assert(below.isEmpty, s"re-rank lost recall vs raw ADC on: $below")
+    // upper structural bound: the candidate cells are the same nprobe=2
+    // set ivf2 exact-scores in full — a shortlist of them cannot beat it
+    val above = qs.filter(q => recall(rr)(q) > recall(ivf2)(q))
+    assert(above.isEmpty, s"re-rank recall exceeded its ivf2 bound on: $above")
+    // the point of the refine stage: ADC ordering errors inside the
+    // R = 4k shortlist vanish, so the mean returns to the flat-IVF level
+    // (the raw-ADC test floors its mean at 0.4; re-ranked recall must
+    // clear the ivf2 test's own 0.7 bound)
+    val mean = qs.map(recall(rr)).sum / qs.size
+    val meanAdc = qs.map(recall(adc)).sum / qs.size
+    assert(mean >= 0.7, f"mean re-ranked recall $mean%.3f below 0.7 " +
+      f"(raw ADC $meanAdc%.3f)")
+  }
+
   test("IVF nprobe=2 recall dominates nprobe=1 on every query and lifts the mean") {
     // superset candidates re-ranked by the same exact score can only swap
     // an exact-top-10 member for another exact-top-10 member, so per-query

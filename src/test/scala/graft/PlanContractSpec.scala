@@ -209,7 +209,7 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     import org.apache.spark.sql.types.ArrayType
     for (q <- Seq("m6_cosine_topk", "m6_ann_lsh", "m6_ann_sq8", "m6_ann_pq",
-        "m6_ann_ivf", "m6_ann_ivfpq")) {
+        "m6_ann_ivf", "m6_ann_ivfpq", "m6_ann_ivfpq_rerank")) {
       val df = SparkEntry.queries(q)(spark, dir)
       // the OPTIMIZED plan decides what the rank sort materializes (AQE
       // hides physical nodes until execution)
