@@ -805,7 +805,59 @@ object Joins {
       .limit(20)
   }
 
+  /** J27: the single-scan conditional revenue delta — the TPC-H Q6 shape:
+    * revenue forecast from eliminating a band of small discounts on
+    * small-quantity 1997 shipments. No join at all — ONE column-pruned
+    * lineitem scan with all three predicates (ship-year range, discount
+    * band, quantity cap) pushed into the parquet reader, collapsing to a
+    * one-row exact-DECIMAL aggregate (map-side partials, a one-row final
+    * exchange). The canonical pushdown showcase: at 100 TB the scan
+    * prunes to the year's partitions and row groups whose min/max bounds
+    * fail any predicate never decompress; the plan-contract spec pins all
+    * three predicates in PushedFilters. The discount-band compare runs on
+    * the raw doubles (same literals, same IEEE compare in both engines —
+    * the fixture generates discounts at 0.01 granularity, so the band
+    * edges are exact value matches, not epsilon tests). */
+  def revenueDelta(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        Exact.rnd(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(8,4)")).cast("double"), 2)
+          .as("revenue_delta"))
+
+  /** J28: top supplier by quarterly revenue — the TPC-H Q15 shape
+    * (revenue view + correlated `= max(...)` subquery), decorrelated with
+    * the j13 one-row-broadcast discipline: per-supplier exact-DECIMAL
+    * revenue over one shipping quarter (the only fact shuffle), the
+    * global maximum as a one-row aggregate of that supplier-sized frame
+    * riding a broadcast crossJoin back, and an EXACT decimal equality
+    * keeping every tied supplier — the view semantics, deterministic
+    * because no rounding precedes the compare. Supplier names ride a
+    * broadcast dim join at the end; no window touches the aggregate, and
+    * nothing rescans the fact. */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(lineRev).as("rev"))
+    val mx = rev.agg(max(col("rev")).as("max_rev"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        Exact.rnd(col("rev").cast("double"), 2).as("total_rev"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j27_revenue_delta"     -> revenueDelta,
+    "j28_top_supplier"      -> topSupplier,
     "j1_broadcast_join" -> broadcastJoin,
     "j8_shipping_priority" -> shippingPriority,
     "j9_regional_revenue" -> regionalRevenue,
@@ -835,6 +887,34 @@ object Joins {
     "j26_returned_revenue"  -> returnedRevenue)
 
   val oracles: Map[String, String] = Map(
+    // Q6 shape: one scan, three pushable predicates, one exact-DECIMAL agg.
+    "j27_revenue_delta" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_lines,
+                 ${Exact.sqlRnd(
+                   "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+                   "CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE)", 2)}
+                   AS revenue_delta
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+            AND l_discount >= 0.05 AND l_discount <= 0.07
+            AND l_quantity < 24""",
+    // Q15 shape: the revenue view once, the scalar max from the view, exact
+    // decimal equality keeping ties, names from the supplier dim.
+    "j28_top_supplier" ->
+      s"""WITH rev AS (
+            SELECT l_suppkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       CAST(1.0 - l_discount AS DECIMAL(8,4))) AS rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY 1)
+          SELECT s_suppkey, s_name,
+                 ${Exact.sqlRnd("CAST(rev AS DOUBLE)", 2)} AS total_rev
+          FROM rev JOIN supplier ON l_suppkey = s_suppkey,
+               (SELECT max(rev) AS max_rev FROM rev) m
+          WHERE rev = max_rev""",
     "j1_broadcast_join" ->
       s"""SELECT p_brand,
          ${Exact.sqlRnd("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE)", 2)} AS revenue,

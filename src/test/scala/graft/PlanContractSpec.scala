@@ -200,6 +200,30 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
     val j22 = plan("j22_dominant_suppliers")
     assert(!j22.contains("WindowExec") && !j22.contains("CartesianProduct"),
       s"j22 must stay window-free keyed aggregation:\n$j22")
+    // Q6 shape: the point of the query is the scan — all three predicate
+    // families must reach the parquet reader, and the read schema must be
+    // exactly the four columns the aggregate needs. Formatted mode: the
+    // simple plan string truncates PushedFilters mid-list.
+    val j27 = SparkEntry.queries("j27_revenue_delta")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate,1997-01-01",
+        "LessThan(l_shipdate,1998-01-01",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)", "LessThan(l_quantity,24.0)"))
+      assert(j27.contains(f), s"j27 predicate not pushed: $f\n$j27")
+    assert(j27.contains("ReadSchema: struct<l_quantity:double," +
+        "l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"),
+      s"j27 must scan only the four needed columns:\n$j27")
+    // Q15 shape: the global max rides a one-row broadcast back over the
+    // aggregated frame — no window over the aggregate, no fact rescan
+    // beyond the two planned reads (rev + its max derive from one scan
+    // shape each)
+    val j28 = plan("j28_top_supplier")
+    assert(!j28.contains("WindowExec"),
+      s"j28 must pick the max via a one-row broadcast, not a window:\n$j28")
+    assert(j28.contains("BroadcastExchange"),
+      s"j28's max/dim sides must broadcast:\n$j28")
   }
 
   test("ANN top-k: the rank window sorts skinny rows (no vectors) and probes stay fixed-size") {
