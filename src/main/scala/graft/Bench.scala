@@ -26,9 +26,16 @@ object Bench {
         System.err.println(f"[bench] still loaded ($load%.2f) after ${budgetSec}s" +
           " — proceeding; artifact will carry contended=true")
     }
+    // Shuffle-partition override for the partition-scaled probe leg: a
+    // deployment sizes shuffle partitions WITH the data (the README's
+    // aggregation-map attribution), and scale_probe10.py measures exactly
+    // that by re-running the keyed-agg-heavy queries at partitions ∝ rows.
+    // Default stays = cpus (the committed-bench configuration).
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -107,7 +114,8 @@ object Bench {
     val dedupFamily = Set("m6_ngram_jaccard", "m6_minhash_dedup",
       "m6_simhash_pairs", "m6_decontaminate", "m6_corpus_build",
       "m6_incremental_dedup", "m6_incremental_commit", "m6_dup_clusters",
-      "m6_dup_density", "m6_cluster_keep_best", "m6_containment")
+      "m6_dup_density", "m6_cluster_keep_best", "m6_containment",
+      "m6_source_overlap", "m6_contamination_score")
     val annFamily = Set("m6_ann_ivf", "m6_ann_ivf2", "m6_ivf_stats", "m6_ann_pq",
       "m6_ann_ivfpq", "m6_ann_ivfpq_rerank")
     // Staging failures degrade like query failures (logged, zero-cost entry,

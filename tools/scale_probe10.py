@@ -63,29 +63,44 @@ def run(cmd, env=None):
     subprocess.run(["sbt", "-batch", cmd], env=e, check=True)
 
 
-def bench(sfdir, out):
+# The keyed-agg-heavy class whose CPU (not wall) ran above 100x at fixed 32
+# shuffle partitions (README "aggregation-map scaling"): re-measured in a
+# PARTITION-SCALED leg (320 partitions at 100x rows — partitions grow with
+# the data, per-partition aggregation maps stay constant-size) to turn the
+# attribution from analysis into measurement.
+PSCALED = ["m6_contamination_score", "m6_passage_scrub", "m6_lm_support"]
+
+
+def bench(sfdir, out, partitions=None, queries=QUERIES, keep_wh=False):
     # COLD-vs-COLD staging: each leg gets a fresh warehouse root so
     # m6_stage_base measures build-vs-build. Without this the sf0.1 leg
     # reuses the committed warehouse from earlier dev runs (warm read-back,
     # ~0.7 s) while the fresh sf10 fixture builds cold (~78 s) — the
     # round-8 headline "113.7x" ratio was exactly that artifact, not a
-    # scaling signal.
+    # scaling signal. (The partition-scaled leg deliberately KEEPS the big
+    # leg's warehouse — staging is identical, only query CPU is probed.)
     import shutil
     wh = f"/tmp/graft-probe10-wh-{os.path.basename(sfdir.rstrip('/'))}"
-    shutil.rmtree(wh, ignore_errors=True)
-    run("runMain graft.Bench", {
+    if not keep_wh:
+        shutil.rmtree(wh, ignore_errors=True)
+    env = {
         "SPARK_GRAFT_SF_DIR": sfdir,
         "SPARK_GRAFT_CPUS": "32",
-        "SPARK_GRAFT_QUERIES": QUERIES,
+        "SPARK_GRAFT_QUERIES": queries,
         "SPARK_GRAFT_BENCH_OUT": out,
         "SPARK_GRAFT_WAREHOUSE": wh,
-    })
+    }
+    if partitions is not None:
+        env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(partitions)
+    run("runMain graft.Bench", env)
     return json.load(open(out))
 
 
 run(f"runMain graft.ScaleProbe {SRC} {SF10} 100", {"SPARK_GRAFT_CPUS": "32"})
 small = bench(SRC, "/tmp/bench_probe10_sf0.1.json")
 big = bench(SF10, "/tmp/bench_probe10_sf10.json")
+pscaled = bench(SF10, "/tmp/bench_probe10_sf10_p320.json", partitions=320,
+                queries=",".join(PSCALED), keep_wh=True)
 
 art = {
     "probe": f"{SRC} -> {SF10} (100x rows: 10M events, 500k docs token-salted "
@@ -109,6 +124,24 @@ art = {
             "cpu_ratio": round(big["cpu_sec"][q] / max(small["cpu_sec"][q], 1e-9), 2),
         }
         for q in small["queries"] if q in big["queries"]
+    },
+}
+art["partition_scaled"] = {
+    "note": "100x leg re-run at 320 shuffle partitions (∝ rows; the sf0.1 "
+            "legs run at 32) over the keyed-agg-heavy class whose CPU "
+            "exceeded 100x under fixed 32 partitions — per-partition "
+            "aggregation maps stay constant-size, so CPU should return "
+            "toward char-adjusted linear. Staging warm (reuses the 100x "
+            "leg's warehouse); wall/CPU measure the queries alone.",
+    "queries": {
+        q: {
+            "sf10_wall_p320": round(pscaled["queries"][q], 2),
+            "sf10_cpu_p320": round(pscaled["cpu_sec"][q], 2),
+            "cpu_ratio_p32": round(big["cpu_sec"][q] / max(small["cpu_sec"][q], 1e-9), 2),
+            "cpu_ratio_p320": round(pscaled["cpu_sec"][q] / max(small["cpu_sec"][q], 1e-9), 2),
+            "wall_ratio_p320": round(pscaled["queries"][q] / max(small["queries"][q], 1e-9), 2),
+        }
+        for q in pscaled["queries"] if q in small["queries"]
     },
 }
 worst = max(art["queries"].items(), key=lambda kv: kv[1]["wall_ratio"])
