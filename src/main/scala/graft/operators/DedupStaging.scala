@@ -292,6 +292,19 @@ object DedupStaging {
       Dedup.minhashDedup(spark, dir)
     }
 
+  /** The trained BPE vocabulary (word, f, seq): every distinct corpus word
+    * with its final symbol segmentation after the 8 learned merges — the
+    * tokenizer-release artifact. Training is vocabulary-bounded work that
+    * runs ONCE per corpus release; the encode pass (m6_bpe_encode) — the
+    * half that actually touches 100 TB — reads this table and equi-joins
+    * documents against it (the fast-BPE word-memoization shape). Oracles
+    * still replay the full train+encode from raw text, so the staged
+    * segmentations stay hash-verified end to end. */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    materialize(spark, dir, "bpe_vocab") {
+      TextAnalysis.bpeLearn(spark, dir)._2
+    }
+
   /** The IVF-Flat index: the corpus stored WITH its coarse-cell assignment
     * (vec_id, v, norm, cell) — what a production ANN deployment builds once
     * per corpus release and every search reads (FAISS's IndexIVFFlat stores
@@ -358,7 +371,8 @@ object DedupStaging {
       Option.when(need("m6_decontaminate",
         "m6_contamination_score"))("shingle8"),
       Option.when(need("m6_corpus_build", "m6_dup_clusters",
-        "m6_dup_density", "m6_cluster_keep_best"))("minhash_pairs")
+        "m6_dup_density", "m6_cluster_keep_best"))("minhash_pairs"),
+      Option.when(need("m6_bpe_encode"))("bpe_vocab")
     ).flatten
   }
 
@@ -391,6 +405,7 @@ object DedupStaging {
       case "simhash_sigs"  => simhashSigs(spark, dir)
       case "shingle8"      => shingle8(spark, dir)
       case "minhash_pairs" => minhashPairs(spark, dir)
+      case "bpe_vocab"     => bpeVocab(spark, dir)
     }
 
   /** Build the ANN index tables the named queries read (Bench's

@@ -1063,19 +1063,21 @@ object TextAnalysis {
     *
     * The encode path is WORD-MEMOIZED, exactly like fast BPE encoders
     * (each distinct word is segmented once; documents look their words up):
-    * the trained vocab table already holds every word's final symbol
-    * sequence, so encoding is corpus → (doc, word-position) explode → one
-    * equi-join against the vocab on the word — at 100 TB a broadcast of
-    * the vocabulary or a shuffle bounded by it, never per-document merge
-    * loops. Token ids come from the symbol table (distinct final symbols,
-    * ranked alphabetically) — bounded by base alphabet + one new symbol
-    * per merge (≤ ~44 rows here), so its rank window is over a
-    * constant-size frame and the id table broadcasts everywhere. The
-    * per-document id sequence is ordered by (word position, symbol
-    * position) — a bounded per-document array sort, no corpus window. */
+    * the trained vocabulary is a STAGED table (DedupStaging.bpeVocab —
+    * train once per corpus release, vocabulary-bounded work), so encoding
+    * is corpus → (doc, word-position) explode → one equi-join against the
+    * staged vocab on the word — at 100 TB a broadcast of the vocabulary
+    * or a shuffle bounded by it, never per-document merge loops and never
+    * a re-train per encode run. Token ids come from the symbol table
+    * (distinct final symbols, ranked alphabetically) — bounded by base
+    * alphabet + one new symbol per merge (≤ ~44 rows here), so its rank
+    * window is over a constant-size frame and the id table broadcasts
+    * everywhere. The per-document id sequence is ordered by (word
+    * position, symbol position) — a bounded per-document array sort, no
+    * corpus window. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val vocab = bpeLearn(spark, dir)._2
+    val vocab = DedupStaging.bpeVocab(spark, dir)
     val ids = vocab.select(explode(tokens(col("seq"))).as("sym")).distinct()
       .withColumn("token_id",
         (row_number().over(Window.orderBy("sym")) - 1).cast("int"))
