@@ -117,7 +117,7 @@ object Bench {
       "m6_dup_density", "m6_cluster_keep_best", "m6_containment",
       "m6_source_overlap", "m6_contamination_score", "m6_bpe_encode")
     val annFamily = Set("m6_ann_ivf", "m6_ann_ivf2", "m6_ivf_stats", "m6_ann_pq",
-      "m6_ann_ivfpq", "m6_ann_ivfpq_rerank")
+      "m6_ann_ivfpq", "m6_ann_ivfpq_rerank", "m6_ann_eval")
     // Staging failures degrade like query failures (logged, zero-cost entry,
     // bench continues) — a custom sf dir missing a table must not abort the
     // other ~90 entries. Builds are scoped to the selection.

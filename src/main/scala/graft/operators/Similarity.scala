@@ -301,7 +301,31 @@ object Similarity {
       .dropDuplicates("vec_a", "vec_b")
   }
 
+  /** M6: ANN index release gate — the one-row recall report an index build
+    * publishes before a corpus release switches search traffic onto it
+    * (the m6_lsh_eval precedent, applied to the production IVF-PQ+re-rank
+    * stack): exact-top-10 ∩ re-ranked-top-10 per probe, reduced to hit
+    * counts and the recall@10 ratio. All counting is exact integers; the
+    * one double divide is pinned, so the report is bit-portable. The probe
+    * batch is fixed-size, so both searches — and therefore the gate — cost
+    * two searches regardless of corpus size. */
+  def annEval(spark: SparkSession, dir: String): DataFrame = {
+    val exact = cosineTopK(spark, dir).select(col("q_id"), col("vec_id"))
+    val ann = annIvfPqRerank(spark, dir)
+      .select(col("q_id").as("aq"), col("vec_id").as("av"))
+    exact.join(ann,
+        col("q_id") === col("aq") && col("vec_id") === col("av"), "left")
+      .agg(
+        countDistinct(col("q_id")).as("n_queries"),
+        count(lit(1)).as("n_expected"),
+        count(col("av")).as("n_hits"))
+      .select(col("n_queries"), col("n_expected"), col("n_hits"),
+        rnd(col("n_hits").cast("double") / col("n_expected").cast("double"), 4)
+          .as("recall_at_10"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_ann_eval"    -> annEval,
     "m6_cosine_topk" -> cosineTopK,
     "m6_ann_lsh"     -> ((s, d) => annLsh(s, d, corpusBits(s, d))),
     "m6_ann_ivf"     -> annIvf,
@@ -774,6 +798,23 @@ object Similarity {
                     / (rcn2.rnorm * q.qnrm) AS sim
                 FROM rcn2 JOIN q USING (cell) WHERE rcn2.vec_id <> q.q_id)"""
 
+  /** The ADC chain extended by the refine stage: shortlist (sl), the
+    * distinct full-precision probe frame (qq), and the exact re-scores
+    * (ex) — shared by the rerank oracle and the release-gate oracle. */
+  private lazy val ivfPqRerankCtes: String =
+    s"""$ivfPqAdcCtes,
+          sl AS (SELECT q_id, vec_id FROM (
+                   SELECT q_id, vec_id,
+                     row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS arn
+                   FROM p) t WHERE arn <= $RerankR),
+          qq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n
+                 WHERE vec_id % $probeStrideSql = 0),
+          ex AS (SELECT sl.q_id, sl.vec_id,
+                   list_reduce(list_prepend(0.0, list_transform(list_zip(qq.qv, av.v), pp -> pp[1] * pp[2])), (x, y) -> x + y)
+                     / (av.nrm * qq.qnrm) AS sim
+                 FROM sl JOIN assigned av ON sl.vec_id = av.vec_id
+                         JOIN qq ON sl.q_id = qq.q_id)"""
+
   val oracles: Map[String, String] = Map(
     // Same fixed-order IEEE arithmetic as the engine; the scale divide and
     // the half-up floor are single correctly-rounded ops, so codes match
@@ -875,23 +916,40 @@ object Similarity {
     // smaller vec_id, as in the engine window), re-scored exactly against
     // the assigned full-precision vectors, re-ranked to top-10.
     "m6_ann_ivfpq_rerank" ->
-      s"""WITH $ivfPqAdcCtes,
-          sl AS (SELECT q_id, vec_id FROM (
-                   SELECT q_id, vec_id,
-                     row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS arn
-                   FROM p) t WHERE arn <= $RerankR),
-          qq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n
-                 WHERE vec_id % $probeStrideSql = 0),
-          ex AS (SELECT sl.q_id, sl.vec_id,
-                   list_reduce(list_prepend(0.0, list_transform(list_zip(qq.qv, av.v), pp -> pp[1] * pp[2])), (x, y) -> x + y)
-                     / (av.nrm * qq.qnrm) AS sim
-                 FROM sl JOIN assigned av ON sl.vec_id = av.vec_id
-                         JOIN qq ON sl.q_id = qq.q_id)
+      s"""WITH $ivfPqRerankCtes
           SELECT q_id, vec_id, rnk, ${sqlRnd("sim", 4)} AS sim FROM (
             SELECT q_id, vec_id, sim,
               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
             FROM ex) t
           WHERE rnk <= 10""",
+    // The release-gate replay: re-ranked top-10 (rr10) against the exact
+    // top-10 (ek — the m6_cosine_topk CTEs over the shared n/qq frames),
+    // reduced to exact hit counts and one pinned divide.
+    "m6_ann_eval" ->
+      s"""WITH $ivfPqRerankCtes,
+          rr10 AS (SELECT q_id, vec_id FROM (
+                     SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+                     FROM ex) t WHERE rnk <= 10),
+          pex AS (SELECT q_id, n.vec_id,
+                    list_reduce(list_prepend(0.0, list_transform(list_zip(qv, v), pp -> pp[1] * pp[2])), (x, y) -> x + y)
+                      / (nrm * qnrm) AS sim
+                  FROM n CROSS JOIN qq WHERE n.vec_id <> qq.q_id),
+          ek AS (SELECT q_id, vec_id FROM (
+                   SELECT q_id, vec_id,
+                     row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+                   FROM pex) t WHERE rnk <= 10),
+          j AS (SELECT ek.q_id, ek.vec_id,
+                  (rr10.vec_id IS NOT NULL) AS hit
+                FROM ek LEFT JOIN rr10
+                  ON ek.q_id = rr10.q_id AND ek.vec_id = rr10.vec_id)
+          SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+                 CAST(count(*) AS BIGINT) AS n_expected,
+                 CAST(count(CASE WHEN hit THEN 1 END) AS BIGINT) AS n_hits,
+                 ${sqlRnd(
+                   "CAST(count(CASE WHEN hit THEN 1 END) AS DOUBLE) / " +
+                   "CAST(count(*) AS DOUBLE)", 4)} AS recall_at_10
+          FROM j""",
     // The IVF assignment replay (same as m6_ann_ivf's crn=1 CTE) reduced
     // to per-cell populations and the one-row health report; every integer
     // is CAST BIGINT out of DuckDB's HUGEINT aggregates, and the two

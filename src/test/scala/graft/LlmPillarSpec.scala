@@ -532,6 +532,14 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     val meanAdc = qs.map(recall(adc)).sum / qs.size
     assert(mean >= 0.7, f"mean re-ranked recall $mean%.3f below 0.7 " +
       f"(raw ADC $meanAdc%.3f)")
+    // the release-gate query must report exactly this measurement (micro
+    // average == macro average here: every probe has a full 10-member
+    // exact top-10)
+    val gate = Similarity.annEval(spark, dir).head
+    assert(gate.getLong(0) == qs.size, "gate query count mismatch")
+    assert(gate.getLong(1) == qs.size * 10L)
+    assert(math.abs(gate.getDouble(3) - mean) < 1e-4,
+      s"gate recall ${gate.getDouble(3)} != measured $mean")
   }
 
   test("IVF nprobe=2 recall dominates nprobe=1 on every query and lifts the mean") {

@@ -57,9 +57,10 @@ QUERIES = ",".join([
     "j24_market_share", "j25_product_profit", "j26_returned_revenue",
     "m6_source_overlap", "m6_contamination_score", "m6_shard_manifest",
     "m7_ahash_neardup", "j23_nation_flow", "m6_bpe_train",
-    # round-13 additions: the IVF-PQ refine stage, the BPE corpus-encode
-    # pass, and the four r12 entries the round-12 probes missed
-    "m6_ann_ivfpq_rerank", "m6_bpe_encode",
+    # round-13 additions: the IVF-PQ refine stage + its release gate, the
+    # BPE corpus-encode pass, and the four r12 entries the round-12
+    # probes missed
+    "m6_ann_ivfpq_rerank", "m6_ann_eval", "m6_bpe_encode",
     "u5_union_distinct", "u6_intersect_all_overlap",
     "j18_class_priority", "j21_disjunctive_revenue",
 ])
