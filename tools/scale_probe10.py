@@ -54,6 +54,7 @@ QUERIES = ",".join([
     # at 100x
     "m6_ann_ivfpq_rerank", "m6_ann_eval", "m6_bpe_encode",
     "u5_union_distinct", "u6_intersect_all_overlap",
+    "j27_revenue_delta", "j28_top_supplier",
 ])
 
 
