@@ -1100,9 +1100,83 @@ object TextAnalysis {
           x => x.getField("token_id").cast("string")), " ")).as("ids_fp"))
   }
 
+  /** M6: temperature-smoothed language-mixture plan — the mT5/XLM-R
+    * sampling rule (rate ∝ p^α, α = 1/2): high-resource languages are
+    * down-weighted and low-resource ones up-weighted so the mixture
+    * doesn't collapse onto the head language. α is fixed at 1/2 ON
+    * PURPOSE: p^0.5 = sqrt(p), an IEEE-correctly-rounded single
+    * operation both engines compute identically, where a general pow
+    * (exp·ln) is ulp-unstable across libms — the tfidf raw-ratio
+    * precedent. The normalizer Σ√p̂ is a 20-term float sum whose value
+    * depends on accumulation order, so it folds LEFT-TO-RIGHT over the
+    * lang-sorted weight array (sort_array + aggregate — the graft_dot
+    * discipline applied to an agg), bit-identical to the oracle's
+    * ORDER BY lang list_reduce.
+    *
+    * 100 TB shape: one corpus pass collapses to the per-language token
+    * counts (exact longs, map-side partials); everything after is a
+    * ≤|languages|-row frame — the collect_list/fold runs over ~20 rows,
+    * and the plan emits one row per language. The published rate is
+    * capped at 4× (production mixing caps upsampling so no language's
+    * replicas dominate its fresh text). */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Tables.documents(spark, dir)
+      .select(col("lang"), size(tokens(col("text"))).as("nt"))
+      .groupBy("lang").agg(sum(col("nt")).as("n_tokens"))
+    val one = langs.agg(
+      sort_array(collect_list(struct(col("lang"), col("n_tokens")))).as("ls"),
+      sum(col("n_tokens")).as("ntot"))
+    one.select(col("ntot"),
+        explode(col("ls")).as("l"),
+        aggregate(col("ls"), lit(0.0),
+          (acc, x) => acc +
+            sqrt(x.getField("n_tokens").cast("double") / col("ntot").cast("double")))
+          .as("sw"))
+      .select(col("l.lang").as("lang"), col("l.n_tokens").as("n_tokens"),
+        (col("l.n_tokens").cast("double") / col("ntot").cast("double")).as("p"),
+        (sqrt(col("l.n_tokens").cast("double") / col("ntot").cast("double"))
+          / col("sw")).as("q"))
+      .select(col("lang"), col("n_tokens"),
+        rnd(col("p"), 6).as("share"),
+        rnd(col("q"), 6).as("mix_weight"),
+        rnd(least(col("q") / col("p"), lit(4.0)), 4).as("sample_rate"))
+  }
+
+  /** M6: tokenizer fertility report — the per-language eval artifact a
+    * tokenizer release ships (how many subword ids per word, how many
+    * characters per id): the staged-BPE encode manifests joined back to
+    * the documents' language and normalized character counts, reduced to
+    * exact per-language long sums with two pinned divides. Fertility is
+    * THE number that says whether a tokenizer under-serves a language
+    * (high ids/word = the vocabulary doesn't cover it). One encode-output
+    * join + one keyed agg; at 100 TB the manifest frame is docs-sized and
+    * the report |languages|-sized. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val enc = bpeEncode(spark, dir).select("doc_id", "n_ids")
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      size(normTokens(col("text"))).as("n_words"),
+      length(concat_ws("", normTokens(col("text")))).as("n_norm_chars"))
+    enc.join(docs, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("long")).as("n_words"),
+        sum(col("n_ids").cast("long")).as("n_ids"),
+        sum(col("n_norm_chars").cast("long")).as("n_norm_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_ids"),
+        col("n_norm_chars"),
+        rnd(col("n_ids").cast("double") / col("n_words").cast("double"), 4)
+          .as("ids_per_word"),
+        rnd(col("n_norm_chars").cast("double") / col("n_ids").cast("double"), 4)
+          .as("chars_per_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m6_bpe_train"     -> bpeTrain,
     "m6_bpe_encode"    -> bpeEncode,
+    "m6_bpe_fertility" -> bpeFertility,
+    "m6_temperature_mix" -> temperatureMix,
     "m6_shard_manifest" -> shardManifest,
     "m6_quality_classifier" -> qualityClassifier,
     "m6_dataset_card"  -> datasetCard,
@@ -1205,11 +1279,12 @@ object TextAnalysis {
     s"WITH $BpeRoundsCtes $sel"
   }
 
-  /** The encode replay: the trained w8 vocabulary, the alphabetical symbol
-    * id table, the word-memoized corpus join, and the (wpos, spos)-ordered
-    * id list reduced to the manifest row. */
-  private lazy val BpeEncodeOracle: String =
-    s"""WITH $BpeRoundsCtes,
+  /** The encode replay CTE chain ending at `di` (doc_id + the
+    * (wpos, spos)-ordered id list): the trained w8 vocabulary, the
+    * alphabetical symbol id table, the word-memoized corpus join — shared
+    * by the encode-manifest oracle and the fertility-report oracle. */
+  private lazy val BpeEncodeCtes: String =
+    s"""$BpeRoundsCtes,
         syms AS (SELECT DISTINCT unnest(string_split(seq, ' ')) AS sym FROM w8),
         ids AS (SELECT sym,
                   CAST(row_number() OVER (ORDER BY sym) - 1 AS INTEGER) AS token_id
@@ -1224,15 +1299,66 @@ object TextAnalysis {
                     LATERAL unnest(range(1, len(string_split(w8.seq, ' ')) + 1)) AS v(j)),
         di AS (SELECT doc_id,
                  list(CAST(token_id AS VARCHAR) ORDER BY wpos, spos) AS l
-               FROM ds JOIN ids USING (sym) GROUP BY 1)
+               FROM ds JOIN ids USING (sym) GROUP BY 1)"""
+
+  private lazy val BpeEncodeOracle: String =
+    s"""WITH $BpeEncodeCtes
         SELECT doc_id, CAST(len(l) AS INTEGER) AS n_ids,
                array_to_string(l[1:12], ' ') AS ids_head,
                ${Exact.sqlFold60("array_to_string(l, ' ')")} AS ids_fp
         FROM di"""
 
+  /** The fertility replay: encode manifests joined to language + normalized
+    * char counts, reduced to exact long sums and two pinned divides. */
+  private lazy val BpeFertilityOracle: String =
+    s"""WITH $BpeEncodeCtes,
+        dd AS (SELECT doc_id, lang,
+                 len(${sqlNormTokens("text")}) AS n_words,
+                 length(array_to_string(${sqlNormTokens("text")}, '')) AS n_norm_chars
+               FROM documents),
+        j AS (SELECT dd.lang, CAST(len(l) AS BIGINT) AS n_ids,
+                dd.n_words, dd.n_norm_chars
+              FROM di JOIN dd ON di.doc_id = dd.doc_id)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_words) AS BIGINT) AS n_words,
+               CAST(sum(n_ids) AS BIGINT) AS n_ids,
+               CAST(sum(n_norm_chars) AS BIGINT) AS n_norm_chars,
+               ${Exact.sqlRnd(
+                 "CAST(sum(n_ids) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE)", 4)}
+                 AS ids_per_word,
+               ${Exact.sqlRnd(
+                 "CAST(sum(n_norm_chars) AS DOUBLE) / CAST(sum(n_ids) AS DOUBLE)", 4)}
+                 AS chars_per_id
+        FROM j GROUP BY 1"""
+
+  /** The temperature-mix replay: exact per-language token counts, the
+    * lang-ordered left-to-right √-weight fold, per-language rates. */
+  private lazy val TemperatureMixOracle: String =
+    s"""WITH l AS (SELECT lang,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY 1),
+        t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS ntot FROM l),
+        s AS (SELECT list_reduce(list_prepend(0.0,
+                list(sqrt(CAST(n_tokens AS DOUBLE) / CAST(ntot AS DOUBLE))
+                     ORDER BY lang)), (a, b) -> a + b) AS sw
+              FROM l, t)
+        SELECT lang, n_tokens,
+               ${Exact.sqlRnd("CAST(n_tokens AS DOUBLE) / CAST(ntot AS DOUBLE)", 6)}
+                 AS share,
+               ${Exact.sqlRnd(
+                 "sqrt(CAST(n_tokens AS DOUBLE) / CAST(ntot AS DOUBLE)) / sw", 6)}
+                 AS mix_weight,
+               ${Exact.sqlRnd(
+                 "least((sqrt(CAST(n_tokens AS DOUBLE) / CAST(ntot AS DOUBLE)) / sw)" +
+                 " / (CAST(n_tokens AS DOUBLE) / CAST(ntot AS DOUBLE)), 4.0)", 4)}
+                 AS sample_rate
+        FROM l, t, s"""
+
   val oracles: Map[String, String] = Map(
     "m6_bpe_train" -> BpeTrainOracle,
     "m6_bpe_encode" -> BpeEncodeOracle,
+    "m6_bpe_fertility" -> BpeFertilityOracle,
+    "m6_temperature_mix" -> TemperatureMixOracle,
     // Shard replay: same salted fold for shard and order; first/last via
     // an ordered list (ties broken by doc_id on both sides).
     "m6_shard_manifest" ->

@@ -705,6 +705,46 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     assert(vocab.exists(_._2.contains(" ")), "no word split into >1 symbol")
   }
 
+  test("temperature mix: weights renormalize, rates invert the share order, head downsampled") {
+    val rows = TextAnalysis.temperatureMix(spark, dir)
+      .orderBy(col("share").desc).collect()
+    assert(rows.length > 1)
+    val shares = rows.map(_.getDouble(2))
+    val weights = rows.map(_.getDouble(3))
+    val rates = rows.map(_.getDouble(4))
+    // both distributions are (rounded) probability vectors
+    assert(math.abs(shares.sum - 1.0) < 1e-4, s"shares sum ${shares.sum}")
+    assert(math.abs(weights.sum - 1.0) < 1e-4, s"weights sum ${weights.sum}")
+    // α = 1/2 smoothing: sampling rate is strictly decreasing in share
+    // (p^{-1/2} is), so the share-descending order is rate-ascending
+    assert(rates.sameElements(rates.sorted),
+      s"rates not monotone against share: ${rates.mkString(",")}")
+    // smoothing moves mass off the head onto the tail — with non-uniform
+    // shares some language must land on each side of rate 1
+    assert(rates.head < 1.0, s"head language not downsampled: ${rates.head}")
+    assert(rates.last > 1.0, s"tail language not upsampled: ${rates.last}")
+    assert(rates.forall(_ <= 4.0), "upsampling cap violated")
+  }
+
+  test("BPE fertility: per-language report conserves the encode totals") {
+    val f = TextAnalysis.bpeFertility(spark, dir).collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      // every word is at least one symbol; every id covers >= 1 char
+      assert(r.getLong(3) >= r.getLong(2),
+        s"${r.getString(0)}: fewer ids than words")
+      assert(r.getLong(4) >= r.getLong(3),
+        s"${r.getString(0)}: fewer chars than ids")
+      assert(r.getDouble(5) >= 1.0 && r.getDouble(6) >= 1.0)
+    }
+    // the language rollup is a partition of the encode manifests
+    val encTotal = TextAnalysis.bpeEncode(spark, dir)
+      .agg(sum(col("n_ids").cast("long")), count(lit(1))).head
+    assert(f.map(_.getLong(3)).sum == encTotal.getLong(0),
+      "per-language id totals must sum to the encode total")
+    assert(f.map(_.getLong(1)).sum == encTotal.getLong(1))
+  }
+
   test("source overlap: sketch estimate tracks exact Jaccard within MinHash error") {
     val rows = Dedup.sourceOverlap(spark, dir)
       .select("jaccard", "est_jaccard").collect()
