@@ -372,7 +372,8 @@ object DedupStaging {
         "m6_contamination_score"))("shingle8"),
       Option.when(need("m6_corpus_build", "m6_dup_clusters",
         "m6_dup_density", "m6_cluster_keep_best"))("minhash_pairs"),
-      Option.when(need("m6_bpe_encode", "m6_bpe_fertility"))("bpe_vocab")
+      Option.when(need("m6_bpe_encode", "m6_bpe_fertility",
+        "m6_pack_bpe"))("bpe_vocab")
     ).flatten
   }
 

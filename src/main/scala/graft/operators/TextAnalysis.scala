@@ -1100,6 +1100,31 @@ object TextAnalysis {
           x => x.getField("token_id").cast("string")), " ")).as("ids_fp"))
   }
 
+  /** M6: sequence packing over REAL tokenizer output — the packSequences
+    * shard/running-offset machinery driven by the staged-BPE encode
+    * manifests' id counts instead of whitespace token counts. A trainer
+    * packs in tokenizer IDS (≈3.7 ids/word on this corpus), so chunk
+    * boundaries land in different places than a word-count packer would
+    * put them — this is the layout job that actually follows tokenization
+    * in a training-data pipeline (encode → pack → shard-write). Same
+    * 100 TB shape as packSequences: corpus-adaptive shard count, windows
+    * partitioned per shard (~256 docs each), never a global sort; the id
+    * counts ride the docs-sized encode-manifest frame. */
+  def packBpe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunk = 512
+    val shards = packShards(Tables.documents(spark, dir).count())
+    val docs = bpeEncode(spark, dir).select(col("doc_id"), col("n_ids"),
+      pmod(Exact.fold60(col("doc_id").cast("string")), lit(shards)).as("shard"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("end_offset", sum("n_ids").over(w))
+      .select(col("doc_id"), col("shard"), col("n_ids"),
+        (col("end_offset") - col("n_ids")).as("start_offset"),
+        floor((col("end_offset") - col("n_ids")) / chunk).as("first_chunk"),
+        floor((col("end_offset") - 1) / chunk).as("last_chunk"))
+  }
+
   /** M6: temperature-smoothed language-mixture plan — the mT5/XLM-R
     * sampling rule (rate ∝ p^α, α = 1/2): high-resource languages are
     * down-weighted and low-resource ones up-weighted so the mixture
@@ -1177,6 +1202,7 @@ object TextAnalysis {
     "m6_bpe_encode"    -> bpeEncode,
     "m6_bpe_fertility" -> bpeFertility,
     "m6_temperature_mix" -> temperatureMix,
+    "m6_pack_bpe"      -> packBpe,
     "m6_shard_manifest" -> shardManifest,
     "m6_quality_classifier" -> qualityClassifier,
     "m6_dataset_card"  -> datasetCard,
@@ -1359,6 +1385,27 @@ object TextAnalysis {
     "m6_bpe_encode" -> BpeEncodeOracle,
     "m6_bpe_fertility" -> BpeFertilityOracle,
     "m6_temperature_mix" -> TemperatureMixOracle,
+    // The pack replay over the encode chain's id counts — identical to the
+    // m6_pack_sequences oracle with n_ids from `di` in place of the
+    // whitespace token count (shard count still derives from the full
+    // documents cardinality, as in the engine).
+    "m6_pack_bpe" ->
+      s"""WITH $BpeEncodeCtes,
+          shards AS (SELECT (1 << least(12, greatest(3,
+                CAST(ceil(log2(greatest(count(*), 1) / 256.0)) AS INTEGER)))) AS s
+              FROM documents),
+          t AS (SELECT doc_id, CAST(len(l) AS INTEGER) AS n_ids,
+              ${Exact.sqlFold60("CAST(doc_id AS VARCHAR)")} % (SELECT s FROM shards) AS shard
+            FROM di),
+          c AS (SELECT doc_id, shard, n_ids,
+              sum(n_ids) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_offset
+            FROM t)
+          SELECT doc_id, shard, n_ids,
+                 CAST(end_offset - n_ids AS BIGINT) AS start_offset,
+                 CAST((end_offset - n_ids) // 512 AS BIGINT) AS first_chunk,
+                 CAST((end_offset - 1) // 512 AS BIGINT) AS last_chunk
+          FROM c""",
     // Shard replay: same salted fold for shard and order; first/last via
     // an ordered list (ties broken by doc_id on both sides).
     "m6_shard_manifest" ->

@@ -745,6 +745,24 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     assert(f.map(_.getLong(1)).sum == encTotal.getLong(1))
   }
 
+  test("BPE packing tiles each shard gap-free with the encode id counts") {
+    val p = TextAnalysis.packBpe(spark, dir).collect()
+    assert(p.nonEmpty)
+    p.groupBy(_.getLong(1)).foreach { case (s, rows) =>
+      var off = 0L
+      rows.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(3) == off,
+          s"shard $s: offset gap at doc ${r.getLong(0)}")
+        off += r.getInt(2)
+      }
+    }
+    // the packed layout covers exactly the encoded corpus
+    val total = p.map(_.getInt(2).toLong).sum
+    val enc = TextAnalysis.bpeEncode(spark, dir)
+      .agg(sum(col("n_ids").cast("long"))).head.getLong(0)
+    assert(total == enc, s"packed $total ids vs encoded $enc")
+  }
+
   test("source overlap: sketch estimate tracks exact Jaccard within MinHash error") {
     val rows = Dedup.sourceOverlap(spark, dir)
       .select("jaccard", "est_jaccard").collect()

@@ -64,7 +64,7 @@ QUERIES = ",".join([
     "u5_union_distinct", "u6_intersect_all_overlap",
     "j18_class_priority", "j21_disjunctive_revenue",
     "j27_revenue_delta", "j28_top_supplier",
-    "m6_bpe_fertility", "m6_temperature_mix",
+    "m6_bpe_fertility", "m6_temperature_mix", "m6_pack_bpe",
 ])
 
 

@@ -55,7 +55,7 @@ QUERIES = ",".join([
     "m6_ann_ivfpq_rerank", "m6_ann_eval", "m6_bpe_encode",
     "u5_union_distinct", "u6_intersect_all_overlap",
     "j27_revenue_delta", "j28_top_supplier",
-    "m6_bpe_fertility", "m6_temperature_mix",
+    "m6_bpe_fertility", "m6_temperature_mix", "m6_pack_bpe",
 ])
 
 
