@@ -355,4 +355,52 @@ object GraftProps extends Properties("graft") {
       val sec = micros / 1000000L
       bucket % 5 == 0 && bucket <= sec && sec < bucket + 5
     }
+
+  // ---- BPE merge application (TextAnalysis.applyMerge) ---------------------
+  // The anchored-replace FORMULA — append a trailing-space sentinel, replace
+  // "X Y " with "XY " leftmost non-overlapping, strip the sentinel — is
+  // exactly one Sennrich merge step over the symbol array, for EVERY word
+  // and every merge history (both engines implement this same string
+  // transformation: java.lang.String.replace / DuckDB replace). The
+  // adversarial part of the generator replays PAST winners against the
+  // already-merged sequence, which is precisely where the unanchored form
+  // corrupted (a pair whose right symbol prefixes an earlier merge product
+  // must be a no-op, not a phantom merge).
+  property("bpe: anchored replace == reference merge over the symbol array") = {
+    def refMerge(syms: Vector[String], x: String, y: String): Vector[String] = {
+      val out = Vector.newBuilder[String]; var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+          out += x + y.stripPrefix("|"); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    def formula(seq: String, x: String, y: String): String =
+      (seq + " ").replace(s"$x $y ", s"$x${y.stripPrefix("|")} ")
+        .reverse.dropWhile(_ == ' ').reverse
+    val gen = for {
+      word <- Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(12).mkString)
+      picks <- Gen.listOfN(6, Gen.choose(0, 1000))
+    } yield (word, picks)
+    forAll(gen) { case (word, picks) =>
+      var syms = word.map(ch => s"|$ch").toVector
+      var history = List.empty[(String, String)]
+      picks.forall { p =>
+        // alternate fresh adjacent pairs with replays of past winners —
+        // the replay must leave an already-merged sequence unchanged
+        // wherever the pair no longer occurs, boundary-exactly
+        val candidates =
+          (if (syms.length >= 2) (0 until syms.length - 1)
+            .map(i => (syms(i), syms(i + 1))).toList else Nil) ::: history
+        candidates.nonEmpty && {
+          val (x, y) = candidates(p % candidates.length)
+          val got = formula(syms.mkString(" "), x, y)
+          syms = refMerge(syms, x, y)
+          history = (x, y) :: history
+          got == syms.mkString(" ")
+        } || candidates.isEmpty
+      }
+    }
+  }
 }

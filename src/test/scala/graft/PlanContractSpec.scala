@@ -226,6 +226,25 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
       s"j28's max/dim sides must broadcast:\n$j28")
   }
 
+  test("round-13 operators: windowless mixture plan, shard-partitioned pack window") {
+    def formatted(q: String) = {
+      val s = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      spark.catalog.clearCache(); s
+    }
+    // temperature mix: one keyed agg + a languages-sized fold — a window
+    // here would mean the normalizer is scanning the corpus
+    val tm = formatted("m6_temperature_mix")
+    assert(!tm.contains(") Window"), s"temperature mix must be window-free:\n$tm")
+    // BPE packing: the running-offset window must be partitioned by shard
+    // (the whole point of the corpus-adaptive shard count — never a global
+    // cumsum); the only other window is the constant-size symbol-id rank
+    // inside the encode stage
+    val pb = formatted("m6_pack_bpe")
+    assert(pb.contains("windowspecdefinition(shard#"),
+      s"pack window not shard-partitioned:\n${pb.take(4000)}")
+  }
+
   test("ANN top-k: the rank window sorts skinny rows (no vectors) and probes stay fixed-size") {
     // the round-12 100× finding: ranking rows that still carry the
     // 64-double vectors moves gigabytes through the per-probe sort. The
