@@ -706,8 +706,11 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("temperature mix: weights renormalize, rates invert the share order, head downsampled") {
+    // order by the EXACT token count (lang tiebreak), not the 6-decimal
+    // rounded share — a rounded-share tie would make the monotonicity
+    // check order-dependent
     val rows = TextAnalysis.temperatureMix(spark, dir)
-      .orderBy(col("share").desc).collect()
+      .orderBy(col("n_tokens").desc, col("lang")).collect()
     assert(rows.length > 1)
     val shares = rows.map(_.getDouble(2))
     val weights = rows.map(_.getDouble(3))

@@ -144,7 +144,10 @@ art["partition_scaled"] = {
             "cpu_ratio_p320": round(pscaled["cpu_sec"][q] / max(small["cpu_sec"][q], 1e-9), 2),
             "wall_ratio_p320": round(pscaled["queries"][q] / max(small["queries"][q], 1e-9), 2),
         }
-        for q in pscaled["queries"] if q in small["queries"]
+        # Bench's maps carry staging rows (m6_stage_base) alongside the
+        # queries; the measurement block is queries-only — a warm staged
+        # reuse ratioed against the small leg's cold build is noise
+        for q in PSCALED if q in small["queries"] and q in pscaled["queries"]
     },
 }
 worst = max(art["queries"].items(), key=lambda kv: kv[1]["wall_ratio"])
