@@ -61,7 +61,14 @@ object Dedup {
 
   /** M6: exact dedup — group by content digest, first-id-wins keeper.
     * A tenth of the corpus is re-injected as exact copies (deterministically,
-    * in both engines) so the operator demonstrably collapses them. */
+    * in both engines) so the operator demonstrably collapses them.
+    *
+    * Fixture precondition (all constant-offset plant injections in this
+    * file and Multimodal): planted ids assume real doc_ids stay below the
+    * offset (1M/2M/3M/4M here) — true for every committed fixture and the
+    * 100× probe (500 k docs). The collision-free derived-offset form, for
+    * a fixture that outgrows this, is Similarity.plantOffset
+    * (max(id) + 1, mirrored as a scalar subquery in the oracle). */
   def exactDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val copies = docs.filter(col("doc_id") % 10 === 0)

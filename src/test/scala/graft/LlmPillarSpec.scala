@@ -342,10 +342,13 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
 
   test("embed dedup surfaces every planted near-identical pair through its bucket") {
     val out = Similarity.embedDedup(spark, dir)
-    val planted = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") % 20 === 0).count()
+    val emb = Tables.embeddings(spark, dir)
+    val planted = emb.filter(col("vec_id") % 20 === 0).count()
+    // the plant offset is corpus-derived (max id + 1), never a constant
+    // that real ids could collide with at scale
+    val off = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
     assert(planted > 0)
-    assert(out.filter(col("vec_b") === col("vec_a") + 1000000).count() == planted)
+    assert(out.filter(col("vec_b") === col("vec_a") + off).count() == planted)
   }
 
   test("HLL vocabulary estimate stays within 5% of exact per language") {
