@@ -31,8 +31,19 @@ object Bench {
     // aggregation-map attribution), and scale_probe10.py measures exactly
     // that by re-running the keyed-agg-heavy queries at partitions ∝ rows.
     // Default stays = cpus (the committed-bench configuration).
-    val shufflePartitions =
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // Parsed eagerly (toInt, > 0) so a probe-harness typo fails fast with
+    // the variable name in the message, not as an opaque session-build
+    // error deep inside Spark.
+    val shufflePartitions = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") match {
+      case None => cpus
+      case Some(s) =>
+        val n =
+          try s.trim.toInt
+          catch { case _: NumberFormatException => sys.error(
+            s"SPARK_GRAFT_SHUFFLE_PARTITIONS must be an integer, got '$s'") }
+        require(n > 0, s"SPARK_GRAFT_SHUFFLE_PARTITIONS must be > 0, got $n")
+        n.toString
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)

@@ -288,7 +288,7 @@ object Dedup {
     * builds it runs once per fixture, not once per side per query. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     simhashPairsAt(spark, dir,
-      simhashChunkBits(Tables.documents(spark, dir).count()))
+      simhashChunkBits(TextAnalysis.docsN(spark, dir)))
 
   /** The fixed-width pipeline behind simhashPairs (test surface: the spec
     * checks the exact-recall bound at both widths on one fixture). */

@@ -43,23 +43,50 @@ object DedupStaging {
     sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE",
       s"${sys.props("java.io.tmpdir")}/graft-warehouse")
 
+  /** Content signature of whatever `path` holds: a regular file's
+    * (size, mtime-millis) pair, or — for a DIRECTORY layout, e.g. a
+    * multi-file parquet table — a digest over its recursive
+    * (relative-name, size, mtime) entries, so a rewrite of any member file
+    * changes the signature. None when the path is absent: an absent source
+    * is UNCACHEABLE (r13 ADVICE — a constant 'absent' key would alias
+    * every missing layout onto one memo slot, serving stale scalars after
+    * an in-place regeneration). */
+  private[graft] def contentSig(path: String): Option[String] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) None
+    else if (java.nio.file.Files.isRegularFile(p))
+      Some(s"${java.nio.file.Files.size(p)}-${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+    else {
+      val sb = new StringBuilder
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted().forEach { f =>
+        if (java.nio.file.Files.isRegularFile(f))
+          sb.append(p.relativize(f)).append('|')
+            .append(java.nio.file.Files.size(f)).append('|')
+            .append(java.nio.file.Files.getLastModifiedTime(f).toMillis)
+            .append('\n')
+      } finally walk.close()
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sb.toString.getBytes("UTF-8"))
+      Some(md.take(8).map(b => f"$b%02x").mkString)
+    }
+  }
+
   /** Content fingerprint of a fixture dir — the staged tables derive from
     * `documents.parquet` (text/dedup family) or `embeddings.parquet` (ANN
-    * index family), so the pair of (size, mtime) signatures identifies the
+    * index family), so the pair of content signatures identifies the
     * corpus version. A regenerated fixture changes the fingerprint, which
     * changes every staged path: stale staged parquet can never be read
     * against a newer corpus (it is swept on the next build instead). One
     * fingerprint over both sources keeps the commit/sweep protocol
     * single-rooted; the cost — a docs-only regen also invalidates the ANN
     * tables — is one extra index build per regeneration, disclosed by
-    * Bench's staging_cold flag. */
+    * Bench's staging_cold flag. ('absent' is fine as a fingerprint
+    * component — a table that appears later changes the fingerprint — it
+    * is only the SCALAR memos that must refuse to cache on it.) */
   private def fingerprint(dir: String): String = {
-    def sig(name: String): String = {
-      val p = java.nio.file.Paths.get(dir, name)
-      if (java.nio.file.Files.exists(p))
-        s"${java.nio.file.Files.size(p)}-${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
-      else "absent"
-    }
+    def sig(name: String): String =
+      contentSig(s"$dir/$name").getOrElse("absent")
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir|${sig("documents.parquet")}|${sig("embeddings.parquet")}"
         .getBytes("UTF-8"))
@@ -305,6 +332,23 @@ object DedupStaging {
       TextAnalysis.bpeLearn(spark, dir)._2
     }
 
+  /** The BPE encode-output manifest (doc_id, n_ids, ids_head, ids_fp) —
+    * the per-document record a tokenized-shard writer lands next to the id
+    * arrays themselves. The corpus-scale encode join (m6_bpe_encode's
+    * plan: corpus → word-position explode → staged-vocab equi-join) runs
+    * ONCE per corpus release HERE; every derived layout/eval job —
+    * sequence packing (m6_pack_bpe), the fertility report
+    * (m6_bpe_fertility) — reads this docs-sized table instead of
+    * re-encoding the corpus (the m6_stage_ann build-once/derive-many
+    * precedent applied to tokenizer output; before r14, fertility's 100×
+    * probe wall was ~60× for what is logically a docs-sized join plus a
+    * 20-row report). Oracles still replay train+encode from raw text, so
+    * every staged manifest row stays hash-verified through its consumers. */
+  def bpeManifest(spark: SparkSession, dir: String): DataFrame =
+    materialize(spark, dir, "bpe_manifest") {
+      TextAnalysis.bpeEncode(spark, dir)
+    }
+
   /** The IVF-Flat index: the corpus stored WITH its coarse-cell assignment
     * (vec_id, v, norm, cell) — what a production ANN deployment builds once
     * per corpus release and every search reads (FAISS's IndexIVFFlat stores
@@ -373,7 +417,10 @@ object DedupStaging {
       Option.when(need("m6_corpus_build", "m6_dup_clusters",
         "m6_dup_density", "m6_cluster_keep_best"))("minhash_pairs"),
       Option.when(need("m6_bpe_encode", "m6_bpe_fertility",
-        "m6_pack_bpe"))("bpe_vocab")
+        "m6_pack_bpe"))("bpe_vocab"),
+      // encode-once/derive-many: pack + fertility read the staged encode
+      // manifest (whose build itself reads bpe_vocab — hence the order)
+      Option.when(need("m6_bpe_fertility", "m6_pack_bpe"))("bpe_manifest")
     ).flatten
   }
 
@@ -409,6 +456,7 @@ object DedupStaging {
       case "shingle8"      => shingle8(spark, dir)
       case "minhash_pairs" => minhashPairs(spark, dir)
       case "bpe_vocab"     => bpeVocab(spark, dir)
+      case "bpe_manifest"  => bpeManifest(spark, dir)
     }
 
   /** Build the ANN index tables the named queries read (Bench's

@@ -52,24 +52,28 @@ object Similarity {
     * is linear again. */
   private[graft] def probeStride(n: Long): Long = math.max(50L, n / 40L)
 
+  /** Corpus-scalar memo shared by corpusN/plantOffset: keyed on the
+    * embeddings source's CONTENT signature (DedupStaging.contentSig —
+    * file-or-directory aware), so an in-place fixture regeneration can
+    * never serve a stale scalar; an ABSENT source is uncacheable (r13
+    * ADVICE: a constant 'absent' key aliased every missing layout onto one
+    * slot) and simply recomputes — the read then fails with the real
+    * missing-table error. */
+  private def memoScalar(memo: scala.collection.concurrent.TrieMap[(String, String), Long],
+      dir: String)(compute: => Long): Long =
+    DedupStaging.contentSig(s"$dir/embeddings.parquet") match {
+      case Some(sig) => memo.getOrElseUpdate((dir, sig), compute)
+      case None      => compute
+    }
+
   /** Memoized corpus cardinality per fixture: a parquet count() is
     * footer-metadata work but still a scheduled Spark job, and a composite
     * query (m6_ann_eval builds two searches) re-derives the same immutable
-    * number five times at plan-construction time. Keyed on the corpus
-    * file's (size, mtime) signature — the DedupStaging.fingerprint
-    * discipline — so an in-place fixture regeneration can never serve a
-    * stale count. */
+    * number five times at plan-construction time. */
   private val corpusCount =
     scala.collection.concurrent.TrieMap.empty[(String, String), Long]
-  private def corpusN(spark: SparkSession, dir: String): Long = {
-    val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
-    val sig =
-      if (java.nio.file.Files.exists(p))
-        s"${java.nio.file.Files.size(p)}-${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
-      else "absent"
-    corpusCount.getOrElseUpdate((dir, sig),
-      Tables.embeddings(spark, dir).count())
-  }
+  private def corpusN(spark: SparkSession, dir: String): Long =
+    memoScalar(corpusCount, dir)(Tables.embeddings(spark, dir).count())
 
   /** Memoized max vec_id + 1 — the collision-free id offset for
     * embedDedup's planted copies (same signature-keyed memo as corpusN).
@@ -79,15 +83,9 @@ object Similarity {
     * keeps both rows. The oracle derives the identical scalar in-query. */
   private val corpusMax =
     scala.collection.concurrent.TrieMap.empty[(String, String), Long]
-  private def plantOffset(spark: SparkSession, dir: String): Long = {
-    val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
-    val sig =
-      if (java.nio.file.Files.exists(p))
-        s"${java.nio.file.Files.size(p)}-${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
-      else "absent"
-    corpusMax.getOrElseUpdate((dir, sig),
+  private def plantOffset(spark: SparkSession, dir: String): Long =
+    memoScalar(corpusMax, dir)(
       Tables.embeddings(spark, dir).agg(max(col("vec_id"))).head.getLong(0) + 1)
-  }
 
   /** The stride for this fixture's embeddings corpus (metadata-cheap
     * count, the ivfStride precedent). */

@@ -48,6 +48,23 @@ object TextAnalysis {
   private def lazyPlans(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.lazyPlans").contains("true")
 
+  /** Memoized documents cardinality per fixture — the Similarity.corpusN
+    * discipline applied to the text corpus: several operators (packShards
+    * sizing, tfidf's N, the simhash chunk width) need the corpus row count
+    * at PLAN-CONSTRUCTION time, and each invocation re-ran the (footer-
+    * metadata, but still scheduled) count() job per call. Keyed on the
+    * documents source's content signature (file-or-directory aware); an
+    * absent source is uncacheable and recomputes — the r13-ADVICE memo
+    * contract. */
+  private val docsCount =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+  private[operators] def docsN(spark: SparkSession, dir: String): Long =
+    DedupStaging.contentSig(s"$dir/documents.parquet") match {
+      case Some(sig) => docsCount.getOrElseUpdate((dir, sig),
+        Tables.documents(spark, dir).count())
+      case None => Tables.documents(spark, dir).count()
+    }
+
   /** DuckDB fragment for the same k-shingles of a token list `t`. */
   def sqlShingles(t: String, k: Int): String = {
     val parts = (0 until k).map(j => s"$t[i + $j]").mkString(" || ' ' || ")
@@ -156,8 +173,7 @@ object TextAnalysis {
     * corpus through a handful of window tasks. Offsets are exact integers —
     * bit-identical cross-engine by construction. */
   def packSequences(spark: SparkSession, dir: String): DataFrame =
-    packSequencesAt(spark, dir,
-      packShards(Tables.documents(spark, dir).count()))
+    packSequencesAt(spark, dir, packShards(docsN(spark, dir)))
 
   /** Corpus-adaptive shard count for sequence packing: the smallest power
     * of two in [8, 4096] with shards × 256 ≥ N — per-shard window work
@@ -208,8 +224,9 @@ object TextAnalysis {
   def tfidfTerms(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // corpus cardinality via parquet metadata — the same number a catalog
-    // serves for free (corpusBits precedent, Similarity.scala)
-    val n = Tables.documents(spark, dir).count()
+    // serves for free (corpusBits precedent, Similarity.scala), memoized
+    // per fixture (docsN)
+    val n = docsN(spark, dir)
     // NO persist for the shared (doc, term, tf) subplan: both remaining
     // consumers contain its identical aggregation exchange, which AQE's
     // stage cache dedupes at runtime — the explode pass runs once; shuffle
@@ -1109,13 +1126,16 @@ object TextAnalysis {
     * in a training-data pipeline (encode → pack → shard-write). Same
     * 100 TB shape as packSequences: corpus-adaptive shard count, windows
     * partitioned per shard (~256 docs each), never a global sort; the id
-    * counts ride the docs-sized encode-manifest frame. */
+    * counts ride the STAGED docs-sized encode manifest
+    * (DedupStaging.bpeManifest — the corpus encode join ran once at
+    * staging time; this query is manifest-read + per-shard window only). */
   def packBpe(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val chunk = 512
-    val shards = packShards(Tables.documents(spark, dir).count())
-    val docs = bpeEncode(spark, dir).select(col("doc_id"), col("n_ids"),
-      pmod(Exact.fold60(col("doc_id").cast("string")), lit(shards)).as("shard"))
+    val shards = packShards(docsN(spark, dir))
+    val docs = DedupStaging.bpeManifest(spark, dir)
+      .select(col("doc_id"), col("n_ids"),
+        pmod(Exact.fold60(col("doc_id").cast("string")), lit(shards)).as("shard"))
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.withColumn("end_offset", sum("n_ids").over(w))
@@ -1173,11 +1193,13 @@ object TextAnalysis {
     * the documents' language and normalized character counts, reduced to
     * exact per-language long sums with two pinned divides. Fertility is
     * THE number that says whether a tokenizer under-serves a language
-    * (high ids/word = the vocabulary doesn't cover it). One encode-output
-    * join + one keyed agg; at 100 TB the manifest frame is docs-sized and
-    * the report |languages|-sized. */
+    * (high ids/word = the vocabulary doesn't cover it). One join of the
+    * STAGED encode manifest (DedupStaging.bpeManifest) back to documents +
+    * one keyed agg; at 100 TB the manifest frame is docs-sized and the
+    * report |languages|-sized — the corpus encode join never re-runs
+    * here. */
   def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
-    val enc = bpeEncode(spark, dir).select("doc_id", "n_ids")
+    val enc = DedupStaging.bpeManifest(spark, dir).select("doc_id", "n_ids")
     val docs = Tables.documents(spark, dir).select(
       col("doc_id"), col("lang"),
       size(normTokens(col("text"))).as("n_words"),

@@ -357,6 +357,19 @@ object GraftProps extends Properties("graft") {
     }
 
   // ---- BPE merge application (TextAnalysis.applyMerge) ---------------------
+  // One reference Sennrich merge step over the symbol array — the ground
+  // truth both the pure formula property and the shipped-Column property
+  // compare against.
+  private def refMerge(syms: Vector[String], x: String, y: String): Vector[String] = {
+    val out = Vector.newBuilder[String]; var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+        out += x + y.stripPrefix("|"); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
   // The anchored-replace FORMULA — append a trailing-space sentinel, replace
   // "X Y " with "XY " leftmost non-overlapping, strip the sentinel — is
   // exactly one Sennrich merge step over the symbol array, for EVERY word
@@ -367,15 +380,6 @@ object GraftProps extends Properties("graft") {
   // corrupted (a pair whose right symbol prefixes an earlier merge product
   // must be a no-op, not a phantom merge).
   property("bpe: anchored replace == reference merge over the symbol array") = {
-    def refMerge(syms: Vector[String], x: String, y: String): Vector[String] = {
-      val out = Vector.newBuilder[String]; var i = 0
-      while (i < syms.length) {
-        if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
-          out += x + y.stripPrefix("|"); i += 2
-        } else { out += syms(i); i += 1 }
-      }
-      out.result()
-    }
     def formula(seq: String, x: String, y: String): String =
       (seq + " ").replace(s"$x $y ", s"$x${y.stripPrefix("|")} ")
         .reverse.dropWhile(_ == ' ').reverse
@@ -403,4 +407,46 @@ object GraftProps extends Properties("graft") {
       }
     }
   }
+
+  // The SHIPPED Column expression (r13 ADVICE): the property above pins the
+  // pure mirror; this one evaluates TextAnalysis.applyMerge itself — the
+  // exact Catalyst tree every BPE query runs — over a deterministic batch
+  // of generated merge histories in ONE DataFrame pass (a per-ScalaCheck-
+  // case one-row job would schedule hundreds of Spark jobs), so an edit to
+  // applyMerge that diverges from the mirror fails here, not just on
+  // LlmPillarSpec's six fixed cases.
+  property("bpe: shipped applyMerge Column == reference merge on a generated batch") =
+    Prop.secure {
+      val rnd = new scala.util.Random(20260814L)
+      val cases = Seq.fill(120) {
+        val word = Seq.fill(1 + rnd.nextInt(10))(
+          ('a' + rnd.nextInt(26)).toChar).mkString
+        var syms = word.map(ch => s"|$ch").toVector
+        var history = List.empty[(String, String)]
+        var acc = List.empty[(String, String, String)]
+        (0 until 1 + rnd.nextInt(5)).foreach { _ =>
+          val candidates =
+            (if (syms.length >= 2) (0 until syms.length - 1)
+              .map(i => (syms(i), syms(i + 1))).toList else Nil) ::: history
+          if (candidates.nonEmpty) {
+            val (x, y) = candidates(rnd.nextInt(candidates.length))
+            val before = syms.mkString(" ")
+            syms = refMerge(syms, x, y)
+            history = (x, y) :: history
+            acc ::= ((before, s"$x $y", syms.mkString(" ")))
+          }
+        }
+        acc
+      }.flatten
+      // the suites' shared session — building a second one here would make
+      // whichever getOrCreate ran first dictate every suite's master/conf
+      val spark = SparkFixture.session
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      cases.toDF("seq", "mpr", "expected")
+        .select(col("expected"),
+          graft.operators.TextAnalysis.applyMerge(col("seq"), col("mpr")).as("got"))
+        .collect()
+        .forall(r => r.getString(0) == r.getString(1))
+    }
 }
