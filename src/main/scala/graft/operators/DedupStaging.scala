@@ -349,6 +349,16 @@ object DedupStaging {
       TextAnalysis.bpeEncode(spark, dir)
     }
 
+  /** The BM25 inverted index (term, df, doc_id, tf, dl, n_docs, avgdl) —
+    * the per-term posting rows plus the index-level stats a search needs,
+    * built once per corpus release (TextAnalysis.bm25IndexBuild). The
+    * ranker (m6_bm25_topk) reads this with a static In(term, …) pushed
+    * filter, so a search touches only its query terms' posting lists. */
+  def bm25Index(spark: SparkSession, dir: String): DataFrame =
+    materialize(spark, dir, "bm25_index") {
+      TextAnalysis.bm25IndexBuild(spark, dir)
+    }
+
   /** The IVF-Flat index: the corpus stored WITH its coarse-cell assignment
     * (vec_id, v, norm, cell) — what a production ANN deployment builds once
     * per corpus release and every search reads (FAISS's IndexIVFFlat stores
@@ -420,7 +430,8 @@ object DedupStaging {
         "m6_pack_bpe"))("bpe_vocab"),
       // encode-once/derive-many: pack + fertility read the staged encode
       // manifest (whose build itself reads bpe_vocab — hence the order)
-      Option.when(need("m6_bpe_fertility", "m6_pack_bpe"))("bpe_manifest")
+      Option.when(need("m6_bpe_fertility", "m6_pack_bpe"))("bpe_manifest"),
+      Option.when(need("m6_bm25_topk"))("bm25_index")
     ).flatten
   }
 
@@ -457,6 +468,7 @@ object DedupStaging {
       case "minhash_pairs" => minhashPairs(spark, dir)
       case "bpe_vocab"     => bpeVocab(spark, dir)
       case "bpe_manifest"  => bpeManifest(spark, dir)
+      case "bm25_index"    => bm25Index(spark, dir)
     }
 
   /** Build the ANN index tables the named queries read (Bench's

@@ -644,12 +644,17 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("sim"))
   }
 
-  /** ADC shortlist depth for the refine stage: 4 × k — FAISS's usual
-    * k_factor for IndexRefineFlat. Recall is then bounded only by the
-    * nprobe=2 cell selection (a probed-cell exact-top-10 member missing
-    * from the shortlist would need 30+ compressed scores to beat it —
-    * LlmPillarSpec measures the recovered recall at the flat-IVF level). */
-  private[graft] val RerankR = 40
+  /** ADC shortlist depth for the refine stage: 8 × k — a MEASURED choice,
+    * not the FAISS k_factor=4 folklore: on this corpus/index geometry
+    * (8 coarse cells, nprobe=2, 16-byte residual codes) mean recall@10 is
+    * 0.49 / 0.61 / 0.75 / 0.77 at R = 10/20/40/80, and 0.77 IS the
+    * structural ceiling (the flat-IVF nprobe=2 recall — exact re-scoring
+    * of a shortlist can never beat exact-scoring every probed-cell
+    * member), so R = 8k sits exactly on the plateau where 4k still left
+    * 0.02 on the table (LlmPillarSpec's re-rank-depth case pins the curve
+    * and the plateau). 80 exact dots per query remains trivial next to
+    * the ADC scan. */
+  private[graft] val RerankR = 80
 
   /** M6: IVF-PQ ADC search WITH the exact re-rank stage — the production
     * composition (FAISS IndexRefineFlat over IndexIVFPQ): the 16-byte ADC
@@ -669,12 +674,21 @@ object Similarity {
     * scan (compressed) + R exact dots. Determinism: ADC sims are the
     * m6_ann_ivfpq values (raw doubles), shortlist ties break on vec_id,
     * and the exact re-score is the cosineTopK arithmetic verbatim. */
-  def annIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+  def annIvfPqRerank(spark: SparkSession, dir: String): DataFrame =
+    annIvfPqRerankAt(spark, dir, RerankR)
+
+  /** The fixed-depth refine pipeline behind annIvfPqRerank (test surface:
+    * LlmPillarSpec measures recall@10 across R ∈ {10, 20, 40, 80} — per-
+    * query monotone by construction, and R = 4k sits on the plateau, which
+    * turns the FAISS k_factor folklore into a measured choice for this
+    * corpus). */
+  private[graft] def annIvfPqRerankAt(spark: SparkSession, dir: String,
+      r: Int): DataFrame = {
     val b = base(spark, dir)
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
     val shortlist = ivfPqAdcSims(spark, dir, b)
       .withColumn("arn", row_number().over(w))
-      .filter(col("arn") <= RerankR)
+      .filter(col("arn") <= r)
       .select(col("q_id"), col("vec_id"))
     val cand = DedupStaging.ivfCells(spark, dir)
       .select(col("vec_id"), col("v"), col("norm"))

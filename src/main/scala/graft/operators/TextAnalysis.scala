@@ -1219,7 +1219,94 @@ object TextAnalysis {
           .as("chars_per_id"))
   }
 
+  /** The retrieval query workload for m6_bm25_topk: three fixed term-bag
+    * queries over the corpus vocabulary — the single source for the engine
+    * frame AND the oracle's VALUES list, so the two can never drift. */
+  private[graft] val Bm25Queries: Seq[(String, String)] = Seq(
+    "q1" -> "vector hash join",
+    "q2" -> "stream window agg",
+    "q3" -> "slow scan filter")
+
+  /** The BM25 index-build pass behind the staged `bm25_index` table
+    * (DedupStaging.bm25Index): per-(term, doc) tf, per-doc length (a
+    * doc-bounded window over the tf rows — the m6_tfidf exchange-reuse
+    * shape), per-term df, and the two index-level stats every BM25
+    * implementation ships in its metadata — corpus doc count and average
+    * doc length — denormalized onto the rows (constant columns RLE-encode
+    * to nothing in parquet; a deployment would put them in the index
+    * manifest). One corpus pass per index RELEASE; searches never touch
+    * raw text. */
+  private[graft] def bm25IndexBuild(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.fanout(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(normTokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val lenW = Window.partitionBy("doc_id")
+    // sum(least(tf,1)) == per-term doc count, keeps the partial stage
+    // canonically equal to the shared explode exchange (tfidfTerms has the
+    // full argument)
+    val dfreq = tf.groupBy("term").agg(sum(least(col("tf"), lit(1L))).as("df"))
+    val stats = tf.agg(sum(col("tf")).as("tot"),
+      countDistinct(col("doc_id")).as("nd"))
+    tf.withColumn("dl", sum("tf").over(lenW))
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("df"), col("doc_id"), col("tf"), col("dl"),
+        col("nd").as("n_docs"),
+        (col("tot").cast("double") / col("nd").cast("double")).as("avgdl"))
+  }
+
+  /** M6: BM25 top-k document ranking — the retrieval-side consumer of the
+    * index family (m6_postings builds a phrase index, m6_chunk_windows the
+    * RAG chunks; this is the ranker that serves queries): three fixed
+    * term-bag queries (Bm25Queries) scored with BM25 (k1 = 1.2, b = 0.75)
+    * over the STAGED per-term index (DedupStaging.bm25Index — built once
+    * per corpus release), top-10 documents per query.
+    *
+    * Work ∝ posting lists touched, never corpus-wide: the query terms are
+    * plan-time literals, so the index scan carries a static `In(term, …)`
+    * pushed filter — parquet row-group stats/dictionaries prune everything
+    * but the touched posting lists (at cluster scale, a term-partitioned
+    * index makes this partition pruning) — and the per-query fan-out rides
+    * a broadcast of the (query, term) pairs. The ranking window partitions
+    * by query_id over only the matched docs.
+    *
+    * Pinned arithmetic (the m6_tfidf raw-ratio precedent): idf is the raw
+    * ratio N/df — `ln` is implementation-defined in its last ulp across
+    * libms, which a hash compare would expose — and every constant
+    * (2.2 = k1+1, 1.2, 0.75, 0.25 = 1−b) appears as the same literal in
+    * both engines rather than being derived at runtime. The per-document
+    * score sum folds LEFT-TO-RIGHT over the term-sorted per-doc score
+    * array (sort_array + aggregate — the temperatureMix discipline), so
+    * the float accumulation order is pinned cross-engine. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val qterms = Bm25Queries
+      .flatMap { case (q, text) => text.split(" ").map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val allTerms = Bm25Queries.flatMap(_._2.split(" ")).distinct
+    val s = (col("n_docs").cast("double") / col("df").cast("double")) *
+      (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+    val hits = DedupStaging.bm25Index(spark, dir)
+      .filter(col("term").isin(allTerms: _*)) // static pushdown: only the touched posting lists
+      .join(broadcast(qterms), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("term"), s.as("s"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    hits.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        aggregate(sort_array(collect_list(struct(col("term"), col("s")))),
+          lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("doc_id"), col("rnk"), col("n_terms"),
+        rnd(col("score"), 4).as("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_bm25_topk"     -> bm25TopK,
     "m6_bpe_train"     -> bpeTrain,
     "m6_bpe_encode"    -> bpeEncode,
     "m6_bpe_fertility" -> bpeFertility,
@@ -1402,7 +1489,43 @@ object TextAnalysis {
                  AS sample_rate
         FROM l, t, s"""
 
+  /** The BM25 replay: index stats from raw text, the literal-for-literal
+    * score expression, the term-ordered left-to-right score fold, the same
+    * rank window. The VALUES list derives from Bm25Queries — one source
+    * for both engines. */
+  private lazy val Bm25Oracle: String = {
+    val qvals = Bm25Queries
+      .flatMap { case (q, t) => t.split(" ").map(term => s"('$q', '$term')") }
+      .mkString(", ")
+    s"""WITH tk AS (SELECT doc_id, ${sqlNormTokens("text")} AS toks FROM documents),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM (SELECT doc_id, unnest(toks) AS term FROM tk) u GROUP BY 1, 2),
+        dlt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        st AS (SELECT CAST(sum(tf) AS BIGINT) AS tot,
+                      CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM tf),
+        q AS (SELECT * FROM (VALUES $qvals) AS v(query_id, term)),
+        h AS (SELECT query_id, doc_id, term,
+                (CAST(nd AS DOUBLE) / CAST(df AS DOUBLE))
+                  * (CAST(tf AS DOUBLE) * 2.2)
+                  / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+                      * (CAST(dl AS DOUBLE)
+                         / (CAST(tot AS DOUBLE) / CAST(nd AS DOUBLE))))) AS s
+              FROM tf JOIN q USING (term) JOIN dlt USING (doc_id)
+                   JOIN dft USING (term), st),
+        g AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+                  (a, b) -> a + b) AS score
+              FROM h GROUP BY 1, 2)
+        SELECT query_id, doc_id, rnk, n_terms, ${sqlRnd("score", 4)} AS score
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+              FROM g) t
+        WHERE rnk <= 10"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "m6_bm25_topk" -> Bm25Oracle,
     "m6_bpe_train" -> BpeTrainOracle,
     "m6_bpe_encode" -> BpeEncodeOracle,
     "m6_bpe_fertility" -> BpeFertilityOracle,

@@ -315,6 +315,53 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
       !col("scrubbed").contains("<PHONE>")).count() == 0)
   }
 
+  test("BM25 top-k matches a brute-force reference scorer on every query") {
+    // independent implementation: collect the fixture corpus and score the
+    // registered query workload with plain-Scala BM25 (same k1 = 1.2,
+    // b = 0.75, raw-ratio idf), then compare the full ranked output —
+    // ranks exactly, scores to 1e-6
+    val norm = (s: String) => s.toLowerCase.replaceAll("[^a-z0-9 ]", "")
+      .split(" ").filter(_.nonEmpty).toSeq
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> norm(r.getString(1))).filter(_._2.nonEmpty).toMap
+    val tfm = docs.map { case (id, ts) =>
+      id -> ts.groupBy(identity).map { case (t, xs) => t -> xs.size } }
+    val dfm = tfm.values.flatMap(_.keys).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    val nd = docs.size
+    val avgdl = docs.values.map(_.size.toLong).sum.toDouble / nd
+    def score(qterms: Seq[String], id: Long): Option[(Double, Int)] = {
+      val hit = qterms.filter(tfm(id).contains)
+      if (hit.isEmpty) None
+      else Some((hit.sorted.map { t =>
+        val tf = tfm(id)(t).toDouble
+        (nd.toDouble / dfm(t)) * (tf * 2.2) /
+          (tf + 1.2 * (0.25 + 0.75 * (docs(id).size / avgdl)))
+      }.sum, hit.size))
+    }
+    val expected = graft.operators.TextAnalysis.Bm25Queries.flatMap {
+      case (q, text) =>
+        val qts = text.split(" ").toSeq
+        docs.keys.toSeq.flatMap(id => score(qts, id).map(s => (q, id, s)))
+          .sortBy { case (_, id, (s, _)) => (-s, id) }.take(10).zipWithIndex
+          .map { case ((_, id, (s, n)), i) => (q, i + 1) -> (id, s, n) }
+    }.toMap
+    val got = SparkEntry.queries("m6_bm25_topk")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(2)) ->
+        (r.getLong(1), r.getDouble(4), r.getLong(3)))
+      .toMap
+    spark.catalog.clearCache()
+    assert(got.size == expected.size, s"row count ${got.size} != ${expected.size}")
+    expected.foreach { case (key @ (q, rnk), (id, s, n)) =>
+      val (gid, gs, gn) = got(key)
+      assert(gid == id, s"$q rank $rnk: doc $gid, reference says $id")
+      assert(gn == n, s"$q rank $rnk: matched $gn terms, reference says $n")
+      // the query emits Exact.rnd(score, 4) — apply the same half-up round
+      val s4 = math.floor(s * 1e4 + 0.5) / 1e4
+      assert(math.abs(gs - s4) < 1e-9, s"$q rank $rnk: score $gs vs reference $s4")
+    }
+  }
+
   test("lshBits sizes the bucket width log2 with the corpus, clamped to [4,16]") {
     assert(Similarity.lshBits(1) == 4)
     assert(Similarity.lshBits(50) == 4)     // sf0.001
@@ -543,6 +590,43 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     assert(gate.getLong(1) == qs.size * 10L)
     assert(math.abs(gate.getDouble(3) - mean) < 1e-4,
       s"gate recall ${gate.getDouble(3)} != measured $mean")
+  }
+
+  test("re-rank depth R: recall@10 is monotone in R and RerankR sits on the plateau") {
+    // the FAISS k_factor folklore says refine shortlists of ~4k suffice;
+    // MEASURED here: 0.49 / 0.61 / 0.75 / 0.77 at R = 10/20/40/80, so 4k
+    // left 0.02 under the ceiling and RerankR was set to the measured
+    // plateau (8k) instead. Structure: a deeper shortlist is a SUPERSET
+    // re-scored exactly, so per-query recall is monotone in R; the
+    // plateau value is the flat-IVF nprobe=2 recall — the structural
+    // ceiling no shortlist depth can beat.
+    def top(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = top(Similarity.cosineTopK(spark, dir).select("q_id", "vec_id"))
+    def recallOf(ann: Map[Long, Set[Long]]): Map[Long, Double] =
+      exact.map { case (q, ex) =>
+        q -> ann.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
+    def recallAt(r: Int): Map[Long, Double] =
+      recallOf(top(Similarity.annIvfPqRerankAt(spark, dir, r)
+        .select("q_id", "vec_id")))
+    val rs = Seq(10, 20, 40, Similarity.RerankR)
+    val byR = rs.map(r => r -> recallAt(r)).toMap
+    for (Seq(lo, hi) <- rs.sliding(2)) {
+      val worse = exact.keys.filter(q => byR(hi)(q) < byR(lo)(q))
+      assert(worse.isEmpty,
+        s"recall fell from R=$lo to R=$hi on queries: $worse")
+    }
+    def mean(m: Map[Long, Double]) = m.values.sum / m.size
+    // the plateau: at the shipped depth, mean recall reaches the ivf2
+    // ceiling itself — deepening the shortlist further cannot buy anything
+    val ceiling = mean(recallOf(
+      top(Similarity.annIvf2(spark, dir).select("q_id", "vec_id"))))
+    assert(ceiling - mean(byR(Similarity.RerankR)) <= 1e-9,
+      f"RerankR=${Similarity.RerankR} not on the plateau: " +
+        f"${mean(byR(Similarity.RerankR))}%.3f vs ivf2 ceiling $ceiling%.3f " +
+        f"(R=10 ${mean(byR(10))}%.3f, R=20 ${mean(byR(20))}%.3f, " +
+        f"R=40 ${mean(byR(40))}%.3f)")
   }
 
   test("IVF nprobe=2 recall dominates nprobe=1 on every query and lifts the mean") {

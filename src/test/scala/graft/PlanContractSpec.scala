@@ -245,6 +245,27 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
       s"pack window not shard-partitioned:\n${pb.take(4000)}")
   }
 
+  test("round-14: BM25 search touches only its posting lists (In pushdown, no corpus scan)") {
+    val p = SparkEntry.queries("m6_bm25_topk")(spark, dir).queryExecution
+      .explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    spark.catalog.clearCache()
+    // the query terms are plan-time literals: the staged-index scan must
+    // carry the static In(term, …) filter — this is what makes search work
+    // ∝ posting lists touched (row-group pruning here, partition pruning
+    // on a term-partitioned deployment)
+    assert(p.contains("In(term, [agg,filter,hash,join,scan,slow,stream,vector,window]"),
+      s"bm25 query-term In filter not pushed to the index scan:\n$p")
+    // the (query, term) fan-out rides a broadcast; the ranking must not
+    // shuffle the index beyond the matched rows
+    assert(p.contains("BroadcastExchange"), s"bm25 query set must broadcast:\n$p")
+    // search reads the STAGED index only — a documents.parquet location in
+    // this plan would mean the ranker re-runs the index build per query
+    assert(p.contains("bm25_index"), s"bm25 must read the staged index:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"bm25 search must not scan the raw corpus:\n$p")
+  }
+
   test("ANN top-k: the rank window sorts skinny rows (no vectors) and probes stay fixed-size") {
     // the round-12 100× finding: ranking rows that still carry the
     // 64-double vectors moves gigabytes through the per-probe sort. The

@@ -65,6 +65,8 @@ QUERIES = ",".join([
     "j18_class_priority", "j21_disjunctive_revenue",
     "j27_revenue_delta", "j28_top_supplier",
     "m6_bpe_fertility", "m6_temperature_mix", "m6_pack_bpe",
+    # round-14 addition: the BM25 ranker over the staged index
+    "m6_bm25_topk",
 ])
 
 

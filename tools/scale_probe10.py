@@ -56,6 +56,9 @@ QUERIES = ",".join([
     "u5_union_distinct", "u6_intersect_all_overlap",
     "j27_revenue_delta", "j28_top_supplier",
     "m6_bpe_fertility", "m6_temperature_mix", "m6_pack_bpe",
+    # round-14 additions: the BM25 ranker over the staged index, and the
+    # two r12 join shapes previously probed at 10x only
+    "m6_bm25_topk", "j18_class_priority", "j21_disjunctive_revenue",
 ])
 
 
