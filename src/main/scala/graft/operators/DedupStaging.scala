@@ -359,6 +359,16 @@ object DedupStaging {
       TextAnalysis.bm25IndexBuild(spark, dir)
     }
 
+  /** The positional phrase index (term, doc_id, pos) — one row per
+    * 3-shingle occurrence with its 1-based token anchor, the index a
+    * phrase-retrieval engine serves from (TextAnalysis.phraseIndexBuild).
+    * m6_phrase_search reads this with a static In(term, …) pushed filter
+    * and verifies phrases index-only via anchor voting. */
+  def phraseIndex(spark: SparkSession, dir: String): DataFrame =
+    materialize(spark, dir, "phrase_index") {
+      TextAnalysis.phraseIndexBuild(spark, dir)
+    }
+
   /** The IVF-Flat index: the corpus stored WITH its coarse-cell assignment
     * (vec_id, v, norm, cell) — what a production ANN deployment builds once
     * per corpus release and every search reads (FAISS's IndexIVFFlat stores
@@ -431,7 +441,8 @@ object DedupStaging {
       // encode-once/derive-many: pack + fertility read the staged encode
       // manifest (whose build itself reads bpe_vocab — hence the order)
       Option.when(need("m6_bpe_fertility", "m6_pack_bpe"))("bpe_manifest"),
-      Option.when(need("m6_bm25_topk"))("bm25_index")
+      Option.when(need("m6_bm25_topk"))("bm25_index"),
+      Option.when(need("m6_phrase_search"))("phrase_index")
     ).flatten
   }
 
@@ -469,6 +480,7 @@ object DedupStaging {
       case "bpe_vocab"     => bpeVocab(spark, dir)
       case "bpe_manifest"  => bpeManifest(spark, dir)
       case "bm25_index"    => bm25Index(spark, dir)
+      case "phrase_index"  => phraseIndex(spark, dir)
     }
 
   /** Build the ANN index tables the named queries read (Bench's

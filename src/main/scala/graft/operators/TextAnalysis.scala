@@ -1305,8 +1305,129 @@ object TextAnalysis {
         rnd(col("score"), 4).as("score"))
   }
 
+  /** The retrieval workload for m6_phrase_search: fixed literal phrases —
+    * two 3-token phrases (a single posting-list lookup) and one 4-token
+    * phrase (a true multi-shingle positional intersection) — the single
+    * source for the engine frame AND the oracle's VALUES list. */
+  private[graft] val PhraseQueries: Seq[(String, String)] = Seq(
+    "p1" -> "order scan fast",
+    "p2" -> "group join value",
+    "p3" -> "order big filter value")
+
+  /** The positional phrase-index build behind the staged `phrase_index`
+    * table (DedupStaging.phraseIndex): one row per 3-shingle OCCURRENCE —
+    * (term, doc_id, pos) with pos the 1-based anchor of the shingle in the
+    * document's canonical token stream. Unlike m6_postings (the df-banded
+    * per-term posting STRINGS — a census artifact), this is the positional
+    * index a phrase-retrieval engine serves from: no df band (a searched
+    * phrase must be findable however common its shingles), no per-term
+    * list assembly (rows stay flat — no collect, no skewed reducer
+    * anywhere), one corpus pass per index release. At cluster scale the
+    * release writer partitions/sorts by term so a search's In(term, …)
+    * filter becomes partition pruning. */
+  private[graft] def phraseIndexBuild(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanout(Tables.documents(spark, dir))
+      .select(col("doc_id"), normTokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(shingles(col("toks"), 3)).as(Seq("i", "term")))
+      .select(col("term"), col("doc_id"), (col("i") + 1).as("pos"))
+
+  /** M6: exact phrase retrieval over the STAGED positional index — the
+    * textbook positional-intersection algorithm (Manning/Raghavan/Schütze
+    * IIR §2.4): a k-token phrase decomposes into its k−2 overlapping
+    * 3-shingles; every index occurrence of shingle j at position p votes
+    * for a phrase match anchored at p − j, and an anchor that collects all
+    * k−2 votes IS a verified occurrence — index-only verification, the raw
+    * corpus is never touched.
+    *
+    * Work ∝ posting lists touched, never corpus-wide: the phrase shingles
+    * are plan-time literals, so the index scan carries a static In(term, …)
+    * pushed filter, and the (query, shingle, offset) table rides a
+    * broadcast. The vote count per (query, doc, anchor) is a plain
+    * count(*): index rows are unique per (term, doc_id, pos) and the query
+    * table per (query_id, off), so each offset contributes at most one row
+    * to an anchor group. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qsh = PhraseQueries.flatMap { case (q, text) =>
+      val t = text.split(" ")
+      (0 to t.length - 3).map(j => (q, t.slice(j, j + 3).mkString(" "), j, t.length - 2))
+    }
+    val qdf = qsh.toDF("query_id", "term", "off", "n_sh")
+    val allTerms = qsh.map(_._2).distinct
+    DedupStaging.phraseIndex(spark, dir)
+      .filter(col("term").isin(allTerms: _*)) // static pushdown: only the phrase shingles' posting lists
+      .join(broadcast(qdf), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("off")).as("anchor"), col("n_sh"))
+      .groupBy("query_id", "doc_id", "anchor")
+      .agg(count(lit(1)).as("nsh_hit"), max(col("n_sh")).as("need"))
+      .filter(col("nsh_hit") === col("need"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("anchor")).cast("long").as("first_pos"))
+  }
+
+  /** M6: DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169,
+    * "Data Selection for Language Models via Importance Resampling" —
+    * public method): score every raw document by how much its hashed
+    * n-gram feature distribution looks like a TARGET domain (here the
+    * lang='en' slice), the curation step that picks pretraining data to
+    * match a trusted reference corpus. Features are the
+    * m6_quality_classifier pipeline under an independent salt: unigrams +
+    * bigrams hashed into 4096 buckets; the bucket census aggregates raw
+    * and target counts in ONE map-side-combined pass (target is a
+    * conditional sum, not a second scan), and the 4096-row smoothed
+    * likelihood-ratio table broadcasts into the per-doc scoring join — at
+    * 100 TB the census is 4096 partial cells per task and the scoring pass
+    * never shuffles the corpus.
+    *
+    * Pinned arithmetic: the published estimator sums log(p_target/p_raw)
+    * per feature, but ln is libm-implementation-defined in its last ulp
+    * (the m6_bm25_topk idf precedent), so this variant scores with the
+    * add-one-smoothed raw likelihood ratio averaged per feature — same
+    * ranking intent, hash-replayable. The per-doc float sum folds in
+    * bucket-sorted order (sort_array + aggregate, the bm25 discipline;
+    * equal buckets carry bit-identical ratios, so tie order can't change
+    * the fold). */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Tables.fanout(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), normTokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        explode(concat(col("toks"), shingles(col("toks"), 2))).as("feat"))
+      .select(col("doc_id"), col("lang"),
+        pmod(Exact.fold60(concat(col("feat"), lit("|ds"))), lit(4096)).as("bucket"))
+    def build(f: DataFrame): DataFrame = {
+      val census = f.groupBy("bucket")
+        .agg(count(lit(1)).as("r"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t"))
+      val totals = census.agg(sum("r").as("rt"), sum("t").as("tt"))
+      val ratios = census.crossJoin(broadcast(totals))
+        .select(col("bucket"),
+          (((col("t") + 1L).cast("double") / (col("tt") + 4096L).cast("double")) /
+            ((col("r") + 1L).cast("double") / (col("rt") + 4096L).cast("double")))
+            .as("ratio"))
+      f.join(broadcast(ratios), Seq("bucket"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_features"),
+          aggregate(sort_array(collect_list(struct(col("bucket"), col("ratio")))),
+            lit(0.0), (acc, x) => acc + x.getField("ratio")).as("s"))
+        .select(col("doc_id"), col("n_features"),
+          Exact.rnd(col("s") / col("n_features").cast("double"), 4).as("weight"),
+          (col("s") >= col("n_features").cast("double")).as("keep"))
+    }
+    if (lazyPlans(spark)) return build(feats)
+    // feats is narrow (no exchange to reuse) and feeds BOTH the census and
+    // the scoring join — the scoped-persist discipline postings documents:
+    // materialize the docs-sized result eagerly, unpersist before returning.
+    val p = feats.persist()
+    try build(p).localCheckpoint(true)
+    finally p.unpersist()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m6_bm25_topk"     -> bm25TopK,
+    "m6_phrase_search" -> phraseSearch,
+    "m6_dsir_weights"  -> dsirWeights,
     "m6_bpe_train"     -> bpeTrain,
     "m6_bpe_encode"    -> bpeEncode,
     "m6_bpe_fertility" -> bpeFertility,
@@ -1524,8 +1645,62 @@ object TextAnalysis {
         WHERE rnk <= 10"""
   }
 
+  /** Positional-intersection replay from raw text: shingle occurrences with
+    * their 1-based anchors, the same (query, shingle, offset) VALUES list,
+    * anchor voting, and the all-offsets HAVING gate. */
+  private lazy val PhraseOracle: String = {
+    val qvals = PhraseQueries.flatMap { case (q, text) =>
+      val t = text.split(" ")
+      (0 to t.length - 3).map(j =>
+        s"('$q', '${t.slice(j, j + 3).mkString(" ")}', $j, ${t.length - 2})")
+    }.mkString(", ")
+    s"""WITH tk AS (SELECT doc_id, ${sqlNormTokens("text")} AS toks FROM documents),
+        occ AS (SELECT doc_id, sh[i] AS term, CAST(i AS BIGINT) AS pos
+                FROM (SELECT doc_id, ${sqlShingles("toks", 3)} AS sh FROM tk) s,
+                     LATERAL unnest(range(1, len(sh) + 1)) AS v(i)),
+        q AS (SELECT * FROM (VALUES $qvals) AS v(query_id, term, off, n_sh)),
+        h AS (SELECT query_id, doc_id, pos - off AS anchor, n_sh
+              FROM occ JOIN q USING (term)),
+        m AS (SELECT query_id, doc_id, anchor FROM h
+              GROUP BY query_id, doc_id, anchor, n_sh
+              HAVING count(*) = n_sh)
+        SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+               CAST(min(anchor) AS BIGINT) AS first_pos
+        FROM m GROUP BY 1, 2"""
+  }
+
+  /** DSIR replay from raw text: same salted fold/bucket, one census with a
+    * conditional target sum, the same smoothed-ratio divides in the same
+    * order, and the bucket-ordered list_reduce fold. */
+  private lazy val DsirOracle: String =
+    s"""WITH tk AS (SELECT doc_id, lang, ${sqlNormTokens("text")} AS toks FROM documents),
+        f AS (SELECT doc_id, lang,
+                ${Exact.sqlFold60("fe || '|ds'")} % 4096 AS bucket
+              FROM (SELECT doc_id, lang,
+                      unnest(list_concat(toks, ${sqlShingles("toks", 2)})) AS fe
+                    FROM tk) u),
+        c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS r,
+                CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t
+              FROM f GROUP BY 1),
+        tot AS (SELECT CAST(sum(r) AS BIGINT) AS rt,
+                       CAST(sum(t) AS BIGINT) AS tt FROM c),
+        rat AS (SELECT bucket,
+                  ((CAST(t + 1 AS DOUBLE) / CAST(tt + 4096 AS DOUBLE)) /
+                   (CAST(r + 1 AS DOUBLE) / CAST(rt + 4096 AS DOUBLE))) AS ratio
+                FROM c, tot),
+        g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+                list_reduce(list_prepend(0.0, list(ratio ORDER BY bucket)),
+                  (a, b) -> a + b) AS s
+              FROM f JOIN rat USING (bucket) GROUP BY 1)
+        SELECT doc_id, n_features,
+               ${Exact.sqlRnd("s / CAST(n_features AS DOUBLE)", 4)} AS weight,
+               s >= CAST(n_features AS DOUBLE) AS keep
+        FROM g"""
+
   val oracles: Map[String, String] = Map(
     "m6_bm25_topk" -> Bm25Oracle,
+    "m6_phrase_search" -> PhraseOracle,
+    "m6_dsir_weights" -> DsirOracle,
     "m6_bpe_train" -> BpeTrainOracle,
     "m6_bpe_encode" -> BpeEncodeOracle,
     "m6_bpe_fertility" -> BpeFertilityOracle,

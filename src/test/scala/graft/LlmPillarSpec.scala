@@ -362,6 +362,81 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("phrase search equals a brute-force token scan of every document") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.normTokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val expected = TextAnalysis.PhraseQueries.flatMap { case (q, text) =>
+      val p = text.split(" ").toSeq
+      docs.toSeq.flatMap { case (id, toks) =>
+        val anchors = (1 to toks.length - p.length + 1)
+          .filter(i => toks.slice(i - 1, i - 1 + p.length) == p)
+        if (anchors.isEmpty) None
+        else Some((q, id) -> (anchors.size.toLong, anchors.min.toLong))
+      }
+    }.toMap
+    // fixture safety: every fixed phrase must actually occur at this sf —
+    // an all-empty query would pass trivially
+    TextAnalysis.PhraseQueries.foreach { case (q, text) =>
+      assert(expected.keys.exists(_._1 == q), s"phrase '$text' absent from fixture")
+    }
+    val got = SparkEntry.queries("m6_phrase_search")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    spark.catalog.clearCache()
+    assert(got == expected, s"phrase results differ: got $got expected $expected")
+  }
+
+  test("dsir weights equal an independent importance-resampling replay") {
+    def fold60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), TextAnalysis.normTokens(col("text")).as("toks"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+    val feats = docs.map { case (id, lang, toks) =>
+      val f = toks ++ toks.iterator.sliding(2).withPartial(false).map(_.mkString(" "))
+      (id, lang, f.map(x => fold60(x + "|ds") % 4096))
+    }
+    val all = feats.flatMap(_._3)
+    val tgt = feats.filter(_._2 == "en").flatMap(_._3)
+    val r = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = tgt.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rt = all.size.toLong
+    val tt = tgt.size.toLong
+    def ratio(b: Long): Double =
+      ((t.getOrElse(b, 0L) + 1L).toDouble / (tt + 4096L).toDouble) /
+        ((r(b) + 1L).toDouble / (rt + 4096L).toDouble)
+    val expected = feats.map { case (id, _, bs) =>
+      val s = bs.sorted.map(ratio).sum // bucket-sorted fold = the engine's pinned order
+      id -> (bs.size.toLong, math.floor(s / bs.size * 1e4 + 0.5) / 1e4,
+        s >= bs.size.toDouble)
+    }.toMap
+    val got = SparkEntry.queries("m6_dsir_weights")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    spark.catalog.clearCache()
+    assert(got.size == expected.size, s"row count ${got.size} != ${expected.size}")
+    expected.foreach { case (id, (n, w, k)) =>
+      val (gn, gw, gk) = got(id)
+      assert(gn == n, s"doc $id: $gn features, reference says $n")
+      assert(math.abs(gw - w) < 1e-9, s"doc $id: weight $gw vs reference $w")
+      assert(gk == k, s"doc $id: keep $gk vs reference $k")
+    }
+    // the semantics, not just the arithmetic: target-slice documents must
+    // score systematically higher than off-target ones (their features
+    // define the target distribution)
+    val byLang = docs.map(d => d._1 -> d._2).toMap
+    def mean(ids: Iterable[Long]) =
+      ids.map(expected(_)._2).sum / ids.size
+    val en = expected.keys.filter(byLang(_) == "en")
+    val other = expected.keys.filterNot(byLang(_) == "en")
+    assert(mean(en) > mean(other),
+      s"en mean ${mean(en)} should exceed non-en mean ${mean(other)}")
+  }
+
   test("lshBits sizes the bucket width log2 with the corpus, clamped to [4,16]") {
     assert(Similarity.lshBits(1) == 4)
     assert(Similarity.lshBits(50) == 4)     // sf0.001

@@ -266,6 +266,42 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
       s"bm25 search must not scan the raw corpus:\n$p")
   }
 
+  test("round-14: phrase search is index-only (In pushdown, broadcast, no corpus scan)") {
+    val p = SparkEntry.queries("m6_phrase_search")(spark, dir).queryExecution
+      .explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    spark.catalog.clearCache()
+    // the phrase shingles are plan-time literals: the positional-index scan
+    // must carry the static In(term, …) filter
+    assert(p.contains(
+      "In(term, [big filter value,group join value,order big filter,order scan fast]"),
+      s"phrase-shingle In filter not pushed to the index scan:\n$p")
+    // the (query, shingle, offset) table rides a broadcast
+    assert(p.contains("BroadcastExchange"), s"query shingles must broadcast:\n$p")
+    // verification is anchor voting over index rows alone — a raw-corpus
+    // scan here would mean post-verification against document text
+    assert(p.contains("phrase_index"), s"search must read the staged index:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"phrase search must not scan the raw corpus:\n$p")
+  }
+
+  test("round-14: dsir census broadcasts its ratio table and stays window-free") {
+    // dsirWeights executes eagerly (scoped persist + localCheckpoint), so
+    // pin the lazy plan via the Explain audit escape hatch
+    spark.conf.set("spark.graft.lazyPlans", "true")
+    try {
+      val p = SparkEntry.queries("m6_dsir_weights")(spark, dir).queryExecution
+        .explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // the 4096-row smoothed-ratio table must broadcast into the scoring
+      // join — a shuffled join here would move the exploded corpus
+      assert(p.contains("BroadcastExchange"), s"ratio table must broadcast:\n$p")
+      // every aggregation is keyed (census by bucket, scoring by doc_id) —
+      // a Window would funnel the corpus through one task
+      assert(!p.contains(") Window"), s"dsir must be window-free:\n$p")
+    } finally spark.conf.unset("spark.graft.lazyPlans")
+  }
+
   test("ANN top-k: the rank window sorts skinny rows (no vectors) and probes stay fixed-size") {
     // the round-12 100× finding: ranking rows that still carry the
     // 64-double vectors moves gigabytes through the per-probe sort. The

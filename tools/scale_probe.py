@@ -65,8 +65,9 @@ QUERIES = ",".join([
     "j18_class_priority", "j21_disjunctive_revenue",
     "j27_revenue_delta", "j28_top_supplier",
     "m6_bpe_fertility", "m6_temperature_mix", "m6_pack_bpe",
-    # round-14 addition: the BM25 ranker over the staged index
-    "m6_bm25_topk",
+    # round-14 additions: the BM25 ranker over the staged index, the
+    # positional phrase search, and the DSIR importance weights
+    "m6_bm25_topk", "m6_phrase_search", "m6_dsir_weights",
 ])
 
 

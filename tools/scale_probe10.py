@@ -59,6 +59,7 @@ QUERIES = ",".join([
     # round-14 additions: the BM25 ranker over the staged index, and the
     # two r12 join shapes previously probed at 10x only
     "m6_bm25_topk", "j18_class_priority", "j21_disjunctive_revenue",
+    "m6_phrase_search", "m6_dsir_weights",
 ])
 
 
