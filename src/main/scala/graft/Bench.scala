@@ -11,7 +11,13 @@ object Bench {
     // expires (the artifact's `contended` flag still records the truth
     // either way). SPARK_GRAFT_LOAD_WAIT_SEC=0 disables the wait for dev
     // loops.
-    locally {
+    // The gate-exit sample (`load_avg_gate`) is what `contended` keys on:
+    // it is the last load reading taken before this JVM spins up the Spark
+    // session, i.e. EXTERNAL load. The r13 artifacts keyed contended on a
+    // sample taken after session init + the 32-thread JIT warm-up query,
+    // so a genuinely quiet run self-flagged at ~2.2 from its own startup
+    // burst; both values are now recorded.
+    val loadGate = {
       val osb = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       val budgetSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SEC", "600").toInt
       val t0 = System.nanoTime()
@@ -25,6 +31,7 @@ object Bench {
       if (load >= 2.0 && budgetSec > 0)
         System.err.println(f"[bench] still loaded ($load%.2f) after ${budgetSec}s" +
           " — proceeding; artifact will carry contended=true")
+      load
     }
     // Shuffle-partition override for the partition-scaled probe leg: a
     // deployment sizes shuffle partitions WITH the data (the README's
@@ -217,22 +224,26 @@ object Bench {
     val loadEnd = os.getSystemLoadAverage
     // A recording taken under external load is machine noise, not plan cost:
     // the artifact carries its own contention verdict so a loaded recording
-    // can never masquerade as a regression (or an improvement).
-    val contended = loadStart >= 2.0
+    // can never masquerade as a regression (or an improvement). The verdict
+    // keys on the gate-exit sample (external load, before this JVM's own
+    // session-init burst); load_avg_start (post-init) is kept alongside so
+    // older artifacts stay comparable.
+    val contended = loadGate >= 2.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""batch_total":$batchTotal,"drain_total":$drainTotal,""" +
       s""""staging_total":$stagingTotal,""" +
       s""""queries":${fmt(results.map(r => r._1 -> r._2))},""" +
       s""""cpu_sec":${fmt(results.map(r => r._1 -> r._3))},""" +
       s""""staging_cold":$coldJson,""" +
-      s""""cpu_total":$cpuTotal,"load_avg_start":$loadStart,""" +
+      s""""cpu_total":$cpuTotal,"load_avg_gate":$loadGate,""" +
+      s""""load_avg_start":$loadStart,""" +
       s""""load_avg_end":$loadEnd,"contended":$contended,"sf":"$sfDir"}"""
     println(json)
     // Driver captures tail-truncate the stdout line on large registries
     // (round 6 lost the wall map that way); SPARK_GRAFT_BENCH_OUT persists
     // the full JSON to a committable artifact.
     if (contended)
-      System.err.println(f"[bench] WARNING load_avg_start=$loadStart%.2f >= 2:" +
+      System.err.println(f"[bench] WARNING load_avg_gate=$loadGate%.2f >= 2:" +
         " wall numbers reflect machine contention; rerun quiet before recording")
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       // a bad path must not fail the run AFTER all measurements completed —

@@ -103,8 +103,9 @@ art = {
              "per replica, 6M lineitem)",
     "bound": "wall ratio <= 12x (linear + overhead) per query",
     "machine": {
-        "sf0.1_load": [small["load_avg_start"], small["load_avg_end"]],
-        "sf1_load": [big["load_avg_start"], big["load_avg_end"]],
+        # [gate (external, contended keys on this), post-init start, end]
+        "sf0.1_load": [small["load_avg_gate"], small["load_avg_start"], small["load_avg_end"]],
+        "sf1_load": [big["load_avg_gate"], big["load_avg_start"], big["load_avg_end"]],
     },
     "staging_cold": {"sf0.1": small.get("staging_cold", {}),
                      "sf1": big.get("staging_cold", {})},

@@ -114,8 +114,9 @@ art = {
              "per replica, 60M lineitem, 200k embeddings)",
     "bound": "wall ratio <= 120x (linear + overhead) per query",
     "machine": {
-        "sf0.1_load": [small["load_avg_start"], small["load_avg_end"]],
-        "sf10_load": [big["load_avg_start"], big["load_avg_end"]],
+        # [gate (external, contended keys on this), post-init start, end]
+        "sf0.1_load": [small["load_avg_gate"], small["load_avg_start"], small["load_avg_end"]],
+        "sf10_load": [big["load_avg_gate"], big["load_avg_start"], big["load_avg_end"]],
     },
     "staging_cold": {"sf0.1": small.get("staging_cold", {}),
                      "sf10": big.get("staging_cold", {}),
