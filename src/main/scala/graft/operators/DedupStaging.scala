@@ -109,8 +109,24 @@ object DedupStaging {
   private def fixtureRoot(dir: String): String =
     s"$warehouseRoot/${fixtureKey(dir)}-${fingerprint(dir)}"
 
-  private[graft] def tablePath(dir: String, name: String): String =
-    s"${fixtureRoot(dir)}/$name"
+  /** Staged-table LAYOUT versions: bumped when a table's schema changes,
+    * because the corpus fingerprint only tracks fixture content — a warm
+    * warehouse built by older code would otherwise serve the old column
+    * set to new readers. The version suffixes the table directory
+    * (unsuffixed = v1), so old-layout directories under the same corpus
+    * fingerprint are simply never read again (docs-sized parquet; swept
+    * with the fixture root on the next corpus regeneration). */
+  private val layoutVersion = Map(
+    // v2 (r14): + n_words, n_norm_chars — the per-doc normalized word/char
+    // counts the fertility report needs, computed once in the encode pass
+    // instead of re-tokenizing the corpus per report run
+    "bpe_manifest" -> 2)
+
+  private[graft] def tablePath(dir: String, name: String): String = {
+    val vn = layoutVersion.get(name).filter(_ > 1)
+      .fold(name)(v => s"$name.v$v")
+    s"${fixtureRoot(dir)}/$vn"
+  }
 
   // in-JVM memo of paths already verified committed — keyed on the CONTENT
   // fingerprint, so a fixture regenerated mid-session stops hitting the old

@@ -1074,9 +1074,12 @@ object TextAnalysis {
     * the half a training-data pipeline actually runs at corpus scale (train
     * once on the vocabulary, encode 100 TB of documents into token ids):
     * apply the 8 learned merges to every document and emit, per document,
-    * its encoded length, the first 12 token ids, and a 60-bit fingerprint
-    * of the full id sequence — the manifest row a tokenized-shard writer
-    * records next to the ids themselves.
+    * its encoded length, the first 12 token ids, a 60-bit fingerprint
+    * of the full id sequence, and the normalized word/char counts
+    * (n_words, n_norm_chars — computed here, in the one pass that already
+    * touches every word, so fertility-style reports never re-tokenize the
+    * corpus) — the manifest row a tokenized-shard writer records next to
+    * the ids themselves.
     *
     * The encode path is WORD-MEMOIZED, exactly like fast BPE encoders
     * (each distinct word is segmented once; documents look their words up):
@@ -1101,20 +1104,31 @@ object TextAnalysis {
     val words = Tables.fanout(Tables.documents(spark, dir))
       .select(col("doc_id"),
         posexplode(normTokens(col("text"))).as(Seq("wpos", "word")))
+    // n_words / n_norm_chars ride the same rollup as conditional aggs over
+    // the word-leading symbol row (spos = 0 — exactly one per word, and the
+    // trained vocabulary covers every corpus word by construction, which
+    // the lossless-round-trip spec pins): the manifest carries the per-doc
+    // normalized word/char counts the fertility report needs, so no
+    // downstream job ever re-tokenizes the corpus for them.
     words.join(vocab.select("word", "seq"), Seq("word"))
-      .select(col("doc_id"), col("wpos"),
+      .select(col("doc_id"), col("wpos"), length(col("word")).as("wlen"),
         posexplode(tokens(col("seq"))).as(Seq("spos", "sym")))
       .join(broadcast(ids), Seq("sym"))
       .groupBy("doc_id")
-      .agg(array_sort(collect_list(
-        struct(col("wpos"), col("spos"), col("token_id")))).as("e"))
+      .agg(
+        array_sort(collect_list(
+          struct(col("wpos"), col("spos"), col("token_id")))).as("e"),
+        count(when(col("spos") === 0, lit(1))).as("n_words"),
+        sum(when(col("spos") === 0, col("wlen").cast("long"))
+          .otherwise(lit(0L))).as("n_norm_chars"))
       .select(col("doc_id"),
         size(col("e")).as("n_ids"),
         array_join(slice(transform(col("e"),
           x => x.getField("token_id").cast("string")), 1, 12), " ")
           .as("ids_head"),
         Exact.fold60(array_join(transform(col("e"),
-          x => x.getField("token_id").cast("string")), " ")).as("ids_fp"))
+          x => x.getField("token_id").cast("string")), " ")).as("ids_fp"),
+        col("n_words"), col("n_norm_chars"))
   }
 
   /** M6: sequence packing over REAL tokenizer output — the packSequences
@@ -1194,16 +1208,16 @@ object TextAnalysis {
     * exact per-language long sums with two pinned divides. Fertility is
     * THE number that says whether a tokenizer under-serves a language
     * (high ids/word = the vocabulary doesn't cover it). One join of the
-    * STAGED encode manifest (DedupStaging.bpeManifest) back to documents +
-    * one keyed agg; at 100 TB the manifest frame is docs-sized and the
-    * report |languages|-sized — the corpus encode join never re-runs
-    * here. */
+    * STAGED encode manifest (DedupStaging.bpeManifest — which carries the
+    * per-doc n_words/n_norm_chars computed once in the encode pass) back
+    * to the documents' pruned (doc_id, lang) projection + one keyed agg;
+    * at 100 TB the manifest frame is docs-sized, the report
+    * |languages|-sized, and NO stage here re-tokenizes document text —
+    * the corpus encode join never re-runs. */
   def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
-    val enc = DedupStaging.bpeManifest(spark, dir).select("doc_id", "n_ids")
-    val docs = Tables.documents(spark, dir).select(
-      col("doc_id"), col("lang"),
-      size(normTokens(col("text"))).as("n_words"),
-      length(concat_ws("", normTokens(col("text")))).as("n_norm_chars"))
+    val enc = DedupStaging.bpeManifest(spark, dir)
+      .select("doc_id", "n_ids", "n_words", "n_norm_chars")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
     enc.join(docs, Seq("doc_id"))
       .groupBy("lang")
       .agg(
@@ -1558,11 +1572,16 @@ object TextAnalysis {
                FROM ds JOIN ids USING (sym) GROUP BY 1)"""
 
   private lazy val BpeEncodeOracle: String =
-    s"""WITH $BpeEncodeCtes
-        SELECT doc_id, CAST(len(l) AS INTEGER) AS n_ids,
+    s"""WITH $BpeEncodeCtes,
+        dn AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+                 CAST(length(array_to_string(toks, '')) AS BIGINT)
+                   AS n_norm_chars
+               FROM tk)
+        SELECT di.doc_id, CAST(len(l) AS INTEGER) AS n_ids,
                array_to_string(l[1:12], ' ') AS ids_head,
-               ${Exact.sqlFold60("array_to_string(l, ' ')")} AS ids_fp
-        FROM di"""
+               ${Exact.sqlFold60("array_to_string(l, ' ')")} AS ids_fp,
+               dn.n_words, dn.n_norm_chars
+        FROM di JOIN dn ON di.doc_id = dn.doc_id"""
 
   /** The fertility replay: encode manifests joined to language + normalized
     * char counts, reduced to exact long sums and two pinned divides. */

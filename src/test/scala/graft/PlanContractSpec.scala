@@ -285,6 +285,24 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
       s"phrase search must not scan the raw corpus:\n$p")
   }
 
+  test("round-14: fertility reads the staged manifest, never document text") {
+    val p = SparkEntry.queries("m6_bpe_fertility")(spark, dir).queryExecution
+      .explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    spark.catalog.clearCache()
+    // the per-doc n_words/n_norm_chars ride the staged encode manifest
+    // (computed once in the encode pass) — the documents scan here exists
+    // only for the language column, so its read schema must be exactly
+    // (doc_id, lang). A text column in this plan means the report
+    // re-tokenizes the corpus per run.
+    assert(p.contains("bpe_manifest"),
+      s"fertility must read the staged encode manifest:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"fertility's documents scan must prune to (doc_id, lang):\n$p")
+    assert(!p.contains("text:string"),
+      s"fertility must not scan document text:\n$p")
+  }
+
   test("round-14: dsir census broadcasts its ratio table and stays window-free") {
     // dsirWeights executes eagerly (scoped persist + localCheckpoint), so
     // pin the lazy plan via the Explain audit escape hatch
