@@ -134,7 +134,8 @@ object Bench {
       "m6_incremental_dedup", "m6_incremental_commit", "m6_dup_clusters",
       "m6_dup_density", "m6_cluster_keep_best", "m6_containment",
       "m6_source_overlap", "m6_contamination_score", "m6_bpe_encode",
-      "m6_bpe_fertility", "m6_pack_bpe", "m6_bm25_topk", "m6_phrase_search")
+      "m6_bpe_fertility", "m6_pack_bpe", "m6_bm25_topk", "m6_phrase_search",
+      "m6_rrf_fusion")
     val annFamily = Set("m6_ann_ivf", "m6_ann_ivf2", "m6_ivf_stats", "m6_ann_pq",
       "m6_ann_ivfpq", "m6_ann_ivfpq_rerank", "m6_ann_eval")
     // Staging failures degrade like query failures (logged, zero-cost entry,

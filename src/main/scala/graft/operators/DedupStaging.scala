@@ -457,7 +457,7 @@ object DedupStaging {
       // encode-once/derive-many: pack + fertility read the staged encode
       // manifest (whose build itself reads bpe_vocab — hence the order)
       Option.when(need("m6_bpe_fertility", "m6_pack_bpe"))("bpe_manifest"),
-      Option.when(need("m6_bm25_topk"))("bm25_index"),
+      Option.when(need("m6_bm25_topk", "m6_rrf_fusion"))("bm25_index"),
       Option.when(need("m6_phrase_search"))("phrase_index")
     ).flatten
   }

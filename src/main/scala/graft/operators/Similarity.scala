@@ -119,6 +119,55 @@ object Similarity {
       .withColumn("sim", dot(col("qv"), col("v")) / (col("norm") * col("qnorm"))))
   }
 
+  /** M6: hybrid retrieval — reciprocal-rank fusion of the lexical BM25
+    * ranking (TextAnalysis.bm25TopK over the staged bm25_index) and a
+    * dense cosine ranking over the id-aligned embedding corpus (vec_id IS
+    * the doc_id — how a production store keys its dense vectors). The
+    * serving-side composition every RAG stack runs: neither leg alone
+    * surfaces both exact-term and semantic matches, and RRF fuses them
+    * without score calibration — fused(d) = Σ_legs 1/(60 + rank_leg(d)),
+    * rank-only, the k=60 constant from Cormack & Clarke (SIGIR '09).
+    *
+    * Each of the three fixed queries (Bm25Queries q1–q3) pairs its term
+    * bag with probe vector i·stride (i = 0, 1, 2 — the first three probes
+    * of the standard fixed-size probe workload, same stride rule as the
+    * ANN family). Docs missing from a leg's top-10 contribute 0 from that
+    * leg. Pinned arithmetic: each term is one correctly-rounded divide of
+    * exact small integers and the two-term sum folds lexical-then-dense —
+    * bit-portable with no float ordering to pin.
+    *
+    * 100 TB shape: the lexical leg touches only the query terms' posting
+    * lists (static In pushdown into the staged index); the dense leg is a
+    * fixed 3-probe broadcast against the corpus (linear, probe count does
+    * not grow with data); the fusion itself joins two ≤ 30-row frames —
+    * free at any scale. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val lex = TextAnalysis.bm25TopK(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
+    val b = base(spark, dir)
+    val stride = strideOf(spark, dir)
+    val qs = b.filter(col("vec_id") % stride === 0 && col("vec_id") < 3 * stride)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val den = topKBySim(b.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", dot(col("qv"), col("v")) / (col("norm") * col("qnorm"))))
+      .select(
+        concat(lit("q"),
+          ((col("q_id") / lit(stride)).cast("long") + 1).cast("string"))
+          .as("query_id"),
+        col("vec_id").as("doc_id"), col("rnk").as("dense_rnk"))
+    val w = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(den, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("lex_rnk").cast("double")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60.0) + col("dense_rnk").cast("double")),
+            lit(0.0)))
+      .withColumn("fused_rnk", row_number().over(w))
+      .filter(col("fused_rnk") <= 10)
+      .select(col("query_id"), col("doc_id"), col("fused_rnk").as("rnk"),
+        col("lex_rnk"), col("dense_rnk"), rnd(col("rrf"), 6).as("rrf_score"))
+  }
+
   /** Sign-pattern LSH bucket of a double vector: one bit per leading
     * dimension. For cosine similarity this is random-hyperplane LSH with
     * axis-aligned planes — deterministic and engine-reproducible.
@@ -371,6 +420,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m6_ann_eval"    -> annEval,
+    "m6_rrf_fusion"  -> rrfFusion,
     "m6_cosine_topk" -> cosineTopK,
     "m6_ann_lsh"     -> ((s, d) => annLsh(s, d, corpusBits(s, d))),
     "m6_ann_ivf"     -> annIvf,
@@ -886,6 +936,40 @@ object Similarity {
                          JOIN qq ON sl.q_id = qq.q_id)"""
 
   val oracles: Map[String, String] = Map(
+    // Hybrid fusion: the BM25 replay (TextAnalysis.Bm25CtesSql — the SAME
+    // CTE chain the m6_bm25_topk oracle serves, so the two can never
+    // drift) fused with a 3-probe exact-cosine replay; each RRF term is
+    // one divide of exact integers, summed lexical-then-dense.
+    "m6_rrf_fusion" ->
+      s"""WITH ${TextAnalysis.Bm25CtesSql},
+          ed AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          nd AS (SELECT vec_id, v, $normSql AS nrm FROM ed),
+          qd AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM nd
+                 WHERE vec_id % $probeStrideSql = 0
+                   AND vec_id < 3 * $probeStrideSql),
+          pd AS (SELECT q_id, vec_id, $dotSql / (nrm * qnrm) AS sim
+                 FROM nd CROSS JOIN qd WHERE vec_id <> q_id),
+          den AS (SELECT 'q' || CAST(q_id // $probeStrideSql + 1 AS VARCHAR)
+                           AS query_id,
+                         vec_id AS doc_id, rnk AS dense_rnk FROM (
+                    SELECT q_id, vec_id, row_number() OVER (
+                      PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+                    FROM pd) t WHERE rnk <= 10),
+          lexr AS (SELECT query_id, doc_id, rnk AS lex_rnk FROM bm25),
+          fused AS (SELECT coalesce(l.query_id, d.query_id) AS query_id,
+                           coalesce(l.doc_id, d.doc_id) AS doc_id,
+                           l.lex_rnk, d.dense_rnk,
+                           coalesce(1.0 / (60.0 + CAST(l.lex_rnk AS DOUBLE)), 0.0)
+                             + coalesce(1.0 / (60.0 + CAST(d.dense_rnk AS DOUBLE)), 0.0)
+                             AS rrf
+                    FROM lexr l FULL OUTER JOIN den d
+                      ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+          SELECT query_id, doc_id, rnk, lex_rnk, dense_rnk,
+                 ${sqlRnd("rrf", 6)} AS rrf_score
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+                FROM fused) t
+          WHERE rnk <= 10""",
     // Same fixed-order IEEE arithmetic as the engine; the scale divide and
     // the half-up floor are single correctly-rounded ops, so codes match
     // exactly. in_bound replays the quantizer guarantee on both sides.

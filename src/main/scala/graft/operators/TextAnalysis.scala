@@ -1438,7 +1438,60 @@ object TextAnalysis {
     finally p.unpersist()
   }
 
+  /** M6: source distribution-shift census — pairwise total-variation
+    * distance between the unigram distributions of each document source,
+    * plus vocabulary Jaccard. The drift report a corpus release runs when
+    * admitting a new source (or comparing a refreshed crawl against the
+    * previous snapshot): TV(p, q) = ½ Σ_t |p_t − q_t| answers "how much
+    * would importance weights have to move", vocabulary Jaccard answers
+    * "is the shift new words or reweighted old ones".
+    *
+    * Pinned arithmetic: the TV numerator is computed EXACTLY in integers —
+    * for terms both sources share, Σ (c_a·n_b + c_b·n_a − |c_a·n_b −
+    * c_b·n_a|) (each addend ≥ 0, all exact longs), and terms exclusive to
+    * one source contribute through the identity Σ_excl c_a = n_a −
+    * Σ_shared c_a, folding to numerator = 2·n_a·n_b − defect. TV is then
+    * ONE correctly-rounded divide of two exact longs — bit-portable, no
+    * float summation order to pin (the m6_tfidf raw-ratio precedent taken
+    * to its integer limit). Long range: products are bounded by n_a·n_b,
+    * safe through ~3×10⁹ tokens/source; past that a deployment widens the
+    * accumulator to decimal(38,0) — same plan shape.
+    *
+    * 100 TB shape: per-(source, term) counts are one map-side-combined
+    * aggregation over corpus tokens; the per-source totals frame is
+    * |sources| rows and broadcasts; the pair join is equi-keyed on TERM
+    * (vocabulary-sized, near-uniform — never doc-keyed, never all-pairs
+    * docs) and emits ≤ |sources|²/2 rows per term before one tiny keyed
+    * aggregation. No windows, no sorts, no driver state. */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.fanout(Tables.documents(spark, dir))
+      .select(col("source"), explode(normTokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("source")
+      .agg(sum("c").as("n"), count(lit(1)).as("vocab"))
+    def side(tag: String): DataFrame =
+      cnt.join(broadcast(tot), Seq("source")).select(
+        col("source").as(s"source_$tag"), col("term"),
+        col("c").as(s"c$tag"), col("n").as(s"n$tag"),
+        col("vocab").as(s"v$tag"))
+    side("a").join(side("b"), Seq("term"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_terms"),
+        max("na").as("na"), max("nb").as("nb"),
+        max("va").as("va"), max("vb").as("vb"),
+        sum(col("ca") * col("nb") + col("cb") * col("na") -
+          abs(col("ca") * col("nb") - col("cb") * col("na"))).as("defect"))
+      .select(col("source_a"), col("source_b"), col("shared_terms"),
+        rnd((lit(2L) * col("na") * col("nb") - col("defect")).cast("double") /
+          (lit(2L) * col("na") * col("nb")).cast("double"), 6).as("tv_distance"),
+        rnd(col("shared_terms").cast("double") /
+          (col("va") + col("vb") - col("shared_terms")).cast("double"), 6)
+          .as("vocab_jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_source_divergence" -> sourceDivergence,
     "m6_bm25_topk"     -> bm25TopK,
     "m6_phrase_search" -> phraseSearch,
     "m6_dsir_weights"  -> dsirWeights,
@@ -1629,40 +1682,51 @@ object TextAnalysis {
                  AS sample_rate
         FROM l, t, s"""
 
-  /** The BM25 replay: index stats from raw text, the literal-for-literal
-    * score expression, the term-ordered left-to-right score fold, the same
-    * rank window. The VALUES list derives from Bm25Queries — one source
-    * for both engines. */
-  private lazy val Bm25Oracle: String = {
+  /** The BM25 replay as a reusable CTE chain ending at `bm25` (query_id,
+    * doc_id, rnk, n_terms, score — rnk ≤ 10 already applied): index stats
+    * from raw text, the literal-for-literal score expression, the
+    * term-ordered left-to-right score fold, the same rank window. The
+    * VALUES list derives from Bm25Queries — one source for both engines.
+    * Shared by Bm25Oracle and the hybrid-fusion oracle
+    * (Similarity `m6_rrf_fusion`), so a fix to the BM25 replay can never
+    * desynchronize the two. CTE names are prefixed `bq`/`bh`/`bg` where a
+    * bare name (`q`) would collide with the dense-leg CTEs the fusion
+    * oracle appends. */
+  private[graft] lazy val Bm25CtesSql: String = {
     val qvals = Bm25Queries
       .flatMap { case (q, t) => t.split(" ").map(term => s"('$q', '$term')") }
       .mkString(", ")
-    s"""WITH tk AS (SELECT doc_id, ${sqlNormTokens("text")} AS toks FROM documents),
+    s"""tk AS (SELECT doc_id, ${sqlNormTokens("text")} AS toks FROM documents),
         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
                FROM (SELECT doc_id, unnest(toks) AS term FROM tk) u GROUP BY 1, 2),
         dlt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
         dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
         st AS (SELECT CAST(sum(tf) AS BIGINT) AS tot,
                       CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM tf),
-        q AS (SELECT * FROM (VALUES $qvals) AS v(query_id, term)),
-        h AS (SELECT query_id, doc_id, term,
+        bq AS (SELECT * FROM (VALUES $qvals) AS v(query_id, term)),
+        bh AS (SELECT query_id, doc_id, term,
                 (CAST(nd AS DOUBLE) / CAST(df AS DOUBLE))
                   * (CAST(tf AS DOUBLE) * 2.2)
                   / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
                       * (CAST(dl AS DOUBLE)
                          / (CAST(tot AS DOUBLE) / CAST(nd AS DOUBLE))))) AS s
-              FROM tf JOIN q USING (term) JOIN dlt USING (doc_id)
+              FROM tf JOIN bq USING (term) JOIN dlt USING (doc_id)
                    JOIN dft USING (term), st),
-        g AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        bg AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
                 list_reduce(list_prepend(0.0, list(s ORDER BY term)),
                   (a, b) -> a + b) AS score
-              FROM h GROUP BY 1, 2)
-        SELECT query_id, doc_id, rnk, n_terms, ${sqlRnd("score", 4)} AS score
-        FROM (SELECT *, row_number() OVER (
-                PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
-              FROM g) t
-        WHERE rnk <= 10"""
+              FROM bh GROUP BY 1, 2),
+        bm25 AS (SELECT * FROM (
+                   SELECT query_id, doc_id, n_terms, score, row_number() OVER (
+                     PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+                   FROM bg) t
+                 WHERE rnk <= 10)"""
   }
+
+  private lazy val Bm25Oracle: String =
+    s"""WITH $Bm25CtesSql
+        SELECT query_id, doc_id, rnk, n_terms, ${sqlRnd("score", 4)} AS score
+        FROM bm25"""
 
   /** Positional-intersection replay from raw text: shingle occurrences with
     * their 1-based anchors, the same (query, shingle, offset) VALUES list,
@@ -1717,6 +1781,34 @@ object TextAnalysis {
         FROM g"""
 
   val oracles: Map[String, String] = Map(
+    // the exact-integer TV replay: same shared-term join, same defect
+    // identity, ONE final divide of two exact longs per pair
+    "m6_source_divergence" ->
+      s"""WITH tk AS (SELECT source, unnest(${sqlNormTokens("text")}) AS term
+                      FROM documents),
+          c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+                FROM tk GROUP BY 1, 2),
+          t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS vocab
+                FROM c GROUP BY 1),
+          j AS (SELECT a.source AS source_a, b.source AS source_b,
+                       a.c AS ca, b.c AS cb, ta.n AS na, tb.n AS nb,
+                       ta.vocab AS va, tb.vocab AS vb
+                FROM c a JOIN c b USING (term)
+                     JOIN t ta ON ta.source = a.source
+                     JOIN t tb ON tb.source = b.source
+                WHERE a.source < b.source),
+          g AS (SELECT source_a, source_b,
+                       CAST(count(*) AS BIGINT) AS shared_terms,
+                       max(na) AS na, max(nb) AS nb,
+                       max(va) AS va, max(vb) AS vb,
+                       CAST(sum(ca * nb + cb * na - abs(ca * nb - cb * na))
+                            AS BIGINT) AS defect
+                FROM j GROUP BY 1, 2)
+          SELECT source_a, source_b, shared_terms,
+            ${sqlRnd("CAST(2 * na * nb - defect AS DOUBLE) / CAST(2 * na * nb AS DOUBLE)", 6)} AS tv_distance,
+            ${sqlRnd("CAST(shared_terms AS DOUBLE) / CAST(va + vb - shared_terms AS DOUBLE)", 6)} AS vocab_jaccard
+          FROM g""",
     "m6_bm25_topk" -> Bm25Oracle,
     "m6_phrase_search" -> PhraseOracle,
     "m6_dsir_weights" -> DsirOracle,

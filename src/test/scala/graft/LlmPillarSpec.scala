@@ -387,6 +387,109 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     assert(got == expected, s"phrase results differ: got $got expected $expected")
   }
 
+  test("rrf fusion equals an independent fusion of its two leg rankings") {
+    // dense leg replayed brute-force in plain Scala for the three fixed
+    // probes (vec_id = 0, s, 2s; s = max(50, N/40) — the probe-stride rule)
+    val vecs = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val stride = math.max(50L, vecs.size / 40L)
+    def dotp(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def nrm(a: Array[Double]): Double = math.sqrt(dotp(a, a))
+    val denseRnk: Map[(String, Long), Int] = (0 until 3).flatMap { i =>
+      val qid = i * stride
+      val qv = vecs(qid)
+      vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, dotp(qv, v) / (nrm(v) * nrm(qv))) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).zipWithIndex
+        .map { case ((id, _), r) => (s"q${i + 1}", id) -> (r + 1) }
+    }.toMap
+    // lexical leg: the registered BM25 ranking (itself pinned against a
+    // plain-Scala replay by the bm25 test above)
+    val lexRnk = SparkEntry.queries("m6_bm25_topk")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val expected = (denseRnk.keySet ++ lexRnk.keySet).groupBy(_._1)
+      .flatMap { case (q, ks) =>
+        ks.toSeq.map { k =>
+          (k._2,
+            lexRnk.get(k).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+              denseRnk.get(k).map(r => 1.0 / (60.0 + r)).getOrElse(0.0))
+        }.sortBy { case (id, s) => (-s, id) }.take(10).zipWithIndex
+          .map { case ((id, s), i) =>
+            (q, i + 1) -> (id, math.floor(s * 1e6 + 0.5) / 1e6,
+              lexRnk.get((q, id)), denseRnk.get((q, id)))
+          }
+      }
+    val got = SparkEntry.queries("m6_rrf_fusion")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(2)) ->
+        (r.getLong(1), r.getDouble(5),
+          if (r.isNullAt(3)) None else Some(r.getInt(3)),
+          if (r.isNullAt(4)) None else Some(r.getInt(4))))
+      .toMap
+    spark.catalog.clearCache()
+    assert(got.size == expected.size, s"row count ${got.size} != ${expected.size}")
+    expected.foreach { case (key, (id, s, lr, dr)) =>
+      val (gid, gs, glr, gdr) = got(key)
+      assert(gid == id, s"$key: doc $gid, reference says $id")
+      assert(glr == lr && gdr == dr, s"$key: leg ranks ($glr, $gdr) vs ($lr, $dr)")
+      assert(math.abs(gs - s) < 1e-9, s"$key: rrf $gs vs reference $s")
+    }
+    // non-vacuous hybrid: every query's fused list draws from BOTH legs
+    got.groupBy(_._1._1).foreach { case (q, rows) =>
+      assert(rows.values.exists(_._3.isDefined), s"$q: no lexical contribution")
+      assert(rows.values.exists(_._4.isDefined), s"$q: no dense contribution")
+    }
+  }
+
+  test("source divergence equals an exact BigInt total-variation replay") {
+    val norm = (s: String) => s.toLowerCase.replaceAll("[^a-z0-9 ]", "")
+      .split(" ").filter(_.nonEmpty).toSeq
+    val counts: Map[String, Map[String, Long]] =
+      Tables.documents(spark, dir).select("source", "text").collect()
+        .flatMap(r => norm(r.getString(1)).map(t => (r.getString(0), t)))
+        .groupBy(_._1)
+        .map { case (src, xs) =>
+          src -> xs.groupBy(_._2).map { case (t, ys) => t -> ys.size.toLong } }
+    val expected = counts.keys.toSeq.sorted.combinations(2).flatMap {
+      case Seq(sa, sb) =>
+        val (ca, cb) = (counts(sa), counts(sb))
+        val shared = ca.keySet.intersect(cb.keySet)
+        if (shared.isEmpty) None
+        else {
+          val (na, nb) = (BigInt(ca.values.sum), BigInt(cb.values.sum))
+          val defect = shared.toSeq.map { t =>
+            val (x, y) = (BigInt(ca(t)) * nb, BigInt(cb(t)) * na)
+            x + y - (x - y).abs
+          }.sum
+          // the engine accumulates in Long — the BigInt replay must agree
+          // that the exact values fit, or the operator's range note is wrong
+          assert((2 * na * nb).isValidLong, s"($sa,$sb): numerator exceeds Long")
+          val tv = (BigDecimal(2 * na * nb - defect) /
+            BigDecimal(2 * na * nb)).toDouble
+          val jac = shared.size.toDouble / (ca.size + cb.size - shared.size)
+          Some((sa, sb) -> (shared.size.toLong,
+            math.floor(tv * 1e6 + 0.5) / 1e6, math.floor(jac * 1e6 + 0.5) / 1e6))
+        }
+    }.toMap
+    val got = SparkEntry.queries("m6_source_divergence")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    spark.catalog.clearCache()
+    assert(got.size == expected.size, s"pair count ${got.size} != ${expected.size}")
+    expected.foreach { case (key, (sh, tv, jac)) =>
+      val (gsh, gtv, gjac) = got(key)
+      assert(gsh == sh, s"$key: shared $gsh vs $sh")
+      assert(math.abs(gtv - tv) < 1e-9, s"$key: tv $gtv vs $tv")
+      assert(math.abs(gjac - jac) < 1e-9, s"$key: jaccard $gjac vs $jac")
+      assert(gtv >= 0.0 && gtv <= 1.0 && gjac > 0.0 && gjac <= 1.0, s"$key out of bounds")
+    }
+  }
+
   test("dsir weights equal an independent importance-resampling replay") {
     def fold60(s: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")

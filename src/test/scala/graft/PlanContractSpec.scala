@@ -360,4 +360,41 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
     assert(!w8.contains("Exchange SinglePartition"),
       s"w8 funnels data through one partition:\n$w8")
   }
+
+  test("round-14: rrf fusion composes an index-only lexical leg and a broadcast dense leg") {
+    // formatted mode: executedPlan.toString truncates FileScan locations,
+    // which hides the staged-table directory names this test pins
+    val p = SparkEntry.queries("m6_rrf_fusion")(spark, dir).queryExecution
+      .explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    spark.catalog.clearCache()
+    // lexical leg inherits the bm25 contract: staged index with the static
+    // In(term, …) pushed, never a raw-corpus scan
+    assert(p.contains("In(term, [agg,filter,hash,join,scan,slow,stream,vector,window]"),
+      s"fusion's bm25 leg lost its pushed In filter:\n$p")
+    assert(p.contains("bm25_index"), s"fusion must read the staged index:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"fusion must not scan the raw corpus:\n$p")
+    // dense leg: the fixed 3-probe batch rides a broadcast against the
+    // corpus — a shuffled or cartesian corpus-side plan would not scale
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the probe batch must broadcast into the corpus scan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"fusion must not materialize a cartesian product:\n$p")
+  }
+
+  test("round-14: source divergence is window-free and never doc-keyed") {
+    val p = plan("m6_source_divergence")
+    // the pair join is term-keyed and the totals broadcast — a window or a
+    // cartesian here would mean per-doc state or all-pairs docs
+    assert(!p.contains("WindowExec"), s"divergence must be window-free:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"divergence must not cross-join:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the per-source totals must broadcast:\n$p")
+    // the corpus scan is pruned to exactly the two columns the census needs
+    assert(p.contains("ReadSchema: struct<text:string,source:string>")
+        || p.contains("ReadSchema: struct<source:string,text:string>"),
+      s"documents scan must read only (source, text):\n$p")
+  }
 }

@@ -68,6 +68,9 @@ QUERIES = ",".join([
     # round-14 additions: the BM25 ranker over the staged index, the
     # positional phrase search, and the DSIR importance weights
     "m6_bm25_topk", "m6_phrase_search", "m6_dsir_weights",
+    # round-14 batch 2: hybrid lexical+dense fusion, the source
+    # distribution-shift census
+    "m6_rrf_fusion", "m6_source_divergence",
 ])
 
 

@@ -60,6 +60,9 @@ QUERIES = ",".join([
     # two r12 join shapes previously probed at 10x only
     "m6_bm25_topk", "j18_class_priority", "j21_disjunctive_revenue",
     "m6_phrase_search", "m6_dsir_weights",
+    # round-14 batch 2: hybrid lexical+dense fusion, the source
+    # distribution-shift census
+    "m6_rrf_fusion", "m6_source_divergence",
 ])
 
 
