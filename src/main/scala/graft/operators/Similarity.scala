@@ -729,9 +729,9 @@ object Similarity {
 
   /** The fixed-depth refine pipeline behind annIvfPqRerank (test surface:
     * LlmPillarSpec measures recall@10 across R ∈ {10, 20, 40, 80} — per-
-    * query monotone by construction, and R = 4k sits on the plateau, which
-    * turns the FAISS k_factor folklore into a measured choice for this
-    * corpus). */
+    * query monotone by construction, and RerankR = 8k sits on the
+    * structural plateau where the FAISS k_factor=4 folklore still left
+    * 0.02 recall on the table — a measured choice for this corpus). */
   private[graft] def annIvfPqRerankAt(spark: SparkSession, dir: String,
       r: Int): DataFrame = {
     val b = base(spark, dir)
