@@ -449,4 +449,29 @@ object GraftProps extends Properties("graft") {
         .collect()
         .forall(r => r.getString(0) == r.getString(1))
     }
+
+  // ---- Total-variation defect identity (TextAnalysis.sourceDivergence) ----
+  // The engine computes TV over the UNION vocabulary while joining only the
+  // SHARED terms, via 2·na·nb − Σ_shared (ca·nb + cb·na − |ca·nb − cb·na|).
+  // Both the operator and its LlmPillarSpec replay use this identity, so a
+  // wrong derivation would agree with itself; this property pins it against
+  // the definition — Σ_union |ca·nb − cb·na| with missing counts as 0 — for
+  // EVERY pair of count tables, including disjoint and identical supports.
+  property("sourceDivergence: shared-term defect identity == union-vocabulary TV numerator") = {
+    val countMap = Gen.nonEmptyMap(
+      Gen.zip(Gen.choose('a', 'j').map(_.toString), Gen.choose(1L, 20L)))
+    forAll(countMap, countMap) { (ca, cb) =>
+      val (na, nb) = (BigInt(ca.values.sum), BigInt(cb.values.sum))
+      val direct = (ca.keySet ++ cb.keySet).toSeq.map { t =>
+        (BigInt(ca.getOrElse(t, 0L)) * nb - BigInt(cb.getOrElse(t, 0L)) * na).abs
+      }.sum
+      val defect = ca.keySet.intersect(cb.keySet).toSeq.map { t =>
+        val (x, y) = (BigInt(ca(t)) * nb, BigInt(cb(t)) * na)
+        x + y - (x - y).abs
+      }.sum
+      val viaIdentity = 2 * na * nb - defect
+      (viaIdentity == direct: Prop) &&
+        (direct >= 0 && direct <= 2 * na * nb: Prop) // TV ∈ [0, 1]
+    }
+  }
 }
