@@ -120,7 +120,16 @@ object DedupStaging {
     // v2 (r14): + n_words, n_norm_chars — the per-doc normalized word/char
     // counts the fertility report needs, computed once in the encode pass
     // instead of re-tokenizing the corpus per report run
-    "bpe_manifest" -> 2)
+    "bpe_manifest" -> 2,
+    // v2 (r15): + 2-shingle occurrence rows — 2-token phrases were
+    // structurally unservable (a k-token phrase decomposes into k−2
+    // 3-shingles; k=2 yields zero). Same columns, different row set: a
+    // warm r14 warehouse must not serve an index missing the bigram rows
+    "phrase_index" -> 2,
+    // v2 (r15): + tot_tokens — the exact integer total behind avgdl, the
+    // stat incremental admission needs to merge release + delta exactly
+    // (the float avgdl alone cannot be re-derived without drift)
+    "bm25_index" -> 2)
 
   private[graft] def tablePath(dir: String, name: String): String = {
     val vn = layoutVersion.get(name).filter(_ > 1)
@@ -376,13 +385,24 @@ object DedupStaging {
     }
 
   /** The positional phrase index (term, doc_id, pos) — one row per
-    * 3-shingle occurrence with its 1-based token anchor, the index a
+    * 3- or 2-shingle occurrence with its 1-based token anchor, the index a
     * phrase-retrieval engine serves from (TextAnalysis.phraseIndexBuild).
     * m6_phrase_search reads this with a static In(term, …) pushed filter
     * and verifies phrases index-only via anchor voting. */
   def phraseIndex(spark: SparkSession, dir: String): DataFrame =
     materialize(spark, dir, "phrase_index") {
       TextAnalysis.phraseIndexBuild(spark, dir)
+    }
+
+  /** The DSIR smoothed likelihood-ratio table (bucket, ratio) — 4096 rows,
+    * kilobytes, the corpus-release curation artifact behind
+    * m6_dsir_weights (TextAnalysis.dsirRatiosBuild). Staging it is what
+    * lets the scoring pass STREAM at 100 TB: the census pass runs once per
+    * release here; scoring broadcast-joins this table with no
+    * corpus-sized persist (the r14 verdict's missing #2). */
+  def dsirRatios(spark: SparkSession, dir: String): DataFrame =
+    materialize(spark, dir, "dsir_ratios") {
+      TextAnalysis.dsirRatiosBuild(spark, dir)
     }
 
   /** The IVF-Flat index: the corpus stored WITH its coarse-cell assignment
@@ -457,8 +477,10 @@ object DedupStaging {
       // encode-once/derive-many: pack + fertility read the staged encode
       // manifest (whose build itself reads bpe_vocab — hence the order)
       Option.when(need("m6_bpe_fertility", "m6_pack_bpe"))("bpe_manifest"),
-      Option.when(need("m6_bm25_topk", "m6_rrf_fusion"))("bm25_index"),
-      Option.when(need("m6_phrase_search"))("phrase_index")
+      Option.when(need("m6_bm25_topk", "m6_rrf_fusion", "m6_rrf_fusion_ann",
+        "m6_incremental_index"))("bm25_index"),
+      Option.when(need("m6_phrase_search"))("phrase_index"),
+      Option.when(need("m6_dsir_weights"))("dsir_ratios")
     ).flatten
   }
 
@@ -497,6 +519,7 @@ object DedupStaging {
       case "bpe_manifest"  => bpeManifest(spark, dir)
       case "bm25_index"    => bm25Index(spark, dir)
       case "phrase_index"  => phraseIndex(spark, dir)
+      case "dsir_ratios"   => dsirRatios(spark, dir)
     }
 
   /** Build the ANN index tables the named queries read (Bench's

@@ -1244,16 +1244,27 @@ object TextAnalysis {
   /** The BM25 index-build pass behind the staged `bm25_index` table
     * (DedupStaging.bm25Index): per-(term, doc) tf, per-doc length (a
     * doc-bounded window over the tf rows — the m6_tfidf exchange-reuse
-    * shape), per-term df, and the two index-level stats every BM25
-    * implementation ships in its metadata — corpus doc count and average
-    * doc length — denormalized onto the rows (constant columns RLE-encode
-    * to nothing in parquet; a deployment would put them in the index
-    * manifest). One corpus pass per index RELEASE; searches never touch
-    * raw text. */
-  private[graft] def bm25IndexBuild(spark: SparkSession, dir: String): DataFrame = {
+    * shape), per-term df, and the index-level stats every BM25
+    * implementation ships in its metadata — corpus doc count, average doc
+    * length, and (v2, r15) the EXACT total token count behind avgdl —
+    * denormalized onto the rows (constant columns RLE-encode to nothing in
+    * parquet; a deployment would put them in the index manifest).
+    * `tot_tokens` exists for incremental maintenance: merged stats after a
+    * delta admission need exact-integer addition (n_docs' = Σ n_docs,
+    * tot' = Σ tot), which the float avgdl alone cannot replay. One corpus
+    * pass per index RELEASE; searches never touch raw text. */
+  private[graft] def bm25IndexBuild(spark: SparkSession, dir: String): DataFrame =
+    bm25IndexOf(Tables.fanout(Tables.documents(spark, dir))
+      .select(col("doc_id"), normTokens(col("text")).as("toks")))
+
+  /** The index build over any (doc_id, toks) frame — shared by the
+    * corpus-release build above and m6_incremental_index's O(batch) delta
+    * build (same pass, same denormalized columns; a delta member's
+    * df/n_docs/avgdl/tot_tokens are BATCH-local — valid for the member
+    * that wrote them, merged by the incremental reader). */
+  private def bm25IndexOf(toks: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = Tables.fanout(Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(normTokens(col("text"))).as("term"))
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val lenW = Window.partitionBy("doc_id")
     // sum(least(tf,1)) == per-term doc count, keeps the partial stage
@@ -1267,7 +1278,8 @@ object TextAnalysis {
       .crossJoin(broadcast(stats))
       .select(col("term"), col("df"), col("doc_id"), col("tf"), col("dl"),
         col("nd").as("n_docs"),
-        (col("tot").cast("double") / col("nd").cast("double")).as("avgdl"))
+        (col("tot").cast("double") / col("nd").cast("double")).as("avgdl"),
+        col("tot").as("tot_tokens"))
   }
 
   /** M6: BM25 top-k document ranking — the retrieval-side consumer of the
@@ -1320,38 +1332,55 @@ object TextAnalysis {
   }
 
   /** The retrieval workload for m6_phrase_search: fixed literal phrases —
-    * two 3-token phrases (a single posting-list lookup) and one 4-token
-    * phrase (a true multi-shingle positional intersection) — the single
-    * source for the engine frame AND the oracle's VALUES list. */
+    * two 3-token phrases (a single posting-list lookup), one 4-token
+    * phrase (a true multi-shingle positional intersection), and one
+    * 2-token phrase (served by the index's 2-shingle rows — before r15 the
+    * shortest, most common phrase class was structurally unservable) — the
+    * single source for the engine frame AND the oracle's VALUES list. */
   private[graft] val PhraseQueries: Seq[(String, String)] = Seq(
     "p1" -> "order scan fast",
     "p2" -> "group join value",
-    "p3" -> "order big filter value")
+    "p3" -> "order big filter value",
+    "p4" -> "order scan")
 
   /** The positional phrase-index build behind the staged `phrase_index`
-    * table (DedupStaging.phraseIndex): one row per 3-shingle OCCURRENCE —
+    * table (DedupStaging.phraseIndex): one row per shingle OCCURRENCE —
     * (term, doc_id, pos) with pos the 1-based anchor of the shingle in the
-    * document's canonical token stream. Unlike m6_postings (the df-banded
-    * per-term posting STRINGS — a census artifact), this is the positional
-    * index a phrase-retrieval engine serves from: no df band (a searched
-    * phrase must be findable however common its shingles), no per-term
-    * list assembly (rows stay flat — no collect, no skewed reducer
-    * anywhere), one corpus pass per index release. At cluster scale the
-    * release writer partitions/sorts by term so a search's In(term, …)
-    * filter becomes partition pruning. */
+    * document's canonical token stream. v2 (r15) indexes 2-shingles
+    * alongside the 3-shingles — a k-token phrase decomposes into k−2
+    * 3-shingles, so WITHOUT 2-shingle rows a 2-token phrase (the shortest
+    * and most common phrase class) was structurally unservable; a
+    * 2-shingle string can never collide with a 3-shingle string (space-
+    * joined token tuples of different arity), so the two row families
+    * coexist under one `term` key. Both arities ride ONE corpus pass (one
+    * tokenize, one explode of the concatenated occurrence arrays). Unlike
+    * m6_postings (the df-banded per-term posting STRINGS — a census
+    * artifact), this is the positional index a phrase-retrieval engine
+    * serves from: no df band (a searched phrase must be findable however
+    * common its shingles), no per-term list assembly (rows stay flat — no
+    * collect, no skewed reducer anywhere), one corpus pass per index
+    * release. At cluster scale the release writer partitions/sorts by term
+    * so a search's In(term, …) filter becomes partition pruning. */
   private[graft] def phraseIndexBuild(spark: SparkSession, dir: String): DataFrame =
     Tables.fanout(Tables.documents(spark, dir))
       .select(col("doc_id"), normTokens(col("text")).as("toks"))
-      .select(col("doc_id"), posexplode(shingles(col("toks"), 3)).as(Seq("i", "term")))
-      .select(col("term"), col("doc_id"), (col("i") + 1).as("pos"))
+      .select(col("doc_id"), explode(concat(
+        transform(shingles(col("toks"), 3),
+          (s, i) => struct(s.as("term"), (i + 1).as("pos"))),
+        transform(shingles(col("toks"), 2),
+          (s, i) => struct(s.as("term"), (i + 1).as("pos"))))).as("o"))
+      .select(col("o.term").as("term"), col("doc_id"), col("o.pos").as("pos"))
 
   /** M6: exact phrase retrieval over the STAGED positional index — the
     * textbook positional-intersection algorithm (Manning/Raghavan/Schütze
-    * IIR §2.4): a k-token phrase decomposes into its k−2 overlapping
-    * 3-shingles; every index occurrence of shingle j at position p votes
-    * for a phrase match anchored at p − j, and an anchor that collects all
-    * k−2 votes IS a verified occurrence — index-only verification, the raw
-    * corpus is never touched.
+    * IIR §2.4): a k-token phrase (k ≥ 3) decomposes into its k−2
+    * overlapping 3-shingles; every index occurrence of shingle j at
+    * position p votes for a phrase match anchored at p − j, and an anchor
+    * that collects all k−2 votes IS a verified occurrence — index-only
+    * verification, the raw corpus is never touched. A 2-token phrase IS
+    * its own (single) 2-shingle, served by the index's 2-shingle rows
+    * (r15) with one vote required — the identical voting plan, no fallback
+    * path.
     *
     * Work ∝ posting lists touched, never corpus-wide: the phrase shingles
     * are plan-time literals, so the index scan carries a static In(term, …)
@@ -1364,7 +1393,9 @@ object TextAnalysis {
     import spark.implicits._
     val qsh = PhraseQueries.flatMap { case (q, text) =>
       val t = text.split(" ")
-      (0 to t.length - 3).map(j => (q, t.slice(j, j + 3).mkString(" "), j, t.length - 2))
+      if (t.length == 2) Seq((q, text, 0, 1)) // a bigram is its own 2-shingle
+      else (0 to t.length - 3).map(j =>
+        (q, t.slice(j, j + 3).mkString(" "), j, t.length - 2))
     }
     val qdf = qsh.toDF("query_id", "term", "off", "n_sh")
     val allTerms = qsh.map(_._2).distinct
@@ -1379,6 +1410,101 @@ object TextAnalysis {
       .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("n_matches"),
         min(col("anchor")).cast("long").as("first_pos"))
+  }
+
+  /** The arriving-document batch fixture for m6_incremental_index: every
+    * 10th document re-arrives at doc_id + 3000000 with every other token
+    * dropped (the Dedup.arrivingBatch halving rule under this family's
+    * normTokens canon — Spark's 0-based lambda keeps i % 2 = 0, DuckDB's
+    * 1-based list_filter keeps i % 2 = 1: the same elements).
+    * Deterministic in both engines. */
+  private def arrivingDocTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanout(Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0))
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        filter(normTokens(col("text")), (_, i) => i % 2 === 0).as("toks"))
+
+  /** M6: incremental retrieval-index maintenance — a document batch
+    * ADMITTED into the released BM25 index without rebuilding it (the
+    * m6_incremental_dedup/m6_incremental_commit production shape applied
+    * to the index the RAG stack serves from): the staged `bm25_index` is
+    * referenced zero-copy as the catalog's base member
+    * (Connectors.appendMemberRef — O(1) metadata), the batch's delta
+    * posting rows are one O(batch) index-build pass appended through the
+    * atomic manifest commit (Connectors.appendTo), and the index-level
+    * stats are UPDATED by appending a (n_docs, tot_tokens) row per member
+    * to a stats manifest — searches read Σ members, exact integer
+    * addition, which is why the v2 index carries tot_tokens instead of
+    * only the float avgdl.
+    *
+    * The search half then ranks the fixed Bm25Queries over corpus + batch:
+    * per-row df/n_docs/avgdl are RELEASE-scoped (stale across members by
+    * construction), so the incremental reader derives df as the
+    * per-term row count over the catalog — still only the query terms'
+    * posting lists, the same static In(term, …) pushdown into every
+    * member — and nd/avgdl from the stats manifest. Work: O(batch) for
+    * the admission, O(posting lists touched) for the search; the corpus
+    * is never re-tokenized, never copied. The oracle replays index build,
+    * batch admission, merged stats, and ranking from raw text. */
+  def incrementalIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    DedupStaging.bm25Index(spark, dir) // ensure the release index is committed
+    // per-invocation scratch catalog (the PROTOCOL is what persists — the
+    // released index lives in the warehouse); swept on JVM exit so repeated
+    // bench/verify runs don't accumulate appended generations in /tmp
+    val catDir = java.nio.file.Files.createTempDirectory("graft-inc-index-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        val walk = java.nio.file.Files.walk(catDir)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      } catch { case _: Exception => () }))
+    val post = s"$catDir/postings"; val stats = s"$catDir/stats"
+    Connectors.appendMemberRef(spark, post,
+      DedupStaging.committedDataDir(dir, "bm25_index").get)
+    def memberStats(m: DataFrame): DataFrame =
+      m.agg(max("n_docs").as("n_docs"), max("tot_tokens").as("tot_tokens"))
+    Connectors.appendTo(spark, stats,
+      memberStats(DedupStaging.bm25Index(spark, dir)))
+    // the admission: one O(batch) index-build pass, one atomic append per
+    // table (coalesce(1): a test-scale batch is a few thousand rows — one
+    // file per generation; a production batch keeps its partitioning)
+    val delta = bm25IndexOf(arrivingDocTokens(spark, dir))
+    Connectors.appendTo(spark, post, delta.coalesce(1))
+    Connectors.appendTo(spark, stats, memberStats(delta))
+    // the search: rank the fixed queries over corpus + admissions
+    val qterms = Bm25Queries
+      .flatMap { case (q, text) => text.split(" ").map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val allTerms = Bm25Queries.flatMap(_._2.split(" ")).distinct
+    val st = Connectors.readTable(spark, stats)
+      .agg(sum("n_docs").as("nd"), sum("tot_tokens").as("tot"))
+    val touched = Connectors.readTable(spark, post)
+      .filter(col("term").isin(allTerms: _*)) // static pushdown into every member
+      .select("term", "doc_id", "tf", "dl")
+    // current df = per-term row count over the catalog — O(posting lists),
+    // never corpus-wide (the per-row df column is release-scoped)
+    val dfreq = touched.groupBy("term").agg(count(lit(1)).as("df"))
+    val s = (col("nd").cast("double") / col("df").cast("double")) *
+      (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+        (col("dl").cast("double") /
+          (col("tot").cast("double") / col("nd").cast("double")))))
+    val hits = touched.join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(st))
+      .select(col("query_id"), col("doc_id"), col("term"), s.as("s"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    hits.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        aggregate(sort_array(collect_list(struct(col("term"), col("s")))),
+          lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("doc_id"), col("rnk"), col("n_terms"),
+        rnd(col("score"), 4).as("score"),
+        (col("doc_id") >= 3000000L).as("from_batch"))
   }
 
   /** M6: DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169,
@@ -1402,40 +1528,54 @@ object TextAnalysis {
     * ranking intent, hash-replayable. The per-doc float sum folds in
     * bucket-sorted order (sort_array + aggregate, the bm25 discipline;
     * equal buckets carry bit-identical ratios, so tie order can't change
-    * the fold). */
-  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
-    val feats = Tables.fanout(Tables.documents(spark, dir))
+    * the fold).
+    *
+    * The ratio table is corpus-RELEASE state, staged once
+    * (DedupStaging.dsirRatios — the bm25_index/bpe_manifest build-once
+    * precedent): before r15 each invocation re-derived the census, holding
+    * the corpus-sized per-doc feature frame in a persist so census and
+    * scoring could share one pass — a memory-resident-corpus assumption
+    * that breaks at 100 TB. Now the scoring pass STREAMS: one corpus
+    * tokenize → hash → broadcast-join against the staged kilobyte table →
+    * one keyed aggregation, no persist anywhere. The oracle still replays
+    * census + scoring from raw text, so the staged ratios stay
+    * hash-verified through this consumer. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirFeatures(spark, dir).select("doc_id", "bucket")
+      .join(broadcast(DedupStaging.dsirRatios(spark, dir)), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_features"),
+        aggregate(sort_array(collect_list(struct(col("bucket"), col("ratio")))),
+          lit(0.0), (acc, x) => acc + x.getField("ratio")).as("s"))
+      .select(col("doc_id"), col("n_features"),
+        Exact.rnd(col("s") / col("n_features").cast("double"), 4).as("weight"),
+        (col("s") >= col("n_features").cast("double")).as("keep"))
+
+  /** The hashed-feature projection shared by the staged census build and
+    * the scoring pass: unigrams + bigrams under the |ds salt, hashed into
+    * 4096 buckets. */
+  private def dsirFeatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanout(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), normTokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang"),
         explode(concat(col("toks"), shingles(col("toks"), 2))).as("feat"))
       .select(col("doc_id"), col("lang"),
         pmod(Exact.fold60(concat(col("feat"), lit("|ds"))), lit(4096)).as("bucket"))
-    def build(f: DataFrame): DataFrame = {
-      val census = f.groupBy("bucket")
-        .agg(count(lit(1)).as("r"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t"))
-      val totals = census.agg(sum("r").as("rt"), sum("t").as("tt"))
-      val ratios = census.crossJoin(broadcast(totals))
-        .select(col("bucket"),
-          (((col("t") + 1L).cast("double") / (col("tt") + 4096L).cast("double")) /
-            ((col("r") + 1L).cast("double") / (col("rt") + 4096L).cast("double")))
-            .as("ratio"))
-      f.join(broadcast(ratios), Seq("bucket"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_features"),
-          aggregate(sort_array(collect_list(struct(col("bucket"), col("ratio")))),
-            lit(0.0), (acc, x) => acc + x.getField("ratio")).as("s"))
-        .select(col("doc_id"), col("n_features"),
-          Exact.rnd(col("s") / col("n_features").cast("double"), 4).as("weight"),
-          (col("s") >= col("n_features").cast("double")).as("keep"))
-    }
-    if (lazyPlans(spark)) return build(feats)
-    // feats is narrow (no exchange to reuse) and feeds BOTH the census and
-    // the scoring join — the scoped-persist discipline postings documents:
-    // materialize the docs-sized result eagerly, unpersist before returning.
-    val p = feats.persist()
-    try build(p).localCheckpoint(true)
-    finally p.unpersist()
+
+  /** The staged-ratio-table build (DedupStaging.dsirRatios): ONE
+    * map-side-combined census pass over the corpus features (target is a
+    * conditional sum, not a second scan) → the 4096-row add-one-smoothed
+    * likelihood-ratio table, kilobytes, built once per corpus release. */
+  private[graft] def dsirRatiosBuild(spark: SparkSession, dir: String): DataFrame = {
+    val census = dsirFeatures(spark, dir).groupBy("bucket")
+      .agg(count(lit(1)).as("r"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t"))
+    val totals = census.agg(sum("r").as("rt"), sum("t").as("tt"))
+    census.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (((col("t") + 1L).cast("double") / (col("tt") + 4096L).cast("double")) /
+          ((col("r") + 1L).cast("double") / (col("rt") + 4096L).cast("double")))
+          .as("ratio"))
   }
 
   /** M6: source distribution-shift census — pairwise total-variation
@@ -1448,14 +1588,23 @@ object TextAnalysis {
     *
     * Pinned arithmetic: the TV numerator is computed EXACTLY in integers —
     * for terms both sources share, Σ (c_a·n_b + c_b·n_a − |c_a·n_b −
-    * c_b·n_a|) (each addend ≥ 0, all exact longs), and terms exclusive to
-    * one source contribute through the identity Σ_excl c_a = n_a −
-    * Σ_shared c_a, folding to numerator = 2·n_a·n_b − defect. TV is then
-    * ONE correctly-rounded divide of two exact longs — bit-portable, no
+    * c_b·n_a|) (each addend ≥ 0, exact), and terms exclusive to one source
+    * contribute through the identity Σ_excl c_a = n_a − Σ_shared c_a,
+    * folding to numerator = 2·n_a·n_b − defect. TV is then ONE
+    * correctly-rounded divide of two exact integers — bit-portable, no
     * float summation order to pin (the m6_tfidf raw-ratio precedent taken
-    * to its integer limit). Long range: products are bounded by n_a·n_b,
-    * safe through ~3×10⁹ tokens/source; past that a deployment widens the
-    * accumulator to decimal(38,0) — same plan shape.
+    * to its integer limit). Products and the defect sum accumulate as
+    * decimal(38,0) (r15, was Long: past ~3×10⁹ tokens/source the Long
+    * products wrapped SILENTLY under Spark's non-ANSI sum while the
+    * DuckDB replay errored loudly — the r14 ADVICE divergence); the
+    * oracle mirrors in HUGEINT, and both stay exact through any
+    * physically reachable corpus.
+    *
+    * Pairs sharing ZERO vocabulary are emitted too (r15, was omitted by
+    * the inner term join): the report scaffolds over ALL source pairs
+    * (an |S|²-row broadcast cross of the tiny totals frame) and a pair
+    * with no shared terms — exactly the most dramatic shift — reports
+    * tv_distance = 1.0, vocab_jaccard = 0.0 instead of vanishing.
     *
     * 100 TB shape: per-(source, term) counts are one map-side-combined
     * aggregation over corpus tokens; the per-source totals frame is
@@ -1470,30 +1619,41 @@ object TextAnalysis {
     val tot = cnt.groupBy("source")
       .agg(sum("c").as("n"), count(lit(1)).as("vocab"))
     def side(tag: String): DataFrame =
-      cnt.join(broadcast(tot), Seq("source")).select(
+      cnt.join(broadcast(tot.select("source", "n")), Seq("source")).select(
         col("source").as(s"source_$tag"), col("term"),
-        col("c").as(s"c$tag"), col("n").as(s"n$tag"),
-        col("vocab").as(s"v$tag"))
-    side("a").join(side("b"), Seq("term"))
+        col("c").as(s"c$tag"), col("n").as(s"n$tag"))
+    // exact wide-integer products: (19,0)×(19,0) → decimal(38,0), summed
+    // as decimal(38,0) — overflow-free for any Long-countable corpus
+    val pa = col("ca").cast("decimal(19,0)") * col("nb").cast("decimal(19,0)")
+    val pb = col("cb").cast("decimal(19,0)") * col("na").cast("decimal(19,0)")
+    val shared = side("a").join(side("b"), Seq("term"))
       .filter(col("source_a") < col("source_b"))
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("shared_terms"),
-        max("na").as("na"), max("nb").as("nb"),
-        max("va").as("va"), max("vb").as("vb"),
-        sum(col("ca") * col("nb") + col("cb") * col("na") -
-          abs(col("ca") * col("nb") - col("cb") * col("na"))).as("defect"))
-      .select(col("source_a"), col("source_b"), col("shared_terms"),
-        rnd((lit(2L) * col("na") * col("nb") - col("defect")).cast("double") /
-          (lit(2L) * col("na") * col("nb")).cast("double"), 6).as("tv_distance"),
-        rnd(col("shared_terms").cast("double") /
-          (col("va") + col("vb") - col("shared_terms")).cast("double"), 6)
-          .as("vocab_jaccard"))
+        sum(pa + pb - abs(pa - pb)).as("defect"))
+    // the all-pairs scaffold: |S|² rows off the broadcast totals — a
+    // deliberate tiny non-equi join (sources, not docs), never corpus-keyed
+    val pairs = tot
+      .select(col("source").as("source_a"), col("n").as("na"), col("vocab").as("va"))
+      .join(broadcast(tot.select(col("source").as("source_b"),
+        col("n").as("nb"), col("vocab").as("vb"))),
+        col("source_a") < col("source_b"))
+    val denom =
+      col("na").cast("decimal(19,0)") * col("nb").cast("decimal(19,0)") * lit(2)
+    val sh = coalesce(col("shared_terms"), lit(0L))
+    pairs.join(broadcast(shared), Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), sh.as("shared_terms"),
+        rnd((denom - coalesce(col("defect"), lit(0).cast("decimal(38,0)")))
+          .cast("double") / denom.cast("double"), 6).as("tv_distance"),
+        rnd(sh.cast("double") /
+          (col("va") + col("vb") - sh).cast("double"), 6).as("vocab_jaccard"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m6_source_divergence" -> sourceDivergence,
     "m6_bm25_topk"     -> bm25TopK,
     "m6_phrase_search" -> phraseSearch,
+    "m6_incremental_index" -> incrementalIndex,
     "m6_dsir_weights"  -> dsirWeights,
     "m6_bpe_train"     -> bpeTrain,
     "m6_bpe_encode"    -> bpeEncode,
@@ -1687,16 +1847,22 @@ object TextAnalysis {
     * from raw text, the literal-for-literal score expression, the
     * term-ordered left-to-right score fold, the same rank window. The
     * VALUES list derives from Bm25Queries — one source for both engines.
-    * Shared by Bm25Oracle and the hybrid-fusion oracle
-    * (Similarity `m6_rrf_fusion`), so a fix to the BM25 replay can never
-    * desynchronize the two. CTE names are prefixed `bq`/`bh`/`bg` where a
-    * bare name (`q`) would collide with the dense-leg CTEs the fusion
-    * oracle appends. */
-  private[graft] lazy val Bm25CtesSql: String = {
+    * Shared by Bm25Oracle, the hybrid-fusion oracles (Similarity
+    * `m6_rrf_fusion` / `m6_rrf_fusion_ann`) and — over the corpus+batch
+    * union via `bm25CtesOver` — the incremental-index oracle, so a fix to
+    * the BM25 replay can never desynchronize them. CTE names are prefixed
+    * `bq`/`bh`/`bg` where a bare name (`q`) would collide with the
+    * dense-leg CTEs the fusion oracle appends. */
+  private[graft] lazy val Bm25CtesSql: String =
+    bm25CtesOver(s"SELECT doc_id, ${sqlNormTokens("text")} AS toks FROM documents")
+
+  /** The BM25 replay parameterized over its token source (`tk` body): the
+    * full index stats + score + ranking chain, ending at `bm25`. */
+  private def bm25CtesOver(tkSql: String): String = {
     val qvals = Bm25Queries
       .flatMap { case (q, t) => t.split(" ").map(term => s"('$q', '$term')") }
       .mkString(", ")
-    s"""tk AS (SELECT doc_id, ${sqlNormTokens("text")} AS toks FROM documents),
+    s"""tk AS ($tkSql),
         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
                FROM (SELECT doc_id, unnest(toks) AS term FROM tk) u GROUP BY 1, 2),
         dlt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
@@ -1728,19 +1894,41 @@ object TextAnalysis {
         SELECT query_id, doc_id, rnk, n_terms, ${sqlRnd("score", 4)} AS score
         FROM bm25"""
 
-  /** Positional-intersection replay from raw text: shingle occurrences with
-    * their 1-based anchors, the same (query, shingle, offset) VALUES list,
-    * anchor voting, and the all-offsets HAVING gate. */
+  /** The incremental-index replay: the SAME BM25 CTE chain run over the
+    * corpus + arriving-batch union (batch = every 10th doc, every other
+    * token dropped, at +3000000 — engine fixture arrivingDocTokens), which
+    * is exactly what the catalog (base member + delta member + merged
+    * stats manifest) must be equivalent to. */
+  private lazy val IncrementalIndexOracle: String =
+    s"""WITH tk0 AS (SELECT doc_id, ${sqlNormTokens("text")} AS toks FROM documents),
+        ${bm25CtesOver(
+          """SELECT doc_id, toks FROM tk0
+             UNION ALL
+             SELECT doc_id + 3000000, list_filter(toks, (x, i) -> i % 2 = 1)
+             FROM tk0 WHERE doc_id % 10 = 0""")}
+        SELECT query_id, doc_id, rnk, n_terms, ${sqlRnd("score", 4)} AS score,
+               doc_id >= 3000000 AS from_batch
+        FROM bm25"""
+
+  /** Positional-intersection replay from raw text: 3- AND 2-shingle
+    * occurrences with their 1-based anchors, the same (query, shingle,
+    * offset) VALUES list (k = 2 decomposes to its single 2-shingle, one
+    * vote required), anchor voting, and the all-offsets HAVING gate. */
   private lazy val PhraseOracle: String = {
     val qvals = PhraseQueries.flatMap { case (q, text) =>
       val t = text.split(" ")
-      (0 to t.length - 3).map(j =>
+      if (t.length == 2) Seq(s"('$q', '$text', 0, 1)")
+      else (0 to t.length - 3).map(j =>
         s"('$q', '${t.slice(j, j + 3).mkString(" ")}', $j, ${t.length - 2})")
     }.mkString(", ")
     s"""WITH tk AS (SELECT doc_id, ${sqlNormTokens("text")} AS toks FROM documents),
         occ AS (SELECT doc_id, sh[i] AS term, CAST(i AS BIGINT) AS pos
                 FROM (SELECT doc_id, ${sqlShingles("toks", 3)} AS sh FROM tk) s,
-                     LATERAL unnest(range(1, len(sh) + 1)) AS v(i)),
+                     LATERAL unnest(range(1, len(sh) + 1)) AS v(i)
+                UNION ALL
+                SELECT doc_id, sh[i] AS term, CAST(i AS BIGINT) AS pos
+                FROM (SELECT doc_id, ${sqlShingles("toks", 2)} AS sh FROM tk) s2,
+                     LATERAL unnest(range(1, len(sh) + 1)) AS v2(i)),
         q AS (SELECT * FROM (VALUES $qvals) AS v(query_id, term, off, n_sh)),
         h AS (SELECT query_id, doc_id, pos - off AS anchor, n_sh
               FROM occ JOIN q USING (term)),
@@ -1783,6 +1971,10 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     // the exact-integer TV replay: same shared-term join, same defect
     // identity, ONE final divide of two exact longs per pair
+    // Wide-integer mirror of the engine's decimal(38,0) accumulation
+    // (HUGEINT products/sum — exact, loud on overflow), and the all-pairs
+    // scaffold (pr LEFT JOIN g) so zero-shared-vocabulary pairs report
+    // tv = 1.0 / jaccard = 0.0 on both sides.
     "m6_source_divergence" ->
       s"""WITH tk AS (SELECT source, unnest(${sqlNormTokens("text")}) AS term
                       FROM documents),
@@ -1791,26 +1983,28 @@ object TextAnalysis {
           t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
                        CAST(count(*) AS BIGINT) AS vocab
                 FROM c GROUP BY 1),
+          pr AS (SELECT a.source AS source_a, b.source AS source_b,
+                        a.n AS na, b.n AS nb, a.vocab AS va, b.vocab AS vb
+                 FROM t a JOIN t b ON a.source < b.source),
           j AS (SELECT a.source AS source_a, b.source AS source_b,
-                       a.c AS ca, b.c AS cb, ta.n AS na, tb.n AS nb,
-                       ta.vocab AS va, tb.vocab AS vb
+                       CAST(a.c AS HUGEINT) * tb.n AS x,
+                       CAST(b.c AS HUGEINT) * ta.n AS y
                 FROM c a JOIN c b USING (term)
                      JOIN t ta ON ta.source = a.source
                      JOIN t tb ON tb.source = b.source
                 WHERE a.source < b.source),
           g AS (SELECT source_a, source_b,
                        CAST(count(*) AS BIGINT) AS shared_terms,
-                       max(na) AS na, max(nb) AS nb,
-                       max(va) AS va, max(vb) AS vb,
-                       CAST(sum(ca * nb + cb * na - abs(ca * nb - cb * na))
-                            AS BIGINT) AS defect
+                       sum(x + y - abs(x - y)) AS defect
                 FROM j GROUP BY 1, 2)
-          SELECT source_a, source_b, shared_terms,
-            ${sqlRnd("CAST(2 * na * nb - defect AS DOUBLE) / CAST(2 * na * nb AS DOUBLE)", 6)} AS tv_distance,
-            ${sqlRnd("CAST(shared_terms AS DOUBLE) / CAST(va + vb - shared_terms AS DOUBLE)", 6)} AS vocab_jaccard
-          FROM g""",
+          SELECT pr.source_a, pr.source_b,
+            CAST(coalesce(g.shared_terms, 0) AS BIGINT) AS shared_terms,
+            ${sqlRnd("CAST(2 * CAST(pr.na AS HUGEINT) * pr.nb - coalesce(g.defect, 0) AS DOUBLE) / CAST(2 * CAST(pr.na AS HUGEINT) * pr.nb AS DOUBLE)", 6)} AS tv_distance,
+            ${sqlRnd("CAST(coalesce(g.shared_terms, 0) AS DOUBLE) / CAST(pr.va + pr.vb - coalesce(g.shared_terms, 0) AS DOUBLE)", 6)} AS vocab_jaccard
+          FROM pr LEFT JOIN g USING (source_a, source_b)""",
     "m6_bm25_topk" -> Bm25Oracle,
     "m6_phrase_search" -> PhraseOracle,
+    "m6_incremental_index" -> IncrementalIndexOracle,
     "m6_dsir_weights" -> DsirOracle,
     "m6_bpe_train" -> BpeTrainOracle,
     "m6_bpe_encode" -> BpeEncodeOracle,

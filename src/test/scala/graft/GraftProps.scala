@@ -477,17 +477,19 @@ object GraftProps extends Properties("graft") {
 
   // ---- Phrase anchor voting (TextAnalysis.phraseSearch) --------------------
   // The positional-intersection claim: a k-token phrase occurs at anchor a
-  // iff ALL of its k−2 overlapping 3-shingles occur at their offset
-  // positions (shingle j at a+j) — the k−2 vote count IS exact verification,
-  // never a candidate filter. The ≥ direction is the subtle one (overlapping
-  // shingle windows tile every phrase position), so generate over a 3-letter
-  // alphabet to force the periodic/self-overlapping cases (e.g. "a a a a")
-  // the fixture's natural text never exercises, and compare against a naive
-  // sliding-window scan. Mirrors the engine's join-count logic exactly:
-  // distinct offsets j contribute at most one vote per anchor.
-  property("phrase: 3-shingle anchor voting == naive sliding-window match") = {
+  // iff ALL of its max(1, k−2) overlapping shingles (3-shingles for k ≥ 3;
+  // the phrase's own 2-shingle for k = 2 — the r15 bigram rule) occur at
+  // their offset positions (shingle j at a+j) — the vote count IS exact
+  // verification, never a candidate filter. The ≥ direction is the subtle
+  // one (overlapping shingle windows tile every phrase position), so
+  // generate over a 3-letter alphabet to force the periodic/
+  // self-overlapping cases (e.g. "a a a a") the fixture's natural text
+  // never exercises, and compare against a naive sliding-window scan.
+  // Mirrors the engine's join-count logic exactly: distinct offsets j
+  // contribute at most one vote per anchor.
+  property("phrase: shingle anchor voting == naive sliding-window match") = {
     val tok = Gen.oneOf("a", "b", "c")
-    forAll(Gen.listOfN(25, tok), Gen.choose(3, 6).flatMap(Gen.listOfN(_, tok))) {
+    forAll(Gen.listOfN(25, tok), Gen.choose(2, 6).flatMap(Gen.listOfN(_, tok))) {
       (docL, phraseL) =>
         val (doc, phrase) = (docL.toVector, phraseL.toVector)
         val (n, k) = (doc.length, phrase.length)
@@ -495,10 +497,12 @@ object GraftProps extends Properties("graft") {
         val naive = (1 to n - k + 1)
           .filter(a => doc.slice(a - 1, a - 1 + k) == phrase).toSet
         // voting: shingle j of the phrase must occur at anchor + j
-        val need = k - 2
+        val s = math.min(k, 3)
+        val need = math.max(1, k - 2)
         val voted = (1 to n).filter { a =>
           (0 until need).count { j =>
-            a + j + 2 <= n && doc.slice(a + j - 1, a + j + 2) == phrase.slice(j, j + 3)
+            a + j + s - 1 <= n &&
+              doc.slice(a + j - 1, a + j - 1 + s) == phrase.slice(j, j + s)
           } == need
         }.toSet
         voted == naive

@@ -274,7 +274,7 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
     // the phrase shingles are plan-time literals: the positional-index scan
     // must carry the static In(term, …) filter
     assert(p.contains(
-      "In(term, [big filter value,group join value,order big filter,order scan fast]"),
+      "In(term, [big filter value,group join value,order big filter,order scan,order scan fast]"),
       s"phrase-shingle In filter not pushed to the index scan:\n$p")
     // the (query, shingle, offset) table rides a broadcast
     assert(p.contains("BroadcastExchange"), s"query shingles must broadcast:\n$p")
@@ -303,21 +303,25 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
       s"fertility must not scan document text:\n$p")
   }
 
-  test("round-14: dsir census broadcasts its ratio table and stays window-free") {
-    // dsirWeights executes eagerly (scoped persist + localCheckpoint), so
-    // pin the lazy plan via the Explain audit escape hatch
-    spark.conf.set("spark.graft.lazyPlans", "true")
-    try {
-      val p = SparkEntry.queries("m6_dsir_weights")(spark, dir).queryExecution
-        .explainString(
-          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      // the 4096-row smoothed-ratio table must broadcast into the scoring
-      // join — a shuffled join here would move the exploded corpus
-      assert(p.contains("BroadcastExchange"), s"ratio table must broadcast:\n$p")
-      // every aggregation is keyed (census by bucket, scoring by doc_id) —
-      // a Window would funnel the corpus through one task
-      assert(!p.contains(") Window"), s"dsir must be window-free:\n$p")
-    } finally spark.conf.unset("spark.graft.lazyPlans")
+  test("round-15: dsir scoring streams against the staged ratio table") {
+    val p = SparkEntry.queries("m6_dsir_weights")(spark, dir).queryExecution
+      .explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    spark.catalog.clearCache()
+    // the census is release-time work: scoring must read the STAGED
+    // kilobyte ratio table, not re-derive it from the corpus
+    assert(p.contains("dsir_ratios"),
+      s"scoring must read the staged ratio table:\n$p")
+    // …and that table must broadcast into the scoring join — a shuffled
+    // join here would move the exploded corpus
+    assert(p.contains("BroadcastExchange"), s"ratio table must broadcast:\n$p")
+    // exactly ONE corpus scan (the scoring tokenize) — a second documents
+    // location would mean the census crept back into the query plan
+    assert("documents\\.parquet".r.findAllIn(p).length <= 1,
+      s"dsir scoring must scan the corpus exactly once:\n$p")
+    // the scoring aggregation is keyed by doc_id — a Window would funnel
+    // the corpus through one task
+    assert(!p.contains(") Window"), s"dsir must be window-free:\n$p")
   }
 
   test("ANN top-k: the rank window sorts skinny rows (no vectors) and probes stay fixed-size") {
