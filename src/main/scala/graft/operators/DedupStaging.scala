@@ -493,13 +493,14 @@ object DedupStaging {
     def need(qs: String*) = all || qs.exists(names)
     Seq(
       Option.when(need("m6_ann_ivf", "m6_ann_ivf2", "m6_ivf_stats",
-        "m6_ann_ivfpq", "m6_ann_ivfpq_rerank", "m6_ann_eval"))("ivf_cells"),
+        "m6_ann_ivfpq", "m6_ann_ivfpq_rerank", "m6_ann_eval",
+        "m6_rrf_fusion_ann"))("ivf_cells"),
       Option.when(need("m6_ann_pq"))("pq_codebook"),
       Option.when(need("m6_ann_pq"))("pq_codes"),
       Option.when(need("m6_ann_ivfpq", "m6_ann_ivfpq_rerank",
-        "m6_ann_eval"))("ivfpq_codebook"),
+        "m6_ann_eval", "m6_rrf_fusion_ann"))("ivfpq_codebook"),
       Option.when(need("m6_ann_ivfpq", "m6_ann_ivfpq_rerank",
-        "m6_ann_eval"))("ivfpq_codes")
+        "m6_ann_eval", "m6_rrf_fusion_ann"))("ivfpq_codes")
     ).flatten
   }
 

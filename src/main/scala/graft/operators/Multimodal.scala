@@ -283,7 +283,18 @@ object Multimodal {
     * grows non-ASCII text. A real image pipeline takes binary payloads and
     * never faces this; it is a property of the text-as-pixels fixture. */
   def ahashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    val corpus = ahashCorpus(spark, dir)
+    val w = Dedup.simhashChunkBits(corpus.count())
+    ahashPairs(ahashHashedOf(spark, corpus), w)
+  }
+
+  /** The image-corpus fixture behind ahashNearDup: the ASCII documents plus
+    * the two plant families (every 31st re-encoded verbatim, every 23rd
+    * with its last two pixels perturbed). Exposed per-stage (with
+    * `ahashHashedOf` / `ahashChunksOf` / `ahashPairs`) so ProfAhash can
+    * attribute the operator's 100×-probe cost decode-vs-hash-vs-join; the
+    * composition in `ahashNearDup` is unchanged. */
+  private[graft] def ahashCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
       .filter(octet_length(col("text")) === length(col("text")))
     val mutated = docs.filter(col("doc_id") % 23 === 0)
@@ -292,11 +303,14 @@ object Multimodal {
           lit("qqqqqq")).as("text"))
     val exact = docs.filter(col("doc_id") % 31 === 0)
       .select((col("doc_id") + 5000000).as("doc_id"), col("text"))
-    val corpus = docs.unionAll(mutated).unionAll(exact)
-    val w = Dedup.simhashChunkBits(corpus.count())
-    val nchunks = 64 / w
-    val perHalf = 32 / w
-    val mask = (1L << w) - 1
+    docs.unionAll(mutated).unionAll(exact)
+  }
+
+  /** PPM-frame + decode + 64-bit aHash of an image corpus — the narrow
+    * map stage (mapPartitions; no shuffle). */
+  private[graft] def ahashHashedOf(spark: SparkSession,
+      corpus: DataFrame): DataFrame = {
+    import spark.implicits._
     val media: Dataset[MediaIn] = corpus
       .withColumn("h", expr("greatest(4, length(text) div 48)"))
       .select(col("doc_id"), encode(concat(
@@ -304,7 +318,7 @@ object Multimodal {
           expr("substring(rpad(text, cast(h * 48 as int), 'x'), 1, cast(h * 48 as int))")),
         "UTF-8").as("payload"))
       .as[MediaIn]
-    val hashed = media.mapPartitions { rows =>
+    media.mapPartitions { rows =>
       val decoder = PpmDecoder // per-partition init point for a real codec
       rows.map { m =>
         decoder.grayPixels(m) match {
@@ -315,16 +329,29 @@ object Multimodal {
         }
       }
     }.toDF().filter(col("ok")).select("doc_id", "hash_hi", "hash_lo")
+  }
+
+  /** The w-bit chunk explode over the hashed signatures (Manku blocking). */
+  private[graft] def ahashChunksOf(hashed: DataFrame, w: Int): DataFrame = {
+    val nchunks = 64 / w
+    val perHalf = 32 / w
+    val mask = (1L << w) - 1
     val chunkCols = (0 until nchunks).map { c =>
       val src = if (c < perHalf) col("hash_lo") else col("hash_hi")
       struct(lit(c).as("c"),
         shiftright(src, w * (c % perHalf)).bitwiseAND(lit(mask)).as("chunk"))
     }
-    val chunks = hashed
+    hashed
       .select(col("doc_id"), col("hash_hi"), col("hash_lo"),
         explode(array(chunkCols: _*)).as("ck"))
       .select(col("doc_id"), col("hash_hi"), col("hash_lo"),
         col("ck.c").as("c"), col("ck.chunk").as("chunk"))
+  }
+
+  /** The chunk-keyed candidate join + exact Hamming verification. */
+  private[graft] def ahashPairs(hashed: DataFrame, w: Int): DataFrame = {
+    val nchunks = 64 / w
+    val chunks = ahashChunksOf(hashed, w)
     chunks.as("x").join(chunks.as("y"), Seq("c", "chunk"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),

@@ -156,6 +156,14 @@ object Similarity {
           ((col("q_id") / lit(stride)).cast("long") + 1).cast("string"))
           .as("query_id"),
         col("vec_id").as("doc_id"), col("rnk").as("dense_rnk"))
+    fuseLegs(lex, den)
+  }
+
+  /** The RRF fusion step shared by both hybrid queries (`rrfFusion` /
+    * `rrfFusionAnn` — they differ ONLY in the dense leg's search): full-
+    * outer join of the two ≤ 30-row leg rankings, one correctly-rounded
+    * divide per term, lexical-then-dense sum, rank, top-10. */
+  private def fuseLegs(lex: DataFrame, den: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
     lex.join(den, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf",
@@ -166,6 +174,44 @@ object Similarity {
       .filter(col("fused_rnk") <= 10)
       .select(col("query_id"), col("doc_id"), col("fused_rnk").as("rnk"),
         col("lex_rnk"), col("dense_rnk"), rnd(col("rrf"), 6).as("rrf_score"))
+  }
+
+  /** M6: hybrid retrieval fused over the PRODUCTION dense stack — the same
+    * RRF composition as `rrfFusion`, but the dense leg is the staged
+    * IVF-PQ ADC search + exact re-rank (`annIvfPqRerank`'s pipeline,
+    * probe-restricted to the fusion workload's three queries) instead of a
+    * brute-force corpus scan. This is the pairing a deployment actually
+    * ships (a RAG stack fuses BM25 with its ANN index, not with an exact
+    * scan it could never afford), and it closes the round-14 asymmetry
+    * where the lexical leg read a staged index while the dense leg
+    * re-scanned the corpus per query.
+    *
+    * Probe restriction commutes with the search: every stage of the ADC +
+    * refine pipeline is per-query (the shortlist and rank windows all
+    * PARTITION BY q_id; the corpus/index side never depends on the probe
+    * set), so filtering the probe frame to the three fusion queries up
+    * front gives exactly the per-query rows of the full search — which is
+    * how the oracle replays it (full rerank chain, q_id < 3·stride at the
+    * end).
+    *
+    * 100 TB shape: the lexical leg touches only the query terms' posting
+    * lists (static In pushdown); the dense leg reads pq_codes (16-byte
+    * rows) for the probed cells plus exactly R = 80 staged full-precision
+    * vectors per query through a broadcast-semi refine join — the corpus
+    * float vectors are never scanned, never shuffled; fusion joins two
+    * ≤ 30-row frames. */
+  def rrfFusionAnn(spark: SparkSession, dir: String): DataFrame = {
+    val lex = TextAnalysis.bm25TopK(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
+    val stride = strideOf(spark, dir)
+    val b3 = base(spark, dir).filter(col("vec_id") < 3 * stride)
+    val den = annIvfPqRerankOn(spark, dir, RerankR, b3)
+      .select(
+        concat(lit("q"),
+          ((col("q_id") / lit(stride)).cast("long") + 1).cast("string"))
+          .as("query_id"),
+        col("vec_id").as("doc_id"), col("rnk").as("dense_rnk"))
+    fuseLegs(lex, den)
   }
 
   /** Sign-pattern LSH bucket of a double vector: one bit per leading
@@ -421,6 +467,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m6_ann_eval"    -> annEval,
     "m6_rrf_fusion"  -> rrfFusion,
+    "m6_rrf_fusion_ann" -> rrfFusionAnn,
     "m6_cosine_topk" -> cosineTopK,
     "m6_ann_lsh"     -> ((s, d) => annLsh(s, d, corpusBits(s, d))),
     "m6_ann_ivf"     -> annIvf,
@@ -733,8 +780,15 @@ object Similarity {
     * structural plateau where the FAISS k_factor=4 folklore still left
     * 0.02 recall on the table — a measured choice for this corpus). */
   private[graft] def annIvfPqRerankAt(spark: SparkSession, dir: String,
-      r: Int): DataFrame = {
-    val b = base(spark, dir)
+      r: Int): DataFrame =
+    annIvfPqRerankOn(spark, dir, r, base(spark, dir))
+
+  /** The refine pipeline parameterized over its probe-base frame `b`
+    * (probe-side only — the index side always comes from the staged
+    * tables), so `rrfFusionAnn` can run it on exactly the three fusion
+    * probes. */
+  private def annIvfPqRerankOn(spark: SparkSession, dir: String,
+      r: Int, b: DataFrame): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
     val shortlist = ivfPqAdcSims(spark, dir, b)
       .withColumn("arn", row_number().over(w))
@@ -955,6 +1009,37 @@ object Similarity {
                     SELECT q_id, vec_id, row_number() OVER (
                       PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
                     FROM pd) t WHERE rnk <= 10),
+          lexr AS (SELECT query_id, doc_id, rnk AS lex_rnk FROM bm25),
+          fused AS (SELECT coalesce(l.query_id, d.query_id) AS query_id,
+                           coalesce(l.doc_id, d.doc_id) AS doc_id,
+                           l.lex_rnk, d.dense_rnk,
+                           coalesce(1.0 / (60.0 + CAST(l.lex_rnk AS DOUBLE)), 0.0)
+                             + coalesce(1.0 / (60.0 + CAST(d.dense_rnk AS DOUBLE)), 0.0)
+                             AS rrf
+                    FROM lexr l FULL OUTER JOIN den d
+                      ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+          SELECT query_id, doc_id, rnk, lex_rnk, dense_rnk,
+                 ${sqlRnd("rrf", 6)} AS rrf_score
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+                FROM fused) t
+          WHERE rnk <= 10""",
+    // Hybrid fusion over the production dense stack: the SAME BM25 CTE
+    // chain as m6_rrf_fusion's lexical leg, the SAME IVF-PQ ADC + refine
+    // CTE chain as m6_ann_ivfpq_rerank's dense search (restricted to the
+    // three fusion probes AFTER the per-query pipeline — probe restriction
+    // commutes, see rrfFusionAnn's doc), the SAME RRF arithmetic. Any fix
+    // to either replay propagates here automatically.
+    "m6_rrf_fusion_ann" ->
+      s"""WITH ${TextAnalysis.Bm25CtesSql},
+          $ivfPqRerankCtes,
+          den AS (SELECT 'q' || CAST(q_id // $probeStrideSql + 1 AS VARCHAR)
+                           AS query_id,
+                         vec_id AS doc_id, rnk AS dense_rnk FROM (
+                    SELECT q_id, vec_id, row_number() OVER (
+                      PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+                    FROM ex WHERE q_id < 3 * $probeStrideSql) t
+                  WHERE rnk <= 10),
           lexr AS (SELECT query_id, doc_id, rnk AS lex_rnk FROM bm25),
           fused AS (SELECT coalesce(l.query_id, d.query_id) AS query_id,
                            coalesce(l.doc_id, d.doc_id) AS doc_id,

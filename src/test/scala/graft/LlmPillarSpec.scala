@@ -445,6 +445,54 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ann-fused rrf: probe restriction commutes and fused ranks track the exact-dense fusion") {
+    // the dense leg's ranks must be EXACTLY the full IVF-PQ+rerank search's
+    // ranks for the three fusion probes — the probe-restriction-commutes
+    // claim rrfFusionAnn's doc makes, checked against the independently
+    // oracle-verified full search
+    val stride = math.max(50L,
+      Tables.embeddings(spark, dir).count() / 40L)
+    val full = SparkEntry.queries("m6_ann_ivfpq_rerank")(spark, dir).collect()
+      .filter(_.getLong(0) < 3 * stride)
+      .map(r => (s"q${r.getLong(0) / stride + 1}", r.getLong(1)) -> r.getInt(2))
+      .toMap
+    val fused = SparkEntry.queries("m6_rrf_fusion_ann")(spark, dir).collect()
+    val denseRnks = fused.filter(!_.isNullAt(4))
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(4)).toMap
+    assert(denseRnks.nonEmpty, "no dense contribution anywhere")
+    denseRnks.foreach { case (k, r) =>
+      assert(full.get(k).contains(r),
+        s"$k: fused dense rank $r vs full search ${full.get(k)}")
+    }
+    // the lexical leg is the SAME bm25 ranking the exact-dense fusion uses
+    val exact = SparkEntry.queries("m6_rrf_fusion")(spark, dir).collect()
+    spark.catalog.clearCache()
+    val lexOf = (rows: Array[org.apache.spark.sql.Row]) =>
+      rows.filter(!_.isNullAt(3))
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(3)).toMap
+    val (lexAnn, lexExact) = (lexOf(fused), lexOf(exact))
+    lexAnn.keySet.intersect(lexExact.keySet).foreach { k =>
+      assert(lexAnn(k) == lexExact(k),
+        s"$k: lexical rank ${lexAnn(k)} differs from exact fusion ${lexExact(k)}")
+    }
+    // rank agreement with the exact-dense fusion: the ANN stack is an
+    // approximation, but on this corpus the fused top-10s agree >= 7/10 per
+    // query (measured 10/8/8 at sf0.01) and both legs contribute to each
+    val byQ = (rows: Array[org.apache.spark.sql.Row]) =>
+      rows.groupBy(_.getString(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val (annQ, exQ) = (byQ(fused), byQ(exact))
+    assert(annQ.keySet == exQ.keySet && annQ.keySet == Set("q1", "q2", "q3"))
+    annQ.foreach { case (q, ids) =>
+      val overlap = ids.intersect(exQ(q)).size
+      assert(overlap >= 7, s"$q: fused top-10 overlap $overlap < 7 vs exact-dense")
+    }
+    fused.groupBy(_.getString(0)).foreach { case (q, rows) =>
+      assert(rows.exists(!_.isNullAt(3)), s"$q: no lexical contribution")
+      assert(rows.exists(!_.isNullAt(4)), s"$q: no dense contribution")
+    }
+  }
+
   test("source divergence equals an exact BigInt total-variation replay") {
     val norm = (s: String) => s.toLowerCase.replaceAll("[^a-z0-9 ]", "")
       .split(" ").filter(_.nonEmpty).toSeq

@@ -387,6 +387,29 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
       s"fusion must not materialize a cartesian product:\n$p")
   }
 
+  test("round-15: ann-fused rrf reads staged indexes on BOTH legs and pushes the probe bound") {
+    val p = SparkEntry.queries("m6_rrf_fusion_ann")(spark, dir).queryExecution
+      .explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    spark.catalog.clearCache()
+    // lexical leg: the staged bm25 index with the static In(term, …) pushed
+    assert(p.contains("In(term, [agg,filter,hash,join,scan,slow,stream,vector,window]"),
+      s"ann fusion's bm25 leg lost its pushed In filter:\n$p")
+    assert(p.contains("bm25_index"), s"ann fusion must read the staged index:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"ann fusion must not scan the raw corpus:\n$p")
+    // dense leg: the staged IVF-PQ index, NOT a brute-force corpus scan —
+    // the round-14 verdict's asymmetry this query exists to close
+    assert(p.contains("ivfpq_codes") && p.contains("ivf_cells"),
+      s"ann fusion's dense leg must read the staged IVF-PQ tables:\n$p")
+    // the 3-probe restriction reaches the embeddings scan as a pushed
+    // range bound (probe-side scans are O(1)-row at any corpus size)
+    assert(p.contains("LessThan(vec_id"),
+      s"the fusion probe bound must push into the embeddings scan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"ann fusion must not materialize a cartesian product:\n$p")
+  }
+
   test("round-14: source divergence is window-free and never doc-keyed") {
     val p = plan("m6_source_divergence")
     // the pair join is term-keyed and the totals broadcast — a window or a
