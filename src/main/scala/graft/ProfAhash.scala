@@ -47,33 +47,64 @@ object ProfAhash {
     val w = Dedup.simhashChunkBits(n)
     println(s"## shape images=$n chunkBits=$w nchunks=${64 / w}")
 
-    // candidate-volume census: per-(c, chunk) bucket populations and the
-    // exact candidate-pair count the join emits before the Hamming filter —
+    // census-only mode: dump the hashed frame for offline skew analysis
+    // (bucket composition, identical-hash collapse factors) and exit
+    val dump = sys.env.get("SPARK_GRAFT_AHASH_DUMP")
+    dump.foreach { p =>
+      Multimodal.ahashHashedOf(spark, corpus)
+        .write.mode("overwrite").parquet(p)
+      println(s"## dumped hashed frame to $p")
+    }
+    if (dump.nonEmpty) { spark.stop(); return }
+
+    // candidate-volume census, BOTH keyings: doc-keyed (the pre-r15 shape —
+    // the counterfactual) and distinct-signature-keyed (the shipped shape).
     // THE quantity that decides whether the blocking is quadratic-prone.
-    // Computed once up front (it reads the same hashed frame the legs do).
     val hashed = Multimodal.ahashHashedOf(spark, corpus)
-    val buckets = Multimodal.ahashChunksOf(hashed, w)
-      .groupBy("c", "chunk").agg(count(lit(1)).as("m"))
-    val census = buckets.agg(
-      count(lit(1)).as("n_buckets"),
-      max("m").as("max_bucket"),
-      sum(col("m") * (col("m") - 1) / 2).as("cand_pairs")).head
-    println(s"## census buckets=${census.getLong(0)} " +
-      s"max_bucket=${census.getLong(1)} cand_pairs=${census.get(2)}")
+    def censusOf(frame: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val buckets = Multimodal.ahashChunksOf(frame, w)
+        .groupBy("c", "chunk").agg(count(lit(1)).as("m"))
+      val census = buckets.agg(
+        count(lit(1)).as("n_buckets"),
+        max("m").as("max_bucket"),
+        sum(col("m") * (col("m") - 1) / 2).as("cand_pairs")).head()
+      println(s"## census[$tag] buckets=${census.getLong(0)} " +
+        s"max_bucket=${census.getLong(1)} cand_pairs=${census.get(2)}")
+      buckets.orderBy(col("m").desc).limit(3).collect().foreach(r =>
+        println(s"## top_bucket[$tag] c=${r.getInt(0)} chunk=${r.getLong(1)} m=${r.getLong(2)}"))
+    }
+    censusOf(hashed, "doc")
+    val sigsC = hashed.groupBy("hash_hi", "hash_lo").agg(min("doc_id").as("doc_id"))
+    censusOf(sigsC, "sig")
+    // identical-full-hash clusters: their pair mass is OUTPUT (Hamming 0),
+    // quadratic by definition — no blocking scheme can shed it
+    val dup = hashed.groupBy("hash_hi", "hash_lo").agg(count(lit(1)).as("m"))
+      .filter(col("m") > 1)
+      .agg(count(lit(1)).as("groups"), max("m").as("max_m"),
+        sum(col("m") * (col("m") - 1) / 2).as("pairs")).head()
+    println(s"## dup_hash groups=${dup.getLong(0)} max=${if (dup.isNullAt(1)) 0 else dup.getLong(1)} " +
+      s"pairs=${dup.get(2)}")
 
     for (i <- 1 to 2) {
       // stage A: frame + decode + hash — the narrow mapPartitions pass
       run(s"A decode+hash #$i")(noop(Multimodal.ahashHashedOf(spark, corpus)))
-      // stage B: A + chunk explode + the candidate join, Hamming SKIPPED
-      // (count the raw pairs) — B − A isolates the join
-      run(s"B +candidate join #$i") {
+      // stage B: A + signature collapse + chunk join over distinct sigs +
+      // Hamming verify + sig-pair dedup — the shipped core WITHOUT the
+      // doc-pair expansion; C − B isolates the output-sized expansion
+      run(s"B +sig candidate join #$i") {
         val h = Multimodal.ahashHashedOf(spark, corpus)
-        val ch = Multimodal.ahashChunksOf(h, w)
+        val sigs = h.groupBy("hash_hi", "hash_lo").agg(min("doc_id").as("doc_id"))
+        val ch = Multimodal.ahashChunksOf(sigs, w)
         noop(ch.as("x").join(ch.as("y"), Seq("c", "chunk"))
           .filter(col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")))
+          .select(col("x.hash_hi").as("a_hi"), col("x.hash_lo").as("a_lo"),
+            col("y.hash_hi").as("b_hi"), col("y.hash_lo").as("b_lo"),
+            (bit_count(col("x.hash_hi").bitwiseXOR(col("y.hash_hi"))) +
+             bit_count(col("x.hash_lo").bitwiseXOR(col("y.hash_lo")))).as("hamming"))
+          .filter(col("hamming") <= 64 / w - 1)
+          .dropDuplicates("a_hi", "a_lo", "b_hi", "b_lo"))
       }
-      // stage C: the shipped query (join + Hamming verify + dedup)
+      // stage C: the shipped query (collapse + join + verify + expansion)
       run(s"C shipped query #$i")(noop(Multimodal.ahashNearDup(spark, dir)))
     }
     spark.stop()

@@ -262,16 +262,33 @@ object Multimodal {
   /** M7: perceptual image near-dup detection — the multimodal twin of the
     * text dedup family: 64-bit block-mean aHash from REAL decoded pixels
     * (PpmDecoder.grayPixels through the mapPartitions batch shape), then
-    * the SimHash retrieval machinery verbatim — w-bit chunk buckets with
+    * the SimHash retrieval machinery — w-bit chunk buckets with
     * the corpus-adaptive Manku width (Dedup.simhashChunkBits: 8-bit chunks
     * / Hamming ≤ 7 at test scale, 16-bit / ≤ 3 past 4096 images) and exact
     * bit_count verification, so recall at the bound is pigeonhole-exact.
     * Plants: every 31st image re-encoded verbatim (Hamming 0) and every
     * 23rd with its last two pixels perturbed (a near-identical frame — the
-    * thumbnail/re-encode case perceptual hashing exists for). At 100 TB:
-    * hashing is a narrow map over the decoded stream; the only shuffle is
-    * the chunk-keyed candidate join, and bucket population falls with the
-    * adaptive width exactly as in the text family.
+    * thumbnail/re-encode case perceptual hashing exists for).
+    *
+    * Skew-robust blocking (r15): perceptual hashes of a real corpus are
+    * heavily DEGENERATE — letterboxed frames, blank images, and (here) the
+    * constant 'x' pad tail drive whole hash regions to fixed values, so
+    * chunk buckets are not uniform: the r15 ProfAhash census at the 100×
+    * probe measured 537,867 images → 2.24e9 doc-keyed candidate pairs with
+    * 83% of that mass in ONE all-ones bucket, while only 26,929 DISTINCT
+    * hashes exist (20× collapse) and their bucketed pair volume is 8.0e6
+    * (280× less). ahashPairs therefore collapses identical signatures
+    * FIRST (one linear groupBy on the 128-bit signature), runs the chunk
+    * join + Hamming verify once per DISTINCT-signature pair, and expands
+    * back to doc pairs at the end — within-group pairs (Hamming 0) by a
+    * members self-join on the signature, cross-group pairs by an
+    * output-sized membership join. The output SET is provably unchanged
+    * (recall at the bound is pigeonhole-exact in both shapes), so the
+    * oracle replay is untouched. At 100 TB the collapse is the production
+    * shape: exact-signature dedup is linear, the quadratic-prone stage
+    * only ever sees unique signatures, and a truly degenerate mega-group
+    * (a billion black frames) surfaces as a cheap group-count census row
+    * long before anyone asks for its quadratic pair list.
     *
     * ASCII precondition: the fake frame treats one CHARACTER of text as one
     * BYTE of pixel payload (length/substring/rpad count characters against
@@ -348,17 +365,46 @@ object Multimodal {
         col("ck.c").as("c"), col("ck.chunk").as("chunk"))
   }
 
-  /** The chunk-keyed candidate join + exact Hamming verification. */
+  /** Signature-collapsed candidate generation + exact Hamming verification
+    * (see the ahashNearDup docstring for the measured skew rationale): the
+    * chunk join and the bit_count verify run over DISTINCT signatures;
+    * doc-level pairs are reconstituted by output-sized joins at the end. */
   private[graft] def ahashPairs(hashed: DataFrame, w: Int): DataFrame = {
     val nchunks = 64 / w
-    val chunks = ahashChunksOf(hashed, w)
-    chunks.as("x").join(chunks.as("y"), Seq("c", "chunk"))
+    // one row per distinct signature, keyed for the candidate join by its
+    // smallest member doc_id (any total order works; min is deterministic)
+    val sigs = hashed.groupBy("hash_hi", "hash_lo")
+      .agg(min("doc_id").as("doc_id"))
+    val chunks = ahashChunksOf(sigs, w)
+    // candidate SIGNATURE pairs: chunk-bucketed, Hamming-verified once per
+    // signature pair, deduped on the pair (a pair can share several chunks)
+    val sigPairs = chunks.as("x").join(chunks.as("y"), Seq("c", "chunk"))
       .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+      .select(
+        col("x.hash_hi").as("a_hi"), col("x.hash_lo").as("a_lo"),
+        col("y.hash_hi").as("b_hi"), col("y.hash_lo").as("b_lo"),
         (bit_count(col("x.hash_hi").bitwiseXOR(col("y.hash_hi"))) +
          bit_count(col("x.hash_lo").bitwiseXOR(col("y.hash_lo")))).as("hamming"))
       .filter(col("hamming") <= nchunks - 1)
-      .dropDuplicates("doc_a", "doc_b")
+      .dropDuplicates("a_hi", "a_lo", "b_hi", "b_lo")
+    // within-group doc pairs: identical signatures, Hamming 0 by definition
+    val within = hashed.as("u").join(hashed.as("v"), Seq("hash_hi", "hash_lo"))
+      .filter(col("u.doc_id") < col("v.doc_id"))
+      .select(col("u.doc_id").as("doc_a"), col("v.doc_id").as("doc_b"),
+        lit(0).as("hamming"))
+    // cross-group doc pairs: every member of signature a × every member of
+    // signature b — output-sized by construction (each doc pair appears
+    // once: distinct signatures, deduped signature pairs)
+    val cross = sigPairs
+      .join(hashed.as("ma"),
+        col("a_hi") === col("ma.hash_hi") && col("a_lo") === col("ma.hash_lo"))
+      .join(hashed.as("mb"),
+        col("b_hi") === col("mb.hash_hi") && col("b_lo") === col("mb.hash_lo"))
+      .select(
+        least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
+        col("hamming"))
+    within.unionAll(cross)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

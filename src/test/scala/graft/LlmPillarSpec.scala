@@ -941,6 +941,35 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     } finally out.unpersist()
   }
 
+  test("aHash signature-collapsed blocking is pair-for-pair the naive doc-keyed join") {
+    // the r15 skew fix (collapse identical signatures before the chunk
+    // join, expand doc pairs afterwards) must be output-invariant: same
+    // pair set, same hamming values, each pair exactly once
+    import graft.operators.{Dedup, Multimodal}
+    val corpus = Multimodal.ahashCorpus(spark, dir)
+    val w = Dedup.simhashChunkBits(corpus.count())
+    val hashed = Multimodal.ahashHashedOf(spark, corpus).cache()
+    try {
+      val nchunks = 64 / w
+      val chunks = Multimodal.ahashChunksOf(hashed, w)
+      val naive = chunks.as("x").join(chunks.as("y"), Seq("c", "chunk"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          (bit_count(col("x.hash_hi").bitwiseXOR(col("y.hash_hi"))) +
+           bit_count(col("x.hash_lo").bitwiseXOR(col("y.hash_lo")))).as("hamming"))
+        .filter(col("hamming") <= nchunks - 1)
+        .dropDuplicates("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val collapsed = Multimodal.ahashPairs(hashed, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      assert(collapsed.length == collapsed.map(_._1).distinct.length,
+        "collapsed blocking emitted a doc pair more than once")
+      assert(collapsed.toMap == naive,
+        s"pair sets differ: naive ${naive.size}, collapsed ${collapsed.length}")
+      assert(naive.nonEmpty, "fixture produced no pairs — vacuous equivalence")
+    } finally hashed.unpersist()
+  }
+
   test("BPE training: 8 well-formed rounds and the merge loop feeds itself") {
     val steps = TextAnalysis.bpeTrain(spark, dir)
       .orderBy("step").collect()

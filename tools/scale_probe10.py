@@ -63,6 +63,9 @@ QUERIES = ",".join([
     # round-14 batch 2: hybrid lexical+dense fusion, the source
     # distribution-shift census
     "m6_rrf_fusion", "m6_source_divergence",
+    # round-15 additions: fusion over the production IVF-PQ dense leg,
+    # incremental BM25 index admission (O(batch) + catalog search)
+    "m6_rrf_fusion_ann", "m6_incremental_index",
 ])
 
 
