@@ -138,7 +138,8 @@ object Bench {
       "m6_rrf_fusion", "m6_dsir_weights", "m6_incremental_index",
       "m6_rrf_fusion_ann")
     val annFamily = Set("m6_ann_ivf", "m6_ann_ivf2", "m6_ivf_stats", "m6_ann_pq",
-      "m6_ann_ivfpq", "m6_ann_ivfpq_rerank", "m6_ann_eval", "m6_rrf_fusion_ann")
+      "m6_ann_ivfpq", "m6_ann_ivfpq_rerank", "m6_ann_eval", "m6_rrf_fusion_ann",
+      "m6_incremental_ivf")
     // Staging failures degrade like query failures (logged, zero-cost entry,
     // bench continues) — a custom sf dir missing a table must not abort the
     // other ~90 entries. Builds are scoped to the selection.

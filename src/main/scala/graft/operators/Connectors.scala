@@ -223,6 +223,22 @@ object Connectors {
     sweepStale(targetDir, prev)
   }
 
+  /** Per-invocation scratch root for an incremental-admission catalog (the
+    * PROTOCOL under test is what persists — released tables live in the
+    * warehouse); swept on JVM exit so repeated bench/verify runs don't
+    * accumulate appended generations in /tmp. */
+  def scratchCatalog(prefix: String): String = {
+    val catDir = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        val walk = Files.walk(catDir)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      } catch { case _: Exception => () }))
+    catDir.toString
+  }
+
   /** Append an EXTERNAL member — an absolute dir the table references
     * without copying (how table formats point at existing data files when a
     * table is created over them). O(1): commits metadata only. The referenced

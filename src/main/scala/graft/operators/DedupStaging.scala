@@ -494,7 +494,7 @@ object DedupStaging {
     Seq(
       Option.when(need("m6_ann_ivf", "m6_ann_ivf2", "m6_ivf_stats",
         "m6_ann_ivfpq", "m6_ann_ivfpq_rerank", "m6_ann_eval",
-        "m6_rrf_fusion_ann"))("ivf_cells"),
+        "m6_rrf_fusion_ann", "m6_incremental_ivf"))("ivf_cells"),
       Option.when(need("m6_ann_pq"))("pq_codebook"),
       Option.when(need("m6_ann_pq"))("pq_codes"),
       Option.when(need("m6_ann_ivfpq", "m6_ann_ivfpq_rerank",

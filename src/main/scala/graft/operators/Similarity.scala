@@ -385,6 +385,50 @@ object Similarity {
       .withColumn("sim", dot(col("qv"), col("v")) / (col("norm") * col("qnorm"))))
   }
 
+  /** M6: incremental ANN-index admission — an embedding batch ADMITTED into
+    * the released IVF index without rebuilding it, the m6_incremental_index
+    * production shape applied to the dense side: the staged `ivf_cells` is
+    * referenced zero-copy as the catalog's base member
+    * (Connectors.appendMemberRef, O(1) metadata), the batch's vectors are
+    * assigned to their nearest RELEASE centroid (the quantizer is
+    * release-scoped state — production IVF indexes admit against frozen
+    * centroids and re-train only at the next release) in one
+    * O(batch · √N) broadcast argmax, and the delta rows are appended
+    * through the atomic manifest commit (Connectors.appendTo). The search
+    * half then runs the fixed probe workload (nprobe = 2, the m6_ann_ivf2
+    * posture) over corpus + admissions reading the catalog — batch vectors
+    * are rankable the moment the append commits, flagged `from_batch`.
+    *
+    * The batch fixture: every 10th corpus vector re-arrives at
+    * vec_id + plantOffset with its dimensions REVERSED — deterministic in
+    * both engines (Spark `reverse`, DuckDB `list_reverse`), norm recomputed
+    * over the reversed order (both engines fold left-to-right, so the
+    * replay is bit-identical). Work: O(batch) admission, O(probed cells)
+    * search; the corpus is never re-assigned, never copied. */
+  def incrementalIvf(spark: SparkSession, dir: String): DataFrame = {
+    DedupStaging.ivfCells(spark, dir) // ensure the release index is committed
+    val catDir = Connectors.scratchCatalog("graft-inc-ivf-")
+    val cells = s"$catDir/cells"
+    Connectors.appendMemberRef(spark, cells,
+      DedupStaging.committedDataDir(dir, "ivf_cells").get)
+    val b = base(spark, dir)
+    val off = plantOffset(spark, dir)
+    val batch = b.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + off).as("vec_id"), reverse(col("v")).as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    Connectors.appendTo(spark, cells,
+      ivfAssign(spark, dir, batch, 1).coalesce(1))
+    val corpus = Connectors.readTable(spark, cells)
+    val qs = ivfAssign(spark, dir,
+        b.filter(col("vec_id") % strideOf(spark, dir) === 0), 2)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("cell"))
+    topKBySim(corpus.join(qs, Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", dot(col("qv"), col("v")) / (col("norm") * col("qnorm"))))
+      .withColumn("from_batch", col("vec_id") >= off)
+  }
+
   /** M6: embedding-cosine near-duplicate pairs — the semantic-dedup
     * complement of the lexical MinHash/SimHash paths: bucket-blocked
     * pairs within each sign-LSH bucket, verified at cosine ≥ 0.95,
@@ -472,6 +516,7 @@ object Similarity {
     "m6_ann_lsh"     -> ((s, d) => annLsh(s, d, corpusBits(s, d))),
     "m6_ann_ivf"     -> annIvf,
     "m6_ann_ivf2"    -> annIvf2,
+    "m6_incremental_ivf" -> incrementalIvf,
     "m6_embed_dedup" -> ((s, d) => embedDedup(s, d, corpusBits(s, d))),
     "m6_embed_clusters" -> embedClusters,
     "m6_embed_quantize" -> embedQuantize,
@@ -1239,6 +1284,50 @@ object Similarity {
                     / (a.nrm * q.qnrm) AS sim
                 FROM assigned a JOIN q USING (cell) WHERE a.vec_id <> q.q_id)
           SELECT q_id, vec_id, rnk, ${sqlRnd("sim", 4)} AS sim FROM (
+            SELECT q_id, vec_id, sim,
+              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+            FROM p) t
+          WHERE rnk <= 10""",
+    // Incremental admission replay: batch = every 10th vector reversed at
+    // vec_id + max(vec_id)+1, assigned to the RELEASE centroids (crn = 1
+    // against the corpus-derived cents — never re-trained with the batch),
+    // unioned with the corpus assignment; the nprobe=2 query side is the
+    // m6_ann_ivf2 replay verbatim.
+    "m6_incremental_ivf" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          $strideSql,
+          off AS (SELECT max(vec_id) + 1 AS o FROM embeddings),
+          n AS (SELECT vec_id, v, $normSql AS nrm FROM e),
+          cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+                    WHERE vec_id % (SELECT m FROM strd) = 0),
+          scored AS (
+            SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+              row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                list_reduce(list_prepend(0.0, list_transform(list_zip(n.v, c.cv), p -> p[1] * p[2])), (a, b) -> a + b)
+                  / (n.nrm * c.cnrm) DESC, c.cent_id) AS crn
+            FROM n CROSS JOIN cents c),
+          bat AS (SELECT vec_id + (SELECT o FROM off) AS vec_id,
+                         list_reverse(v) AS v
+                  FROM e WHERE vec_id % 10 = 0),
+          bn AS (SELECT vec_id, v, $normSql AS nrm FROM bat),
+          bscored AS (
+            SELECT bn.vec_id, bn.v, bn.nrm, c.cent_id,
+              row_number() OVER (PARTITION BY bn.vec_id ORDER BY
+                list_reduce(list_prepend(0.0, list_transform(list_zip(bn.v, c.cv), p -> p[1] * p[2])), (a, b) -> a + b)
+                  / (bn.nrm * c.cnrm) DESC, c.cent_id) AS crn
+            FROM bn CROSS JOIN cents c),
+          assigned AS (
+            SELECT vec_id, v, nrm, cent_id AS cell FROM scored WHERE crn = 1
+            UNION ALL
+            SELECT vec_id, v, nrm, cent_id AS cell FROM bscored WHERE crn = 1),
+          q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cent_id AS cell
+                FROM scored WHERE vec_id % $probeStrideSql = 0 AND crn <= 2),
+          p AS (SELECT q_id, a.vec_id,
+                  list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, a.v), r -> r[1] * r[2])), (x, y) -> x + y)
+                    / (a.nrm * q.qnrm) AS sim
+                FROM assigned a JOIN q USING (cell) WHERE a.vec_id <> q.q_id)
+          SELECT q_id, vec_id, rnk, ${sqlRnd("sim", 4)} AS sim,
+                 vec_id >= (SELECT o FROM off) AS from_batch FROM (
             SELECT q_id, vec_id, sim,
               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
             FROM p) t

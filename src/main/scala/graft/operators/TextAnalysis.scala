@@ -1412,6 +1412,48 @@ object TextAnalysis {
         min(col("anchor")).cast("long").as("first_pos"))
   }
 
+  /** M6: corpus release diff — the governance census between two corpus
+    * releases (the SCD-style report a data-curation team publishes with
+    * every release: how many documents arrived, left, changed, and what
+    * that did to the token budget). Release B is derived deterministically
+    * from release A (the corpus): every 17th document removed, every 10th
+    * survivor's tokens halved (the incremental-admission rule), plus the
+    * arriving batch admitted at doc_id + 3000000.
+    *
+    * Production shape: each release reduces to (doc_id, n_tokens,
+    * fingerprint) BEFORE the diff join — md5 over the canonical token
+    * stream, computed engine-identically in Spark and DuckDB — so the
+    * full-outer diff shuffle carries ~50-byte rows, never token arrays;
+    * at 100 TB the join is two linear release scans plus an id-keyed
+    * shuffle of fingerprints. Status is a fingerprint compare (null side =
+    * added/removed), and the census is a 4-row groupBy with exact token
+    * deltas. */
+  def releaseDiff(spark: SparkSession, dir: String): DataFrame = {
+    def fp(df: DataFrame, tag: String): DataFrame = df.select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as(s"n_$tag"),
+      md5(concat_ws(" ", col("toks")).cast("binary")).as(s"fp_$tag"))
+    val a = Tables.fanout(Tables.documents(spark, dir))
+      .select(col("doc_id"), normTokens(col("text")).as("toks"))
+    val b = a.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          filter(col("toks"), (_, i) => i % 2 === 0))
+          .otherwise(col("toks")).as("toks"))
+      .unionAll(arrivingDocTokens(spark, dir))
+    fp(a, "a").join(fp(b, "b"), Seq("doc_id"), "full_outer")
+      .select(
+        when(col("fp_b").isNull, lit("removed"))
+          .when(col("fp_a").isNull, lit("added"))
+          .when(col("fp_a") === col("fp_b"), lit("unchanged"))
+          .otherwise(lit("modified")).as("status"),
+        col("n_a"), col("n_b"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("n_a"), lit(0L)).as("tokens_before"),
+        coalesce(sum("n_b"), lit(0L)).as("tokens_after"))
+  }
+
   /** The arriving-document batch fixture for m6_incremental_index: every
     * 10th document re-arrives at doc_id + 3000000 with every other token
     * dropped (the Dedup.arrivingBatch halving rule under this family's
@@ -1449,17 +1491,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     DedupStaging.bm25Index(spark, dir) // ensure the release index is committed
-    // per-invocation scratch catalog (the PROTOCOL is what persists — the
-    // released index lives in the warehouse); swept on JVM exit so repeated
-    // bench/verify runs don't accumulate appended generations in /tmp
-    val catDir = java.nio.file.Files.createTempDirectory("graft-inc-index-")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        val walk = java.nio.file.Files.walk(catDir)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally walk.close()
-      } catch { case _: Exception => () }))
+    val catDir = Connectors.scratchCatalog("graft-inc-index-")
     val post = s"$catDir/postings"; val stats = s"$catDir/stats"
     Connectors.appendMemberRef(spark, post,
       DedupStaging.committedDataDir(dir, "bm25_index").get)
@@ -1468,10 +1500,16 @@ object TextAnalysis {
     Connectors.appendTo(spark, stats,
       memberStats(DedupStaging.bm25Index(spark, dir)))
     // the admission: one O(batch) index-build pass, one atomic append per
-    // table (coalesce(1): a test-scale batch is a few thousand rows — one
-    // file per generation; a production batch keeps its partitioning)
+    // table. The generation's file count scales with the batch — ~5k docs'
+    // postings per file, clamped to the session's parallelism: the r15
+    // 100× probe measured the previous coalesce(1) serializing a
+    // multi-million-row posting write through one task (79 s wall, the
+    // whole query's cost), exactly the "a production batch keeps its
+    // partitioning" caveat the old comment deferred.
+    val batchDocs = Tables.documents(spark, dir).count() / 10
+    val deltaFiles = math.max(1L, math.min(32L, batchDocs / 5000L)).toInt
     val delta = bm25IndexOf(arrivingDocTokens(spark, dir))
-    Connectors.appendTo(spark, post, delta.coalesce(1))
+    Connectors.appendTo(spark, post, delta.coalesce(deltaFiles))
     Connectors.appendTo(spark, stats, memberStats(delta))
     // the search: rank the fixed queries over corpus + admissions
     val qterms = Bm25Queries
@@ -1654,6 +1692,7 @@ object TextAnalysis {
     "m6_bm25_topk"     -> bm25TopK,
     "m6_phrase_search" -> phraseSearch,
     "m6_incremental_index" -> incrementalIndex,
+    "m6_release_diff"  -> releaseDiff,
     "m6_dsir_weights"  -> dsirWeights,
     "m6_bpe_train"     -> bpeTrain,
     "m6_bpe_encode"    -> bpeEncode,
@@ -2005,6 +2044,33 @@ object TextAnalysis {
     "m6_bm25_topk" -> Bm25Oracle,
     "m6_phrase_search" -> PhraseOracle,
     "m6_incremental_index" -> IncrementalIndexOracle,
+    // Release-diff replay: same canonical tokens, same removal/halving/
+    // admission rules, same md5-over-joined-tokens fingerprint (identical
+    // hex in both engines), same 4-row census.
+    "m6_release_diff" ->
+      s"""WITH a0 AS (SELECT doc_id, ${sqlNormTokens("text")} AS toks FROM documents),
+          b0 AS (SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 0
+                        THEN list_filter(toks, (x, i) -> i % 2 = 1)
+                        ELSE toks END AS toks
+                 FROM a0 WHERE doc_id % 17 <> 0
+                 UNION ALL
+                 SELECT doc_id + 3000000,
+                        list_filter(toks, (x, i) -> i % 2 = 1)
+                 FROM a0 WHERE doc_id % 10 = 0),
+          a AS (SELECT doc_id, len(toks) AS n_a,
+                       md5(array_to_string(toks, ' ')) AS fp_a FROM a0),
+          b AS (SELECT doc_id, len(toks) AS n_b,
+                       md5(array_to_string(toks, ' ')) AS fp_b FROM b0),
+          j AS (SELECT CASE WHEN fp_b IS NULL THEN 'removed'
+                            WHEN fp_a IS NULL THEN 'added'
+                            WHEN fp_a = fp_b THEN 'unchanged'
+                            ELSE 'modified' END AS status, n_a, n_b
+                FROM a FULL OUTER JOIN b USING (doc_id))
+          SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(coalesce(sum(n_a), 0) AS BIGINT) AS tokens_before,
+                 CAST(coalesce(sum(n_b), 0) AS BIGINT) AS tokens_after
+          FROM j GROUP BY 1""",
     "m6_dsir_weights" -> DsirOracle,
     "m6_bpe_train" -> BpeTrainOracle,
     "m6_bpe_encode" -> BpeEncodeOracle,

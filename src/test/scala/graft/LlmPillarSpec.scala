@@ -778,6 +778,37 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     assert(mean >= 0.4, f"mean IVF-PQ recall $mean%.3f under floor")
   }
 
+  test("incremental IVF admission: corpus rows are a rank-prefix-preserving subset of ivf2") {
+    // admitting a batch appends vectors to cells; it must not perturb the
+    // corpus side — per query, the from_batch=false rows of the admitted
+    // search, in rank order, must be exactly the ivf2 ranking with batch
+    // rows interleaved (same relative order, same sims), and ranks 1..10
+    // must be dense
+    val inc = Similarity.incrementalIvf(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getBoolean(4)))
+    val ivf2 = Similarity.annIvf2(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .groupBy(_._1).map { case (q, xs) =>
+        q -> xs.sortBy(_._3).map(x => (x._2, x._4)) }
+    val byQ = inc.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to sorted.length),
+        s"query $q: ranks not dense")
+      assert(sorted.length == 10, s"query $q: expected 10 rows")
+      val corpusRows = sorted.filter(!_._5).map(x => (x._2, x._4))
+      assert(corpusRows.toSeq == ivf2(q).take(corpusRows.length).toSeq,
+        s"query $q: corpus rows diverge from the ivf2 ranking prefix")
+    }
+    // the batch is discoverable: across the workload at least one admitted
+    // vector must out-rank a corpus neighbor (the fixture batch is 10% of
+    // the corpus — a search that never surfaces it isn't reading the
+    // admission)
+    assert(inc.exists(_._5), "no from_batch row anywhere in the workload")
+  }
+
   test("IVF-PQ re-rank recovers flat-IVF recall: adc <= rerank <= ivf2 per query") {
     def top(df: org.apache.spark.sql.DataFrame) = df
       .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -968,6 +999,36 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
         s"pair sets differ: naive ${naive.size}, collapsed ${collapsed.length}")
       assert(naive.nonEmpty, "fixture produced no pairs — vacuous equivalence")
     } finally hashed.unpersist()
+  }
+
+  test("release diff: statuses partition both releases and token deltas conserve") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.releaseDiff(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.normTokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val removed = docs.count(_._1 % 17 == 0)
+    val added = docs.count(_._1 % 10 == 0)
+    val survivors = docs.length - removed
+    assert(rows("removed")._1 == removed)
+    assert(rows("added")._1 == added)
+    assert(rows("unchanged")._1 + rows("modified")._1 == survivors,
+      "unchanged + modified must cover exactly the surviving documents")
+    // boundary columns: an added doc has no before-tokens, a removed doc
+    // no after-tokens
+    assert(rows("added")._2 == 0 && rows("removed")._3 == 0)
+    // halving strictly shrinks every modified doc (a <=1-token doc halves
+    // to itself and lands in unchanged)
+    assert(rows("modified")._3 < rows("modified")._2,
+      "modified docs must lose tokens under the halving rule")
+    assert(rows("unchanged")._2 == rows("unchanged")._3)
+    // global conservation: before-side totals = corpus tokens minus the
+    // added rows' (empty) before side
+    val corpusTokens = docs.map(_._2).sum
+    assert(rows.values.map(_._2).sum == corpusTokens,
+      "tokens_before must total the release-A corpus")
   }
 
   test("BPE training: 8 well-formed rounds and the merge loop feeds itself") {

@@ -285,6 +285,24 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
       s"phrase search must not scan the raw corpus:\n$p")
   }
 
+  test("round-15: incremental IVF search reads the admission catalog zero-copy") {
+    val p = SparkEntry.queries("m6_incremental_ivf")(spark, dir).queryExecution
+      .explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    spark.catalog.clearCache()
+    // the search scan must resolve through the scratch admission catalog...
+    assert(p.contains("graft-inc-ivf"),
+      s"search must read the admission catalog:\n$p")
+    // ...whose base member is the committed release index referenced
+    // zero-copy (a plan without the warehouse gen dir would mean the
+    // release index was copied or rebuilt at admission time)
+    assert(p.contains("ivf_cells"),
+      s"catalog must serve the staged release index as a member:\n$p")
+    // probe routing is a broadcast argmax against the centroid set
+    assert(p.contains("BroadcastExchange"),
+      s"centroid set must broadcast on the query side:\n$p")
+  }
+
   test("round-14: fertility reads the staged manifest, never document text") {
     val p = SparkEntry.queries("m6_bpe_fertility")(spark, dir).queryExecution
       .explainString(
