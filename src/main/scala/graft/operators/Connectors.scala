@@ -239,6 +239,27 @@ object Connectors {
     catDir.toString
   }
 
+  /** Idempotent append keyed by a COMMIT KEY — the exactly-once contract a
+    * streaming foreachBatch sink needs: a retried micro-batch re-enters
+    * with the same batchId and must not double-admit its rows. The key is
+    * embedded in the generation name; an append whose key is already a
+    * committed member is a no-op, and a half-written generation from a
+    * crashed earlier attempt (never committed, so never read) is simply
+    * overwritten by the retry before the one atomic pointer flip. */
+  def appendKeyed(spark: SparkSession, targetDir: String, rows: DataFrame,
+      key: String): Unit = {
+    require(key.matches("[A-Za-z0-9._-]+"), s"unsafe commit key: '$key'")
+    Files.createDirectories(Paths.get(targetDir))
+    val gen = s"_gen-k-$key"
+    if (!currentMembers(targetDir).exists(_._1 == gen)) {
+      val prev = currentRef(targetDir)
+      rows.write.mode("overwrite").parquet(s"$targetDir/$gen")
+      requireGenAlive(targetDir, gen)
+      commitManifest(targetDir, currentMembers(targetDir) :+ (gen -> None))
+      sweepStale(targetDir, prev)
+    }
+  }
+
   /** Append an EXTERNAL member — an absolute dir the table references
     * without copying (how table formats point at existing data files when a
     * table is created over them). O(1): commits metadata only. The referenced

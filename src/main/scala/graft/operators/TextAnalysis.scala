@@ -1262,7 +1262,7 @@ object TextAnalysis {
     * build (same pass, same denormalized columns; a delta member's
     * df/n_docs/avgdl/tot_tokens are BATCH-local — valid for the member
     * that wrote them, merged by the incremental reader). */
-  private def bm25IndexOf(toks: DataFrame): DataFrame = {
+  private[graft] def bm25IndexOf(toks: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -1488,17 +1488,13 @@ object TextAnalysis {
     * is never re-tokenized, never copied. The oracle replays index build,
     * batch admission, merged stats, and ranking from raw text. */
   def incrementalIndex(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
     DedupStaging.bm25Index(spark, dir) // ensure the release index is committed
     val catDir = Connectors.scratchCatalog("graft-inc-index-")
     val post = s"$catDir/postings"; val stats = s"$catDir/stats"
     Connectors.appendMemberRef(spark, post,
       DedupStaging.committedDataDir(dir, "bm25_index").get)
-    def memberStats(m: DataFrame): DataFrame =
-      m.agg(max("n_docs").as("n_docs"), max("tot_tokens").as("tot_tokens"))
     Connectors.appendTo(spark, stats,
-      memberStats(DedupStaging.bm25Index(spark, dir)))
+      memberStatsOf(DedupStaging.bm25Index(spark, dir)))
     // the admission: one O(batch) index-build pass, one atomic append per
     // table. The generation's file count scales with the batch — ~5k docs'
     // postings per file, clamped to the session's parallelism: the r15
@@ -1510,8 +1506,32 @@ object TextAnalysis {
     val deltaFiles = math.max(1L, math.min(32L, batchDocs / 5000L)).toInt
     val delta = bm25IndexOf(arrivingDocTokens(spark, dir))
     Connectors.appendTo(spark, post, delta.coalesce(deltaFiles))
-    Connectors.appendTo(spark, stats, memberStats(delta))
+    Connectors.appendTo(spark, stats, memberStatsOf(delta))
     // the search: rank the fixed queries over corpus + admissions
+    bm25CatalogSearch(spark, post, stats)
+      .withColumn("from_batch", col("doc_id") >= 3000000L)
+  }
+
+  /** Per-member (n_docs, tot_tokens) stats row for a catalog's stats
+    * manifest — shared by the batch admission (m6_incremental_index) and
+    * the streaming one (m4n). */
+  private[graft] def memberStatsOf(m: DataFrame): DataFrame =
+    m.agg(max("n_docs").as("n_docs"), max("tot_tokens").as("tot_tokens"))
+
+  /** The incremental-catalog BM25 reader shared by batch and streaming
+    * admission: ranks the fixed Bm25Queries over EVERY committed member —
+    * df derived as the per-term row count across the catalog (still only
+    * the query terms' posting lists; the per-row df column is
+    * release-scoped and stale across members by construction), nd/avgdl
+    * from the stats manifest's exact integer sums. Because df, nd and
+    * avgdl are catalog TOTALS, the ranking is independent of how the
+    * corpus was partitioned into admitted members — one release member,
+    * release + delta, or a stream of micro-batches all serve the same
+    * scores (m4n's oracle is literally the release ranker's). */
+  private[graft] def bm25CatalogSearch(spark: SparkSession, post: String,
+      stats: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val qterms = Bm25Queries
       .flatMap { case (q, text) => text.split(" ").map(t => (q, t)) }
       .toDF("query_id", "term")
@@ -1541,8 +1561,7 @@ object TextAnalysis {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 10)
       .select(col("query_id"), col("doc_id"), col("rnk"), col("n_terms"),
-        rnd(col("score"), 4).as("score"),
-        (col("doc_id") >= 3000000L).as("from_batch"))
+        rnd(col("score"), 4).as("score"))
   }
 
   /** M6: DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169,

@@ -806,7 +806,60 @@ object StreamingJobs {
     UpsertSink.lastWriteWins(spark, sink, Seq("doc_id"))
   }
 
+  /** M4n: streaming retrieval-index maintenance — the m6_incremental_index
+    * admission as a LIVE topology: documents arrive in micro-batches and
+    * each batch is admitted into the BM25 posting catalog inside
+    * foreachBatch through `Connectors.appendKeyed`, the commit keyed on the
+    * micro-batch id so a foreachBatch retry (Spark re-runs the whole batch
+    * on recovery) re-admits idempotently instead of double-counting — the
+    * exactly-once contract every streaming table sink is built around,
+    * here carried by the repo's own commit protocol rather than an
+    * external table format. The stats manifest gets one keyed row per
+    * batch; searches read Σ members.
+    *
+    * The drained catalog then serves the fixed Bm25Queries through the
+    * SAME reader as the batch admission (TextAnalysis.bm25CatalogSearch).
+    * Because the reader derives df/nd/avgdl as catalog TOTALS, the ranking
+    * is independent of the micro-batch partitioning — so the oracle is the
+    * release ranker's (m6_bm25_topk) verbatim: a stream-maintained index
+    * must serve exactly what the batch-built release index serves. */
+  def streamIndexAdmissionQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Connectors, TextAnalysis}
+    configureStreaming(spark)
+    graft.functions.GraftFunctions.register(spark)
+    val src = stagedDocuments(spark, dir, 3)
+    val cat = Connectors.scratchCatalog("graft-stream-index-")
+    val post = s"$cat/postings"; val stats = s"$cat/stats"
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt-").toString
+    withShufflePartitions(spark, 8) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.persist()
+          try if (!batch.isEmpty) {
+            val delta = TextAnalysis.bm25IndexOf(
+              batch.select(col("doc_id"),
+                TextAnalysis.normTokens(col("text")).as("toks"))).persist()
+            try {
+              Connectors.appendKeyed(spark, post, delta.coalesce(1), s"b$batchId")
+              Connectors.appendKeyed(spark, stats,
+                TextAnalysis.memberStatsOf(delta), s"b$batchId")
+            } finally delta.unpersist()
+          } finally batch.unpersist()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    TextAnalysis.bm25CatalogSearch(spark, post, stats)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m4n_stream_index"     -> streamIndexAdmissionQuery,
     "m4m_stream_quality"   -> streamQualityQuery,
     "m4i_stream_cms"       -> streamCmsQuery,
     "m4j_stream_funnel"    -> streamFunnelQuery,
@@ -822,6 +875,12 @@ object StreamingJobs {
     "m4d_stateful_dedup_tws" -> statefulDedupTwsQuery)
 
   val oracles: Map[String, String] = Map(
+    // Identical to the release ranker's oracle: the catalog reader derives
+    // df/nd/avgdl as catalog totals, so the ranking is independent of the
+    // micro-batch partitioning — a stream-maintained index must serve
+    // exactly what the batch-built release index serves.
+    "m4n_stream_index" ->
+      graft.operators.TextAnalysis.oracles("m6_bm25_topk"),
     // Identical to the batch classifier oracle: feature sums are
     // associative, so the drained per-doc state equals the batch scores.
     "m4m_stream_quality" ->

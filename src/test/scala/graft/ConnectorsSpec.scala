@@ -310,6 +310,33 @@ class ConnectorsSpec extends AnyFunSuite with SparkFixture {
     assert(out == Seq((1L, "d1", 1.0), (2L, "d2", 9.0), (3L, "d3", 3.0)))
   }
 
+  test("appendKeyed admits each commit key exactly once, surviving retries and crash debris") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("keyed-test-").toString + "/t"
+    def read() = Connectors.readTable(spark, t).as[(Long, Double)]
+      .collect().sorted.toSeq
+    val b0 = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    Connectors.appendKeyed(spark, t, b0, "b0")
+    // a foreachBatch retry re-enters with the same key: must be a no-op
+    Connectors.appendKeyed(spark, t, b0, "b0")
+    assert(read() == Seq((1L, 1.0), (2L, 2.0)), "retried key double-admitted")
+    // a new key appends normally
+    Connectors.appendKeyed(spark, t, Seq((3L, 3.0)).toDF("k", "v"), "b1")
+    assert(read() == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    // crash debris: a half-written generation for a key that never
+    // committed must be overwritten by the retry, not double-read
+    val debris = java.nio.file.Paths.get(t, "_gen-k-b2")
+    Files.createDirectories(debris)
+    Files.writeString(debris.resolve("part-junk.parquet"), "not parquet")
+    Connectors.appendKeyed(spark, t, Seq((4L, 4.0)).toDF("k", "v"), "b2")
+    assert(read() == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)),
+      "crashed half-write corrupted the keyed retry")
+    // unsafe keys are rejected before touching the table
+    intercept[IllegalArgumentException] {
+      Connectors.appendKeyed(spark, t, b0, "../escape")
+    }
+  }
+
   test("partitioned output lays out one compacted file per day and prunes on read") {
     val out = Files.createTempDirectory("part-test-").toString
     operators.WindowAggregates.dailyMart(spark, dir)

@@ -74,8 +74,9 @@ QUERIES = ",".join([
     # round-15 additions: fusion over the production IVF-PQ dense leg,
     # incremental BM25 index admission (O(batch) + catalog search)
     "m6_rrf_fusion_ann", "m6_incremental_index",
-    # round-15 batch 2: incremental IVF admission, corpus release diff
-    "m6_incremental_ivf", "m6_release_diff",
+    # round-15 batch 2: incremental IVF admission, corpus release diff,
+    # and the streaming index-admission drain
+    "m6_incremental_ivf", "m6_release_diff", "m4n_stream_index",
 ])
 
 
