@@ -1425,23 +1425,32 @@ object TextAnalysis {
     * stream, computed engine-identically in Spark and DuckDB — so the
     * full-outer diff shuffle carries ~50-byte rows, never token arrays;
     * at 100 TB the join is two linear release scans plus an id-keyed
-    * shuffle of fingerprints. Status is a fingerprint compare (null side =
+    * shuffle of fingerprints. Fingerprinting itself is INCREMENTAL: a
+    * release-B doc that release A already carried UNTOUCHED reuses A's
+    * fingerprint row instead of re-tokenizing (a release manifest ships
+    * its fingerprints; only the ~20% touched docs hash fresh — a naive
+    * twin re-tokenized the full corpus three times and cost 45 s at the
+    * 100× probe). Status is a fingerprint compare (null side =
     * added/removed), and the census is a 4-row groupBy with exact token
     * deltas. */
   def releaseDiff(spark: SparkSession, dir: String): DataFrame = {
-    def fp(df: DataFrame, tag: String): DataFrame = df.select(
+    def fp(df: DataFrame): DataFrame = df.select(
       col("doc_id"),
-      size(col("toks")).cast("long").as(s"n_$tag"),
-      md5(concat_ws(" ", col("toks")).cast("binary")).as(s"fp_$tag"))
-    val a = Tables.fanout(Tables.documents(spark, dir))
-      .select(col("doc_id"), normTokens(col("text")).as("toks"))
-    val b = a.filter(col("doc_id") % 17 =!= 0)
+      size(col("toks")).cast("long").as("n"),
+      md5(concat_ws(" ", col("toks")).cast("binary")).as("fp"))
+    val fpa = fp(Tables.fanout(Tables.documents(spark, dir))
+      .select(col("doc_id"), normTokens(col("text")).as("toks")))
+    // touched docs hash fresh: the halved survivors and the arriving batch
+    val halved = fp(Tables.fanout(Tables.documents(spark, dir))
+      .filter(col("doc_id") % 10 === 0 && col("doc_id") % 17 =!= 0)
       .select(col("doc_id"),
-        when(col("doc_id") % 10 === 0,
-          filter(col("toks"), (_, i) => i % 2 === 0))
-          .otherwise(col("toks")).as("toks"))
-      .unionAll(arrivingDocTokens(spark, dir))
-    fp(a, "a").join(fp(b, "b"), Seq("doc_id"), "full_outer")
+        filter(normTokens(col("text")), (_, i) => i % 2 === 0).as("toks")))
+    val fpb = fpa.filter(col("doc_id") % 17 =!= 0 && col("doc_id") % 10 =!= 0)
+      .unionAll(halved)
+      .unionAll(fp(arrivingDocTokens(spark, dir)))
+    fpa.select(col("doc_id"), col("n").as("n_a"), col("fp").as("fp_a"))
+      .join(fpb.select(col("doc_id"), col("n").as("n_b"), col("fp").as("fp_b")),
+        Seq("doc_id"), "full_outer")
       .select(
         when(col("fp_b").isNull, lit("removed"))
           .when(col("fp_a").isNull, lit("added"))

@@ -104,6 +104,16 @@ def bench(sfdir, out, partitions=None, queries=QUERIES, keep_wh=False):
         "SPARK_GRAFT_QUERIES": queries,
         "SPARK_GRAFT_BENCH_OUT": out,
         "SPARK_GRAFT_WAREHOUSE": wh,
+        # heap sizing for the 100x leg: the 8g default is borderline (one
+        # r15 leg OOMed mid-containment after passing at 54 s the same
+        # morning), but MORE is not better - a 48g trial run made the
+        # allocation-heavy text queries 1.8-3.5x SLOWER (bpe_encode
+        # 37->131 s, containment 54->96 s, same code, quiet gates):
+        # giant in-memory aggregation/sort state loses to early-spill's
+        # cache locality, exactly the memory-bandwidth attribution the
+        # thread sweep measured. 16g = OOM headroom at committed-config
+        # spill behavior.
+        "SPARK_DRIVER_MEM": "16g",
     }
     if partitions is not None:
         env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(partitions)
