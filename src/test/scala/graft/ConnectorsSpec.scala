@@ -337,6 +337,34 @@ class ConnectorsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("randomized appendKeyed sequences equal the first-write-per-key model under debris") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1137) // seeded: failures reproduce
+    val t = Files.createTempDirectory("prop-keyed-").toString + "/t"
+    var model = Map.empty[String, Seq[Long]] // key -> the FIRST rows committed under it
+    (1 to 25).foreach { i =>
+      val key = s"b${rnd.nextInt(8)}" // collisions on purpose: retries + replays
+      val rows = Seq.fill(1 + rnd.nextInt(3))(rnd.nextLong())
+      // crash debris: an uncommitted half-write under a NOT-YET-COMMITTED
+      // key must never surface rows or block the later commit. (Debris
+      // under a committed key cannot occur: appendKeyed checks membership
+      // before writing, so a retry of a committed key never touches disk.)
+      val debrisKey = s"b${rnd.nextInt(8)}"
+      if (rnd.nextInt(3) == 0 && !model.contains(debrisKey)) {
+        val g = java.nio.file.Paths.get(t, s"_gen-k-$debrisKey")
+        Files.createDirectories(g)
+        Files.writeString(g.resolve("part-crash.parquet"), "junk")
+      }
+      Connectors.appendKeyed(spark, t, rows.toDF("v"), key)
+      if (!model.contains(key)) model += key -> rows
+      if (i % 5 == 0) {
+        val got = Connectors.readTable(spark, t).as[Long].collect().sorted.toSeq
+        val want = model.values.flatten.toSeq.sorted
+        assert(got == want, s"step $i: table ${got.length} rows, model ${want.length}")
+      }
+    }
+  }
+
   test("partitioned output lays out one compacted file per day and prunes on read") {
     val out = Files.createTempDirectory("part-test-").toString
     operators.WindowAggregates.dailyMart(spark, dir)
