@@ -223,6 +223,46 @@ object Multimodal {
       }.toDF()
   }
 
+  /** M7: audio silence segmentation — the VAD-style gaps-and-islands pass a
+    * speech pipeline runs before clip extraction: each payload's PCM frame
+    * sequence (m7_pcm_energy's decode, same mapPartitions batch shape) is
+    * cut into maximal runs of quiet vs voiced frames, one row per segment
+    * with its start frame, length and peak energy. A frame is QUIET when
+    * its energy is below 0.8× the payload's mean frame energy — a per-clip
+    * adaptive threshold (a global constant misclassifies whole quiet
+    * recordings), compared EXACTLY: energy = acc/256 with acc ≤ 256·32767²
+    * < 2⁵³, so acc round-trips the double exactly, and the comparison
+    * acc·10·n_frames < 8·Σacc is integer — widened through decimal(19,0)
+    * products to decimal(38,0) (the sourceDivergence discipline), since
+    * acc·10·n_frames overflows Long past ~3.3M frames (a day of 16 kHz
+    * audio) while the decimal form is exact for any physically reachable
+    * clip. Runs come from the classic islands key (frame_no − per-kind
+    * row_number); both windows partition by doc_id, so at 100 TB no sort
+    * ever sees more than one clip's frames. */
+  def silenceSegments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dw = Window.partitionBy("doc_id")
+    val lhs = ((col("energy") * 256).cast("long") * 10L).cast("decimal(19,0)") *
+      col("nf").cast("decimal(19,0)")
+    val rhs = col("tot").cast("decimal(19,0)") * lit(8L).cast("decimal(19,0)")
+    val framed = pcmEnergy(spark, dir)
+      .withColumn("tot", sum((col("energy") * 256).cast("long")).over(dw))
+      .withColumn("nf", count(lit(1)).over(dw))
+      .withColumn("is_quiet", lhs < rhs)
+    val rw = Window.partitionBy("doc_id", "is_quiet").orderBy("frame_no")
+    val sw = Window.partitionBy("doc_id").orderBy("start_frame")
+    framed
+      .withColumn("isl", col("frame_no") - row_number().over(rw))
+      .groupBy(col("doc_id"), col("is_quiet"), col("isl"))
+      .agg(min(col("frame_no")).as("start_frame"),
+        count(lit(1)).as("n_frames"),
+        max(col("energy")).as("peak")) // max is fold-order-free and exact
+      .withColumn("seg_no", row_number().over(sw))
+      .select(col("doc_id"), col("seg_no"), col("is_quiet"),
+        col("start_frame"), col("n_frames"),
+        Exact.rnd(col("peak"), 4).as("peak_energy"))
+  }
+
   /** M7: frame sampling — every 4th frame of each payload's decode plan,
     * exploded to one row per sampled frame with its byte offset. The
     * video-frame-extraction shape: a narrow explode whose fan-out is bounded
@@ -413,7 +453,8 @@ object Multimodal {
     "m7_frame_sample"   -> frameSample,
     "m7_resize_plan"    -> resizePlan,
     "m7_decode_features" -> decodeFeatures,
-    "m7_pcm_energy"     -> pcmEnergy)
+    "m7_pcm_energy"     -> pcmEnergy,
+    "m7_silence_segments" -> silenceSegments)
 
   val oracles: Map[String, String] = Map(
     // Full aHash replay: same framing, same exact integer block-mean bits,
@@ -536,5 +577,47 @@ object Multimodal {
                CAST(unicode(text[CAST(2 * (frame_no * 256 + k) + 2 AS INTEGER)]) * 256
                     + unicode(text[CAST(2 * (frame_no * 256 + k) + 1 AS INTEGER)]) AS BIGINT)),
              s -> s * s)) AS DOUBLE) / 256.0 AS energy
-         FROM fr""")
+         FROM fr""",
+    // Replays the frame decode to the exact integer acc (energy·256), the
+    // same decimal/HUGEINT-exact quiet comparison, the same islands key,
+    // and one divide for the peak (max over acc = max over energy: /256
+    // is monotone and exact).
+    "m7_silence_segments" ->
+      s"""WITH f AS (
+           SELECT doc_id, text, (length(text) // 2) // 256 AS n_frames
+           FROM documents),
+         fr AS (
+           SELECT doc_id, text, CAST(u.fn AS INTEGER) AS frame_no
+           FROM f, LATERAL unnest(range(0, n_frames)) AS u(fn)),
+         e AS (
+           SELECT doc_id, frame_no,
+             CAST(list_sum(list_transform(
+               list_transform(range(0, 256), k ->
+                 CAST(unicode(text[CAST(2 * (frame_no * 256 + k) + 2 AS INTEGER)]) * 256
+                      + unicode(text[CAST(2 * (frame_no * 256 + k) + 1 AS INTEGER)]) AS BIGINT)),
+               s -> s * s)) AS BIGINT) AS acc
+           FROM fr),
+         s AS (
+           SELECT doc_id, frame_no, acc,
+             sum(acc) OVER (PARTITION BY doc_id) AS tot,
+             count(*) OVER (PARTITION BY doc_id) AS nf
+           FROM e),
+         q AS (
+           SELECT doc_id, frame_no, acc,
+             CAST(acc AS HUGEINT) * 10 * nf < CAST(tot AS HUGEINT) * 8 AS is_quiet
+           FROM s),
+         i AS (
+           SELECT *, frame_no - row_number() OVER (
+             PARTITION BY doc_id, is_quiet ORDER BY frame_no) AS isl
+           FROM q),
+         g AS (
+           SELECT doc_id, is_quiet, CAST(min(frame_no) AS INTEGER) AS start_frame,
+             CAST(count(*) AS BIGINT) AS n_frames, max(acc) AS pk
+           FROM i GROUP BY doc_id, is_quiet, isl)
+         SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)
+             AS INTEGER) AS seg_no,
+           is_quiet, start_frame, n_frames,
+           ${Exact.sqlRnd("CAST(pk AS DOUBLE) / 256.0", 4)} AS peak_energy
+         FROM g""")
 }

@@ -429,6 +429,49 @@ object Similarity {
       .withColumn("from_batch", col("vec_id") >= off)
   }
 
+  /** M6: ANN right-to-be-forgotten retraction — m6_index_forget's
+    * governance shape applied to the dense side: a forget request (vector
+    * ids — the embeddings of erased documents) is admitted into the served
+    * IVF catalog as ONE atomic tombstone append, O(forget) work (ids only:
+    * unlike BM25 the IVF search carries no corpus-global statistic, so
+    * there is no stats row to correct — centroids are release-frozen by
+    * design, exactly as the incremental admission treats them). The search
+    * anti-joins the broadcast tombstones off the cell-keyed candidates
+    * BEFORE ranking, so retained pair scores are untouched and the served
+    * top-10 is exactly the un-forgotten ranking with tombstoned rows
+    * deleted and the tail promoted (LlmPillarSpec pins that prefix
+    * property). Physical removal is deferred to the next compaction — the
+    * deletion-vector production shape. Forget set: every catalog vector
+    * with vec_id % 13 == 0 (originals and admitted-batch twins both). */
+  def annForget(spark: SparkSession, dir: String): DataFrame = {
+    DedupStaging.ivfCells(spark, dir) // ensure the release index is committed
+    val catDir = Connectors.scratchCatalog("graft-ann-forget-")
+    val cells = s"$catDir/cells"; val tomb = s"$catDir/tombstones"
+    Connectors.appendMemberRef(spark, cells,
+      DedupStaging.committedDataDir(dir, "ivf_cells").get)
+    val b = base(spark, dir)
+    val off = plantOffset(spark, dir)
+    val batch = b.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + off).as("vec_id"), reverse(col("v")).as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    Connectors.appendTo(spark, cells,
+      ivfAssign(spark, dir, batch, 1).coalesce(1))
+    Connectors.appendTo(spark, tomb,
+      b.filter(col("vec_id") % 13 === 0).select("vec_id")
+        .unionAll(batch.filter(col("vec_id") % 13 === 0).select("vec_id")))
+    val corpus = Connectors.readTable(spark, cells)
+      .join(broadcast(Connectors.readTable(spark, tomb)),
+        Seq("vec_id"), "left_anti")
+    val qs = ivfAssign(spark, dir,
+        b.filter(col("vec_id") % strideOf(spark, dir) === 0), 2)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("cell"))
+    topKBySim(corpus.join(qs, Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", dot(col("qv"), col("v")) / (col("norm") * col("qnorm"))))
+      .withColumn("from_batch", col("vec_id") >= off)
+  }
+
   /** M6: embedding-cosine near-duplicate pairs — the semantic-dedup
     * complement of the lexical MinHash/SimHash paths: bucket-blocked
     * pairs within each sign-LSH bucket, verified at cosine ≥ 0.95,
@@ -517,6 +560,7 @@ object Similarity {
     "m6_ann_ivf"     -> annIvf,
     "m6_ann_ivf2"    -> annIvf2,
     "m6_incremental_ivf" -> incrementalIvf,
+    "m6_ann_forget" -> annForget,
     "m6_embed_dedup" -> ((s, d) => embedDedup(s, d, corpusBits(s, d))),
     "m6_embed_clusters" -> embedClusters,
     "m6_embed_quantize" -> embedQuantize,
@@ -1320,6 +1364,51 @@ object Similarity {
             SELECT vec_id, v, nrm, cent_id AS cell FROM scored WHERE crn = 1
             UNION ALL
             SELECT vec_id, v, nrm, cent_id AS cell FROM bscored WHERE crn = 1),
+          q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cent_id AS cell
+                FROM scored WHERE vec_id % $probeStrideSql = 0 AND crn <= 2),
+          p AS (SELECT q_id, a.vec_id,
+                  list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, a.v), r -> r[1] * r[2])), (x, y) -> x + y)
+                    / (a.nrm * q.qnrm) AS sim
+                FROM assigned a JOIN q USING (cell) WHERE a.vec_id <> q.q_id)
+          SELECT q_id, vec_id, rnk, ${sqlRnd("sim", 4)} AS sim,
+                 vec_id >= (SELECT o FROM off) AS from_batch FROM (
+            SELECT q_id, vec_id, sim,
+              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+            FROM p) t
+          WHERE rnk <= 10""",
+    // Forget replay: the incremental-admission replay with the tombstoned
+    // candidates (vec_id % 13 = 0 over corpus AND batch ids) deleted from
+    // the assigned set BEFORE ranking — queries and centroids stay
+    // release-frozen, retained pair sims are untouched.
+    "m6_ann_forget" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          $strideSql,
+          off AS (SELECT max(vec_id) + 1 AS o FROM embeddings),
+          n AS (SELECT vec_id, v, $normSql AS nrm FROM e),
+          cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+                    WHERE vec_id % (SELECT m FROM strd) = 0),
+          scored AS (
+            SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+              row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                list_reduce(list_prepend(0.0, list_transform(list_zip(n.v, c.cv), p -> p[1] * p[2])), (a, b) -> a + b)
+                  / (n.nrm * c.cnrm) DESC, c.cent_id) AS crn
+            FROM n CROSS JOIN cents c),
+          bat AS (SELECT vec_id + (SELECT o FROM off) AS vec_id,
+                         list_reverse(v) AS v
+                  FROM e WHERE vec_id % 10 = 0),
+          bn AS (SELECT vec_id, v, $normSql AS nrm FROM bat),
+          bscored AS (
+            SELECT bn.vec_id, bn.v, bn.nrm, c.cent_id,
+              row_number() OVER (PARTITION BY bn.vec_id ORDER BY
+                list_reduce(list_prepend(0.0, list_transform(list_zip(bn.v, c.cv), p -> p[1] * p[2])), (a, b) -> a + b)
+                  / (bn.nrm * c.cnrm) DESC, c.cent_id) AS crn
+            FROM bn CROSS JOIN cents c),
+          assigned AS (
+            SELECT vec_id, v, nrm, cent_id AS cell FROM scored
+            WHERE crn = 1 AND vec_id % 13 <> 0
+            UNION ALL
+            SELECT vec_id, v, nrm, cent_id AS cell FROM bscored
+            WHERE crn = 1 AND vec_id % 13 <> 0),
           q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cent_id AS cell
                 FROM scored WHERE vec_id % $probeStrideSql = 0 AND crn <= 2),
           p AS (SELECT q_id, a.vec_id,

@@ -1438,29 +1438,46 @@ object TextAnalysis {
       col("doc_id"),
       size(col("toks")).cast("long").as("n"),
       md5(concat_ws(" ", col("toks")).cast("binary")).as("fp"))
+    def census(fpa: DataFrame): DataFrame = {
+      // touched docs hash fresh: the halved survivors and the arriving batch
+      val halved = fp(Tables.fanout(Tables.documents(spark, dir))
+        .filter(col("doc_id") % 10 === 0 && col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          filter(normTokens(col("text")), (_, i) => i % 2 === 0).as("toks")))
+      val fpb = fpa.filter(col("doc_id") % 17 =!= 0 && col("doc_id") % 10 =!= 0)
+        .unionAll(halved)
+        .unionAll(fp(arrivingDocTokens(spark, dir)))
+      fpa.select(col("doc_id"), col("n").as("n_a"), col("fp").as("fp_a"))
+        .join(fpb.select(col("doc_id"), col("n").as("n_b"), col("fp").as("fp_b")),
+          Seq("doc_id"), "full_outer")
+        .select(
+          when(col("fp_b").isNull, lit("removed"))
+            .when(col("fp_a").isNull, lit("added"))
+            .when(col("fp_a") === col("fp_b"), lit("unchanged"))
+            .otherwise(lit("modified")).as("status"),
+          col("n_a"), col("n_b"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("n_a"), lit(0L)).as("tokens_before"),
+          coalesce(sum("n_b"), lit(0L)).as("tokens_after"))
+    }
     val fpa = fp(Tables.fanout(Tables.documents(spark, dir))
       .select(col("doc_id"), normTokens(col("text")).as("toks")))
-    // touched docs hash fresh: the halved survivors and the arriving batch
-    val halved = fp(Tables.fanout(Tables.documents(spark, dir))
-      .filter(col("doc_id") % 10 === 0 && col("doc_id") % 17 =!= 0)
-      .select(col("doc_id"),
-        filter(normTokens(col("text")), (_, i) => i % 2 === 0).as("toks")))
-    val fpb = fpa.filter(col("doc_id") % 17 =!= 0 && col("doc_id") % 10 =!= 0)
-      .unionAll(halved)
-      .unionAll(fp(arrivingDocTokens(spark, dir)))
-    fpa.select(col("doc_id"), col("n").as("n_a"), col("fp").as("fp_a"))
-      .join(fpb.select(col("doc_id"), col("n").as("n_b"), col("fp").as("fp_b")),
-        Seq("doc_id"), "full_outer")
-      .select(
-        when(col("fp_b").isNull, lit("removed"))
-          .when(col("fp_a").isNull, lit("added"))
-          .when(col("fp_a") === col("fp_b"), lit("unchanged"))
-          .otherwise(lit("modified")).as("status"),
-        col("n_a"), col("n_b"))
-      .groupBy("status")
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum("n_a"), lit(0L)).as("tokens_before"),
-        coalesce(sum("n_b"), lit(0L)).as("tokens_after"))
+    // Audit mode (Explain sets spark.graft.lazyPlans) returns the full lazy
+    // plan and never executes it, so the persist below stays inert there.
+    if (lazyPlans(spark)) return census(fpa)
+    // fpa — release A's skinny (doc_id, n, fp) manifest — feeds BOTH the
+    // diff join's A side AND the untouched-doc reuse branch of release B.
+    // Without within-query reuse (narrow subtree, no exchange for AQE to
+    // share) the A-side tokenize+hash pass runs twice: the r15 100× probe
+    // measured it as half the query's 43.6 s. The persist is load-bearing
+    // but SCOPED (the postings discipline): the 4-row census materializes
+    // eagerly, fpa unpersists before returning — nothing outlives the call.
+    // At 100 TB the ~50-byte rows persist MEMORY_AND_DISK like any release
+    // manifest; production would stage them with the corpus release.
+    val p = fpa.persist()
+    try census(p).localCheckpoint(true)
+    finally p.unpersist()
   }
 
   /** The arriving-document batch fixture for m6_incremental_index: every
@@ -1497,6 +1514,18 @@ object TextAnalysis {
     * is never re-tokenized, never copied. The oracle replays index build,
     * batch admission, merged stats, and ranking from raw text. */
   def incrementalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val (post, stats) = admittedCatalog(spark, dir)
+    // the search: rank the fixed queries over corpus + admissions
+    bm25CatalogSearch(spark, post, stats)
+      .withColumn("from_batch", col("doc_id") >= 3000000L)
+  }
+
+  /** The release + admitted-batch catalog fixture shared by the three
+    * index-lifecycle queries (m6_incremental_index, m6_index_compact,
+    * m6_index_forget): the staged release index referenced zero-copy as
+    * the base member, one O(batch) delta admission, per-member stats
+    * rows. Returns the (postings, stats) table dirs. */
+  private[graft] def admittedCatalog(spark: SparkSession, dir: String): (String, String) = {
     DedupStaging.bm25Index(spark, dir) // ensure the release index is committed
     val catDir = Connectors.scratchCatalog("graft-inc-index-")
     val post = s"$catDir/postings"; val stats = s"$catDir/stats"
@@ -1516,8 +1545,63 @@ object TextAnalysis {
     val delta = bm25IndexOf(arrivingDocTokens(spark, dir))
     Connectors.appendTo(spark, post, delta.coalesce(deltaFiles))
     Connectors.appendTo(spark, stats, memberStatsOf(delta))
-    // the search: rank the fixed queries over corpus + admissions
+    (post, stats)
+  }
+
+  /** M6: retrieval-index OPTIMIZE — the compaction leg of the index
+    * lifecycle (admit → serve → compact → serve): after admissions
+    * accumulate members (a zero-copy release ref + one delta generation
+    * per batch), `Connectors.compact` rewrites the postings catalog to a
+    * single owned generation and the stats manifest collapses to its
+    * one-row sum, both through the same atomic pointer flip every other
+    * commit here uses — readers see the member'd catalog until the
+    * rename and the compacted one after, never a mix. Compaction changes
+    * BYTES, not answers: df/nd/avgdl are catalog totals, invariant under
+    * re-membering, so the post-compact search serves bit-identical
+    * rankings — the oracle is m6_incremental_index's replay VERBATIM,
+    * which is the strongest statement of the invariant the gate can make.
+    * At 100 TB compaction is the deliberate full rewrite OPTIMIZE always
+    * is (run per release window, not per batch); the payoff is the read
+    * side: one generation's worth of right-sized files instead of
+    * one-per-admission, and the external base ref's lifetime ends. */
+  def indexCompact(spark: SparkSession, dir: String): DataFrame = {
+    val (post, stats) = admittedCatalog(spark, dir)
+    Connectors.compact(spark, post)
+    Connectors.replaceTable(spark, stats, Connectors.readTable(spark, stats)
+      .agg(sum("n_docs").as("n_docs"), sum("tot_tokens").as("tot_tokens")))
     bm25CatalogSearch(spark, post, stats)
+      .withColumn("from_batch", col("doc_id") >= 3000000L)
+  }
+
+  /** M6: right-to-be-forgotten retraction — the governance leg of the
+    * index lifecycle: a forget request (a batch of doc ids — GDPR erasure,
+    * takedowns, opt-outs) is admitted into the served catalog WITHOUT
+    * rewriting it. The request commits two atomic appends: the ids land in
+    * a tombstone table, and the stats manifest gains a NEGATIVE
+    * (n_docs, tot_tokens) row derived from the named documents alone —
+    * O(forget), the corpus is never re-scanned (zero-token docs are
+    * excluded from the count the way the index build's nd never counted
+    * them). The search then anti-joins the broadcast tombstones BEFORE
+    * df derivation, so document frequency, nd and avgdl are all exact
+    * post-retraction values and rankings are bit-identical to an index
+    * built without the forgotten docs (the oracle replays exactly that
+    * from raw text). Physical removal is deferred to the next
+    * m6_index_compact-style OPTIMIZE — the Delta/Iceberg deletion-vector
+    * production shape. Forget set: every catalog doc with
+    * doc_id % 13 == 0 (originals and admitted-batch twins both). */
+  def indexForget(spark: SparkSession, dir: String): DataFrame = {
+    val (post, stats) = admittedCatalog(spark, dir)
+    val tomb = s"${post.stripSuffix("/postings")}/tombstones"
+    val forgotten = Tables.fanout(Tables.documents(spark, dir))
+      .filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"), normTokens(col("text")).as("toks"))
+      .unionAll(arrivingDocTokens(spark, dir).filter(col("doc_id") % 13 === 0))
+    Connectors.appendTo(spark, tomb, forgotten.select("doc_id"))
+    Connectors.appendTo(spark, stats, forgotten
+      .filter(size(col("toks")) > 0) // nd never counted token-less docs
+      .agg((-count(lit(1))).as("n_docs"),
+        (-coalesce(sum(size(col("toks")).cast("long")), lit(0L))).as("tot_tokens")))
+    bm25CatalogSearch(spark, post, stats, Some(tomb))
       .withColumn("from_batch", col("doc_id") >= 3000000L)
   }
 
@@ -1536,9 +1620,13 @@ object TextAnalysis {
     * avgdl are catalog TOTALS, the ranking is independent of how the
     * corpus was partitioned into admitted members — one release member,
     * release + delta, or a stream of micro-batches all serve the same
-    * scores (m4n's oracle is literally the release ranker's). */
+    * scores (m4n's oracle is literally the release ranker's). A tombstone
+    * table (m6_index_forget) anti-joins the touched posting rows BEFORE
+    * the df count, so df/nd/avgdl and the served rankings are all exact
+    * post-retraction values; the tombstone set broadcasts (a forget
+    * batch is request-sized, never corpus-sized). */
   private[graft] def bm25CatalogSearch(spark: SparkSession, post: String,
-      stats: String): DataFrame = {
+      stats: String, tomb: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val qterms = Bm25Queries
@@ -1547,9 +1635,11 @@ object TextAnalysis {
     val allTerms = Bm25Queries.flatMap(_._2.split(" ")).distinct
     val st = Connectors.readTable(spark, stats)
       .agg(sum("n_docs").as("nd"), sum("tot_tokens").as("tot"))
-    val touched = Connectors.readTable(spark, post)
+    val touched0 = Connectors.readTable(spark, post)
       .filter(col("term").isin(allTerms: _*)) // static pushdown into every member
       .select("term", "doc_id", "tf", "dl")
+    val touched = tomb.fold(touched0)(t => touched0.join(
+      broadcast(Connectors.readTable(spark, t)), Seq("doc_id"), "left_anti"))
     // current df = per-term row count over the catalog — O(posting lists),
     // never corpus-wide (the per-row df column is release-scoped)
     val dfreq = touched.groupBy("term").agg(count(lit(1)).as("df"))
@@ -1720,6 +1810,8 @@ object TextAnalysis {
     "m6_bm25_topk"     -> bm25TopK,
     "m6_phrase_search" -> phraseSearch,
     "m6_incremental_index" -> incrementalIndex,
+    "m6_index_compact" -> indexCompact,
+    "m6_index_forget"  -> indexForget,
     "m6_release_diff"  -> releaseDiff,
     "m6_dsir_weights"  -> dsirWeights,
     "m6_bpe_train"     -> bpeTrain,
@@ -1977,6 +2069,24 @@ object TextAnalysis {
                doc_id >= 3000000 AS from_batch
         FROM bm25"""
 
+  /** The forget replay: the SAME BM25 CTE chain over the corpus + batch
+    * union MINUS the forgotten docs (catalog doc_id % 13 == 0) — exactly
+    * what the tombstoned catalog (anti-joined postings + corrected stats)
+    * must be equivalent to: df, nd and avgdl all derive from the retained
+    * docs alone. */
+  private lazy val IndexForgetOracle: String =
+    s"""WITH tk0 AS (SELECT doc_id, ${sqlNormTokens("text")} AS toks FROM documents),
+        ${bm25CtesOver(
+          """SELECT doc_id, toks FROM (
+               SELECT doc_id, toks FROM tk0
+               UNION ALL
+               SELECT doc_id + 3000000, list_filter(toks, (x, i) -> i % 2 = 1)
+               FROM tk0 WHERE doc_id % 10 = 0) u
+             WHERE doc_id % 13 <> 0""")}
+        SELECT query_id, doc_id, rnk, n_terms, ${sqlRnd("score", 4)} AS score,
+               doc_id >= 3000000 AS from_batch
+        FROM bm25"""
+
   /** Positional-intersection replay from raw text: 3- AND 2-shingle
     * occurrences with their 1-based anchors, the same (query, shingle,
     * offset) VALUES list (k = 2 decomposes to its single 2-shingle, one
@@ -2072,6 +2182,10 @@ object TextAnalysis {
     "m6_bm25_topk" -> Bm25Oracle,
     "m6_phrase_search" -> PhraseOracle,
     "m6_incremental_index" -> IncrementalIndexOracle,
+    // Compaction changes bytes, not answers: the post-OPTIMIZE catalog
+    // must serve the incremental replay VERBATIM.
+    "m6_index_compact" -> IncrementalIndexOracle,
+    "m6_index_forget" -> IndexForgetOracle,
     // Release-diff replay: same canonical tokens, same removal/halving/
     // admission rules, same md5-over-joined-tokens fingerprint (identical
     // hex in both engines), same 4-row census.

@@ -639,7 +639,18 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     Dedup.minhashDedup(spark, dir).write.format("noop").mode("overwrite").save()
     // the query persisted its shared base while running…
     spark.catalog.clearCache()
-    // …and the harness's per-query clear leaves nothing resident
+    // …and the harness's per-query clear leaves nothing resident. The
+    // contract for checkpointed intermediates (connectedComponents' round
+    // frames) is DRAINABLE, not instantly absent: the ContextCleaner
+    // reclaims them once unreferenced, which needs a GC cycle — exactly
+    // the System.gc() Bench runs between entries. Asserting immediate
+    // emptiness raced that cleaner (a real flake caught in r15); nudge it
+    // boundedly instead.
+    val deadline = System.nanoTime() + 15_000_000_000L
+    while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
+        System.nanoTime() < deadline) {
+      System.gc(); Thread.sleep(200)
+    }
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       s"leaked: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
   }
@@ -807,6 +818,113 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     // the corpus — a search that never surfaces it isn't reading the
     // admission)
     assert(inc.exists(_._5), "no from_batch row anywhere in the workload")
+  }
+
+  test("ann forget: tombstoned vectors vanish and the tail promotes in order") {
+    val inc = Similarity.incrementalIvf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val fg = Similarity.annForget(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(fg.nonEmpty)
+    // no tombstoned vector is ever served
+    assert(fg.forall(_._2 % 13 != 0), "a forgotten vector was served")
+    // retained pair sims are untouched and the ranking is the un-forgotten
+    // list with tombstoned rows deleted and the tail promoted: per query,
+    // incremental's surviving top-10 rows must be a PREFIX of the forget
+    // ranking, in order, with identical sims
+    val fgByQ = fg.groupBy(_._1)
+    inc.groupBy(_._1).foreach { case (q, rows) =>
+      val surviving = rows.sortBy(_._3).filter(_._2 % 13 != 0)
+        .map(x => (x._2, x._4)).toSeq
+      val served = fgByQ(q).sortBy(_._3).map(x => (x._2, x._4)).toSeq
+      assert(served.take(surviving.length) == surviving,
+        s"query $q: surviving incremental ranking is not a prefix of forget's")
+      assert(served.map(_ => 1).sum == 10, s"query $q: expected a full top-10")
+    }
+    // the fixture visibly retracts: some query must have lost a ranked row
+    assert(inc.exists(_._2 % 13 == 0), "fixture exercised no visible retraction")
+  }
+
+  test("index compact serves bit-identical rankings to the member'd catalog") {
+    import graft.operators.TextAnalysis
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5))).sortBy(x => (x._1, x._3))
+    // compaction changes bytes, not answers: df/nd/avgdl are catalog
+    // totals, invariant under re-membering
+    assert(rows(TextAnalysis.indexCompact(spark, dir))
+      .sameElements(rows(TextAnalysis.incrementalIndex(spark, dir))))
+  }
+
+  test("index forget: tombstoned docs vanish, stats correct, empty forget is identity") {
+    import graft.operators.TextAnalysis
+    val inc = TextAnalysis.incrementalIndex(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4))).sortBy(x => (x._1, x._3))
+    val fg = TextAnalysis.indexForget(spark, dir).collect()
+    // no tombstoned doc is ever served
+    assert(fg.forall(_.getLong(1) % 13 != 0), "a forgotten doc was served")
+    // ranks stay dense per query — retraction re-ranks, it doesn't leave holes
+    fg.groupBy(_.getString(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length),
+        s"query $q: ranks not dense after retraction")
+    }
+    // the workload actually retracts something visible: at least one doc
+    // ranked by the un-forgotten catalog is gone
+    val served = fg.map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(inc.exists(x => x._2 % 13 == 0 && !served((x._1, x._2))),
+      "fixture exercised no visible retraction")
+    // an EMPTY tombstone table is the identity: the anti-join plumbing
+    // must not perturb scores, ranks, or df derivation
+    val (post, stats) = TextAnalysis.admittedCatalog(spark, dir)
+    val tomb = java.nio.file.Files.createTempDirectory("graft-tomb-empty-").toString
+    graft.operators.Connectors.appendTo(spark, tomb,
+      spark.range(0).select(col("id").as("doc_id")))
+    val viaEmpty = TextAnalysis.bm25CatalogSearch(spark, post, stats, Some(tomb))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4))).sortBy(x => (x._1, x._3))
+    assert(viaEmpty.sameElements(inc), "empty tombstone set is not the identity")
+  }
+
+  test("silence segments tile each clip into alternating maximal runs under the exact quiet rule") {
+    val frames = Multimodal.pcmEnergy(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) =>
+        d -> rs.map(r => (r.getInt(1), r.getDouble(3))).sortBy(_._1) }
+    val segs = Multimodal.silenceSegments(spark, dir).collect().groupBy(_.getLong(0))
+    assert(segs.nonEmpty)
+    assert(segs.keySet == frames.keySet, "segment docs != framed docs")
+    segs.foreach { case (d, rows) =>
+      val s = rows.sortBy(_.getAs[Int]("seg_no"))
+      // contiguity: segments tile the clip's frame range exactly
+      var next = 0
+      s.foreach { r =>
+        assert(r.getAs[Int]("start_frame") == next, s"doc $d: gap at seg ${r.getAs[Int]("seg_no")}")
+        next += r.getAs[Long]("n_frames").toInt
+      }
+      assert(next == frames(d).length, s"doc $d: segments don't cover all frames")
+      // maximality: adjacent segments alternate kind (a run never splits)
+      s.map(_.getAs[Boolean]("is_quiet")).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a != b, s"doc $d: adjacent segments share a kind")
+        case _ => ()
+      }
+      // the quiet rule, replayed exactly: acc·10·nf < tot·8 in BigInt
+      val accs = frames(d).map { case (_, e) => BigInt((e * 256).toLong) }
+      val tot = accs.sum; val nf = accs.length
+      s.foreach { r =>
+        val f0 = r.getAs[Int]("start_frame")
+        val q = r.getAs[Boolean]("is_quiet")
+        (f0 until f0 + r.getAs[Long]("n_frames").toInt).foreach { i =>
+          assert((accs(i) * 10 * nf < tot * 8) == q,
+            s"doc $d frame $i: quiet flag disagrees with the exact rule")
+        }
+        // peak replay: max energy over the run through Exact.rnd's exact
+        // floor(x·10⁴ + 0.5)/10⁴ double arithmetic
+        val peak = (f0 until f0 + r.getAs[Long]("n_frames").toInt)
+          .map(frames(d)(_)._2).max
+        assert(r.getAs[Double]("peak_energy") ==
+          math.floor(peak * 10000 + 0.5) / 10000)
+      }
+    }
   }
 
   test("IVF-PQ re-rank recovers flat-IVF recall: adc <= rerank <= ivf2 per query") {
