@@ -1591,6 +1591,16 @@ object TextAnalysis {
     * doc_id % 13 == 0 (originals and admitted-batch twins both). */
   def indexForget(spark: SparkSession, dir: String): DataFrame = {
     val (post, stats) = admittedCatalog(spark, dir)
+    val tomb = tombstoneAdmit(spark, dir, post, stats)
+    bm25CatalogSearch(spark, post, stats, Some(tomb))
+      .withColumn("from_batch", col("doc_id") >= 3000000L)
+  }
+
+  /** The forget-request admission shared by m6_index_forget and
+    * m6_index_purge: tombstone ids + the negative stats row, two atomic
+    * appends, O(forget) work. Returns the tombstone table dir. */
+  private def tombstoneAdmit(spark: SparkSession, dir: String,
+      post: String, stats: String): String = {
     val tomb = s"${post.stripSuffix("/postings")}/tombstones"
     val forgotten = Tables.fanout(Tables.documents(spark, dir))
       .filter(col("doc_id") % 13 === 0)
@@ -1601,7 +1611,31 @@ object TextAnalysis {
       .filter(size(col("toks")) > 0) // nd never counted token-less docs
       .agg((-count(lit(1))).as("n_docs"),
         (-coalesce(sum(size(col("toks")).cast("long")), lit(0L))).as("tot_tokens")))
-    bm25CatalogSearch(spark, post, stats, Some(tomb))
+    tomb
+  }
+
+  /** M6: physical purge — the erasure half GDPR actually requires: the
+    * tombstones m6_index_forget serves around are APPLIED at the next
+    * rewrite (the Delta/Iceberg "deletion vectors materialize at
+    * OPTIMIZE" production shape): the postings catalog is republished
+    * without the tombstoned rows, the stats manifest collapses to its
+    * corrected one-row sum, and the subsequent search runs with NO
+    * tombstone table at all — the forgotten documents' bytes are gone
+    * from the served snapshot, not merely masked (superseded members
+    * survive one commit window for in-flight readers, then the sweep
+    * removes the last physical copy). Served answers are identical
+    * before and after the purge — the oracle is m6_index_forget's replay
+    * VERBATIM, the same changes-bytes-not-answers statement
+    * m6_index_compact makes for compaction. */
+  def indexPurge(spark: SparkSession, dir: String): DataFrame = {
+    val (post, stats) = admittedCatalog(spark, dir)
+    val tomb = tombstoneAdmit(spark, dir, post, stats)
+    Connectors.replaceTable(spark, post,
+      Connectors.readTable(spark, post).join(
+        broadcast(Connectors.readTable(spark, tomb)), Seq("doc_id"), "left_anti"))
+    Connectors.replaceTable(spark, stats, Connectors.readTable(spark, stats)
+      .agg(sum("n_docs").as("n_docs"), sum("tot_tokens").as("tot_tokens")))
+    bm25CatalogSearch(spark, post, stats)
       .withColumn("from_batch", col("doc_id") >= 3000000L)
   }
 
@@ -1812,6 +1846,7 @@ object TextAnalysis {
     "m6_incremental_index" -> incrementalIndex,
     "m6_index_compact" -> indexCompact,
     "m6_index_forget"  -> indexForget,
+    "m6_index_purge"   -> indexPurge,
     "m6_release_diff"  -> releaseDiff,
     "m6_dsir_weights"  -> dsirWeights,
     "m6_bpe_train"     -> bpeTrain,
@@ -2186,6 +2221,9 @@ object TextAnalysis {
     // must serve the incremental replay VERBATIM.
     "m6_index_compact" -> IncrementalIndexOracle,
     "m6_index_forget" -> IndexForgetOracle,
+    // The purge changes bytes, not answers: physically erasing the
+    // tombstoned rows must serve the forget replay verbatim.
+    "m6_index_purge" -> IndexForgetOracle,
     // Release-diff replay: same canonical tokens, same removal/halving/
     // admission rules, same md5-over-joined-tokens fingerprint (identical
     // hex in both engines), same 4-row census.

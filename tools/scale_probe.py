@@ -77,6 +77,10 @@ QUERIES = ",".join([
     # round-15 batch 2: incremental IVF admission, corpus release diff,
     # and the streaming index-admission drain
     "m6_incremental_ivf", "m6_release_diff", "m4n_stream_index",
+    # round-15 batch 3: index-lifecycle governance (compact/forget on both
+    # retrieval sides) and audio silence segmentation
+    "m6_index_compact", "m6_index_forget", "m6_index_purge", "m6_ann_forget",
+    "m7_silence_segments",
 ])
 
 

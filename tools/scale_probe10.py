@@ -68,6 +68,10 @@ QUERIES = ",".join([
     "m6_rrf_fusion_ann", "m6_incremental_index",
     # round-15 batch 2: incremental IVF admission, corpus release diff
     "m6_incremental_ivf", "m6_release_diff",
+    # round-15 batch 3: index-lifecycle governance (compact/forget on both
+    # retrieval sides) and audio silence segmentation
+    "m6_index_compact", "m6_index_forget", "m6_index_purge", "m6_ann_forget",
+    "m7_silence_segments",
 ])
 
 
