@@ -363,6 +363,55 @@ object Multimodal {
     docs.unionAll(mutated).unionAll(exact)
   }
 
+  final case class PadScan(doc_id: Long, ok: Boolean, height: Int, pad_rows: Int)
+
+  /** M7: letterbox / constant-pad detection — the quarantine census for the
+    * exact degeneracy the r15 aHash probe MEASURED (ProfAhash,
+    * BENCH_AHASH_sf10.json: the constant pad tail drives 11% of the corpus
+    * to one all-ones hash region, 83% of naive candidate-pair mass): per
+    * image, the count of TRAILING rows whose every pixel is the pad gray
+    * (letterbox bars / blank frames in a real corpus), from genuinely
+    * decoded pixels through the same mapPartitions batch shape as the
+    * perceptual hash. A production pipeline runs this BEFORE near-dup
+    * blocking — images past the 25% flag either crop the pad or route to an
+    * exact-signature path, keeping perceptual-hash buckets un-degenerate.
+    * The flag compares in integer space (pad_rows·4 ≥ height); the one
+    * reported divide replays bit-for-bit. Narrow map, no shuffle at all. */
+  def letterboxDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val padGray = 3 * 'x'.toInt // the pad byte 'x' in all three channels
+    val media: Dataset[MediaIn] = Tables.documents(spark, dir)
+      .filter(octet_length(col("text")) === length(col("text")))
+      .withColumn("h", expr("greatest(4, length(text) div 48)"))
+      .select(col("doc_id"), encode(concat(
+          lit("P6\n16 "), col("h").cast("string"), lit("\n255\n"),
+          expr("substring(rpad(text, cast(h * 48 as int), 'x'), 1, cast(h * 48 as int))")),
+        "UTF-8").as("payload"))
+      .as[MediaIn]
+    media.mapPartitions { rows =>
+      val decoder = PpmDecoder // per-partition init point for a real codec
+      rows.map { m =>
+        decoder.grayPixels(m) match {
+          case Some(g) =>
+            val h = g.length / 16
+            def rowPad(r: Int): Boolean = {
+              var k = r * 16; val end = k + 16
+              while (k < end && g(k) == padGray) k += 1
+              k == end
+            }
+            var r = h - 1
+            while (r >= 0 && rowPad(r)) r -= 1
+            PadScan(m.doc_id, ok = true, h, h - 1 - r)
+          case None => PadScan(m.doc_id, ok = false, 0, 0)
+        }
+      }
+    }.toDF().filter(col("ok"))
+      .select(col("doc_id"), col("height"), col("pad_rows"),
+        Exact.rnd(col("pad_rows").cast("double") / col("height").cast("double"), 4)
+          .as("pad_frac"),
+        (col("pad_rows") * 4 >= col("height")).as("letterboxed"))
+  }
+
   /** PPM-frame + decode + 64-bit aHash of an image corpus — the narrow
     * map stage (mapPartitions; no shuffle). */
   private[graft] def ahashHashedOf(spark: SparkSession,
@@ -454,7 +503,8 @@ object Multimodal {
     "m7_resize_plan"    -> resizePlan,
     "m7_decode_features" -> decodeFeatures,
     "m7_pcm_energy"     -> pcmEnergy,
-    "m7_silence_segments" -> silenceSegments)
+    "m7_silence_segments" -> silenceSegments,
+    "m7_letterbox_detect" -> letterboxDetect)
 
   val oracles: Map[String, String] = Map(
     // Full aHash replay: same framing, same exact integer block-mean bits,
@@ -619,5 +669,33 @@ object Multimodal {
              AS INTEGER) AS seg_no,
            is_quiet, start_frame, n_frames,
            ${Exact.sqlRnd("CAST(pk AS DOUBLE) / 256.0", 4)} AS peak_energy
-         FROM g""")
+         FROM g""",
+    // Replays the aHash framing (ASCII docs, 16-wide, 'x' pad, truncate to
+    // the pixel grid), grays each pixel as the 3-byte code-point sum, and
+    // counts the trailing run of rows whose 16 pixels all equal the pad
+    // gray (3·120) — pad_rows = height − (last non-pad row + 1), height
+    // when every row is pad. Integer flag, one reported divide.
+    "m7_letterbox_detect" ->
+      s"""WITH d AS (
+           SELECT doc_id, text FROM documents
+           WHERE octet_length(encode(text)) = length(text)),
+         img AS (SELECT doc_id, greatest(4, length(text) // 48) AS h,
+                   substring(rpad(text, CAST(greatest(4, length(text) // 48) * 48 AS INTEGER), 'x'),
+                             1, CAST(greatest(4, length(text) // 48) * 48 AS INTEGER)) AS px
+                 FROM d),
+         r AS (SELECT doc_id, h, CAST(u.rn AS BIGINT) AS rn,
+                 list_sum(list_transform(range(0, 16), k ->
+                   CASE WHEN unicode(px[CAST(rn*48 + 3*k + 1 AS INTEGER)])
+                             + unicode(px[CAST(rn*48 + 3*k + 2 AS INTEGER)])
+                             + unicode(px[CAST(rn*48 + 3*k + 3 AS INTEGER)]) = 360
+                        THEN 1 ELSE 0 END)) = 16 AS padrow
+               FROM img, LATERAL unnest(range(0, h)) AS u(rn)),
+         s AS (SELECT doc_id, CAST(max(h) AS INTEGER) AS height,
+                 CAST(max(h) - coalesce(max(CASE WHEN NOT padrow THEN rn + 1 END), 0)
+                   AS INTEGER) AS pad_rows
+               FROM r GROUP BY doc_id)
+         SELECT doc_id, height, pad_rows,
+           ${Exact.sqlRnd("CAST(pad_rows AS DOUBLE) / CAST(height AS DOUBLE)", 4)} AS pad_frac,
+           pad_rows * 4 >= height AS letterboxed
+         FROM s""")
 }

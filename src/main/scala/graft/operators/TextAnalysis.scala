@@ -280,6 +280,33 @@ object TextAnalysis {
         lit(0.3) * least(nTok / 100.0, lit(1.0)), 4).as("quality_score"))
   }
 
+  /** M6: stratified audit sample — the fixed-size human-review sample every
+    * corpus release ships: exactly 5 documents per (language, quality band)
+    * stratum, selected by a deterministic pseudo-random order (the salted
+    * 60-bit fold over doc_id — re-runs, backfills and the oracle pick the
+    * identical sample; a seeded RNG would be engine-specific). Rate-based
+    * band sampling (m6_sample_mix, m6_data_split) can't serve this: an
+    * auditor needs a FIXED count per stratum regardless of stratum size,
+    * including from the rare strata a rate would miss entirely.
+    *
+    * 100 TB shape: the rank-≤-5 filter compiles to WindowGroupLimit, so
+    * every task keeps at most 5 rows per stratum before the stratum-keyed
+    * exchange — the shuffle carries ≤ 5·strata·tasks skinny rows, never
+    * the corpus; quality scoring is the narrow m6_quality_score map. */
+  def auditSample(spark: SparkSession, dir: String): DataFrame = {
+    val q = qualityScore(spark, dir)
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+      .withColumn("band",
+        when(col("quality_score") >= 0.63, lit("high")).otherwise(lit("low")))
+      .withColumn("ord",
+        Exact.fold60(concat(lit("graft-audit:"), col("doc_id"))))
+    val w = Window.partitionBy("lang", "band").orderBy(col("ord"), col("doc_id"))
+    q.withColumn("audit_rank", row_number().over(w))
+      .filter(col("audit_rank") <= 5)
+      .select(col("lang"), col("band"), col("audit_rank"), col("doc_id"),
+        col("quality_score"))
+  }
+
   /** M6: language token profile — top-10 tokens per language by frequency. */
   def langProfile(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.documents(spark, dir)
@@ -1876,6 +1903,7 @@ object TextAnalysis {
     "m6_passage_scrub" -> passageScrub,
     "m6_postings"      -> postings,
     "m6_quality_score" -> qualityScore,
+    "m6_audit_sample"  -> auditSample,
     "m6_lang_profile"  -> langProfile,
     "m6_lang_id"       -> langId,
     "m6_token_count"   -> tokenCount,
@@ -2461,6 +2489,20 @@ object TextAnalysis {
                 FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) u
                 GROUP BY 1) t""",
     "m6_quality_score" -> QualityScoreOracle,
+    // Replays the quality scorer as a CTE, bands on the identical rounded
+    // double, and picks the same salted-fold order per stratum.
+    "m6_audit_sample" ->
+      s"""WITH q AS ($QualityScoreOracle),
+          b AS (SELECT doc_id, lang, quality_score,
+                  CASE WHEN quality_score >= CAST(0.63 AS DOUBLE) THEN 'high' ELSE 'low' END AS band,
+                  ${Exact.sqlFold60("'graft-audit:' || doc_id")} AS ord
+                FROM q)
+          SELECT lang, band,
+            CAST(row_number() OVER (PARTITION BY lang, band
+              ORDER BY ord, doc_id) AS INTEGER) AS audit_rank,
+            doc_id, quality_score
+          FROM b
+          QUALIFY audit_rank <= 5""",
     // The bigram-LM conditional is one IEEE divide of two exact longs; the
     // per-context total is sum-derived, hence the BIGINT cast (Exact.scala
     // oracle-authoring notes).

@@ -820,6 +820,62 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     assert(inc.exists(_._5), "no from_batch row anywhere in the workload")
   }
 
+  test("audit sample: exactly 5 per stratum, deterministic, band-consistent") {
+    import graft.operators.TextAnalysis
+    val a = TextAnalysis.auditSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))
+    val b = TextAnalysis.auditSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(a.sortBy(x => (x._1, x._2, x._3)).sameElements(
+      b.sortBy(x => (x._1, x._2, x._3))), "sample is not deterministic")
+    val strata = a.groupBy(x => (x._1, x._2))
+    assert(strata.values.forall(_.length <= 5))
+    strata.foreach { case (st, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        s"stratum $st: audit ranks not dense")
+    }
+    // the fixture must exercise BOTH bands (the r15 first cut banded at
+    // 0.55 and every doc scored above it — a degenerate one-band sample)
+    assert(a.map(_._2).distinct.sorted.toSeq == Seq("high", "low"))
+    // band agrees with the released score for every sampled doc
+    val scores = TextAnalysis.qualityScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality_score")).toMap
+    a.foreach { case (_, band, _, id, s) =>
+      assert(s == scores(id))
+      assert((band == "high") == (s >= 0.63), s"doc $id band/score mismatch")
+    }
+    // a doc appears at most once across the whole sample
+    assert(a.map(_._4).distinct.length == a.length)
+  }
+
+  test("letterbox detect replays the trailing pad-row rule from raw text") {
+    val out = Multimodal.letterboxDetect(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .filter(r => r.getString(1).getBytes("UTF-8").length == r.getString(1).length)
+    assert(docs.nonEmpty && out.size == docs.length)
+    docs.foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val h = math.max(4, text.length / 48)
+      val px = text.padTo(h * 48, 'x').take(h * 48)
+      def rowPad(row: Int): Boolean = (0 until 16).forall { k =>
+        px(row * 48 + 3 * k) + px(row * 48 + 3 * k + 1) + px(row * 48 + 3 * k + 2) == 360
+      }
+      var rr = h - 1
+      while (rr >= 0 && rowPad(rr)) rr -= 1
+      val expect = h - 1 - rr
+      val got = out(id)
+      assert(got.getAs[Int]("height") == h, s"doc $id height")
+      assert(got.getAs[Int]("pad_rows") == expect, s"doc $id pad_rows")
+      assert(got.getAs[Boolean]("letterboxed") == (expect * 4 >= h))
+    }
+    // the fixture produces a non-degenerate census: both flag values occur
+    assert(out.values.exists(_.getAs[Boolean]("letterboxed")))
+    assert(out.values.exists(!_.getAs[Boolean]("letterboxed")))
+  }
+
   test("ann forget: tombstoned vectors vanish and the tail promotes in order") {
     val inc = Similarity.incrementalIvf(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))

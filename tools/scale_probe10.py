@@ -71,7 +71,7 @@ QUERIES = ",".join([
     # round-15 batch 3: index-lifecycle governance (compact/forget on both
     # retrieval sides) and audio silence segmentation
     "m6_index_compact", "m6_index_forget", "m6_index_purge", "m6_ann_forget",
-    "m7_silence_segments",
+    "m7_silence_segments", "m7_letterbox_detect", "m6_audit_sample",
 ])
 
 
