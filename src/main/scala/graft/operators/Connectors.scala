@@ -223,6 +223,18 @@ object Connectors {
     sweepStale(targetDir, prev)
   }
 
+  /** Generation file count for an admitted batch: ~`rowsPerFile` rows per
+    * file, clamped to [1, 32] (the session's parallelism). Both extremes
+    * are measured failure modes: `coalesce(1)` serializes a large batch's
+    * generation write through ONE task (the r15 100× probe recorded 79 s —
+    * the whole query's cost — on a multi-million-row posting generation),
+    * while one-file-per-shuffle-partition litters the catalog with tiny
+    * files at test scale. Callers pass the batch's row count (or a cheap
+    * upper bound); the clamp keeps the write parallel when the batch is
+    * big and single-file when it isn't. */
+  def deltaFiles(batchRows: Long, rowsPerFile: Long = 5000L): Int =
+    math.max(1L, math.min(32L, batchRows / rowsPerFile)).toInt
+
   /** Per-invocation scratch root for an incremental-admission catalog (the
     * PROTOCOL under test is what persists — released tables live in the
     * warehouse); swept on JVM exit so repeated bench/verify runs don't

@@ -464,13 +464,16 @@ object Dedup {
     try {
       val admitted1 = d1.filter(col("admitted")).select(col("new_id").as("doc_id"))
       // the commit: O(batch) appends, one atomic pointer flip per table.
-      // coalesce(1): an admitted batch at test scale is a few hundred rows —
-      // one file per generation, not one per shuffle partition (a production
-      // batch would keep its partitioning)
+      // Generation file count scales with the batch (≤ corpus/10 admitted
+      // docs — one file at test scale, parallel at 100 TB): the r15 100×
+      // probe measured coalesce(1) serializing a large generation write
+      // through one task on the BM25 side; same clamp here.
+      val nFiles = Connectors.deltaFiles(
+        Tables.documents(spark, dir).count() / 10)
       Connectors.appendTo(spark, sigsT,
-        sigsOf(b1base).join(admitted1, Seq("doc_id")).coalesce(1))
+        sigsOf(b1base).join(admitted1, Seq("doc_id")).coalesce(nFiles))
       Connectors.appendTo(spark, shT,
-        b1base.join(admitted1, Seq("doc_id")).coalesce(1))
+        b1base.join(admitted1, Seq("doc_id")).coalesce(nFiles))
     } finally {
       // batch 1's frames are fully consumed by the appends above — only
       // batch 2's decision lineage leaves this function

@@ -233,10 +233,11 @@ object Multimodal {
     * recordings), compared EXACTLY: energy = acc/256 with acc ≤ 256·32767²
     * < 2⁵³, so acc round-trips the double exactly, and the comparison
     * acc·10·n_frames < 8·Σacc is integer — widened through decimal(19,0)
-    * products to decimal(38,0) (the sourceDivergence discipline), since
-    * acc·10·n_frames overflows Long past ~3.3M frames (a day of 16 kHz
-    * audio) while the decimal form is exact for any physically reachable
-    * clip. Runs come from the classic islands key (frame_no − per-kind
+    * products to decimal(38,0) and the Σacc window sum through
+    * decimal(29,0) (the sourceDivergence discipline), since both
+    * acc·10·n_frames and Σacc overflow Long on long-enough clips
+    * (~3.3M / ~3.3e7 max-amplitude frames) while the decimal forms match
+    * the oracle's HUGEINT exactly at any clip length. Runs come from the classic islands key (frame_no − per-kind
     * row_number); both windows partition by doc_id, so at 100 TB no sort
     * ever sees more than one clip's frames. */
   def silenceSegments(spark: SparkSession, dir: String): DataFrame = {
@@ -244,9 +245,13 @@ object Multimodal {
     val dw = Window.partitionBy("doc_id")
     val lhs = ((col("energy") * 256).cast("long") * 10L).cast("decimal(19,0)") *
       col("nf").cast("decimal(19,0)")
-    val rhs = col("tot").cast("decimal(19,0)") * lit(8L).cast("decimal(19,0)")
+    val rhs = col("tot") * lit(8L).cast("decimal(19,0)")
     val framed = pcmEnergy(spark, dir)
-      .withColumn("tot", sum((col("energy") * 256).cast("long")).over(dw))
+      // acc summed as decimal(19,0) → decimal(29,0): the oracle's HUGEINT
+      // sum is exact, and a plain Long sum wraps silently past ~3.3e7
+      // max-amplitude frames in one doc (r15 ADVICE)
+      .withColumn("tot",
+        sum((col("energy") * 256).cast("long").cast("decimal(19,0)")).over(dw))
       .withColumn("nf", count(lit(1)).over(dw))
       .withColumn("is_quiet", lhs < rhs)
     val rw = Window.partitionBy("doc_id", "is_quiet").orderBy("frame_no")

@@ -405,28 +405,79 @@ object Similarity {
     * over the reversed order (both engines fold left-to-right, so the
     * replay is bit-identical). Work: O(batch) admission, O(probed cells)
     * search; the corpus is never re-assigned, never copied. */
-  def incrementalIvf(spark: SparkSession, dir: String): DataFrame = {
+  def incrementalIvf(spark: SparkSession, dir: String): DataFrame =
+    ivfCatalogSearch(spark, dir,
+      admittedIvfCells(spark, dir, "graft-inc-ivf-"), None)
+
+  /** The release + admitted-batch IVF catalog fixture shared by the dense
+    * index-lifecycle queries (m6_incremental_ivf, m6_ann_forget,
+    * m6_ann_purge, m6_ann_compact): the staged `ivf_cells` referenced
+    * zero-copy as the base member, one O(batch) admission against the
+    * frozen release centroids, generation file count scaled with the batch
+    * (corpus/10 vectors — the r15-measured coalesce(1) fix: a 100 TB
+    * admission must not serialize its many-GB generation write through
+    * one task). Returns the cells table dir. */
+  private[graft] def admittedIvfCells(spark: SparkSession, dir: String,
+      prefix: String): String = {
     DedupStaging.ivfCells(spark, dir) // ensure the release index is committed
-    val catDir = Connectors.scratchCatalog("graft-inc-ivf-")
-    val cells = s"$catDir/cells"
+    val cells = s"${Connectors.scratchCatalog(prefix)}/cells"
     Connectors.appendMemberRef(spark, cells,
       DedupStaging.committedDataDir(dir, "ivf_cells").get)
-    val b = base(spark, dir)
     val off = plantOffset(spark, dir)
-    val batch = b.filter(col("vec_id") % 10 === 0)
+    val batch = base(spark, dir).filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + off).as("vec_id"), reverse(col("v")).as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    Connectors.appendTo(spark, cells,
-      ivfAssign(spark, dir, batch, 1).coalesce(1))
-    val corpus = Connectors.readTable(spark, cells)
+    Connectors.appendTo(spark, cells, ivfAssign(spark, dir, batch, 1)
+      .coalesce(Connectors.deltaFiles(corpusN(spark, dir) / 10)))
+    cells
+  }
+
+  /** The forget-request admission shared by m6_ann_forget and m6_ann_purge:
+    * every catalog vector with vec_id % 13 == 0 (originals and
+    * admitted-batch twins both) lands in a sibling tombstone table through
+    * one atomic append — O(forget) work, ids only (unlike BM25 the IVF
+    * search carries no corpus-global statistic to correct). Returns the
+    * tombstone table dir. */
+  private[graft] def annTombstoneAdmit(spark: SparkSession, dir: String,
+      cells: String): String = {
+    // the tombstone table is a SIBLING of the cells table in the same
+    // catalog root — fail fast if the derivation can't invert the path
+    // (the tombstoneAdmit discipline on the BM25 side)
+    require(cells.endsWith("/cells"),
+      s"annTombstoneAdmit expects a .../cells table dir, got: $cells")
+    val tomb = s"${cells.stripSuffix("/cells")}/tombstones"
+    val off = plantOffset(spark, dir)
+    val ids = base(spark, dir).select("vec_id")
+    Connectors.appendTo(spark, tomb,
+      ids.filter(col("vec_id") % 13 === 0)
+        .unionAll(ids.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + off).as("vec_id"))
+          .filter(col("vec_id") % 13 === 0)))
+    tomb
+  }
+
+  /** The incremental-catalog IVF reader shared by the dense lifecycle
+    * queries: the fixed nprobe=2 probe workload (the m6_ann_ivf2 posture)
+    * over every committed member, with an optional tombstone table
+    * anti-joined off the cell-keyed candidates BEFORE ranking (the
+    * tombstone set broadcasts — a forget batch is request-sized, never
+    * corpus-sized). Because the quantizer is release-frozen, the ranking
+    * is independent of how the corpus was partitioned into admitted
+    * members — one release member, release + delta, or a compacted single
+    * generation all serve the same scores. */
+  private def ivfCatalogSearch(spark: SparkSession, dir: String,
+      cells: String, tomb: Option[String]): DataFrame = {
+    val corpus0 = Connectors.readTable(spark, cells)
+    val corpus = tomb.fold(corpus0)(t => corpus0.join(
+      broadcast(Connectors.readTable(spark, t)), Seq("vec_id"), "left_anti"))
     val qs = ivfAssign(spark, dir,
-        b.filter(col("vec_id") % strideOf(spark, dir) === 0), 2)
+        base(spark, dir).filter(col("vec_id") % strideOf(spark, dir) === 0), 2)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("norm").as("qnorm"), col("cell"))
     topKBySim(corpus.join(qs, Seq("cell"))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("sim", dot(col("qv"), col("v")) / (col("norm") * col("qnorm"))))
-      .withColumn("from_batch", col("vec_id") >= off)
+      .withColumn("from_batch", col("vec_id") >= plantOffset(spark, dir))
   }
 
   /** M6: ANN right-to-be-forgotten retraction — m6_index_forget's
@@ -444,32 +495,52 @@ object Similarity {
     * deletion-vector production shape. Forget set: every catalog vector
     * with vec_id % 13 == 0 (originals and admitted-batch twins both). */
   def annForget(spark: SparkSession, dir: String): DataFrame = {
-    DedupStaging.ivfCells(spark, dir) // ensure the release index is committed
-    val catDir = Connectors.scratchCatalog("graft-ann-forget-")
-    val cells = s"$catDir/cells"; val tomb = s"$catDir/tombstones"
-    Connectors.appendMemberRef(spark, cells,
-      DedupStaging.committedDataDir(dir, "ivf_cells").get)
-    val b = base(spark, dir)
-    val off = plantOffset(spark, dir)
-    val batch = b.filter(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + off).as("vec_id"), reverse(col("v")).as("v"))
-      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    Connectors.appendTo(spark, cells,
-      ivfAssign(spark, dir, batch, 1).coalesce(1))
-    Connectors.appendTo(spark, tomb,
-      b.filter(col("vec_id") % 13 === 0).select("vec_id")
-        .unionAll(batch.filter(col("vec_id") % 13 === 0).select("vec_id")))
-    val corpus = Connectors.readTable(spark, cells)
-      .join(broadcast(Connectors.readTable(spark, tomb)),
-        Seq("vec_id"), "left_anti")
-    val qs = ivfAssign(spark, dir,
-        b.filter(col("vec_id") % strideOf(spark, dir) === 0), 2)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("norm").as("qnorm"), col("cell"))
-    topKBySim(corpus.join(qs, Seq("cell"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("sim", dot(col("qv"), col("v")) / (col("norm") * col("qnorm"))))
-      .withColumn("from_batch", col("vec_id") >= off)
+    val cells = admittedIvfCells(spark, dir, "graft-ann-forget-")
+    ivfCatalogSearch(spark, dir, cells,
+      Some(annTombstoneAdmit(spark, dir, cells)))
+  }
+
+  /** M6: dense physical purge — the erasure half GDPR actually requires on
+    * the ANN side, m6_index_purge's twin: the tombstones m6_ann_forget
+    * serves around are APPLIED at the next rewrite (the Delta/Iceberg
+    * "deletion vectors materialize at OPTIMIZE" production shape): the
+    * cells catalog is republished without the tombstoned vectors through
+    * the atomic pointer flip, and the subsequent search runs with NO
+    * tombstone table at all — the forgotten embeddings' bytes are gone
+    * from the served snapshot, not merely masked (superseded members
+    * survive one commit window for in-flight readers, then the sweep
+    * removes the last physical copy). Served answers are identical before
+    * and after the purge — the oracle is m6_ann_forget's replay VERBATIM,
+    * the same changes-bytes-not-answers statement the BM25 twin makes.
+    * Unlike BM25 there is no stats manifest to collapse: IVF search
+    * carries no corpus-global statistic, and centroids stay
+    * release-frozen through the rewrite. */
+  def annPurge(spark: SparkSession, dir: String): DataFrame = {
+    val cells = admittedIvfCells(spark, dir, "graft-ann-purge-")
+    val tomb = annTombstoneAdmit(spark, dir, cells)
+    Connectors.replaceTable(spark, cells,
+      Connectors.readTable(spark, cells).join(
+        broadcast(Connectors.readTable(spark, tomb)), Seq("vec_id"), "left_anti"))
+    ivfCatalogSearch(spark, dir, cells, None)
+  }
+
+  /** M6: ANN-index OPTIMIZE — the compaction leg of the dense index
+    * lifecycle, m6_index_compact's twin: after admissions accumulate
+    * members (a zero-copy release ref + one delta generation per batch),
+    * `Connectors.compact` rewrites the cells catalog to a single owned
+    * generation through the same atomic pointer flip — readers see the
+    * member'd catalog until the rename and the compacted one after, never
+    * a mix. Compaction changes BYTES, not answers: the quantizer is
+    * release-frozen and each vector's cell assignment rides with its row,
+    * both invariant under re-membering, so the post-compact search serves
+    * bit-identical rankings — the oracle is m6_incremental_ivf's replay
+    * VERBATIM. At 100 TB this runs per release window, not per batch; the
+    * payoff is one generation's worth of right-sized files instead of
+    * one-per-admission, and the external base ref's lifetime ends. */
+  def annCompact(spark: SparkSession, dir: String): DataFrame = {
+    val cells = admittedIvfCells(spark, dir, "graft-ann-compact-")
+    Connectors.compact(spark, cells)
+    ivfCatalogSearch(spark, dir, cells, None)
   }
 
   /** M6: embedding-cosine near-duplicate pairs — the semantic-dedup
@@ -561,6 +632,8 @@ object Similarity {
     "m6_ann_ivf2"    -> annIvf2,
     "m6_incremental_ivf" -> incrementalIvf,
     "m6_ann_forget" -> annForget,
+    "m6_ann_purge"  -> annPurge,
+    "m6_ann_compact" -> annCompact,
     "m6_embed_dedup" -> ((s, d) => embedDedup(s, d, corpusBits(s, d))),
     "m6_embed_clusters" -> embedClusters,
     "m6_embed_quantize" -> embedQuantize,
@@ -1078,6 +1151,100 @@ object Similarity {
                  FROM sl JOIN assigned av ON sl.vec_id = av.vec_id
                          JOIN qq ON sl.q_id = qq.q_id)"""
 
+  /** Incremental admission replay: batch = every 10th vector reversed at
+    * vec_id + max(vec_id)+1, assigned to the RELEASE centroids (crn = 1
+    * against the corpus-derived cents — never re-trained with the batch),
+    * unioned with the corpus assignment; the nprobe=2 query side is the
+    * m6_ann_ivf2 replay verbatim. ALSO the m6_ann_compact oracle verbatim:
+    * compaction changes bytes, not answers. */
+  private lazy val IncrementalIvfOracle: String =
+    s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          $strideSql,
+          off AS (SELECT max(vec_id) + 1 AS o FROM embeddings),
+          n AS (SELECT vec_id, v, $normSql AS nrm FROM e),
+          cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+                    WHERE vec_id % (SELECT m FROM strd) = 0),
+          scored AS (
+            SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+              row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                list_reduce(list_prepend(0.0, list_transform(list_zip(n.v, c.cv), p -> p[1] * p[2])), (a, b) -> a + b)
+                  / (n.nrm * c.cnrm) DESC, c.cent_id) AS crn
+            FROM n CROSS JOIN cents c),
+          bat AS (SELECT vec_id + (SELECT o FROM off) AS vec_id,
+                         list_reverse(v) AS v
+                  FROM e WHERE vec_id % 10 = 0),
+          bn AS (SELECT vec_id, v, $normSql AS nrm FROM bat),
+          bscored AS (
+            SELECT bn.vec_id, bn.v, bn.nrm, c.cent_id,
+              row_number() OVER (PARTITION BY bn.vec_id ORDER BY
+                list_reduce(list_prepend(0.0, list_transform(list_zip(bn.v, c.cv), p -> p[1] * p[2])), (a, b) -> a + b)
+                  / (bn.nrm * c.cnrm) DESC, c.cent_id) AS crn
+            FROM bn CROSS JOIN cents c),
+          assigned AS (
+            SELECT vec_id, v, nrm, cent_id AS cell FROM scored WHERE crn = 1
+            UNION ALL
+            SELECT vec_id, v, nrm, cent_id AS cell FROM bscored WHERE crn = 1),
+          q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cent_id AS cell
+                FROM scored WHERE vec_id % $probeStrideSql = 0 AND crn <= 2),
+          p AS (SELECT q_id, a.vec_id,
+                  list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, a.v), r -> r[1] * r[2])), (x, y) -> x + y)
+                    / (a.nrm * q.qnrm) AS sim
+                FROM assigned a JOIN q USING (cell) WHERE a.vec_id <> q.q_id)
+          SELECT q_id, vec_id, rnk, ${sqlRnd("sim", 4)} AS sim,
+                 vec_id >= (SELECT o FROM off) AS from_batch FROM (
+            SELECT q_id, vec_id, sim,
+              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+            FROM p) t
+          WHERE rnk <= 10"""
+
+  /** Forget replay: the incremental-admission replay with the tombstoned
+    * candidates (vec_id % 13 = 0 over corpus AND batch ids) deleted from
+    * the assigned set BEFORE ranking — queries and centroids stay
+    * release-frozen, retained pair sims are untouched. ALSO the
+    * m6_ann_purge oracle verbatim: the purge rewrite changes bytes, not
+    * answers. */
+  private lazy val AnnForgetOracle: String =
+    s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          $strideSql,
+          off AS (SELECT max(vec_id) + 1 AS o FROM embeddings),
+          n AS (SELECT vec_id, v, $normSql AS nrm FROM e),
+          cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+                    WHERE vec_id % (SELECT m FROM strd) = 0),
+          scored AS (
+            SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+              row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                list_reduce(list_prepend(0.0, list_transform(list_zip(n.v, c.cv), p -> p[1] * p[2])), (a, b) -> a + b)
+                  / (n.nrm * c.cnrm) DESC, c.cent_id) AS crn
+            FROM n CROSS JOIN cents c),
+          bat AS (SELECT vec_id + (SELECT o FROM off) AS vec_id,
+                         list_reverse(v) AS v
+                  FROM e WHERE vec_id % 10 = 0),
+          bn AS (SELECT vec_id, v, $normSql AS nrm FROM bat),
+          bscored AS (
+            SELECT bn.vec_id, bn.v, bn.nrm, c.cent_id,
+              row_number() OVER (PARTITION BY bn.vec_id ORDER BY
+                list_reduce(list_prepend(0.0, list_transform(list_zip(bn.v, c.cv), p -> p[1] * p[2])), (a, b) -> a + b)
+                  / (bn.nrm * c.cnrm) DESC, c.cent_id) AS crn
+            FROM bn CROSS JOIN cents c),
+          assigned AS (
+            SELECT vec_id, v, nrm, cent_id AS cell FROM scored
+            WHERE crn = 1 AND vec_id % 13 <> 0
+            UNION ALL
+            SELECT vec_id, v, nrm, cent_id AS cell FROM bscored
+            WHERE crn = 1 AND vec_id % 13 <> 0),
+          q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cent_id AS cell
+                FROM scored WHERE vec_id % $probeStrideSql = 0 AND crn <= 2),
+          p AS (SELECT q_id, a.vec_id,
+                  list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, a.v), r -> r[1] * r[2])), (x, y) -> x + y)
+                    / (a.nrm * q.qnrm) AS sim
+                FROM assigned a JOIN q USING (cell) WHERE a.vec_id <> q.q_id)
+          SELECT q_id, vec_id, rnk, ${sqlRnd("sim", 4)} AS sim,
+                 vec_id >= (SELECT o FROM off) AS from_batch FROM (
+            SELECT q_id, vec_id, sim,
+              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+            FROM p) t
+          WHERE rnk <= 10"""
+
   val oracles: Map[String, String] = Map(
     // Hybrid fusion: the BM25 replay (TextAnalysis.Bm25CtesSql — the SAME
     // CTE chain the m6_bm25_topk oracle serves, so the two can never
@@ -1332,95 +1499,13 @@ object Similarity {
               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
             FROM p) t
           WHERE rnk <= 10""",
-    // Incremental admission replay: batch = every 10th vector reversed at
-    // vec_id + max(vec_id)+1, assigned to the RELEASE centroids (crn = 1
-    // against the corpus-derived cents — never re-trained with the batch),
-    // unioned with the corpus assignment; the nprobe=2 query side is the
-    // m6_ann_ivf2 replay verbatim.
-    "m6_incremental_ivf" ->
-      s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
-          $strideSql,
-          off AS (SELECT max(vec_id) + 1 AS o FROM embeddings),
-          n AS (SELECT vec_id, v, $normSql AS nrm FROM e),
-          cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
-                    WHERE vec_id % (SELECT m FROM strd) = 0),
-          scored AS (
-            SELECT n.vec_id, n.v, n.nrm, c.cent_id,
-              row_number() OVER (PARTITION BY n.vec_id ORDER BY
-                list_reduce(list_prepend(0.0, list_transform(list_zip(n.v, c.cv), p -> p[1] * p[2])), (a, b) -> a + b)
-                  / (n.nrm * c.cnrm) DESC, c.cent_id) AS crn
-            FROM n CROSS JOIN cents c),
-          bat AS (SELECT vec_id + (SELECT o FROM off) AS vec_id,
-                         list_reverse(v) AS v
-                  FROM e WHERE vec_id % 10 = 0),
-          bn AS (SELECT vec_id, v, $normSql AS nrm FROM bat),
-          bscored AS (
-            SELECT bn.vec_id, bn.v, bn.nrm, c.cent_id,
-              row_number() OVER (PARTITION BY bn.vec_id ORDER BY
-                list_reduce(list_prepend(0.0, list_transform(list_zip(bn.v, c.cv), p -> p[1] * p[2])), (a, b) -> a + b)
-                  / (bn.nrm * c.cnrm) DESC, c.cent_id) AS crn
-            FROM bn CROSS JOIN cents c),
-          assigned AS (
-            SELECT vec_id, v, nrm, cent_id AS cell FROM scored WHERE crn = 1
-            UNION ALL
-            SELECT vec_id, v, nrm, cent_id AS cell FROM bscored WHERE crn = 1),
-          q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cent_id AS cell
-                FROM scored WHERE vec_id % $probeStrideSql = 0 AND crn <= 2),
-          p AS (SELECT q_id, a.vec_id,
-                  list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, a.v), r -> r[1] * r[2])), (x, y) -> x + y)
-                    / (a.nrm * q.qnrm) AS sim
-                FROM assigned a JOIN q USING (cell) WHERE a.vec_id <> q.q_id)
-          SELECT q_id, vec_id, rnk, ${sqlRnd("sim", 4)} AS sim,
-                 vec_id >= (SELECT o FROM off) AS from_batch FROM (
-            SELECT q_id, vec_id, sim,
-              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
-            FROM p) t
-          WHERE rnk <= 10""",
-    // Forget replay: the incremental-admission replay with the tombstoned
-    // candidates (vec_id % 13 = 0 over corpus AND batch ids) deleted from
-    // the assigned set BEFORE ranking — queries and centroids stay
-    // release-frozen, retained pair sims are untouched.
-    "m6_ann_forget" ->
-      s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
-          $strideSql,
-          off AS (SELECT max(vec_id) + 1 AS o FROM embeddings),
-          n AS (SELECT vec_id, v, $normSql AS nrm FROM e),
-          cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
-                    WHERE vec_id % (SELECT m FROM strd) = 0),
-          scored AS (
-            SELECT n.vec_id, n.v, n.nrm, c.cent_id,
-              row_number() OVER (PARTITION BY n.vec_id ORDER BY
-                list_reduce(list_prepend(0.0, list_transform(list_zip(n.v, c.cv), p -> p[1] * p[2])), (a, b) -> a + b)
-                  / (n.nrm * c.cnrm) DESC, c.cent_id) AS crn
-            FROM n CROSS JOIN cents c),
-          bat AS (SELECT vec_id + (SELECT o FROM off) AS vec_id,
-                         list_reverse(v) AS v
-                  FROM e WHERE vec_id % 10 = 0),
-          bn AS (SELECT vec_id, v, $normSql AS nrm FROM bat),
-          bscored AS (
-            SELECT bn.vec_id, bn.v, bn.nrm, c.cent_id,
-              row_number() OVER (PARTITION BY bn.vec_id ORDER BY
-                list_reduce(list_prepend(0.0, list_transform(list_zip(bn.v, c.cv), p -> p[1] * p[2])), (a, b) -> a + b)
-                  / (bn.nrm * c.cnrm) DESC, c.cent_id) AS crn
-            FROM bn CROSS JOIN cents c),
-          assigned AS (
-            SELECT vec_id, v, nrm, cent_id AS cell FROM scored
-            WHERE crn = 1 AND vec_id % 13 <> 0
-            UNION ALL
-            SELECT vec_id, v, nrm, cent_id AS cell FROM bscored
-            WHERE crn = 1 AND vec_id % 13 <> 0),
-          q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cent_id AS cell
-                FROM scored WHERE vec_id % $probeStrideSql = 0 AND crn <= 2),
-          p AS (SELECT q_id, a.vec_id,
-                  list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, a.v), r -> r[1] * r[2])), (x, y) -> x + y)
-                    / (a.nrm * q.qnrm) AS sim
-                FROM assigned a JOIN q USING (cell) WHERE a.vec_id <> q.q_id)
-          SELECT q_id, vec_id, rnk, ${sqlRnd("sim", 4)} AS sim,
-                 vec_id >= (SELECT o FROM off) AS from_batch FROM (
-            SELECT q_id, vec_id, sim,
-              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
-            FROM p) t
-          WHERE rnk <= 10""",
+    "m6_incremental_ivf" -> IncrementalIvfOracle,
+    "m6_ann_forget" -> AnnForgetOracle,
+    // bytes-not-answers invariants: the purge serves m6_ann_forget's
+    // answers verbatim, the compaction serves m6_incremental_ivf's —
+    // the strongest statement of the invariant the gate can make.
+    "m6_ann_purge" -> AnnForgetOracle,
+    "m6_ann_compact" -> IncrementalIvfOracle,
     // Multi-probe replay: the probe set is the own bucket plus one-bit flips
     // of dimensions within eps=0.1 of their hyperplane, exactly as
     // probeBuckets builds it.

@@ -1567,8 +1567,8 @@ object TextAnalysis {
     // multi-million-row posting write through one task (79 s wall, the
     // whole query's cost), exactly the "a production batch keeps its
     // partitioning" caveat the old comment deferred.
-    val batchDocs = Tables.documents(spark, dir).count() / 10
-    val deltaFiles = math.max(1L, math.min(32L, batchDocs / 5000L)).toInt
+    val deltaFiles = Connectors.deltaFiles(
+      Tables.documents(spark, dir).count() / 10)
     val delta = bm25IndexOf(arrivingDocTokens(spark, dir))
     Connectors.appendTo(spark, post, delta.coalesce(deltaFiles))
     Connectors.appendTo(spark, stats, memberStatsOf(delta))
@@ -1628,6 +1628,12 @@ object TextAnalysis {
     * appends, O(forget) work. Returns the tombstone table dir. */
   private def tombstoneAdmit(spark: SparkSession, dir: String,
       post: String, stats: String): String = {
+    // the tombstone table is a SIBLING of the postings table in the same
+    // catalog root — fail fast if a caller ever passes a postings dir this
+    // derivation can't invert (r15 ADVICE: a silent stripSuffix no-op would
+    // land the tombstones inside an unrelated path)
+    require(post.endsWith("/postings"),
+      s"tombstoneAdmit expects a .../postings table dir, got: $post")
     val tomb = s"${post.stripSuffix("/postings")}/tombstones"
     val forgotten = Tables.fanout(Tables.documents(spark, dir))
       .filter(col("doc_id") % 13 === 0)

@@ -895,10 +895,62 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
       val served = fgByQ(q).sortBy(_._3).map(x => (x._2, x._4)).toSeq
       assert(served.take(surviving.length) == surviving,
         s"query $q: surviving incremental ranking is not a prefix of forget's")
-      assert(served.map(_ => 1).sum == 10, s"query $q: expected a full top-10")
+      // a full top-10 when enough candidates survive; the prefix property
+      // above is the real pin (r15 ADVICE: a fixture with < 10 retained
+      // candidates in a probed cell must not fail the lifecycle test)
+      assert(served.length >= math.min(10, surviving.length),
+        s"query $q: served fewer rows than the surviving candidates")
+      assert(served.length <= 10, s"query $q: served more than a top-10")
     }
     // the fixture visibly retracts: some query must have lost a ranked row
     assert(inc.exists(_._2 % 13 == 0), "fixture exercised no visible retraction")
+  }
+
+  test("ann purge physically erases tombstoned vectors and serves forget's answers") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+        r.getBoolean(4))).sortBy(x => (x._1, x._3))
+    // the purge changes bytes, not answers
+    assert(rows(Similarity.annPurge(spark, dir))
+      .sameElements(rows(Similarity.annForget(spark, dir))))
+    // and the bytes really change: replay the purge on a catalog we hold,
+    // then read the PHYSICAL table — zero tombstoned vectors anywhere, with
+    // retained rows conserved against the pre-purge snapshot
+    val cells = Similarity.admittedIvfCells(spark, dir, "graft-ann-purge-spec-")
+    val tomb = Similarity.annTombstoneAdmit(spark, dir, cells)
+    val before = graft.operators.Connectors.readTable(spark, cells)
+    val nBefore = before.count()
+    val nTomb = before.join(
+      graft.operators.Connectors.readTable(spark, tomb), Seq("vec_id"), "left_semi").count()
+    assert(nTomb > 0, "fixture planted no tombstoned vectors")
+    graft.operators.Connectors.replaceTable(spark, cells,
+      before.join(graft.operators.Connectors.readTable(spark, tomb),
+        Seq("vec_id"), "left_anti"))
+    val after = graft.operators.Connectors.readTable(spark, cells)
+    assert(after.join(graft.operators.Connectors.readTable(spark, tomb),
+      Seq("vec_id"), "left_semi").count() == 0,
+      "tombstoned vectors survived the purge rewrite")
+    assert(after.count() == nBefore - nTomb, "purge dropped retained vectors")
+  }
+
+  test("ann compact serves bit-identical rankings to the member'd catalog") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+        r.getBoolean(4))).sortBy(x => (x._1, x._3))
+    // compaction changes bytes, not answers: the quantizer is release-frozen
+    // and cell assignments ride with their rows, invariant under re-membering
+    assert(rows(Similarity.annCompact(spark, dir))
+      .sameElements(rows(Similarity.incrementalIvf(spark, dir))))
+    // and the bytes really change: a compacted catalog is ONE owned
+    // generation — no external member refs survive
+    val cells = Similarity.admittedIvfCells(spark, dir, "graft-ann-compact-spec-")
+    val preGen = new java.io.File(cells).listFiles().count(_.getName.startsWith("_gen-"))
+    graft.operators.Connectors.compact(spark, cells)
+    val cur = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(cells, "_CURRENT")).trim
+    assert(cur.startsWith("_gen-"),
+      s"compacted catalog still member'd: pointer = $cur")
+    assert(preGen >= 1, "fixture admitted no delta generation")
   }
 
   test("index purge physically erases tombstoned postings and serves forget's answers") {
@@ -959,7 +1011,9 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     // an EMPTY tombstone table is the identity: the anti-join plumbing
     // must not perturb scores, ranks, or df derivation
     val (post, stats) = TextAnalysis.admittedCatalog(spark, dir)
-    val tomb = java.nio.file.Files.createTempDirectory("graft-tomb-empty-").toString
+    // scratchCatalog registers the shutdown-hook sweep — repeated test runs
+    // must not accumulate graft-tomb-empty-* dirs in /tmp (r15 ADVICE)
+    val tomb = graft.operators.Connectors.scratchCatalog("graft-tomb-empty-")
     graft.operators.Connectors.appendTo(spark, tomb,
       spark.range(0).select(col("id").as("doc_id")))
     val viaEmpty = TextAnalysis.bm25CatalogSearch(spark, post, stats, Some(tomb))
