@@ -329,11 +329,33 @@ object Similarity {
     * probe routing: centroids at every `ivfStride`-th id, broadcast; each
     * vector keeps its k nearest cells. */
   private def ivfAssign(spark: SparkSession, dir: String,
-      df: DataFrame, k: Int): DataFrame = {
-    val b = base(spark, dir)
-    val stride = ivfStride(corpusN(spark, dir))
-    val cents = b.filter(col("vec_id") % stride === 0).select(
-      col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm"))
+      df: DataFrame, k: Int): DataFrame =
+    assignToCells(df, releaseCentroids(spark, dir), k)
+
+  /** The release quantizer: centroids at every `ivfStride`-th id —
+    * release-scoped state a streaming admission binds ONCE at job start
+    * (m4o persists it across micro-batches) and batch callers derive
+    * inline. √N rows, always broadcast-sized. */
+  private[graft] def releaseCentroids(spark: SparkSession, dir: String): DataFrame =
+    base(spark, dir)
+      .filter(col("vec_id") % ivfStride(corpusN(spark, dir)) === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm"))
+
+  /** Raw embeddings rows → the (vec_id, v, norm) frame every IVF path
+    * consumes — shared with the streaming admission, whose micro-batches
+    * arrive as raw parquet rows. */
+  private[graft] def withVecNorm(spark: SparkSession, raw: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    raw.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+  }
+
+  /** Nearest-cell assignment against a given (frozen) centroid frame —
+    * the coarse-quantizer core shared by the index build, query-side probe
+    * routing, the incremental admissions, and the streaming admission. */
+  private[graft] def assignToCells(df: DataFrame, cents: DataFrame,
+      k: Int = 1): DataFrame = {
     // score, then rank the SKINNY (vec_id, cent_id, csim) frame — the
     // N×√N assignment window must not carry the vectors through its sort
     // (the topKBySim argument, at index-build volume); the kept cells join
@@ -406,8 +428,8 @@ object Similarity {
     * replay is bit-identical). Work: O(batch) admission, O(probed cells)
     * search; the corpus is never re-assigned, never copied. */
   def incrementalIvf(spark: SparkSession, dir: String): DataFrame =
-    ivfCatalogSearch(spark, dir,
-      admittedIvfCells(spark, dir, "graft-inc-ivf-"), None)
+    withFromBatch(spark, dir, ivfCatalogSearch(spark, dir,
+      admittedIvfCells(spark, dir, "graft-inc-ivf-"), None))
 
   /** The release + admitted-batch IVF catalog fixture shared by the dense
     * index-lifecycle queries (m6_incremental_ivf, m6_ann_forget,
@@ -465,8 +487,8 @@ object Similarity {
     * is independent of how the corpus was partitioned into admitted
     * members — one release member, release + delta, or a compacted single
     * generation all serve the same scores. */
-  private def ivfCatalogSearch(spark: SparkSession, dir: String,
-      cells: String, tomb: Option[String]): DataFrame = {
+  private[graft] def ivfCatalogSearch(spark: SparkSession, dir: String,
+      cells: String, tomb: Option[String] = None): DataFrame = {
     val corpus0 = Connectors.readTable(spark, cells)
     val corpus = tomb.fold(corpus0)(t => corpus0.join(
       broadcast(Connectors.readTable(spark, t)), Seq("vec_id"), "left_anti"))
@@ -477,8 +499,12 @@ object Similarity {
     topKBySim(corpus.join(qs, Seq("cell"))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("sim", dot(col("qv"), col("v")) / (col("norm") * col("qnorm"))))
-      .withColumn("from_batch", col("vec_id") >= plantOffset(spark, dir))
   }
+
+  /** The admitted-batch flag the incremental/lifecycle queries report. */
+  private def withFromBatch(spark: SparkSession, dir: String,
+      served: DataFrame): DataFrame =
+    served.withColumn("from_batch", col("vec_id") >= plantOffset(spark, dir))
 
   /** M6: ANN right-to-be-forgotten retraction — m6_index_forget's
     * governance shape applied to the dense side: a forget request (vector
@@ -496,8 +522,8 @@ object Similarity {
     * with vec_id % 13 == 0 (originals and admitted-batch twins both). */
   def annForget(spark: SparkSession, dir: String): DataFrame = {
     val cells = admittedIvfCells(spark, dir, "graft-ann-forget-")
-    ivfCatalogSearch(spark, dir, cells,
-      Some(annTombstoneAdmit(spark, dir, cells)))
+    withFromBatch(spark, dir, ivfCatalogSearch(spark, dir, cells,
+      Some(annTombstoneAdmit(spark, dir, cells))))
   }
 
   /** M6: dense physical purge — the erasure half GDPR actually requires on
@@ -521,7 +547,7 @@ object Similarity {
     Connectors.replaceTable(spark, cells,
       Connectors.readTable(spark, cells).join(
         broadcast(Connectors.readTable(spark, tomb)), Seq("vec_id"), "left_anti"))
-    ivfCatalogSearch(spark, dir, cells, None)
+    withFromBatch(spark, dir, ivfCatalogSearch(spark, dir, cells, None))
   }
 
   /** M6: ANN-index OPTIMIZE — the compaction leg of the dense index
@@ -540,7 +566,7 @@ object Similarity {
   def annCompact(spark: SparkSession, dir: String): DataFrame = {
     val cells = admittedIvfCells(spark, dir, "graft-ann-compact-")
     Connectors.compact(spark, cells)
-    ivfCatalogSearch(spark, dir, cells, None)
+    withFromBatch(spark, dir, ivfCatalogSearch(spark, dir, cells, None))
   }
 
   /** M6: embedding-cosine near-duplicate pairs — the semantic-dedup

@@ -783,6 +783,23 @@ object StreamingJobs {
       src
     })
 
+  /** Staged bounded replay of the embeddings table (vec_id order) — the
+    * vector corpus as a stream, for the streaming ANN admission (m4o). */
+  def stagedEmbeddings(spark: SparkSession, dir: String, nFiles: Int): String =
+    stagedDirs.getOrElseUpdate((dir, nFiles, "embeddings"), {
+      val src = Files.createTempDirectory("graft-stream-src-").toString
+      val bucketed = Tables.embeddings(spark, dir).withColumn(
+        "_file", ntile(nFiles).over(Window.orderBy(col("vec_id"))))
+        .persist()
+      try {
+        (1 to nFiles).foreach { i =>
+          bucketed.filter(col("_file") === i).drop("_file")
+            .coalesce(1).write.mode("append").parquet(src)
+        }
+      } finally bucketed.unpersist()
+      src
+    })
+
   /** M4m: streaming quality gate — the m6_quality_classifier inference
     * topology as a stream: documents arrive in micro-batches, features
     * explode and reduce through the SAME frame-level classifier core
@@ -846,7 +863,8 @@ object StreamingJobs {
               batch.select(col("doc_id"),
                 TextAnalysis.normTokens(col("text")).as("toks"))).persist()
             try {
-              Connectors.appendKeyed(spark, post, delta.coalesce(1), s"b$batchId")
+              Connectors.appendKeyed(spark, post,
+                delta.coalesce(Connectors.deltaFiles(batch.count())), s"b$batchId")
               Connectors.appendKeyed(spark, stats,
                 TextAnalysis.memberStatsOf(delta), s"b$batchId")
             } finally delta.unpersist()
@@ -858,7 +876,58 @@ object StreamingJobs {
     TextAnalysis.bm25CatalogSearch(spark, post, stats)
   }
 
+  /** M4o: streaming ANN-index maintenance — m4n's exactly-once keyed-commit
+    * topology applied to the IVF catalog: embedding vectors arrive in
+    * micro-batches and each batch is assigned to its nearest RELEASE
+    * centroid inside foreachBatch (the quantizer is release-scoped state,
+    * bound ONCE before the stream starts and held across micro-batches —
+    * production IVF admission never re-trains per batch), then committed
+    * through `Connectors.appendKeyed` keyed on the micro-batch id, so a
+    * foreachBatch retry re-admits idempotently. Each generation's file
+    * count scales with the batch (Connectors.deltaFiles — the r15
+    * coalesce(1) lesson applied from birth).
+    *
+    * The drained catalog then serves the fixed nprobe=2 probe workload
+    * through the SAME reader as the batch admissions
+    * (Similarity.ivfCatalogSearch). Because the quantizer is frozen and
+    * each vector's cell rides with its row, the ranking is independent of
+    * the micro-batch partitioning — so the oracle is the release ranker's
+    * (m6_ann_ivf2) VERBATIM: a stream-maintained ANN index must serve
+    * exactly what the batch-built release index serves. */
+  def streamIvfAdmissionQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Connectors, Similarity}
+    configureStreaming(spark)
+    graft.functions.GraftFunctions.register(spark)
+    val src = stagedEmbeddings(spark, dir, 3)
+    val cells = s"${Connectors.scratchCatalog("graft-stream-ivf-")}/cells"
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt-").toString
+    // the frozen release quantizer, resident for the job's lifetime
+    val cents = Similarity.releaseCentroids(spark, dir).persist()
+    try withShufflePartitions(spark, 8) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.persist()
+          try if (!batch.isEmpty) {
+            Connectors.appendKeyed(spark, cells,
+              Similarity.assignToCells(Similarity.withVecNorm(spark, batch), cents)
+                .coalesce(Connectors.deltaFiles(batch.count())),
+              s"b$batchId")
+          } finally batch.unpersist()
+        }
+        .start()
+      q.awaitTermination()
+    } finally cents.unpersist()
+    Similarity.ivfCatalogSearch(spark, dir, cells)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m4o_stream_ivf"       -> streamIvfAdmissionQuery,
     "m4n_stream_index"     -> streamIndexAdmissionQuery,
     "m4m_stream_quality"   -> streamQualityQuery,
     "m4i_stream_cms"       -> streamCmsQuery,
@@ -881,6 +950,12 @@ object StreamingJobs {
     // exactly what the batch-built release index serves.
     "m4n_stream_index" ->
       graft.operators.TextAnalysis.oracles("m6_bm25_topk"),
+    // Identical to the release ANN ranker's oracle: the quantizer is
+    // frozen and cell assignments ride with their rows, so the ranking is
+    // independent of the micro-batch partitioning — a stream-maintained
+    // IVF index must serve exactly what the batch-built index serves.
+    "m4o_stream_ivf" ->
+      graft.operators.Similarity.oracles("m6_ann_ivf2"),
     // Identical to the batch classifier oracle: feature sums are
     // associative, so the drained per-doc state equals the batch scores.
     "m4m_stream_quality" ->

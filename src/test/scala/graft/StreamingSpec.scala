@@ -378,6 +378,36 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(out == Map(1L -> "v1", 2L -> "v0"))
   }
 
+  test("streaming IVF admission is retry-idempotent and serves the release ranking") {
+    import graft.operators.{Connectors, Similarity}
+    val dir = "/root/testdata/sf0.001"
+    val cells = s"${Connectors.scratchCatalog("graft-stream-ivf-spec-")}/cells"
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Similarity.releaseCentroids(spark, dir).persist()
+    try {
+      // two micro-batches split on vec_id parity; batch 0 commits TWICE
+      // with the same key — the foreachBatch retry Spark issues on recovery
+      val b0 = Similarity.assignToCells(
+        Similarity.withVecNorm(spark, emb.filter(col("vec_id") % 2 === 0)), cents)
+      val b1 = Similarity.assignToCells(
+        Similarity.withVecNorm(spark, emb.filter(col("vec_id") % 2 === 1)), cents)
+      Connectors.appendKeyed(spark, cells, b0, "b0")
+      Connectors.appendKeyed(spark, cells, b0, "b0") // the retry: must no-op
+      Connectors.appendKeyed(spark, cells, b1, "b1")
+    } finally cents.unpersist()
+    // exactly-once: no vector admitted twice
+    assert(Connectors.readTable(spark, cells).count() == emb.count(),
+      "retried micro-batch double-admitted its vectors")
+    // the stream-maintained catalog serves the release ranking verbatim —
+    // the m4o oracle-is-the-release-ranker statement, pinned engine-side
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._3))
+    assert(rows(Similarity.ivfCatalogSearch(spark, dir, cells))
+      .sameElements(rows(Similarity.annIvf2(spark, dir))),
+      "stream-maintained IVF catalog diverged from the release index")
+  }
+
   test("sink retry backs off and succeeds after transient failures") {
     import spark.implicits._
     val sink = tmp("retry-sink-")
