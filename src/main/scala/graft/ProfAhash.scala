@@ -76,6 +76,15 @@ object ProfAhash {
     censusOf(hashed, "doc")
     val sigsC = hashed.groupBy("hash_hi", "hash_lo").agg(min("doc_id").as("doc_id"))
     censusOf(sigsC, "sig")
+    // the r16 letterbox quarantine: pad-degenerate images leave the chunk
+    // join entirely — this census is the RESIDUAL candidate volume the
+    // shipped query's quadratic-prone stage actually sees, and the
+    // top_bucket rows show what is left of the all-ones bucket
+    val lbN = hashed.filter(col("letterboxed")).count()
+    println(s"## letterboxed $lbN of $n images quarantined to the exact-signature path")
+    val sigsClean = hashed.filter(!col("letterboxed"))
+      .groupBy("hash_hi", "hash_lo").agg(min("doc_id").as("doc_id"))
+    censusOf(sigsClean, "sig_clean")
     // identical-full-hash clusters: their pair mass is OUTPUT (Hamming 0),
     // quadratic by definition — no blocking scheme can shed it
     val dup = hashed.groupBy("hash_hi", "hash_lo").agg(count(lit(1)).as("m"))
@@ -93,7 +102,9 @@ object ProfAhash {
       // doc-pair expansion; C − B isolates the output-sized expansion
       run(s"B +sig candidate join #$i") {
         val h = Multimodal.ahashHashedOf(spark, corpus)
-        val sigs = h.groupBy("hash_hi", "hash_lo").agg(min("doc_id").as("doc_id"))
+        // the shipped shape: quarantined signatures never enter the join
+        val sigs = h.filter(!col("letterboxed"))
+          .groupBy("hash_hi", "hash_lo").agg(min("doc_id").as("doc_id"))
         val ch = Multimodal.ahashChunksOf(sigs, w)
         noop(ch.as("x").join(ch.as("y"), Seq("c", "chunk"))
           .filter(col("x.doc_id") < col("y.doc_id"))

@@ -120,7 +120,8 @@ object Multimodal {
     }
   }
 
-  final case class AHashRow(doc_id: Long, ok: Boolean, hash_hi: Long, hash_lo: Long)
+  final case class AHashRow(doc_id: Long, ok: Boolean, hash_hi: Long,
+    hash_lo: Long, letterboxed: Boolean)
 
   /** 64-bit block-mean average hash (aHash) of a gray-pixel array: the
     * pixel run splits into 64 floor-boundary blocks (block k spans
@@ -431,15 +432,29 @@ object Multimodal {
       .as[MediaIn]
     media.mapPartitions { rows =>
       val decoder = PpmDecoder // per-partition init point for a real codec
+      val padGray = 3 * 'x'.toInt
       rows.map { m =>
         decoder.grayPixels(m) match {
           case Some(g) =>
             val (hi, lo) = ahashOf(g)
-            AHashRow(m.doc_id, ok = true, hi, lo)
-          case None => AHashRow(m.doc_id, ok = false, 0L, 0L)
+            // the letterbox quarantine flag, from the SAME decoded pixels
+            // (no second decode pass): trailing all-pad rows ≥ 25% of the
+            // frame — the r15-measured degeneracy that drives whole hash
+            // regions to fixed values (see letterboxDetect)
+            val h = g.length / 16
+            def rowPad(r: Int): Boolean = {
+              var k = r * 16; val end = k + 16
+              while (k < end && g(k) == padGray) k += 1
+              k == end
+            }
+            var r = h - 1
+            while (r >= 0 && rowPad(r)) r -= 1
+            AHashRow(m.doc_id, ok = true, hi, lo, (h - 1 - r) * 4 >= h)
+          case None => AHashRow(m.doc_id, ok = false, 0L, 0L, letterboxed = false)
         }
       }
-    }.toDF().filter(col("ok")).select("doc_id", "hash_hi", "hash_lo")
+    }.toDF().filter(col("ok"))
+      .select("doc_id", "hash_hi", "hash_lo", "letterboxed")
   }
 
   /** The w-bit chunk explode over the hashed signatures (Manku blocking). */
@@ -462,12 +477,27 @@ object Multimodal {
   /** Signature-collapsed candidate generation + exact Hamming verification
     * (see the ahashNearDup docstring for the measured skew rationale): the
     * chunk join and the bit_count verify run over DISTINCT signatures;
-    * doc-level pairs are reconstituted by output-sized joins at the end. */
+    * doc-level pairs are reconstituted by output-sized joins at the end.
+    *
+    * Letterbox quarantine (r16): pad-degenerate images — the measured
+    * driver of the residual all-ones chunk bucket (ProfAhash: even after
+    * signature collapse, one bucket holds the bulk of remaining candidate
+    * mass, all of it pad-tail signatures) — are EXCLUDED from the chunk
+    * join and route to the exact-signature path only: a quarantined
+    * image's perceptual hash says "mostly pad", so its near-matches are
+    * pad coincidences, not content duplicates, while verbatim re-encodes
+    * (the true positives for degenerate frames) still surface at
+    * Hamming 0 through the identical-signature path that covers ALL
+    * images. The production shape letterboxDetect's docstring names:
+    * quarantine BEFORE blocking keeps perceptual buckets un-degenerate. */
   private[graft] def ahashPairs(hashed: DataFrame, w: Int): DataFrame = {
     val nchunks = 64 / w
-    // one row per distinct signature, keyed for the candidate join by its
-    // smallest member doc_id (any total order works; min is deterministic)
-    val sigs = hashed.groupBy("hash_hi", "hash_lo")
+    // one row per distinct signature OF THE CLEAN (non-letterboxed) docs,
+    // keyed for the candidate join by its smallest clean member doc_id
+    // (any total order works; min is deterministic) — doc-level gating,
+    // mirrored per doc by the oracle.
+    val clean = hashed.filter(!col("letterboxed"))
+    val sigs = clean.groupBy("hash_hi", "hash_lo")
       .agg(min("doc_id").as("doc_id"))
     val chunks = ahashChunksOf(sigs, w)
     // candidate SIGNATURE pairs: chunk-bucketed, Hamming-verified once per
@@ -486,13 +516,14 @@ object Multimodal {
       .filter(col("u.doc_id") < col("v.doc_id"))
       .select(col("u.doc_id").as("doc_a"), col("v.doc_id").as("doc_b"),
         lit(0).as("hamming"))
-    // cross-group doc pairs: every member of signature a × every member of
-    // signature b — output-sized by construction (each doc pair appears
-    // once: distinct signatures, deduped signature pairs)
+    // cross-group doc pairs: every CLEAN member of signature a × every
+    // CLEAN member of signature b — output-sized by construction (each doc
+    // pair appears once: distinct signatures, deduped signature pairs);
+    // quarantined docs never cross-pair, by design
     val cross = sigPairs
-      .join(hashed.as("ma"),
+      .join(clean.as("ma"),
         col("a_hi") === col("ma.hash_hi") && col("a_lo") === col("ma.hash_lo"))
-      .join(hashed.as("mb"),
+      .join(clean.as("mb"),
         col("b_hi") === col("mb.hash_hi") && col("b_lo") === col("mb.hash_lo"))
       .select(
         least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
@@ -515,7 +546,13 @@ object Multimodal {
     // Full aHash replay: same framing, same exact integer block-mean bits,
     // same adaptive chunk geometry (count >= 4096, the simhashChunkBits
     // rule), candidate chunks re-assembled from the bit vector, Hamming as
-    // the differing-bit count over the same 64 bits.
+    // the differing-bit count over the same 64 bits. Letterbox quarantine
+    // replayed per doc: pad-degenerate images (trailing all-360 gray rows
+    // >= 25% of the frame — the letterboxDetect rule over the SAME gray
+    // list) are excluded from the chunk join; identical-signature pairs
+    // (Hamming 0) come from a bv-equality leg that covers ALL images, the
+    // exact-signature path quarantined docs route to. The two legs are
+    // disjoint (distinct signatures have Hamming >= 1).
     "m7_ahash_neardup" ->
       """WITH ascii_docs AS (
            SELECT doc_id, text FROM documents
@@ -540,6 +577,11 @@ object Multimodal {
                    + unicode(px[CAST(3*j+2 AS INTEGER)])
                    + unicode(px[CAST(3*j+3 AS INTEGER)])) AS gr
                FROM img),
+         lb AS (SELECT doc_id,
+                  (n // 16 - 1 - (list_max(list_transform(range(0, n), j ->
+                     CASE WHEN gr[CAST(j+1 AS INTEGER)] <> 360 THEN j ELSE -1 END)) // 16))
+                    * 4 >= n // 16 AS letterboxed
+                FROM g),
          t AS (SELECT doc_id, n, gr, list_sum(gr) AS tot FROM g),
          bits AS (SELECT doc_id,
                     list_transform(range(0, 64), k ->
@@ -550,8 +592,9 @@ object Multimodal {
          chunks AS (SELECT doc_id, bv, c,
                       list_sum(list_transform(range(0, w), tt ->
                         bv[CAST(c*w + tt + 1 AS INTEGER)] * (1 << CAST(tt AS INTEGER)))) AS chunk
-                    FROM bits, geom, (SELECT unnest(range(0, 8)) AS c) cl
-                    WHERE c < nchunks),
+                    FROM bits JOIN lb USING (doc_id), geom,
+                         (SELECT unnest(range(0, 8)) AS c) cl
+                    WHERE c < nchunks AND NOT letterboxed),
          cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
                   FROM chunks x JOIN chunks y ON x.c = y.c AND x.chunk = y.chunk
                   WHERE x.doc_id < y.doc_id),
@@ -561,7 +604,10 @@ object Multimodal {
                  FROM cand JOIN bits a ON a.doc_id = cand.doc_a
                            JOIN bits b ON b.doc_id = cand.doc_b)
          SELECT doc_a, doc_b, hamming
-         FROM ham, geom WHERE hamming <= nchunks - 1""",
+         FROM ham, geom WHERE hamming <= nchunks - 1 AND hamming > 0
+         UNION ALL
+         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, 0 AS hamming
+         FROM bits x JOIN bits y ON x.bv = y.bv AND x.doc_id < y.doc_id""",
     // sha256 of the text's UTF-8 bytes == sha256 of the encoded blob.
     "m7_binary_meta" ->
       """SELECT doc_id,

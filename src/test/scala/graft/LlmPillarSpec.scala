@@ -1200,15 +1200,19 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     assert(TextAnalysis.packShards(Tables.documents(spark, dir).count()) == 8)
   }
 
-  test("aHash near-dup: exact re-encodes at Hamming 0, perturbed frames recalled") {
+  test("aHash near-dup: exact re-encodes at Hamming 0, perturbed frames recalled, quarantine bites") {
     val out = Multimodal.ahashNearDup(spark, dir).cache()
+    val lb = Multimodal.ahashHashedOf(spark, Multimodal.ahashCorpus(spark, dir))
+      .select("doc_id", "letterboxed").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     try {
       val docs = Tables.documents(spark, dir).select("doc_id")
       val exactIds = docs.filter(col("doc_id") % 31 === 0)
         .collect().map(_.getLong(0))
       val pairs = out.select("doc_a", "doc_b", "hamming").collect()
         .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
-      // every verbatim re-encode collides with its source at distance 0
+      // every verbatim re-encode collides with its source at distance 0 —
+      // the exact-signature path covers letterboxed images too
       exactIds.foreach { id =>
         assert(pairs.get((id, id + 5000000)).contains(0),
           s"exact re-encode of $id not found at Hamming 0")
@@ -1217,33 +1221,51 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
       val n = Tables.documents(spark, dir).count() * 2 // corpus < 4096 here
       assert(n < 4096, "fixture should exercise the 8-bit-chunk config")
       assert(pairs.values.forall(_ <= 7), "pair beyond the Hamming bound")
-      // two-pixel perturbation: most mutated plants stay inside the radius
+      // the quarantine bites: no cross-signature pair (hamming > 0) may
+      // touch a letterboxed endpoint — those route to the exact path only
+      pairs.foreach { case ((a, b), h) =>
+        if (h > 0) assert(!lb(a) && !lb(b),
+          s"cross pair ($a,$b) has a quarantined endpoint")
+      }
+      // two-pixel perturbation: most UN-QUARANTINED mutated plants stay
+      // inside the radius (pairs with a letterboxed endpoint are
+      // quarantined by design — their hash is mostly pad, not content)
       val mutIds = docs.filter(col("doc_id") % 23 === 0)
         .collect().map(_.getLong(0))
+        .filter(id => !lb(id) && !lb(id + 4000000))
+      assert(mutIds.nonEmpty, "every planted mutant pair got quarantined — vacuous recall")
       val recalled = mutIds.count(id => pairs.contains((id, id + 4000000)))
       assert(recalled.toDouble / mutIds.length >= 0.8,
-        s"only $recalled/${mutIds.length} perturbed frames recalled")
+        s"only $recalled/${mutIds.length} clean perturbed frames recalled")
     } finally out.unpersist()
   }
 
   test("aHash signature-collapsed blocking is pair-for-pair the naive doc-keyed join") {
     // the r15 skew fix (collapse identical signatures before the chunk
-    // join, expand doc pairs afterwards) must be output-invariant: same
-    // pair set, same hamming values, each pair exactly once
+    // join, expand doc pairs afterwards) must be output-invariant against
+    // the naive doc-keyed shape UNDER THE SAME QUARANTINE: same pair set,
+    // same hamming values, each pair exactly once. The naive reference is
+    // (a) the doc-keyed chunk join over clean docs for cross-signature
+    // pairs, plus (b) identical-signature pairs over ALL docs at 0.
     import graft.operators.{Dedup, Multimodal}
     val corpus = Multimodal.ahashCorpus(spark, dir)
     val w = Dedup.simhashChunkBits(corpus.count())
     val hashed = Multimodal.ahashHashedOf(spark, corpus).cache()
     try {
       val nchunks = 64 / w
-      val chunks = Multimodal.ahashChunksOf(hashed, w)
-      val naive = chunks.as("x").join(chunks.as("y"), Seq("c", "chunk"))
+      val chunks = Multimodal.ahashChunksOf(hashed.filter(!col("letterboxed")), w)
+      val cross = chunks.as("x").join(chunks.as("y"), Seq("c", "chunk"))
         .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           (bit_count(col("x.hash_hi").bitwiseXOR(col("y.hash_hi"))) +
            bit_count(col("x.hash_lo").bitwiseXOR(col("y.hash_lo")))).as("hamming"))
-        .filter(col("hamming") <= nchunks - 1)
+        .filter(col("hamming") <= nchunks - 1 && col("hamming") > 0)
         .dropDuplicates("doc_a", "doc_b")
+      val within = hashed.as("u").join(hashed.as("v"), Seq("hash_hi", "hash_lo"))
+        .filter(col("u.doc_id") < col("v.doc_id"))
+        .select(col("u.doc_id").as("doc_a"), col("v.doc_id").as("doc_b"),
+          lit(0).as("hamming"))
+      val naive = cross.unionAll(within)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
       val collapsed = Multimodal.ahashPairs(hashed, w)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
@@ -1252,6 +1274,7 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
       assert(collapsed.toMap == naive,
         s"pair sets differ: naive ${naive.size}, collapsed ${collapsed.length}")
       assert(naive.nonEmpty, "fixture produced no pairs — vacuous equivalence")
+      assert(naive.values.exists(_ > 0), "no cross-signature pair survived — vacuous")
     } finally hashed.unpersist()
   }
 
