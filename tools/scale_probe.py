@@ -77,10 +77,14 @@ QUERIES = ",".join([
     # round-15 batch 2: incremental IVF admission, corpus release diff,
     # and the streaming index-admission drain
     "m6_incremental_ivf", "m6_release_diff", "m4n_stream_index",
+    "m4o_stream_ivf",
     # round-15 batch 3: index-lifecycle governance (compact/forget on both
     # retrieval sides) and audio silence segmentation
     "m6_index_compact", "m6_index_forget", "m6_index_purge", "m6_ann_forget",
     "m7_silence_segments", "m7_letterbox_detect", "m6_audit_sample",
+    # round-16 additions: dense-side lifecycle close (purge/compact);
+    # m7_ahash_neardup (already listed) re-measures under the quarantine
+    "m6_ann_purge", "m6_ann_compact",
 ])
 
 

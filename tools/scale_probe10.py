@@ -72,6 +72,9 @@ QUERIES = ",".join([
     # retrieval sides) and audio silence segmentation
     "m6_index_compact", "m6_index_forget", "m6_index_purge", "m6_ann_forget",
     "m7_silence_segments", "m7_letterbox_detect", "m6_audit_sample",
+    # round-16 additions: dense-side lifecycle close (purge/compact);
+    # m7_ahash_neardup (already listed) re-measures under the quarantine
+    "m6_ann_purge", "m6_ann_compact",
 ])
 
 
