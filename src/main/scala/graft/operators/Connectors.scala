@@ -379,9 +379,36 @@ object Connectors {
   def readTable(spark: SparkSession, targetDir: String): DataFrame =
     currentRef(targetDir) match {
       case None => spark.read.parquet(targetDir)
-      case Some(gen) if !gen.startsWith("_manifest-") =>
+      case Some(ref) => readSnapshot(spark, targetDir, ref)
+    }
+
+  /** The current snapshot's ref — the thing a reader pins to time-travel
+    * back to this exact state later (the snapshot id every table format's
+    * AS OF read takes). Capture it BEFORE the next commit: retention is
+    * one commit window (sweepStale), exactly like a table format's
+    * VACUUM horizon. */
+  def currentSnapshot(targetDir: String): Option[String] = currentRef(targetDir)
+
+  /** Time travel: read a RETAINED snapshot by its captured ref — the
+    * `SELECT ... VERSION AS OF` production shape. The named snapshot is
+    * immutable once committed (generations and manifests are never edited,
+    * only superseded), so this read serves exactly the bytes the snapshot
+    * served when it was current; refs older than the one-commit retention
+    * window have been swept and fail loudly at read. */
+  def readTableAsOf(spark: SparkSession, targetDir: String,
+      ref: String): DataFrame = {
+    require(Files.exists(Paths.get(targetDir, ref)),
+      s"snapshot $ref of $targetDir is not retained (swept past the " +
+        "one-commit retention window, or never committed)")
+    readSnapshot(spark, targetDir, ref)
+  }
+
+  private def readSnapshot(spark: SparkSession, targetDir: String,
+      ref: String): DataFrame =
+    ref match {
+      case gen if !gen.startsWith("_manifest-") =>
         spark.read.parquet(s"$targetDir/$gen")
-      case Some(m) =>
+      case m =>
         val members = readManifest(Paths.get(targetDir, m))
         val reads = members.groupBy(_._1).toSeq.sortBy(_._1).map {
           case (relDir, entries) =>
@@ -667,6 +694,40 @@ object Connectors {
       .select(col("user_id"), col("day"), col("total_value"), col("cnt"))
   }
 
+  /** S18: snapshot time travel — the `VERSION AS OF` read every table
+    * format serves and every audit/debug/reproduce-the-training-run
+    * workflow depends on: a reader captures the current snapshot ref
+    * (`currentSnapshot`), later commits append new members, and the AS-OF
+    * read of the captured ref serves EXACTLY the rows the snapshot served
+    * when it was current — append-only history means time travel is a
+    * pointer dereference, zero data copied, O(1) metadata. Retention is
+    * the protocol's one-commit window (the VACUUM-horizon production
+    * analog; an older ref fails loudly rather than reading swept bytes).
+    * The query emits both reads side by side — the v1 history (pre-cutoff
+    * days only, tagged 'v1') and the current snapshot (all days, 'v2') —
+    * so the oracle's replay pins the invariant that the append did not
+    * perturb the historical read. Cutoff day-aligned (s16 discipline) so
+    * no (user_id, day) group spans the two generations. */
+  def timeTravelRead(spark: SparkSession, dir: String): DataFrame = {
+    val target = Files.createTempDirectory("graft-timetravel-").toString
+    val events = Tables.eventsWithRawTs(spark, dir)
+    val cut = "2024-01-21 00:00:00"
+    require(cut.endsWith(" 00:00:00"),
+      s"timeTravelRead cutoff '$cut' is not midnight-aligned: a (user_id, day) " +
+        "group would span the two snapshots and double-count in v2")
+    val c = lit(Tables.rawTs(cut))
+    appendTo(spark, target,
+      dailyTotals(events.filter(col("ts_raw") < c)).coalesce(1))
+    val v1 = currentSnapshot(target).get // pin BEFORE the next commit
+    appendTo(spark, target,
+      dailyTotals(events.filter(col("ts_raw") >= c || col("ts_raw").isNull))
+        .coalesce(1))
+    readTableAsOf(spark, target, v1).withColumn("snapshot", lit("v1"))
+      .unionAll(readTable(spark, target).withColumn("snapshot", lit("v2")))
+      .select(col("snapshot"), col("user_id"), col("day"),
+        col("total_value"), col("cnt"))
+  }
+
   /** S9: sync-watermark bookkeeping (mongo_to_postgres_sync.py:241-294):
     * one row — the previous high watermark, the rows the next batch picks up
     * beyond it, and the advanced watermark (max event time of the batch).
@@ -828,6 +889,7 @@ object Connectors {
     "s8_upsert_sink"        -> upsertSink,
     "s16_compact_roundtrip" -> compactRoundtrip,
     "s17_schema_evolution" -> schemaEvolution,
+    "s18_time_travel"      -> timeTravelRead,
     "s9_sync_watermark"     -> syncWatermark,
     "s12_partitioned_output" -> partitionedOutput)
 
@@ -897,6 +959,19 @@ object Connectors {
           CAST(count(*) AS BIGINT) AS cnt
           FROM events WHERE ts >= TIMESTAMP '2024-01-21 00:00:00' OR ts IS NULL
           GROUP BY 1, 2""",
+    // The AS-OF read serves exactly the pre-append snapshot (v1: pre-cutoff
+    // days only); the current read serves everything (v2) — appends must
+    // never perturb retained history.
+    "s18_time_travel" ->
+      s"""SELECT 'v1' AS snapshot, user_id, CAST(ts AS DATE) AS day,
+          ${Exact.sqlRnd(Exact.sqlSum("value"), 2)} AS total_value,
+          count(*) AS cnt
+          FROM events WHERE ts < TIMESTAMP '2024-01-21 00:00:00' GROUP BY 2, 3
+          UNION ALL
+          SELECT 'v2' AS snapshot, user_id, CAST(ts AS DATE) AS day,
+          ${Exact.sqlRnd(Exact.sqlSum("value"), 2)} AS total_value,
+          count(*) AS cnt
+          FROM events GROUP BY 2, 3""",
     // The compacted read-back must equal the never-fragmented aggregation.
     "s16_compact_roundtrip" ->
       s"""SELECT user_id, CAST(ts AS DATE) AS day,

@@ -1626,24 +1626,37 @@ object TextAnalysis {
   /** The forget-request admission shared by m6_index_forget and
     * m6_index_purge: tombstone ids + the negative stats row, two atomic
     * appends, O(forget) work. Returns the tombstone table dir. */
-  private def tombstoneAdmit(spark: SparkSession, dir: String,
-      post: String, stats: String): String = {
-    // the tombstone table is a SIBLING of the postings table in the same
-    // catalog root — fail fast if a caller ever passes a postings dir this
-    // derivation can't invert (r15 ADVICE: a silent stripSuffix no-op would
-    // land the tombstones inside an unrelated path)
+  /** The tombstone table is a SIBLING of the postings table in the same
+    * catalog root — fail fast if a caller ever passes a postings dir this
+    * derivation can't invert (r15 ADVICE: a silent stripSuffix no-op would
+    * land the tombstones inside an unrelated path). */
+  private[graft] def tombstoneDirOf(post: String): String = {
     require(post.endsWith("/postings"),
-      s"tombstoneAdmit expects a .../postings table dir, got: $post")
-    val tomb = s"${post.stripSuffix("/postings")}/tombstones"
-    val forgotten = Tables.fanout(Tables.documents(spark, dir))
+      s"expected a .../postings table dir, got: $post")
+    s"${post.stripSuffix("/postings")}/tombstones"
+  }
+
+  /** The forget-request payload shared by the batch admission and the
+    * streaming one (m4p): every catalog doc with doc_id % 13 == 0
+    * (originals and admitted-batch twins both), each carrying its token
+    * count — everything the stats correction needs rides WITH the request,
+    * O(forget), the corpus is never re-scanned. */
+  private[graft] def forgetRequest(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanout(Tables.documents(spark, dir))
       .filter(col("doc_id") % 13 === 0)
       .select(col("doc_id"), normTokens(col("text")).as("toks"))
       .unionAll(arrivingDocTokens(spark, dir).filter(col("doc_id") % 13 === 0))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+
+  private def tombstoneAdmit(spark: SparkSession, dir: String,
+      post: String, stats: String): String = {
+    val tomb = tombstoneDirOf(post)
+    val forgotten = forgetRequest(spark, dir)
     Connectors.appendTo(spark, tomb, forgotten.select("doc_id"))
     Connectors.appendTo(spark, stats, forgotten
-      .filter(size(col("toks")) > 0) // nd never counted token-less docs
+      .filter(col("n_tokens") > 0) // nd never counted token-less docs
       .agg((-count(lit(1))).as("n_docs"),
-        (-coalesce(sum(size(col("toks")).cast("long")), lit(0L))).as("tot_tokens")))
+        (-coalesce(sum(col("n_tokens")), lit(0L))).as("tot_tokens")))
     tomb
   }
 

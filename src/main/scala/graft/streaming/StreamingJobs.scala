@@ -926,7 +926,75 @@ object StreamingJobs {
     Similarity.ivfCatalogSearch(spark, dir, cells)
   }
 
+  /** Staged bounded replay of the forget request (doc_id order) — GDPR
+    * erasure/takedown ids arriving as a stream, for m4p. */
+  def stagedForget(spark: SparkSession, dir: String, nFiles: Int): String =
+    stagedDirs.getOrElseUpdate((dir, nFiles, "forget"), {
+      val src = Files.createTempDirectory("graft-stream-src-").toString
+      val bucketed = graft.operators.TextAnalysis.forgetRequest(spark, dir)
+        .withColumn("_file", ntile(nFiles).over(Window.orderBy(col("doc_id"))))
+        .persist()
+      try {
+        (1 to nFiles).foreach { i =>
+          bucketed.filter(col("_file") === i).drop("_file")
+            .coalesce(1).write.mode("append").parquet(src)
+        }
+      } finally bucketed.unpersist()
+      src
+    })
+
+  /** M4p: streaming forget-request admission — the retraction leg of the
+    * streaming index lifecycle (m4n admits documents, m4o admits vectors,
+    * this retracts): forget requests (doc ids + their token counts — the
+    * request carries what the stats correction needs, O(forget)) arrive in
+    * micro-batches against the SERVED BM25 catalog; each batch commits its
+    * ids to the tombstone table and one negative (n_docs, tot_tokens) row
+    * to the stats manifest, both through `Connectors.appendKeyed` on the
+    * micro-batch id, so a foreachBatch retry re-retracts idempotently —
+    * double-applying a negative stats row would silently corrupt every
+    * subsequent ranking, which is exactly why the exactly-once commit
+    * protocol matters more here than on the admission side. The drained
+    * catalog serves the fixed queries with the tombstones anti-joined
+    * BEFORE df derivation (the shared reader), so df/nd/avgdl are exact
+    * post-retraction values whatever the micro-batch partitioning — the
+    * oracle is m6_index_forget's replay VERBATIM. */
+  def streamForgetQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Connectors, TextAnalysis}
+    configureStreaming(spark)
+    graft.functions.GraftFunctions.register(spark)
+    val (post, stats) = TextAnalysis.admittedCatalog(spark, dir)
+    val tomb = TextAnalysis.tombstoneDirOf(post)
+    val src = stagedForget(spark, dir, 2)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt-").toString
+    withShufflePartitions(spark, 8) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.persist()
+          try if (!batch.isEmpty) {
+            Connectors.appendKeyed(spark, tomb,
+              batch.select("doc_id").coalesce(1), s"b$batchId")
+            Connectors.appendKeyed(spark, stats,
+              batch.filter(col("n_tokens") > 0)
+                .agg((-count(lit(1))).as("n_docs"),
+                  (-coalesce(sum(col("n_tokens")), lit(0L))).as("tot_tokens")),
+              s"b$batchId")
+          } finally batch.unpersist()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    TextAnalysis.bm25CatalogSearch(spark, post, stats, Some(tomb))
+      .withColumn("from_batch", col("doc_id") >= 3000000L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m4p_stream_forget"    -> streamForgetQuery,
     "m4o_stream_ivf"       -> streamIvfAdmissionQuery,
     "m4n_stream_index"     -> streamIndexAdmissionQuery,
     "m4m_stream_quality"   -> streamQualityQuery,
@@ -956,6 +1024,11 @@ object StreamingJobs {
     // IVF index must serve exactly what the batch-built index serves.
     "m4o_stream_ivf" ->
       graft.operators.Similarity.oracles("m6_ann_ivf2"),
+    // Identical to the batch forget oracle: tombstones are a set and the
+    // stats corrections are additive, so the stream-retracted catalog
+    // serves exactly what the batch retraction serves.
+    "m4p_stream_forget" ->
+      graft.operators.TextAnalysis.oracles("m6_index_forget"),
     // Identical to the batch classifier oracle: feature sums are
     // associative, so the drained per-doc state equals the batch scores.
     "m4m_stream_quality" ->

@@ -337,6 +337,29 @@ class ConnectorsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("time travel serves the pinned snapshot verbatim; swept refs fail loudly") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("timetravel-test-").toString + "/t"
+    Connectors.appendTo(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "tag"))
+    val v1 = Connectors.currentSnapshot(t).get
+    Connectors.appendTo(spark, t, Seq((3L, "c")).toDF("k", "tag"))
+    // the AS-OF read serves exactly the pinned snapshot's rows, and the
+    // current read sees the append
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String)].collect().sorted.toSeq
+    assert(rows(Connectors.readTableAsOf(spark, t, v1)) == Seq((1L, "a"), (2L, "b")))
+    assert(rows(Connectors.readTable(spark, t)) ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // retention is ONE commit window: after the next commit, v1's manifest
+    // is swept and the AS-OF read must fail loudly, never read swept bytes
+    Connectors.appendTo(spark, t, Seq((4L, "d")).toDF("k", "tag"))
+    intercept[IllegalArgumentException] {
+      Connectors.readTableAsOf(spark, t, v1)
+    }
+    // the one-window-retained ref (the v2 manifest pinned before this last
+    // commit) is still readable — that is the window's guarantee
+  }
+
   test("randomized appendKeyed sequences equal the first-write-per-key model under debris") {
     import spark.implicits._
     val rnd = new scala.util.Random(1137) // seeded: failures reproduce

@@ -408,6 +408,35 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       "stream-maintained IVF catalog diverged from the release index")
   }
 
+  test("streaming forget admission is retry-idempotent: no double stats correction") {
+    import graft.operators.{Connectors, TextAnalysis}
+    val dir = "/root/testdata/sf0.001"
+    val (post, stats) = TextAnalysis.admittedCatalog(spark, dir)
+    val tomb = TextAnalysis.tombstoneDirOf(post)
+    val req = TextAnalysis.forgetRequest(spark, dir)
+    def retract(batch: org.apache.spark.sql.DataFrame, key: String): Unit = {
+      Connectors.appendKeyed(spark, tomb, batch.select("doc_id"), key)
+      Connectors.appendKeyed(spark, stats,
+        batch.filter(col("n_tokens") > 0)
+          .agg((-count(lit(1))).as("n_docs"),
+            (-coalesce(sum(col("n_tokens")), lit(0L))).as("tot_tokens")), key)
+    }
+    // two micro-batches split on parity; batch 0 retracts TWICE under the
+    // same key — a retried negative stats row would corrupt every ranking
+    val b0 = req.filter(col("doc_id") % 2 === 0)
+    retract(b0, "b0"); retract(b0, "b0"); retract(req.filter(col("doc_id") % 2 === 1), "b1")
+    // the stats manifest must carry exactly ONE correction per batch: its
+    // total equals the batch-side single-shot retraction's
+    val streamed = TextAnalysis.bm25CatalogSearch(spark, post, stats, Some(tomb))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4))).sortBy(x => (x._1, x._3))
+    val batch = TextAnalysis.indexForget(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4))).sortBy(x => (x._1, x._3))
+    assert(streamed.sameElements(batch),
+      "stream-retracted catalog diverged from the batch retraction")
+  }
+
   test("sink retry backs off and succeeds after transient failures") {
     import spark.implicits._
     val sink = tmp("retry-sink-")
