@@ -77,7 +77,7 @@ QUERIES = ",".join([
     # round-15 batch 2: incremental IVF admission, corpus release diff,
     # and the streaming index-admission drain
     "m6_incremental_ivf", "m6_release_diff", "m4n_stream_index",
-    "m4o_stream_ivf",
+    "m4o_stream_ivf", "m4p_stream_forget",
     # round-15 batch 3: index-lifecycle governance (compact/forget on both
     # retrieval sides) and audio silence segmentation
     "m6_index_compact", "m6_index_forget", "m6_index_purge", "m6_ann_forget",
