@@ -137,7 +137,8 @@ object Bench {
       "m6_bpe_fertility", "m6_pack_bpe", "m6_bm25_topk", "m6_phrase_search",
       "m6_rrf_fusion", "m6_dsir_weights", "m6_incremental_index",
       "m6_rrf_fusion_ann", "m6_index_compact", "m6_index_forget",
-      "m6_index_purge", "m4p_stream_forget")
+      "m6_index_purge", "m4p_stream_forget", "m6_dedup_forget",
+      "m6_dedup_purge")
     val annFamily = Set("m6_ann_ivf", "m6_ann_ivf2", "m6_ivf_stats", "m6_ann_pq",
       "m6_ann_ivfpq", "m6_ann_ivfpq_rerank", "m6_ann_eval", "m6_rrf_fusion_ann",
       "m6_incremental_ivf", "m6_ann_forget", "m6_ann_purge", "m6_ann_compact")

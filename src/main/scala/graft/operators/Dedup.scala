@@ -483,6 +483,81 @@ object Dedup {
     admissionDecisions(batch2, batchBaseOf(batch2), catSigs, catShingles)
   }
 
+  /** M6: dedup-catalog right-to-be-forgotten — the governance leg of the
+    * THIRD index family (BM25 and ANN both forget; the dedup staging
+    * catalog previously only admitted): a forget request (erased corpus
+    * doc ids) commits as ONE atomic tombstone append — O(forget), ids
+    * only; signatures and shingle sets stay physically in place until the
+    * next compaction, the deletion-vector shape throughout this repo —
+    * and the admission path anti-joins the broadcast tombstones off BOTH
+    * catalog reads (signature bands for candidate generation, shingle
+    * sets for verification) BEFORE any comparison. The semantic
+    * consequence is the important one: a forgotten document no longer
+    * blocks re-admission of its own content — the forget set here
+    * (corpus doc_id % 20 == 0) is exactly the verbatim-twin reject set of
+    * the standard arriving batch, so those batch docs FLIP to admitted
+    * (their only corpus match is tombstoned) while the half-text
+    * decisions are untouched (LlmPillarSpec pins the flip against
+    * m6_incremental_dedup's decisions). The oracle replays admission from
+    * raw text with the forgotten docs absent — the same
+    * erased-means-never-indexed statement m6_index_forget makes. */
+  def dedupForget(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    DedupStaging.minhashSigs(spark, dir); DedupStaging.shingleBase(spark, dir)
+    val cat = Connectors.scratchCatalog("graft-dedup-forget-")
+    val sigsT = s"$cat/sigs"; val shT = s"$cat/shingles"
+    val tombT = s"$cat/tombstones"
+    Connectors.appendMemberRef(spark, sigsT,
+      DedupStaging.committedDataDir(dir, "minhash_sigs").get)
+    Connectors.appendMemberRef(spark, shT,
+      DedupStaging.committedDataDir(dir, "shingle3").get)
+    Connectors.appendTo(spark, tombT,
+      Tables.documents(spark, dir).filter(col("doc_id") % 20 === 0)
+        .select("doc_id"))
+    val tomb = Connectors.readTable(spark, tombT)
+    val catSigs = Connectors.readTable(spark, sigsT)
+      .select(col("doc_id") +: (0 until MinhashK).map(j => col(s"h$j")): _*)
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+    val catShingles = Connectors.readTable(spark, shT).select("doc_id", "hs")
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+    val batch = arrivingBatch(spark, dir, 3000000, halfAll = false)
+    admissionDecisions(batch, batchBaseOf(batch), catSigs, catShingles)
+  }
+
+  /** M6: dedup-catalog physical purge — m6_index_purge's twin on the third
+    * index family: the tombstones m6_dedup_forget serves around are
+    * APPLIED at the rewrite (signature and shingle tables republished
+    * without the forgotten docs through the atomic pointer flip), and the
+    * admission then runs with NO tombstone anti-join at all — the
+    * forgotten docs' signatures and shingle sets are gone from the served
+    * snapshot, not merely masked. Decisions are identical before and
+    * after — the oracle is m6_dedup_forget's replay VERBATIM, the
+    * bytes-not-answers statement all three purge legs now make. */
+  def dedupPurge(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    DedupStaging.minhashSigs(spark, dir); DedupStaging.shingleBase(spark, dir)
+    val cat = Connectors.scratchCatalog("graft-dedup-purge-")
+    val sigsT = s"$cat/sigs"; val shT = s"$cat/shingles"
+    val tombT = s"$cat/tombstones"
+    Connectors.appendMemberRef(spark, sigsT,
+      DedupStaging.committedDataDir(dir, "minhash_sigs").get)
+    Connectors.appendMemberRef(spark, shT,
+      DedupStaging.committedDataDir(dir, "shingle3").get)
+    Connectors.appendTo(spark, tombT,
+      Tables.documents(spark, dir).filter(col("doc_id") % 20 === 0)
+        .select("doc_id"))
+    val tomb = Connectors.readTable(spark, tombT)
+    Seq(sigsT, shT).foreach { t =>
+      Connectors.replaceTable(spark, t, Connectors.readTable(spark, t)
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti"))
+    }
+    val catSigs = Connectors.readTable(spark, sigsT)
+      .select(col("doc_id") +: (0 until MinhashK).map(j => col(s"h$j")): _*)
+    val catShingles = Connectors.readTable(spark, shT).select("doc_id", "hs")
+    val batch = arrivingBatch(spark, dir, 3000000, halfAll = false)
+    admissionDecisions(batch, batchBaseOf(batch), catSigs, catShingles)
+  }
+
   /** M6: near-dup CONNECTED COMPONENTS — what production dedup actually
     * ships: pair detection induces an undirected graph, and the keep-one
     * decision is made per COMPONENT (a,b and b,c near-dup ⇒ a,b,c are one
@@ -862,6 +937,8 @@ object Dedup {
     "m6_minhash_dedup" -> minhashDedup,
     "m6_simhash_pairs" -> simhashPairs,
     "m6_incremental_dedup" -> incrementalDedup,
+    "m6_dedup_forget" -> dedupForget,
+    "m6_dedup_purge" -> dedupPurge,
     "m6_incremental_commit" -> incrementalCommit,
     "m6_dup_clusters"  -> dupClusters,
     "m6_cluster_keep_best" -> clusterKeepBest,
@@ -978,6 +1055,22 @@ object Dedup {
                    FROM pairs)
         SELECT doc_a, doc_b, ${sqlRnd("jac", 4)} AS jaccard
         FROM scored WHERE jac >= 0.8"""
+
+  /** The dedup-forget replay, shared VERBATIM by m6_dedup_purge (the purge
+    * changes bytes, not answers). */
+  private lazy val DedupForgetOracle: String =
+    s"""WITH sh AS (SELECT doc_id, $shSql AS s FROM documents
+                      WHERE doc_id % 20 <> 0),
+          hs AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${sqlMd5Fold60("x")})) AS h FROM sh),
+          csigs AS (${sqlSigs("hs")}),
+          cb AS (${sqlBands("csigs")}),
+          batch AS (${sqlBatch(3000000, halfAll = false)}),
+          bsh AS (SELECT doc_id, $shSql AS s FROM batch),
+          bhs AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${sqlMd5Fold60("x")})) AS h FROM bsh),
+          bsigs AS (${sqlSigs("bhs")}),
+          nb AS (${sqlBands("bsigs")}),
+          ${sqlAdmission("1", "nb", "cb", "bhs", "hs")}
+          ${sqlAdmissionSelect("batch", "m1")}"""
 
   val oracles: Map[String, String] = Map(
     // Sketch-merge replay: the same folds and XOR seeds as the minhash
@@ -1113,6 +1206,15 @@ object Dedup {
           nb AS (${sqlBands("bsigs")}),
           ${sqlAdmission("1", "nb", "cb", "bhs", "hs")}
           ${sqlAdmissionSelect("batch", "m1")}""",
+    // The forget replay: the incremental-admission oracle with the
+    // forgotten docs (doc_id % 20 = 0) ABSENT from the corpus side —
+    // signatures never built, shingle references never consulted — which
+    // is exactly what the tombstone anti-joins effect on the staged
+    // catalog. Batch side unchanged.
+    "m6_dedup_forget" -> DedupForgetOracle,
+    // bytes-not-answers: the purge rewrite serves the forget's decisions
+    // verbatim (the m6_index_purge / m6_ann_purge statement).
+    "m6_dedup_purge" -> DedupForgetOracle,
     // The full two-batch replay: batch-1 decisions, the catalog after the
     // commit (corpus ∪ batch-1 ADMISSIONS — rejected docs excluded), then
     // batch-2 decisions against it. The engine's manifest catalog never

@@ -262,7 +262,7 @@ object DedupStaging {
 
   /** The immutable committed data dir behind a staged table — what the
     * incremental catalog references as its zero-copy base member. */
-  private[operators] def committedDataDir(dir: String, name: String): Option[String] =
+  private[graft] def committedDataDir(dir: String, name: String): Option[String] =
     Connectors.currentDataDir(tablePath(dir, name))
 
   /** doc_id, lang, n_chars + the distinct 3-shingle set hashed to 60-bit

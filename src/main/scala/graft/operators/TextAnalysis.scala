@@ -767,6 +767,75 @@ object TextAnalysis {
         (col("n_passages") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** M6: exact repeated-span census — substring-level duplication, the
+    * alignment-free complement of the passage scrub (which only catches
+    * passage-ALIGNED repeats): every OVERLAPPING 15-token window is
+    * content-hashed, a window whose hash appears in ≥ 2 distinct documents
+    * is a duplicated span member, and per document the census reports the
+    * duplicated-window fraction and the LONGEST maximal run of consecutive
+    * duplicated windows (run of r windows = an exact repeated span of
+    * r + 14 tokens — the memorized-quote/licence-block phenomenon
+    * substring-level dedup exists for; Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL '22, reached via suffix
+    * arrays — the windowed-hash form is the shuffle-native equivalent at a
+    * fixed minimum span length). Plants: every 29th document's first 40
+    * tokens re-arrive as an excerpt doc at doc_id + 6000000, giving
+    * deterministic cross-doc spans (an excerpt of ≥ 15 tokens is 100%
+    * duplicated windows in one maximal run, spec-pinned).
+    *
+    * 100 TB shape: the window hashes are built IN-ROW (one transform over
+    * the token array — no per-window string rows ever shuffle) and explode
+    * to a skinny (doc_id, pos, hash64) frame of corpus-token volume — the
+    * m6_postings class; the flood set is a map-side-combined distinct-doc
+    * count, never a posting list; the census is one hash-keyed semi join
+    * plus a per-document islands pass (windows partition by doc_id — no
+    * global sort, no skew: window hashes are near-uniform and islands
+    * partitions are documents). Work is linear in corpus tokens at every
+    * stage; the quadratic pair form is deliberately NOT produced (a span
+    * shared by a million docs is one flood row here, not 10¹² pairs). */
+  def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val W = 15
+    val docs = Tables.fanout(Tables.documents(spark, dir))
+      .select(col("doc_id"), normTokens(col("text")).as("toks"))
+    val base = docs
+      .unionAll(docs.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          slice(col("toks"), 1, 40).as("toks")))
+      .withColumn("n", size(col("toks")).cast("long"))
+    // the short-doc guard lives INSIDE the expression (lazy CASE branch),
+    // not only in a filter: Catalyst merges the generator's implicit
+    // pre-filter with ours and may evaluate `whs` first, where a
+    // descending sequence(0, n-15) would feed slice a 0 start
+    val wh = base.filter(col("n") >= W)
+      .withColumn("whs", expr(
+        s"case when n >= $W then transform(sequence(0L, n - $W), i -> " +
+          s"graft_fold60(array_join(slice(toks, cast(i + 1 as int), $W), ' ')))" +
+          " else array() end"))
+      .select(col("doc_id"), posexplode(col("whs")).as(Seq("pos", "h")))
+    val flood = wh.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val rw = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = wh.join(flood, Seq("h"), "left_semi")
+      .withColumn("isl", col("pos") - row_number().over(rw))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy("doc_id")
+      .agg(max(col("run")).as("longest_run"),
+        sum(col("run")).as("n_dup_windows"))
+    base.join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        greatest(col("n") - (W - 1), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        when(col("n") >= W, Exact.rnd(
+            coalesce(col("n_dup_windows"), lit(0L)).cast("double") /
+              (col("n") - (W - 1)).cast("double"), 4))
+          .otherwise(lit(0.0)).as("dup_frac"),
+        coalesce(col("longest_run") + (W - 1), lit(0L)).as("longest_span"))
+  }
+
   /** M6: inverted-index postings — the index-release artifact behind
     * phrase retrieval: for each selective 3-shingle (2 ≤ df ≤ 50 —
     * singletons index nothing, common phrases flood; single tokens are
@@ -1920,6 +1989,7 @@ object TextAnalysis {
     "m6_chunk_windows" -> chunkWindows,
     "m6_lm_support"    -> lmSupport,
     "m6_passage_scrub" -> passageScrub,
+    "m6_repeated_spans" -> repeatedSpans,
     "m6_postings"      -> postings,
     "m6_quality_score" -> qualityScore,
     "m6_audit_sample"  -> auditSample,
@@ -2602,6 +2672,40 @@ object TextAnalysis {
             n_passages,
             n_passages - coalesce(n_kept, 0) AS n_removed
           FROM b2 LEFT JOIN reb USING (doc_id)""",
+    // Full replay of the windowed-hash span census: same plants, same
+    // 15-token overlapping windows through the shared fold60, same ≥2
+    // distinct-doc flood rule, same islands maximal runs.
+    "m6_repeated_spans" ->
+      s"""WITH tk AS (SELECT doc_id, ${sqlNormTokens("text")} AS toks FROM documents),
+          corpus AS (
+            SELECT doc_id, toks FROM tk
+            UNION ALL
+            SELECT doc_id + 6000000, toks[1:40] FROM tk WHERE doc_id % 29 = 0),
+          b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM corpus),
+          wh AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+                   ${Exact.sqlFold60(
+                     "array_to_string(toks[CAST(u.i + 1 AS INTEGER) : CAST(u.i + 15 AS INTEGER)], ' ')")} AS h
+                 FROM b, LATERAL unnest(range(0, n - 14)) AS u(i)
+                 WHERE n >= 15),
+          flood AS (SELECT h FROM wh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+          dup AS (SELECT doc_id, pos FROM wh SEMI JOIN flood USING (h)),
+          isl AS (SELECT doc_id, pos,
+                    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                  FROM dup),
+          runs AS (SELECT doc_id, g, count(*) AS run FROM isl GROUP BY 1, 2),
+          agg AS (SELECT doc_id,
+                    CAST(max(run) AS BIGINT) AS longest_run,
+                    CAST(sum(run) AS BIGINT) AS n_dup_windows
+                  FROM runs GROUP BY 1)
+          SELECT b.doc_id,
+            greatest(n - 14, 0) AS n_windows,
+            coalesce(n_dup_windows, 0) AS n_dup_windows,
+            CASE WHEN n >= 15
+                 THEN ${Exact.sqlRnd(
+                   "coalesce(n_dup_windows, 0) / CAST(n - 14 AS DOUBLE)", 4)}
+                 ELSE 0.0 END AS dup_frac,
+            coalesce(longest_run + 14, 0) AS longest_span
+          FROM b LEFT JOIN agg USING (doc_id)""",
     "m6_postings" ->
       s"""WITH tk AS (SELECT doc_id, ${sqlNormTokens("text")} AS t FROM documents),
           dt AS (SELECT doc_id, unnest(list_distinct(${sqlShingles("t", 3)})) AS term

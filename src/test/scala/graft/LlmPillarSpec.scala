@@ -1278,6 +1278,77 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     } finally hashed.unpersist()
   }
 
+  test("dedup forget: tombstoned corpus docs stop blocking re-admission") {
+    import graft.operators.Dedup
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    val inc = m(Dedup.incrementalDedup(spark, dir))
+    val fg = m(Dedup.dedupForget(spark, dir))
+    assert(fg.keySet == inc.keySet, "forget changed the batch itself")
+    // monotone: forgetting references can only REMOVE matches
+    fg.foreach { case (id, (n, adm)) =>
+      assert(n <= inc(id)._1, s"batch doc $id gained matches after forget")
+      if (inc(id)._2) assert(adm, s"admitted batch doc $id flipped to rejected")
+    }
+    // the forget is visible, and only where it should be: flips are exactly
+    // verbatim twins of forgotten corpus docs
+    val flipped = fg.keys.filter(id => fg(id)._2 && !inc(id)._2)
+    assert(flipped.nonEmpty, "no decision flipped — the forget was invisible")
+    assert(flipped.forall(id => (id - 3000000L) % 20 == 0),
+      "a decision flipped outside the forgotten-twin set")
+  }
+
+  test("dedup purge physically erases tombstoned signatures and serves forget's decisions") {
+    import graft.operators.{Connectors, Dedup, DedupStaging}
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    // the purge changes bytes, not answers
+    assert(m(Dedup.dedupPurge(spark, dir)).sameElements(m(Dedup.dedupForget(spark, dir))))
+    // and the bytes really change: replay the rewrite on a catalog we hold
+    DedupStaging.minhashSigs(spark, dir)
+    val t = s"${Connectors.scratchCatalog("graft-dedup-purge-spec-")}/sigs"
+    Connectors.appendMemberRef(spark, t,
+      DedupStaging.committedDataDir(dir, "minhash_sigs").get)
+    val before = Connectors.readTable(spark, t)
+    val nBefore = before.count()
+    val nTomb = before.filter(col("doc_id") % 20 === 0).count()
+    assert(nTomb > 0, "fixture tombstoned no signatures")
+    Connectors.replaceTable(spark, t, before.filter(col("doc_id") % 20 =!= 0))
+    val after = Connectors.readTable(spark, t)
+    assert(after.filter(col("doc_id") % 20 === 0).count() == 0,
+      "tombstoned signatures survived the purge rewrite")
+    assert(after.count() == nBefore - nTomb, "purge dropped retained signatures")
+  }
+
+  test("repeated spans: planted excerpts are fully duplicated in one maximal run") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.repeatedSpans(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(TextAnalysis.normTokens(col("text"))).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val planted = docs.filter(_._1 % 29 == 0)
+    assert(planted.nonEmpty, "fixture planted no excerpts")
+    planted.foreach { case (id, n) =>
+      val ex = math.min(n, 40) // the excerpt's token count
+      val (nw, nd, frac, span) = out(id + 6000000L)
+      if (ex >= 15) {
+        // every excerpt window recurs in the original: one maximal run
+        // covering the whole excerpt
+        assert(nw == ex - 14L, s"plant $id: window count")
+        assert(nd == nw, s"plant $id: excerpt not fully duplicated")
+        assert(frac == 1.0, s"plant $id: dup_frac")
+        assert(span == ex.toLong, s"plant $id: longest span $span != $ex")
+        // and the original carries a duplicated span at least that long
+        assert(out(id)._4 >= ex.toLong, s"original $id: span shorter than excerpt")
+      } else {
+        assert(nw == 0L && nd == 0L && span == 0L, s"short plant $id not all-zero")
+      }
+    }
+  }
+
   test("release diff: statuses partition both releases and token deltas conserve") {
     import graft.operators.TextAnalysis
     val rows = TextAnalysis.releaseDiff(spark, dir).collect()

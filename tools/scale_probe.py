@@ -85,6 +85,9 @@ QUERIES = ",".join([
     # round-16 additions: dense-side lifecycle close (purge/compact);
     # m7_ahash_neardup (already listed) re-measures under the quarantine
     "m6_ann_purge", "m6_ann_compact",
+    # round-16 batch 2: exact repeated-span census, dedup-catalog
+    # forget/purge (the third index family's governance legs)
+    "m6_repeated_spans", "m6_dedup_forget", "m6_dedup_purge",
 ])
 
 
