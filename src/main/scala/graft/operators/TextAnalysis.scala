@@ -792,7 +792,12 @@ object TextAnalysis {
     * global sort, no skew: window hashes are near-uniform and islands
     * partitions are documents). Work is linear in corpus tokens at every
     * stage; the quadratic pair form is deliberately NOT produced (a span
-    * shared by a million docs is one flood row here, not 10¹² pairs). */
+    * shared by a million docs is one flood row here, not 10¹² pairs).
+    * The window-hash subtree evaluates twice (flood census + dup side) BY
+    * CHOICE: it is a narrow scan+hash with no shuffle, and persisting the
+    * exploded corpus-token-volume frame to share it (the releaseDiff
+    * move, right for its ~50-byte/doc manifest) would cost more storage
+    * traffic at 100 TB than the recompute. */
   def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     import org.apache.spark.sql.expressions.Window

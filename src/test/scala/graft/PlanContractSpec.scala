@@ -428,6 +428,32 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
       s"ann fusion must not materialize a cartesian product:\n$p")
   }
 
+  test("round-16: purge serves mask-free plans, compact ends the external ref, spans partition by doc") {
+    // a purged catalog's search must carry NO tombstone machinery — the
+    // bytes are gone, so a LeftAnti (or any tombstones read) in the served
+    // plan would mean the purge only masked
+    val purge = plan("m6_ann_purge")
+    assert(purge.contains("graft-ann-purge"),
+      s"purged search must read its rewritten catalog:\n$purge")
+    assert(!purge.contains("tombstones") && !purge.contains("LeftAnti"),
+      s"purged search must not mask (tombstone anti-join found):\n$purge")
+    // a compacted catalog owns its bytes: the zero-copy warehouse ref's
+    // lifetime ends at compaction, so the staged ivf_cells dir must be
+    // absent from the served scan
+    val compact = plan("m6_ann_compact")
+    assert(compact.contains("graft-ann-compact"),
+      s"compacted search must read its rewritten catalog:\n$compact")
+    assert(!compact.contains("ivf_cells"),
+      s"compacted catalog must not reference the external release member:\n$compact")
+    // the spans islands pass partitions by document — a global sort or a
+    // cartesian here would be the all-pairs shape the census exists to avoid
+    val spans = plan("m6_repeated_spans")
+    assert(spans.contains("hashpartitioning(doc_id"),
+      s"spans islands window must partition by doc_id:\n$spans")
+    assert(!spans.contains("CartesianProduct"),
+      s"spans census must not cross-join:\n$spans")
+  }
+
   test("round-14: source divergence is window-free and never doc-keyed") {
     val p = plan("m6_source_divergence")
     // the pair join is term-keyed and the totals broadcast — a window or a
