@@ -793,15 +793,27 @@ object TextAnalysis {
     * partitions are documents). Work is linear in corpus tokens at every
     * stage; the quadratic pair form is deliberately NOT produced (a span
     * shared by a million docs is one flood row here, not 10¹² pairs).
-    * The window-hash subtree evaluates twice (flood census + dup side) BY
-    * CHOICE: it is a narrow scan+hash with no shuffle, and persisting the
-    * exploded corpus-token-volume frame to share it (the releaseDiff
-    * move, right for its ~50-byte/doc manifest) would cost more storage
-    * traffic at 100 TB than the recompute. */
+    *
+    * Window fingerprints are INTEGER, not string: each token is fold60'd
+    * ONCE (one short-input digest per corpus token), and a window's key
+    * is a pair of overflow-safe polynomial accumulators over its 15
+    * token hashes — (acc·257 + x mod 2⁴³) mod 2⁴³ and
+    * (acc·1031 + ⌊x/2¹⁷⌋) mod 2⁴³, every intermediate < 2⁵² so Spark's
+    * wrapping longs and DuckDB's checked BIGINTs compute identical
+    * values (~86 effective key bits; a same-corpus collision needs
+    * ~2⁴³ distinct windows). The first cut built each window's STRING
+    * (slice + array_join per position, 15× the passage-scrub volume)
+    * and one digest per window — measured at ~50 min wall for this one
+    * query's 100× probe leg before being killed; the integer form is
+    * the same census at hash-of-token cost. The skinny (doc, pos, h1,
+    * h2) frame feeds both the flood census and the dup side, so it
+    * persists SCOPED (the releaseDiff discipline: ~30 bytes/row, gone
+    * before return). */
   def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     import org.apache.spark.sql.expressions.Window
     val W = 15
+    val M = 8796093022208L // 2^43
     val docs = Tables.fanout(Tables.documents(spark, dir))
       .select(col("doc_id"), normTokens(col("text")).as("toks"))
     val base = docs
@@ -812,33 +824,61 @@ object TextAnalysis {
     // the short-doc guard lives INSIDE the expression (lazy CASE branch),
     // not only in a filter: Catalyst merges the generator's implicit
     // pre-filter with ours and may evaluate `whs` first, where a
-    // descending sequence(0, n-15) would feed slice a 0 start
-    val wh = base.filter(col("n") >= W)
-      .withColumn("whs", expr(
-        s"case when n >= $W then transform(sequence(0L, n - $W), i -> " +
-          s"graft_fold60(array_join(slice(toks, cast(i + 1 as int), $W), ' ')))" +
-          " else array() end"))
-      .select(col("doc_id"), posexplode(col("whs")).as(Seq("pos", "h")))
-    val flood = wh.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select("h")
-    val rw = Window.partitionBy("doc_id").orderBy("pos")
-    val runs = wh.join(flood, Seq("h"), "left_semi")
-      .withColumn("isl", col("pos") - row_number().over(rw))
-      .groupBy(col("doc_id"), col("isl"))
-      .agg(count(lit(1)).as("run"))
-      .groupBy("doc_id")
-      .agg(max(col("run")).as("longest_run"),
-        sum(col("run")).as("n_dup_windows"))
-    base.join(runs, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        greatest(col("n") - (W - 1), lit(0L)).as("n_windows"),
-        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
-        when(col("n") >= W, Exact.rnd(
-            coalesce(col("n_dup_windows"), lit(0L)).cast("double") /
-              (col("n") - (W - 1)).cast("double"), 4))
-          .otherwise(lit(0.0)).as("dup_frac"),
-        coalesce(col("longest_run") + (W - 1), lit(0L)).as("longest_span"))
+    // descending sequence(0, n-15) would hand slice a 0 start
+    // The window-hash pass is a typed mapPartitions (the Multimodal decode
+    // precedent — genuinely per-element imperative work): token hashes via
+    // the SAME Fold60.fold the graft_fold60 expression evaluates (no
+    // reimplementation to diverge), then a tight O(n·W) long loop per doc.
+    // Both expression-land forms were MEASURED and rejected: higher-order
+    // lambdas evaluate interpreted, so aggregate-over-slice cost 48 s wall
+    // at sf0.1 (two array allocations per window) and an unrolled
+    // element_at chain 608 s (90 interpreted expression nodes per window);
+    // the loop form is 0.8 s.
+    import spark.implicits._
+    val wh0 = base.filter(col("n") >= W)
+      .select(col("doc_id"), col("toks")).as[(Long, Seq[String])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, toks) =>
+          val ths = toks.iterator.map(t => graft.functions.Fold60.fold(
+            org.apache.spark.unsafe.types.UTF8String.fromString(t))).toArray
+          (0 to ths.length - W).iterator.map { i =>
+            var a1 = 0L; var a2 = 0L; var j = 0
+            while (j < W) {
+              val x = ths(i + j)
+              a1 = (a1 * 257L + x % M) % M
+              a2 = (a2 * 1031L + (x >>> 17)) % M // x ≥ 0: >>> 17 = div 2^17
+              j += 1
+            }
+            (id, i.toLong, a1, a2)
+          }
+        }
+      }.toDF("doc_id", "pos", "h1", "h2")
+    def census(wh: DataFrame): DataFrame = {
+      val flood = wh.groupBy("h1", "h2")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("h1", "h2")
+      val rw = Window.partitionBy("doc_id").orderBy("pos")
+      val runs = wh.join(flood, Seq("h1", "h2"), "left_semi")
+        .withColumn("isl", col("pos") - row_number().over(rw))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(count(lit(1)).as("run"))
+        .groupBy("doc_id")
+        .agg(max(col("run")).as("longest_run"),
+          sum(col("run")).as("n_dup_windows"))
+      base.join(runs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          greatest(col("n") - (W - 1), lit(0L)).as("n_windows"),
+          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+          when(col("n") >= W, Exact.rnd(
+              coalesce(col("n_dup_windows"), lit(0L)).cast("double") /
+                (col("n") - (W - 1)).cast("double"), 4))
+            .otherwise(lit(0.0)).as("dup_frac"),
+          coalesce(col("longest_run") + (W - 1), lit(0L)).as("longest_span"))
+    }
+    if (lazyPlans(spark)) return census(wh0)
+    val p = wh0.persist()
+    try census(p).localCheckpoint(true)
+    finally p.unpersist()
   }
 
   /** M6: inverted-index postings — the index-release artifact behind
@@ -2678,22 +2718,31 @@ object TextAnalysis {
             n_passages - coalesce(n_kept, 0) AS n_removed
           FROM b2 LEFT JOIN reb USING (doc_id)""",
     // Full replay of the windowed-hash span census: same plants, same
-    // 15-token overlapping windows through the shared fold60, same ≥2
-    // distinct-doc flood rule, same islands maximal runs.
+    // per-token fold60, same overflow-safe polynomial window keys (every
+    // intermediate < 2^52, so DuckDB's checked BIGINTs and Spark's longs
+    // agree), same ≥2 distinct-doc flood rule, same islands maximal runs.
     "m6_repeated_spans" ->
       s"""WITH tk AS (SELECT doc_id, ${sqlNormTokens("text")} AS toks FROM documents),
           corpus AS (
             SELECT doc_id, toks FROM tk
             UNION ALL
             SELECT doc_id + 6000000, toks[1:40] FROM tk WHERE doc_id % 29 = 0),
-          b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM corpus),
+          b AS (SELECT doc_id,
+                  list_transform(toks, t -> ${Exact.sqlFold60("t")}) AS ths,
+                  CAST(len(toks) AS BIGINT) AS n
+                FROM corpus),
           wh AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
-                   ${Exact.sqlFold60(
-                     "array_to_string(toks[CAST(u.i + 1 AS INTEGER) : CAST(u.i + 15 AS INTEGER)], ' ')")} AS h
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       ths[CAST(u.i + 1 AS INTEGER) : CAST(u.i + 15 AS INTEGER)]),
+                     (acc, x) -> (acc * 257 + x % 8796093022208) % 8796093022208) AS h1,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       ths[CAST(u.i + 1 AS INTEGER) : CAST(u.i + 15 AS INTEGER)]),
+                     (acc, x) -> (acc * 1031 + x // 131072) % 8796093022208) AS h2
                  FROM b, LATERAL unnest(range(0, n - 14)) AS u(i)
                  WHERE n >= 15),
-          flood AS (SELECT h FROM wh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-          dup AS (SELECT doc_id, pos FROM wh SEMI JOIN flood USING (h)),
+          flood AS (SELECT h1, h2 FROM wh
+                    GROUP BY h1, h2 HAVING count(DISTINCT doc_id) >= 2),
+          dup AS (SELECT doc_id, pos FROM wh SEMI JOIN flood USING (h1, h2)),
           isl AS (SELECT doc_id, pos,
                     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
                   FROM dup),

@@ -446,8 +446,14 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
     assert(!compact.contains("ivf_cells"),
       s"compacted catalog must not reference the external release member:\n$compact")
     // the spans islands pass partitions by document — a global sort or a
-    // cartesian here would be the all-pairs shape the census exists to avoid
-    val spans = plan("m6_repeated_spans")
+    // cartesian here would be the all-pairs shape the census exists to
+    // avoid. Audit mode: the shipped query localCheckpoints its census
+    // (scoped persist), which would hide the plan behind an ExistingRDD —
+    // lazyPlans returns the full lazy tree instead (the Explain contract).
+    spark.conf.set("spark.graft.lazyPlans", "true")
+    val spans =
+      try plan("m6_repeated_spans")
+      finally spark.conf.unset("spark.graft.lazyPlans")
     assert(spans.contains("hashpartitioning(doc_id"),
       s"spans islands window must partition by doc_id:\n$spans")
     assert(!spans.contains("CartesianProduct"),
