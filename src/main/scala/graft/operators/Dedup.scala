@@ -337,7 +337,7 @@ object Dedup {
     * document re-arrives at `doc_id + offset` — even 20ths verbatim, odd
     * 10ths with every other token dropped (no 3 consecutive original tokens
     * survive ⇒ disjoint shingle sets). Deterministic in both engines. */
-  private def arrivingBatch(spark: SparkSession, dir: String, offset: Long,
+  private[graft] def arrivingBatch(spark: SparkSession, dir: String, offset: Long,
       halfAll: Boolean): DataFrame = {
     // keep positions 1,3,5,… (Spark lambda index is 0-based; the DuckDB
     // replay's list_filter index is 1-based, so it keeps i % 2 = 1)
@@ -353,7 +353,7 @@ object Dedup {
   /** Batch-side staged shingle build — same projections as the corpus
     * staging build, over the increment only; persisted because it feeds
     * both the signature aggregate and the verification join. */
-  private def batchBaseOf(batchDocs: DataFrame): DataFrame = batchDocs
+  private[graft] def batchBaseOf(batchDocs: DataFrame): DataFrame = batchDocs
     .select(col("doc_id"), tokens(col("text")).as("toks"))
     .select(col("doc_id"), array_distinct(shingles(col("toks"), 3)).as("sh"))
     .withColumn("hs", array_distinct(transform(col("sh"), s => md5Fold60(s))))
@@ -363,7 +363,7 @@ object Dedup {
   /** The 16 min-hash columns of a (doc_id, hs) frame — ALSO the staging
     * builder behind DedupStaging.minhashSigs, so the seeds/shape exist in
     * exactly one place. */
-  private[operators] def sigsOf(base: DataFrame): DataFrame = base
+  private[graft] def sigsOf(base: DataFrame): DataFrame = base
     .select(col("doc_id"), explode(col("hs")).as("h"))
     .groupBy("doc_id").agg(
       min(col("h").bitwiseXOR(lit(MinhashSeeds(0)))).as("h0"),
@@ -383,7 +383,7 @@ object Dedup {
     * with exact Jaccard over the shingle sets, and report per batch doc. The
     * reference is only ever READ (staged parquet / catalog members) — work
     * is O(increment), never O(corpus). */
-  private def admissionDecisions(batchDocs: DataFrame, batchBase: DataFrame,
+  private[graft] def admissionDecisions(batchDocs: DataFrame, batchBase: DataFrame,
       refSigs: DataFrame, refShingles: DataFrame): DataFrame = {
     val cands = bandsOf(sigsOf(batchBase), "new_id")
       .join(bandsOf(refSigs, "corpus_id"), Seq("band", "k1", "k2"))
@@ -432,42 +432,45 @@ object Dedup {
     * have entered the catalog). The oracle replays both batches, decisions
     * and catalog contents included, from raw text. */
   def incrementalCommit(spark: SparkSession, dir: String): DataFrame = {
+    val (sigsT, shT) = admittedDedupCatalog(spark, dir, "graft-inc-catalog-")
+    catalogDecisions(spark, dir, sigsT, shT)
+  }
+
+  /** The released-corpus dedup catalog bootstrap shared by the lifecycle
+    * queries and the streaming admission (m4q): the release signature and
+    * shingle tables committed (idempotent), then referenced ZERO-COPY as
+    * the catalog's base members — O(1) metadata, fresh scratch target per
+    * run (the PROTOCOL is what persists). Returns (sigs, shingles) dirs. */
+  private[graft] def refDedupCatalog(spark: SparkSession, dir: String,
+      prefix: String): (String, String) = {
     graft.functions.GraftFunctions.register(spark)
-    // make sure the corpus release tables are committed, then build the
-    // catalog over immutable references to them (fresh target per run —
-    // the query stays idempotent; the PROTOCOL is what persists)
     DedupStaging.minhashSigs(spark, dir); DedupStaging.shingleBase(spark, dir)
-    val catDir = java.nio.file.Files.createTempDirectory("graft-inc-catalog-")
-    // per-invocation scratch (the PROTOCOL is what persists — the released
-    // corpus tables live in the warehouse); swept on JVM exit so repeated
-    // bench/verify runs don't accumulate appended generations in /tmp
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        val walk = java.nio.file.Files.walk(catDir)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally walk.close()
-      } catch { case _: Exception => () }))
-    val cat = catDir.toString
+    val cat = Connectors.scratchCatalog(prefix)
     val sigsT = s"$cat/sigs"; val shT = s"$cat/shingles"
     Connectors.appendMemberRef(spark, sigsT,
       DedupStaging.committedDataDir(dir, "minhash_sigs").get)
     Connectors.appendMemberRef(spark, shT,
       DedupStaging.committedDataDir(dir, "shingle3").get)
-    def catSigs = Connectors.readTable(spark, sigsT)
-      .select(col("doc_id") +: (0 until MinhashK).map(j => col(s"h$j")): _*)
-    def catShingles = Connectors.readTable(spark, shT).select("doc_id", "hs")
+    (sigsT, shT)
+  }
 
+  /** The release + batch-1-admissions catalog fixture shared by the third
+    * index family's lifecycle queries (m6_incremental_commit,
+    * m6_dedup_compact): batch 1 is decided against the referenced release
+    * tables and its ADMISSIONS committed — O(batch) appends, one atomic
+    * pointer flip per table. Generation file count scales with the batch
+    * (≤ corpus/10 admitted docs — one file at test scale, parallel at
+    * 100 TB): the r15 100× probe measured coalesce(1) serializing a large
+    * generation write through one task on the BM25 side; same clamp here. */
+  private[graft] def admittedDedupCatalog(spark: SparkSession, dir: String,
+      prefix: String): (String, String) = {
+    val (sigsT, shT) = refDedupCatalog(spark, dir, prefix)
     val batch1 = arrivingBatch(spark, dir, 3000000, halfAll = false)
     val b1base = batchBaseOf(batch1)
-    val d1 = admissionDecisions(batch1, b1base, catSigs, catShingles).persist()
+    val d1 = admissionDecisions(batch1, b1base,
+      catSigsOf(spark, sigsT), catShinglesOf(spark, shT)).persist()
     try {
       val admitted1 = d1.filter(col("admitted")).select(col("new_id").as("doc_id"))
-      // the commit: O(batch) appends, one atomic pointer flip per table.
-      // Generation file count scales with the batch (≤ corpus/10 admitted
-      // docs — one file at test scale, parallel at 100 TB): the r15 100×
-      // probe measured coalesce(1) serializing a large generation write
-      // through one task on the BM25 side; same clamp here.
       val nFiles = Connectors.deltaFiles(
         Tables.documents(spark, dir).count() / 10)
       Connectors.appendTo(spark, sigsT,
@@ -476,11 +479,52 @@ object Dedup {
         b1base.join(admitted1, Seq("doc_id")).coalesce(nFiles))
     } finally {
       // batch 1's frames are fully consumed by the appends above — only
-      // batch 2's decision lineage leaves this function
+      // the catalog leaves this function
       d1.unpersist(); b1base.unpersist()
     }
+    (sigsT, shT)
+  }
+
+  /** The catalog readers the decision path consumes — re-read the manifest
+    * on every call, so appends committed between decisions are visible. */
+  private[graft] def catSigsOf(spark: SparkSession, sigsT: String): DataFrame =
+    Connectors.readTable(spark, sigsT)
+      .select(col("doc_id") +: (0 until MinhashK).map(j => col(s"h$j")): _*)
+
+  private[graft] def catShinglesOf(spark: SparkSession, shT: String): DataFrame =
+    Connectors.readTable(spark, shT).select("doc_id", "hs")
+
+  /** Batch-2 decisions against the committed catalog — the served half every
+    * dedup-lifecycle query ends with (the m6_incremental_commit tail). */
+  private[graft] def catalogDecisions(spark: SparkSession, dir: String,
+      sigsT: String, shT: String): DataFrame = {
     val batch2 = arrivingBatch(spark, dir, 4000000, halfAll = true)
-    admissionDecisions(batch2, batchBaseOf(batch2), catSigs, catShingles)
+    admissionDecisions(batch2, batchBaseOf(batch2),
+      catSigsOf(spark, sigsT), catShinglesOf(spark, shT))
+  }
+
+  /** M6: dedup-catalog OPTIMIZE — the compaction leg that completes the
+    * third index family's lifecycle (BM25 and ANN both compact; the dedup
+    * catalog previously admitted, forgot, and purged but kept accumulating
+    * one member per admission forever): after batch-1's admissions land as
+    * delta generations beside the zero-copy release refs,
+    * `Connectors.compact` rewrites BOTH catalog tables (signatures and
+    * shingle sets) to a single owned generation each through the same
+    * atomic pointer flip — readers see the member'd catalog until the
+    * rename and the compacted one after, never a mix, and the external
+    * release refs' lifetime ends at the rewrite. Compaction changes BYTES,
+    * not answers: signatures and shingle sets ride whole with their rows,
+    * invariant under re-membering, so batch-2's admission decisions are
+    * bit-identical — the oracle is m6_incremental_commit's replay
+    * VERBATIM, the same statement m6_index_compact and m6_ann_compact
+    * make. At 100 TB this runs per release window, not per batch; the
+    * payoff is one generation of right-sized files instead of
+    * one-per-admission. */
+  def dedupCompact(spark: SparkSession, dir: String): DataFrame = {
+    val (sigsT, shT) = admittedDedupCatalog(spark, dir, "graft-dedup-compact-")
+    Connectors.compact(spark, sigsT)
+    Connectors.compact(spark, shT)
+    catalogDecisions(spark, dir, sigsT, shT)
   }
 
   /** M6: dedup-catalog right-to-be-forgotten — the governance leg of the
@@ -502,23 +546,30 @@ object Dedup {
     * raw text with the forgotten docs absent — the same
     * erased-means-never-indexed statement m6_index_forget makes. */
   def dedupForget(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    DedupStaging.minhashSigs(spark, dir); DedupStaging.shingleBase(spark, dir)
-    val cat = Connectors.scratchCatalog("graft-dedup-forget-")
-    val sigsT = s"$cat/sigs"; val shT = s"$cat/shingles"
-    val tombT = s"$cat/tombstones"
-    Connectors.appendMemberRef(spark, sigsT,
-      DedupStaging.committedDataDir(dir, "minhash_sigs").get)
-    Connectors.appendMemberRef(spark, shT,
-      DedupStaging.committedDataDir(dir, "shingle3").get)
-    Connectors.appendTo(spark, tombT,
-      Tables.documents(spark, dir).filter(col("doc_id") % 20 === 0)
-        .select("doc_id"))
+    val (sigsT, shT) = refDedupCatalog(spark, dir, "graft-dedup-forget-")
+    val tombT = s"${sigsT.stripSuffix("/sigs")}/tombstones"
+    Connectors.appendTo(spark, tombT, dedupForgetIds(spark, dir))
+    forgetDecisions(spark, dir, sigsT, shT, tombT)
+  }
+
+  /** The dedup forget-request fixture (corpus doc_id % 20 == 0 — exactly
+    * the verbatim-twin reject set of the arriving batch, so the retraction
+    * is visibly decision-flipping), shared by the batch retraction
+    * (m6_dedup_forget / m6_dedup_purge) and the streaming one (m4s). */
+  private[graft] def dedupForgetIds(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).filter(col("doc_id") % 20 === 0)
+      .select("doc_id")
+
+  /** Batch-1 decisions with the tombstone set anti-joined off BOTH catalog
+    * reads (signature bands for candidate generation, shingle sets for
+    * verification) BEFORE any comparison — the served half of the dedup
+    * forget, shared by the batch and streaming retractions. */
+  private[graft] def forgetDecisions(spark: SparkSession, dir: String,
+      sigsT: String, shT: String, tombT: String): DataFrame = {
     val tomb = Connectors.readTable(spark, tombT)
-    val catSigs = Connectors.readTable(spark, sigsT)
-      .select(col("doc_id") +: (0 until MinhashK).map(j => col(s"h$j")): _*)
+    val catSigs = catSigsOf(spark, sigsT)
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
-    val catShingles = Connectors.readTable(spark, shT).select("doc_id", "hs")
+    val catShingles = catShinglesOf(spark, shT)
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
     val batch = arrivingBatch(spark, dir, 3000000, halfAll = false)
     admissionDecisions(batch, batchBaseOf(batch), catSigs, catShingles)
@@ -939,6 +990,7 @@ object Dedup {
     "m6_incremental_dedup" -> incrementalDedup,
     "m6_dedup_forget" -> dedupForget,
     "m6_dedup_purge" -> dedupPurge,
+    "m6_dedup_compact" -> dedupCompact,
     "m6_incremental_commit" -> incrementalCommit,
     "m6_dup_clusters"  -> dupClusters,
     "m6_cluster_keep_best" -> clusterKeepBest,
@@ -1071,6 +1123,45 @@ object Dedup {
           nb AS (${sqlBands("bsigs")}),
           ${sqlAdmission("1", "nb", "cb", "bhs", "hs")}
           ${sqlAdmissionSelect("batch", "m1")}"""
+
+  /** The full two-batch incremental-commit replay: batch-1 decisions, the
+    * catalog after the commit (corpus ∪ batch-1 ADMISSIONS — rejected docs
+    * excluded), then batch-2 decisions against it. The engine's manifest
+    * catalog never appears — its contents are re-derived from raw text end
+    * to end. Shared VERBATIM by m6_dedup_compact (the OPTIMIZE rewrite
+    * changes bytes, not answers) and the streaming admission m4q (a
+    * stream-maintained dedup catalog must decide exactly what the
+    * batch-maintained one decides). */
+  private[graft] lazy val IncrementalCommitOracle: String =
+    s"""WITH sh AS (SELECT doc_id, $shSql AS s FROM documents),
+          hs AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${sqlMd5Fold60("x")})) AS h FROM sh),
+          csigs AS (${sqlSigs("hs")}),
+          cb AS (${sqlBands("csigs")}),
+          batch1 AS (${sqlBatch(3000000, halfAll = false)}),
+          b1sh AS (SELECT doc_id, $shSql AS s FROM batch1),
+          b1hs AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${sqlMd5Fold60("x")})) AS h FROM b1sh),
+          b1sigs AS (${sqlSigs("b1hs")}),
+          nb1 AS (${sqlBands("b1sigs")}),
+          ${sqlAdmission("1", "nb1", "cb", "b1hs", "hs")},
+          adm1 AS (SELECT b.doc_id FROM batch1 b
+                   LEFT JOIN m1 ON m1.new_id = b.doc_id
+                   WHERE m1.new_id IS NULL),
+          rsigs AS (SELECT * FROM csigs
+                    UNION ALL
+                    SELECT * FROM b1sigs
+                    WHERE doc_id IN (SELECT doc_id FROM adm1)),
+          rb AS (${sqlBands("rsigs")}),
+          rhs AS (SELECT doc_id, h FROM hs
+                  UNION ALL
+                  SELECT doc_id, h FROM b1hs
+                  WHERE doc_id IN (SELECT doc_id FROM adm1)),
+          batch2 AS (${sqlBatch(4000000, halfAll = true)}),
+          b2sh AS (SELECT doc_id, $shSql AS s FROM batch2),
+          b2hs AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${sqlMd5Fold60("x")})) AS h FROM b2sh),
+          b2sigs AS (${sqlSigs("b2hs")}),
+          nb2 AS (${sqlBands("b2sigs")}),
+          ${sqlAdmission("2", "nb2", "rb", "b2hs", "rhs")}
+          ${sqlAdmissionSelect("batch2", "m2")}"""
 
   val oracles: Map[String, String] = Map(
     // Sketch-merge replay: the same folds and XOR seeds as the minhash
@@ -1219,36 +1310,15 @@ object Dedup {
     // commit (corpus ∪ batch-1 ADMISSIONS — rejected docs excluded), then
     // batch-2 decisions against it. The engine's manifest catalog never
     // appears — its contents are re-derived from raw text end to end.
-    "m6_incremental_commit" ->
-      s"""WITH sh AS (SELECT doc_id, $shSql AS s FROM documents),
-          hs AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${sqlMd5Fold60("x")})) AS h FROM sh),
-          csigs AS (${sqlSigs("hs")}),
-          cb AS (${sqlBands("csigs")}),
-          batch1 AS (${sqlBatch(3000000, halfAll = false)}),
-          b1sh AS (SELECT doc_id, $shSql AS s FROM batch1),
-          b1hs AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${sqlMd5Fold60("x")})) AS h FROM b1sh),
-          b1sigs AS (${sqlSigs("b1hs")}),
-          nb1 AS (${sqlBands("b1sigs")}),
-          ${sqlAdmission("1", "nb1", "cb", "b1hs", "hs")},
-          adm1 AS (SELECT b.doc_id FROM batch1 b
-                   LEFT JOIN m1 ON m1.new_id = b.doc_id
-                   WHERE m1.new_id IS NULL),
-          rsigs AS (SELECT * FROM csigs
-                    UNION ALL
-                    SELECT * FROM b1sigs
-                    WHERE doc_id IN (SELECT doc_id FROM adm1)),
-          rb AS (${sqlBands("rsigs")}),
-          rhs AS (SELECT doc_id, h FROM hs
-                  UNION ALL
-                  SELECT doc_id, h FROM b1hs
-                  WHERE doc_id IN (SELECT doc_id FROM adm1)),
-          batch2 AS (${sqlBatch(4000000, halfAll = true)}),
-          b2sh AS (SELECT doc_id, $shSql AS s FROM batch2),
-          b2hs AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${sqlMd5Fold60("x")})) AS h FROM b2sh),
-          b2sigs AS (${sqlSigs("b2hs")}),
-          nb2 AS (${sqlBands("b2sigs")}),
-          ${sqlAdmission("2", "nb2", "rb", "b2hs", "rhs")}
-          ${sqlAdmissionSelect("batch2", "m2")}""",
+    "m6_incremental_commit" -> IncrementalCommitOracle,
+    // bytes-not-answers: the OPTIMIZE rewrite serves the incremental
+    // commit's decisions verbatim (the m6_index_compact / m6_ann_compact
+    // statement on the third index family).
+    "m6_dedup_compact" -> IncrementalCommitOracle,
+    // Composes the two pair oracles (verbatim — including the ROUNDED
+    // jaccard the engine also filters on, so the 0.8 bar can never
+    // boundary-diverge) and counts the full-outer overlap; recall and
+    // precision are single IEEE divides of exact longs.
     // Composes the two pair oracles (verbatim — including the ROUNDED
     // jaccard the engine also filters on, so the 0.8 bar can never
     // boundary-diverge) and counts the full-outer overlap; recall and

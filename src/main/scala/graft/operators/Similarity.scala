@@ -462,20 +462,31 @@ object Similarity {
     * tombstone table dir. */
   private[graft] def annTombstoneAdmit(spark: SparkSession, dir: String,
       cells: String): String = {
-    // the tombstone table is a SIBLING of the cells table in the same
-    // catalog root — fail fast if the derivation can't invert the path
-    // (the tombstoneAdmit discipline on the BM25 side)
+    val tomb = annTombstoneDirOf(cells)
+    Connectors.appendTo(spark, tomb, annForgetIds(spark, dir))
+    tomb
+  }
+
+  /** The tombstone table is a SIBLING of the cells table in the same
+    * catalog root — fail fast if the derivation can't invert the path
+    * (the tombstoneAdmit discipline on the BM25 side). */
+  private[graft] def annTombstoneDirOf(cells: String): String = {
     require(cells.endsWith("/cells"),
-      s"annTombstoneAdmit expects a .../cells table dir, got: $cells")
-    val tomb = s"${cells.stripSuffix("/cells")}/tombstones"
+      s"annTombstoneDirOf expects a .../cells table dir, got: $cells")
+    s"${cells.stripSuffix("/cells")}/tombstones"
+  }
+
+  /** The dense forget-request fixture (every catalog vector with
+    * vec_id % 13 == 0 — originals and admitted-batch twins both), shared
+    * by the batch retraction (annTombstoneAdmit) and the streaming one
+    * (m4r), so both sides retract the same set by construction. */
+  private[graft] def annForgetIds(spark: SparkSession, dir: String): DataFrame = {
     val off = plantOffset(spark, dir)
     val ids = base(spark, dir).select("vec_id")
-    Connectors.appendTo(spark, tomb,
-      ids.filter(col("vec_id") % 13 === 0)
-        .unionAll(ids.filter(col("vec_id") % 10 === 0)
-          .select((col("vec_id") + off).as("vec_id"))
-          .filter(col("vec_id") % 13 === 0)))
-    tomb
+    ids.filter(col("vec_id") % 13 === 0)
+      .unionAll(ids.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + off).as("vec_id"))
+        .filter(col("vec_id") % 13 === 0))
   }
 
   /** The incremental-catalog IVF reader shared by the dense lifecycle
@@ -502,7 +513,7 @@ object Similarity {
   }
 
   /** The admitted-batch flag the incremental/lifecycle queries report. */
-  private def withFromBatch(spark: SparkSession, dir: String,
+  private[graft] def withFromBatch(spark: SparkSession, dir: String,
       served: DataFrame): DataFrame =
     served.withColumn("from_batch", col("vec_id") >= plantOffset(spark, dir))
 

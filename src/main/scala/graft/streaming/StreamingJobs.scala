@@ -993,7 +993,218 @@ object StreamingJobs {
       .withColumn("from_batch", col("doc_id") >= 3000000L)
   }
 
+  /** Staged bounded replay of the arriving dedup batch (doc_id order) —
+    * the batch-1 admission workload as a stream, for m4q. */
+  def stagedDedupBatch(spark: SparkSession, dir: String, nFiles: Int): String =
+    stagedDirs.getOrElseUpdate((dir, nFiles, "dedup_batch1"), {
+      val src = Files.createTempDirectory("graft-stream-src-").toString
+      val bucketed = graft.operators.Dedup
+        .arrivingBatch(spark, dir, 3000000, halfAll = false)
+        .withColumn("_file", ntile(nFiles).over(Window.orderBy(col("doc_id"))))
+        .persist()
+      try {
+        (1 to nFiles).foreach { i =>
+          bucketed.filter(col("_file") === i).drop("_file")
+            .coalesce(1).write.mode("append").parquet(src)
+        }
+      } finally bucketed.unpersist()
+      src
+    })
+
+  /** M4q: streaming dedup-catalog admission — the exactly-once keyed-commit
+    * topology applied to the THIRD index family (m4n maintains the BM25
+    * index, m4o the IVF index, this the near-dup reference catalog):
+    * documents arrive in micro-batches, each batch is DECIDED against the
+    * catalog as served at that moment (zero-copy release refs + every
+    * previously-committed admission — the readers re-read the manifest per
+    * batch) through the SAME band-join + exact-Jaccard core the batch
+    * admission runs (Dedup.admissionDecisions — shared code), and the
+    * admitted docs' signatures and shingle sets commit through
+    * `Connectors.appendKeyed` on the micro-batch id. A foreachBatch retry
+    * therefore re-admits idempotently — and the retry is self-healing even
+    * mid-crash: if the signature commit landed but the shingle commit
+    * didn't, the retried decision pass sees the half-committed doc's
+    * signatures without shingle sets, candidates against it fail the
+    * verification join's inner side, the decision stays "admitted", and
+    * the keyed re-append completes the missing half while no-op'ing the
+    * committed one.
+    *
+    * Decisions are independent of the micro-batch partitioning for the
+    * same reason the batch fixture is well-posed: each batch doc derives
+    * from a DISTINCT corpus document (even 20ths verbatim, odd 10ths
+    * half-text — disjoint sets), so no batch doc can near-dup-match
+    * another batch doc's admission at the 0.8 bar (corpus documents are
+    * pairwise non-dups, the assumption every dedup oracle already rests
+    * on). The drained catalog therefore contains exactly the batch
+    * commit's admissions, and batch-2's decisions against it are the
+    * batch pipeline's VERBATIM — the oracle is m6_incremental_commit's
+    * two-batch replay, unchanged. */
+  def streamDedupAdmissionQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Connectors, Dedup}
+    configureStreaming(spark)
+    graft.functions.GraftFunctions.register(spark)
+    val (sigsT, shT) = Dedup.refDedupCatalog(spark, dir, "graft-stream-dedup-")
+    val src = stagedDedupBatch(spark, dir, 3)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt-").toString
+    withShufflePartitions(spark, 8) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.persist()
+          try if (!batch.isEmpty) {
+            val base = Dedup.batchBaseOf(batch) // persists internally
+            try {
+              val admitted = Dedup.admissionDecisions(batch, base,
+                  Dedup.catSigsOf(spark, sigsT), Dedup.catShinglesOf(spark, shT))
+                .filter(col("admitted")).select(col("new_id").as("doc_id"))
+                .persist()
+              try {
+                val nFiles = Connectors.deltaFiles(batch.count())
+                Connectors.appendKeyed(spark, sigsT,
+                  Dedup.sigsOf(base).join(admitted, Seq("doc_id"))
+                    .coalesce(nFiles), s"b$batchId")
+                Connectors.appendKeyed(spark, shT,
+                  base.join(admitted, Seq("doc_id")).coalesce(nFiles),
+                  s"b$batchId")
+              } finally admitted.unpersist()
+            } finally base.unpersist()
+          } finally batch.unpersist()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    Dedup.catalogDecisions(spark, dir, sigsT, shT)
+  }
+
+  /** Staged bounded replay of the dense forget request (vec_id order) —
+    * embedding-erasure ids arriving as a stream, for m4r. */
+  def stagedAnnForget(spark: SparkSession, dir: String, nFiles: Int): String =
+    stagedDirs.getOrElseUpdate((dir, nFiles, "ann_forget"), {
+      val src = Files.createTempDirectory("graft-stream-src-").toString
+      val bucketed = graft.operators.Similarity.annForgetIds(spark, dir)
+        .withColumn("_file", ntile(nFiles).over(Window.orderBy(col("vec_id"))))
+        .persist()
+      try {
+        (1 to nFiles).foreach { i =>
+          bucketed.filter(col("_file") === i).drop("_file")
+            .coalesce(1).write.mode("append").parquet(src)
+        }
+      } finally bucketed.unpersist()
+      src
+    })
+
+  /** M4r: streaming ANN forget-request admission — m4p's retraction
+    * topology on the dense side, closing the streaming lifecycle for the
+    * second index family (admit: m4o; retract: this): vector-erasure ids
+    * arrive in micro-batches against the SERVED IVF catalog (release ref +
+    * admitted batch — the m6_ann_forget fixture) and each batch commits its
+    * ids to the sibling tombstone table through `Connectors.appendKeyed`
+    * on the micro-batch id, so a foreachBatch retry re-retracts
+    * idempotently. Unlike BM25 there is no stats row to correct — IVF
+    * search carries no corpus-global statistic — so the retraction is ids
+    * only, O(forget) per batch. The drained catalog serves the fixed
+    * nprobe=2 workload with the tombstones anti-joined BEFORE ranking
+    * (the shared reader): tombstones are a SET, so the served ranking is
+    * independent of how the requests were micro-batched — the oracle is
+    * m6_ann_forget's replay VERBATIM. */
+  def streamAnnForgetQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Connectors, Similarity}
+    configureStreaming(spark)
+    graft.functions.GraftFunctions.register(spark)
+    val cells = Similarity.admittedIvfCells(spark, dir, "graft-stream-annforget-")
+    val tomb = Similarity.annTombstoneDirOf(cells)
+    val src = stagedAnnForget(spark, dir, 2)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt-").toString
+    withShufflePartitions(spark, 8) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.persist()
+          try if (!batch.isEmpty) {
+            Connectors.appendKeyed(spark, tomb,
+              batch.select("vec_id").coalesce(1), s"b$batchId")
+          } finally batch.unpersist()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    Similarity.withFromBatch(spark, dir,
+      Similarity.ivfCatalogSearch(spark, dir, cells, Some(tomb)))
+  }
+
+  /** Staged bounded replay of the dedup forget request (doc_id order) —
+    * corpus-erasure ids arriving as a stream, for m4s. */
+  def stagedDedupForget(spark: SparkSession, dir: String, nFiles: Int): String =
+    stagedDirs.getOrElseUpdate((dir, nFiles, "dedup_forget"), {
+      val src = Files.createTempDirectory("graft-stream-src-").toString
+      val bucketed = graft.operators.Dedup.dedupForgetIds(spark, dir)
+        .withColumn("_file", ntile(nFiles).over(Window.orderBy(col("doc_id"))))
+        .persist()
+      try {
+        (1 to nFiles).foreach { i =>
+          bucketed.filter(col("_file") === i).drop("_file")
+            .coalesce(1).write.mode("append").parquet(src)
+        }
+      } finally bucketed.unpersist()
+      src
+    })
+
+  /** M4s: streaming dedup-catalog retraction — the last cell of the
+    * streaming lifecycle matrix (all three index families now admit AND
+    * retract, batch AND streaming): corpus-erasure ids arrive in
+    * micro-batches against the served dedup catalog and each batch commits
+    * its ids to the sibling tombstone table through `Connectors.appendKeyed`
+    * on the micro-batch id — a retried micro-batch re-retracts
+    * idempotently, and like the ANN side (m4r) the retraction is ids only,
+    * O(forget) per batch: the dedup catalog carries no corpus-global
+    * statistic to correct. The drained catalog decides the arriving batch
+    * with the tombstones anti-joined off BOTH reads before any comparison
+    * (the shared reader, Dedup.forgetDecisions): tombstones are a SET, so
+    * the decisions are independent of the request micro-batching — the
+    * oracle is m6_dedup_forget's replay VERBATIM. */
+  def streamDedupForgetQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Connectors, Dedup}
+    configureStreaming(spark)
+    graft.functions.GraftFunctions.register(spark)
+    val (sigsT, shT) = Dedup.refDedupCatalog(spark, dir, "graft-stream-dedupfg-")
+    val tombT = s"${sigsT.stripSuffix("/sigs")}/tombstones"
+    val src = stagedDedupForget(spark, dir, 2)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt-").toString
+    withShufflePartitions(spark, 8) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.persist()
+          try if (!batch.isEmpty) {
+            Connectors.appendKeyed(spark, tombT,
+              batch.select("doc_id").coalesce(1), s"b$batchId")
+          } finally batch.unpersist()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    Dedup.forgetDecisions(spark, dir, sigsT, shT, tombT)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m4q_stream_dedup_admit" -> streamDedupAdmissionQuery,
+    "m4r_stream_ann_forget" -> streamAnnForgetQuery,
+    "m4s_stream_dedup_forget" -> streamDedupForgetQuery,
     "m4p_stream_forget"    -> streamForgetQuery,
     "m4o_stream_ivf"       -> streamIvfAdmissionQuery,
     "m4n_stream_index"     -> streamIndexAdmissionQuery,
@@ -1029,6 +1240,19 @@ object StreamingJobs {
     // serves exactly what the batch retraction serves.
     "m4p_stream_forget" ->
       graft.operators.TextAnalysis.oracles("m6_index_forget"),
+    // Identical to the batch incremental-commit oracle: each batch doc
+    // derives from a distinct corpus doc, so decisions are independent of
+    // the micro-batch partitioning and the drained catalog holds exactly
+    // the batch commit's admissions (see streamDedupAdmissionQuery).
+    "m4q_stream_dedup_admit" ->
+      graft.operators.Dedup.oracles("m6_incremental_commit"),
+    // Identical to the batch ANN-forget oracle: tombstones are a set, so
+    // the served ranking is independent of the request micro-batching.
+    "m4r_stream_ann_forget" ->
+      graft.operators.Similarity.oracles("m6_ann_forget"),
+    // Identical to the batch dedup-forget oracle, for the same reason.
+    "m4s_stream_dedup_forget" ->
+      graft.operators.Dedup.oracles("m6_dedup_forget"),
     // Identical to the batch classifier oracle: feature sums are
     // associative, so the drained per-doc state equals the batch scores.
     "m4m_stream_quality" ->

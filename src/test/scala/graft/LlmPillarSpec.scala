@@ -1321,6 +1321,28 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     assert(after.count() == nBefore - nTomb, "purge dropped retained signatures")
   }
 
+  test("dedup compact serves bit-identical decisions to the member'd catalog") {
+    import graft.operators.{Connectors, Dedup}
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    // compaction changes bytes, not answers: signatures and shingle sets
+    // ride whole with their rows, invariant under re-membering
+    assert(m(Dedup.dedupCompact(spark, dir))
+      .sameElements(m(Dedup.incrementalCommit(spark, dir))))
+    // and the bytes really change: both compacted tables are ONE owned
+    // generation — the external release refs' lifetime ends at OPTIMIZE
+    val (sigsT, shT) = Dedup.admittedDedupCatalog(spark, dir,
+      "graft-dedup-compact-spec-")
+    Seq(sigsT, shT).foreach { t =>
+      Connectors.compact(spark, t)
+      val cur = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(t, "_CURRENT")).trim
+      assert(cur.startsWith("_gen-"),
+        s"compacted table $t still member'd: pointer = $cur")
+    }
+  }
+
   test("repeated spans: planted excerpts are fully duplicated in one maximal run") {
     import graft.operators.TextAnalysis
     val out = TextAnalysis.repeatedSpans(spark, dir).collect()

@@ -437,6 +437,93 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       "stream-retracted catalog diverged from the batch retraction")
   }
 
+  test("streaming dedup admission is retry-idempotent and decides the batch decisions") {
+    import graft.operators.{Connectors, Dedup}
+    val dir = "/root/testdata/sf0.001"
+    val (sigsT, shT) = Dedup.refDedupCatalog(spark, dir, "graft-stream-dedup-spec-")
+    // the m4q foreachBatch body: decide against the catalog as served,
+    // commit the admissions keyed on the micro-batch id
+    def admit(batch: org.apache.spark.sql.DataFrame, key: String): Unit = {
+      val base = Dedup.batchBaseOf(batch)
+      try {
+        val admitted = Dedup.admissionDecisions(batch, base,
+            Dedup.catSigsOf(spark, sigsT), Dedup.catShinglesOf(spark, shT))
+          .filter(col("admitted")).select(col("new_id").as("doc_id")).persist()
+        try {
+          Connectors.appendKeyed(spark, sigsT,
+            Dedup.sigsOf(base).join(admitted, Seq("doc_id")).coalesce(1), key)
+          Connectors.appendKeyed(spark, shT,
+            base.join(admitted, Seq("doc_id")).coalesce(1), key)
+        } finally admitted.unpersist()
+      } finally base.unpersist()
+    }
+    // two micro-batches, each carrying both fixture classes (doc_id % 20
+    // picks verbatim-vs-half; % 40 < 20 splits across both); batch 0
+    // commits TWICE with the same key — the foreachBatch retry
+    val b1 = Dedup.arrivingBatch(spark, dir, 3000000, halfAll = false)
+    val b0 = b1.filter(col("doc_id") % 40 < 20)
+    admit(b0, "b0"); admit(b0, "b0")
+    admit(b1.filter(col("doc_id") % 40 >= 20), "b1")
+    // exactly-once: no doc's signatures admitted twice
+    val sigs = Connectors.readTable(spark, sigsT)
+    assert(sigs.count() == sigs.select("doc_id").distinct().count(),
+      "retried micro-batch double-admitted signatures")
+    // the stream-maintained catalog decides batch 2 exactly as the batch
+    // pipeline — the m4q oracle-is-the-batch-commit statement, engine-side
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(m(Dedup.catalogDecisions(spark, dir, sigsT, shT))
+      .sameElements(m(Dedup.incrementalCommit(spark, dir))),
+      "stream-maintained dedup catalog diverged from the batch commit")
+  }
+
+  test("streaming ANN forget is retry-idempotent and serves the batch retraction") {
+    import graft.operators.{Connectors, Similarity}
+    val dir = "/root/testdata/sf0.001"
+    val cells = Similarity.admittedIvfCells(spark, dir, "graft-stream-annforget-spec-")
+    val tomb = Similarity.annTombstoneDirOf(cells)
+    val req = Similarity.annForgetIds(spark, dir)
+    // two micro-batches split on parity; batch 0 retracts TWICE under the
+    // same key — the foreachBatch retry must not duplicate tombstones
+    val b0 = req.filter(col("vec_id") % 2 === 0)
+    Connectors.appendKeyed(spark, tomb, b0, "b0")
+    Connectors.appendKeyed(spark, tomb, b0, "b0")
+    Connectors.appendKeyed(spark, tomb, req.filter(col("vec_id") % 2 === 1), "b1")
+    assert(Connectors.readTable(spark, tomb).count() == req.count(),
+      "retried micro-batch duplicated tombstones")
+    // the stream-retracted catalog serves the batch forget verbatim
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+        r.getBoolean(4))).sortBy(x => (x._1, x._3))
+    assert(rows(Similarity.withFromBatch(spark, dir,
+        Similarity.ivfCatalogSearch(spark, dir, cells, Some(tomb))))
+      .sameElements(rows(Similarity.annForget(spark, dir))),
+      "stream-retracted ANN catalog diverged from the batch forget")
+  }
+
+  test("streaming dedup forget is retry-idempotent and decides the batch retraction") {
+    import graft.operators.{Connectors, Dedup}
+    val dir = "/root/testdata/sf0.001"
+    val (sigsT, shT) = Dedup.refDedupCatalog(spark, dir, "graft-stream-dedupfg-spec-")
+    val tombT = s"${sigsT.stripSuffix("/sigs")}/tombstones"
+    val req = Dedup.dedupForgetIds(spark, dir)
+    // two micro-batches split on doc_id % 40 (the request is % 20 == 0 —
+    // parity would leave one batch empty); batch 0 retracts TWICE
+    val b0 = req.filter(col("doc_id") % 40 === 0)
+    Connectors.appendKeyed(spark, tombT, b0, "b0")
+    Connectors.appendKeyed(spark, tombT, b0, "b0")
+    Connectors.appendKeyed(spark, tombT, req.filter(col("doc_id") % 40 =!= 0), "b1")
+    assert(Connectors.readTable(spark, tombT).count() == req.count(),
+      "retried micro-batch duplicated tombstones")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(m(Dedup.forgetDecisions(spark, dir, sigsT, shT, tombT))
+      .sameElements(m(Dedup.dedupForget(spark, dir))),
+      "stream-retracted dedup catalog diverged from the batch forget")
+  }
+
   test("sink retry backs off and succeeds after transient failures") {
     import spark.implicits._
     val sink = tmp("retry-sink-")

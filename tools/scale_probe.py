@@ -88,6 +88,10 @@ QUERIES = ",".join([
     # round-16 batch 2: exact repeated-span census, dedup-catalog
     # forget/purge (the third index family's governance legs)
     "m6_repeated_spans", "m6_dedup_forget", "m6_dedup_purge",
+    # round-16 batch 3: dedup-catalog compact and the three streaming
+    # lifecycle legs (dedup admission, dense forget, dedup forget)
+    "m6_dedup_compact", "m4q_stream_dedup_admit", "m4r_stream_ann_forget",
+    "m4s_stream_dedup_forget",
 ])
 
 

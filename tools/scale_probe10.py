@@ -78,6 +78,9 @@ QUERIES = ",".join([
     # round-16 batch 2: exact repeated-span census, dedup-catalog
     # forget/purge (the third index family's governance legs)
     "m6_repeated_spans", "m6_dedup_forget", "m6_dedup_purge",
+    # round-16 batch 3: dedup-catalog compact (the streaming lifecycle legs
+    # go to the 10x probe only — drains are excluded here on purpose)
+    "m6_dedup_compact",
 ])
 
 
