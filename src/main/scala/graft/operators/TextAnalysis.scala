@@ -809,33 +809,41 @@ object TextAnalysis {
     * h2) frame feeds both the flood census and the dup side, so it
     * persists SCOPED (the releaseDiff discipline: ~30 bytes/row, gone
     * before return). */
-  def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    import org.apache.spark.sql.expressions.Window
-    val W = 15
-    val M = 8796093022208L // 2^43
+  /** The span-census window width and the excerpt-plant fixture shared by
+    * the census (m6_repeated_spans) and the scrub (m6_span_scrub): every
+    * 29th document's first 40 tokens re-arrive as an excerpt doc at
+    * doc_id + 6000000 — deterministic cross-doc exact spans. */
+  private[graft] val SpanW = 15
+
+  private[graft] def spansBase(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.fanout(Tables.documents(spark, dir))
       .select(col("doc_id"), normTokens(col("text")).as("toks"))
-    val base = docs
+    docs
       .unionAll(docs.filter(col("doc_id") % 29 === 0)
         .select((col("doc_id") + 6000000L).as("doc_id"),
           slice(col("toks"), 1, 40).as("toks")))
       .withColumn("n", size(col("toks")).cast("long"))
-    // the short-doc guard lives INSIDE the expression (lazy CASE branch),
-    // not only in a filter: Catalyst merges the generator's implicit
-    // pre-filter with ours and may evaluate `whs` first, where a
-    // descending sequence(0, n-15) would hand slice a 0 start
-    // The window-hash pass is a typed mapPartitions (the Multimodal decode
-    // precedent — genuinely per-element imperative work): token hashes via
-    // the SAME Fold60.fold the graft_fold60 expression evaluates (no
-    // reimplementation to diverge), then a tight O(n·W) long loop per doc.
-    // Both expression-land forms were MEASURED and rejected: higher-order
-    // lambdas evaluate interpreted, so aggregate-over-slice cost 48 s wall
-    // at sf0.1 (two array allocations per window) and an unrolled
-    // element_at chain 608 s (90 interpreted expression nodes per window);
-    // the loop form is 0.8 s.
+  }
+
+  /** The windowed-hash pass shared by census and scrub — a typed
+    * mapPartitions (the Multimodal decode precedent — genuinely
+    * per-element imperative work): token hashes via the SAME Fold60.fold
+    * the graft_fold60 expression evaluates (no reimplementation to
+    * diverge), then a tight O(n·W) long loop per doc emitting the skinny
+    * (doc_id, pos, h1, h2) frame. Both expression-land forms were
+    * MEASURED and rejected: higher-order lambdas evaluate interpreted, so
+    * aggregate-over-slice cost 48 s wall at sf0.1 (two array allocations
+    * per window) and an unrolled element_at chain 608 s (90 interpreted
+    * expression nodes per window); the loop form is 0.8 s. Window keys
+    * are two overflow-safe polynomial accumulators mod 2^43 — every
+    * intermediate < 2^52, so Spark's wrapping longs and DuckDB's checked
+    * BIGINTs compute identical values (~86 effective key bits). */
+  private[graft] def spanWindowHashes(spark: SparkSession,
+      docsWithTokens: DataFrame): DataFrame = {
+    val W = SpanW
+    val M = 8796093022208L // 2^43
     import spark.implicits._
-    val wh0 = base.filter(col("n") >= W)
+    docsWithTokens
       .select(col("doc_id"), col("toks")).as[(Long, Seq[String])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, toks) =>
@@ -853,6 +861,14 @@ object TextAnalysis {
           }
         }
       }.toDF("doc_id", "pos", "h1", "h2")
+  }
+
+  def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val W = SpanW
+    val base = spansBase(spark, dir)
+    val wh0 = spanWindowHashes(spark, base.filter(col("n") >= W))
     def census(wh: DataFrame): DataFrame = {
       val flood = wh.groupBy("h1", "h2")
         .agg(countDistinct(col("doc_id")).as("nd"))
@@ -878,6 +894,75 @@ object TextAnalysis {
     if (lazyPlans(spark)) return census(wh0)
     val p = wh0.persist()
     try census(p).localCheckpoint(true)
+    finally p.unpersist()
+  }
+
+  /** M6: exact repeated-span SCRUB — the production leg of the span census
+    * (m6_repeated_spans counts the memorized-quote spans; this REMOVES
+    * them): every token covered by a flooded window (hash in ≥ 2 distinct
+    * docs) is deleted from every document EXCEPT the span's canonical
+    * owner — per window hash the minimum doc_id keeps its copy, the
+    * keep-one-occurrence policy substring-level dedup ships (Lee et al.,
+    * ACL '22: "remove all but one occurrence of each duplicated span").
+    * The excerpt plants make the policy visible end to end: each excerpt
+    * doc's windows are all owned by its source corpus doc, so excerpts
+    * with ≥ W tokens scrub to EMPTY text while their sources keep every
+    * token (spec-pinned, with token conservation).
+    *
+    * 100 TB shape: the window-hash pass and the flood census are the
+    * census's own linear stages (shared code); ownership adds min(doc_id)
+    * to the same map-side-combined aggregate; foreign duplicated windows
+    * are an output-sized hash join (duplicated regions only — a clean
+    * corpus flows through for free), covered token indices explode W× the
+    * FOREIGN window count (bounded by W× the duplicated mass, not the
+    * corpus), and the rebuild is a typed boolean-mask pass — O(n + c) per
+    * doc, never O(n·c): the covered-index set joins back as one array per
+    * affected doc and the mask loop touches each token once. No stage is
+    * quadratic in anything; the only frame wider than the census's is the
+    * covered-index set, which is duplication-sized by construction. */
+  def spanScrub(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val W = SpanW
+    val base = spansBase(spark, dir)
+    def served(wh: DataFrame): DataFrame = {
+      val flood = wh.groupBy("h1", "h2")
+        .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("owner"))
+        .filter(col("nd") >= 2)
+        .select("h1", "h2", "owner")
+      val foreignW = wh.join(flood, Seq("h1", "h2"))
+        .filter(col("doc_id") > col("owner"))
+      val covered = foreignW.select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (W - 1))).as("idx"))
+        .dropDuplicates("doc_id", "idx")
+      val covSets = covered.groupBy("doc_id")
+        .agg(collect_list(col("idx")).as("cov"))
+      import spark.implicits._
+      base.join(covSets, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("toks"), col("cov"))
+        .as[(Long, Seq[String], Option[Seq[Long]])]
+        .map { case (id, toks, cov) =>
+          val mask = new Array[Boolean](toks.length)
+          cov.getOrElse(Nil).foreach(i => if (i < mask.length) mask(i.toInt) = true)
+          val kept = new StringBuilder
+          var i = 0
+          var nKept = 0L
+          while (i < toks.length) {
+            if (!mask(i)) {
+              if (nKept > 0) kept += ' '
+              kept ++= toks(i)
+              nKept += 1
+            }
+            i += 1
+          }
+          (id, toks.length.toLong, toks.length - nKept, kept.result())
+        }.toDF("doc_id", "n_tokens", "n_scrubbed", "kept_text")
+    }
+    val wh0 = spanWindowHashes(spark, base.filter(col("n") >= W))
+    if (lazyPlans(spark)) return served(wh0)
+    // wh feeds both the flood census and the foreign-window join — persist
+    // scoped, gone before return (the repeatedSpans discipline)
+    val p = wh0.persist()
+    try served(p).localCheckpoint(true)
     finally p.unpersist()
   }
 
@@ -2035,6 +2120,7 @@ object TextAnalysis {
     "m6_lm_support"    -> lmSupport,
     "m6_passage_scrub" -> passageScrub,
     "m6_repeated_spans" -> repeatedSpans,
+    "m6_span_scrub" -> spanScrub,
     "m6_postings"      -> postings,
     "m6_quality_score" -> qualityScore,
     "m6_audit_sample"  -> auditSample,
@@ -2048,6 +2134,29 @@ object TextAnalysis {
 
   /** The m6_lang_id replay, shared verbatim by the confusion-matrix
     * oracle (which aggregates this classifier's output). */
+  /** The windowed-hash replay shared by the span census and the span
+    * scrub: plants, per-token fold60, and the two mod-2^43 polynomial
+    * window keys — CTEs tk/corpus/b/wh. */
+  private lazy val SpansWhPrelude: String =
+    s"""WITH tk AS (SELECT doc_id, ${sqlNormTokens("text")} AS toks FROM documents),
+          corpus AS (
+            SELECT doc_id, toks FROM tk
+            UNION ALL
+            SELECT doc_id + 6000000, toks[1:40] FROM tk WHERE doc_id % 29 = 0),
+          b AS (SELECT doc_id,
+                  list_transform(toks, t -> ${Exact.sqlFold60("t")}) AS ths,
+                  CAST(len(toks) AS BIGINT) AS n
+                FROM corpus),
+          wh AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       ths[CAST(u.i + 1 AS INTEGER) : CAST(u.i + 15 AS INTEGER)]),
+                     (acc, x) -> (acc * 257 + x % 8796093022208) % 8796093022208) AS h1,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       ths[CAST(u.i + 1 AS INTEGER) : CAST(u.i + 15 AS INTEGER)]),
+                     (acc, x) -> (acc * 1031 + x // 131072) % 8796093022208) AS h2
+                 FROM b, LATERAL unnest(range(0, n - 14)) AS u(i)
+                 WHERE n >= 15)"""
+
   private lazy val LangIdOracle: String =
     """WITH counts AS (
          SELECT lang, token, count(*) AS tf
@@ -2722,24 +2831,7 @@ object TextAnalysis {
     // intermediate < 2^52, so DuckDB's checked BIGINTs and Spark's longs
     // agree), same ≥2 distinct-doc flood rule, same islands maximal runs.
     "m6_repeated_spans" ->
-      s"""WITH tk AS (SELECT doc_id, ${sqlNormTokens("text")} AS toks FROM documents),
-          corpus AS (
-            SELECT doc_id, toks FROM tk
-            UNION ALL
-            SELECT doc_id + 6000000, toks[1:40] FROM tk WHERE doc_id % 29 = 0),
-          b AS (SELECT doc_id,
-                  list_transform(toks, t -> ${Exact.sqlFold60("t")}) AS ths,
-                  CAST(len(toks) AS BIGINT) AS n
-                FROM corpus),
-          wh AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT),
-                       ths[CAST(u.i + 1 AS INTEGER) : CAST(u.i + 15 AS INTEGER)]),
-                     (acc, x) -> (acc * 257 + x % 8796093022208) % 8796093022208) AS h1,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT),
-                       ths[CAST(u.i + 1 AS INTEGER) : CAST(u.i + 15 AS INTEGER)]),
-                     (acc, x) -> (acc * 1031 + x // 131072) % 8796093022208) AS h2
-                 FROM b, LATERAL unnest(range(0, n - 14)) AS u(i)
-                 WHERE n >= 15),
+      s"""$SpansWhPrelude,
           flood AS (SELECT h1, h2 FROM wh
                     GROUP BY h1, h2 HAVING count(DISTINCT doc_id) >= 2),
           dup AS (SELECT doc_id, pos FROM wh SEMI JOIN flood USING (h1, h2)),
@@ -2760,6 +2852,30 @@ object TextAnalysis {
                  ELSE 0.0 END AS dup_frac,
             coalesce(longest_run + 14, 0) AS longest_span
           FROM b LEFT JOIN agg USING (doc_id)""",
+    // The scrub replay on the same windowed-hash prelude: ownership is
+    // min(doc_id) per flooded window, covered token indices unnest W per
+    // foreign window, and the rebuild is list_filter with the 1-BASED
+    // DuckDB lambda index checked against the engine's 0-based covered
+    // set (the arrivingBatch index-base discipline).
+    "m6_span_scrub" ->
+      s"""$SpansWhPrelude,
+          flood AS (SELECT h1, h2, min(doc_id) AS owner FROM wh
+                    GROUP BY h1, h2 HAVING count(DISTINCT doc_id) >= 2),
+          frn AS (SELECT wh.doc_id, wh.pos FROM wh
+                  JOIN flood USING (h1, h2) WHERE wh.doc_id > owner),
+          cov AS (SELECT DISTINCT doc_id, CAST(pos + u.g AS BIGINT) AS idx
+                  FROM frn, LATERAL unnest(range(0, 15)) AS u(g)),
+          cl AS (SELECT doc_id, list(idx) AS cv FROM cov GROUP BY 1)
+          SELECT c.doc_id,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            CAST(coalesce(len(cv), 0) AS BIGINT) AS n_scrubbed,
+            CASE WHEN cv IS NULL THEN array_to_string(toks, ' ')
+                 -- string_agg over an empty list is NULL in DuckDB; the
+                 -- engine's fully-scrubbed doc is the empty string
+                 ELSE coalesce(array_to_string(list_filter(toks,
+                   (t, i) -> NOT list_contains(cv, CAST(i - 1 AS BIGINT))), ' '), '')
+            END AS kept_text
+          FROM corpus c LEFT JOIN cl USING (doc_id)""",
     "m6_postings" ->
       s"""WITH tk AS (SELECT doc_id, ${sqlNormTokens("text")} AS t FROM documents),
           dt AS (SELECT doc_id, unnest(list_distinct(${sqlShingles("t", 3)})) AS term

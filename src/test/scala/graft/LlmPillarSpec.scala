@@ -1343,6 +1343,36 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("span scrub: excerpts scrub to empty, owners keep, token counts conserve") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.spanScrub(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byId = out.map(x => x._1 -> x).toMap
+    // conservation, everywhere: kept tokens = n_tokens - n_scrubbed, and
+    // short docs (< W tokens) are never touched
+    out.foreach { case (id, n, s, kept) =>
+      assert(s >= 0 && s <= n, s"doc $id: scrubbed $s outside [0, $n]")
+      val nKept = kept.split(" ").count(_.nonEmpty)
+      assert(nKept == n - s, s"doc $id: kept $nKept != $n - $s")
+      if (n < TextAnalysis.SpanW) assert(s == 0, s"short doc $id was scrubbed")
+    }
+    // every planted excerpt with >= W tokens is foreign everywhere it
+    // overlaps the corpus (its source owns the windows) -> scrubs to EMPTY
+    val excerpts = out.filter(_._1 >= 6000000L)
+    assert(excerpts.nonEmpty, "fixture planted no excerpts")
+    excerpts.filter(_._2 >= TextAnalysis.SpanW).foreach { case (id, n, s, kept) =>
+      assert(s == n && kept.isEmpty, s"excerpt $id not fully scrubbed: $s/$n")
+    }
+    // keep-one is visible on the plant pairs: a source doc that is NOT
+    // itself a natural duplicate of a smaller doc keeps its copy intact
+    // (doc 174 at sf0.001 is the counter-case — a natural verbatim twin
+    // with a smaller-id owner — so the pin is conditional on n_scrubbed=0,
+    // and at least one such intact owner must exist for the pin to bite)
+    val intactOwners = excerpts.flatMap(e => byId.get(e._1 - 6000000L))
+      .filter(_._3 == 0L)
+    assert(intactOwners.nonEmpty, "no plant source survived intact")
+  }
+
   test("repeated spans: planted excerpts are fully duplicated in one maximal run") {
     import graft.operators.TextAnalysis
     val out = TextAnalysis.repeatedSpans(spark, dir).collect()

@@ -90,7 +90,7 @@ QUERIES = ",".join([
     "m6_repeated_spans", "m6_dedup_forget", "m6_dedup_purge",
     # round-16 batch 3: dedup-catalog compact and the three streaming
     # lifecycle legs (dedup admission, dense forget, dedup forget)
-    "m6_dedup_compact", "m4q_stream_dedup_admit", "m4r_stream_ann_forget",
+    "m6_dedup_compact", "m6_span_scrub", "m4q_stream_dedup_admit", "m4r_stream_ann_forget",
     "m4s_stream_dedup_forget",
 ])
 

@@ -80,7 +80,7 @@ QUERIES = ",".join([
     "m6_repeated_spans", "m6_dedup_forget", "m6_dedup_purge",
     # round-16 batch 3: dedup-catalog compact (the streaming lifecycle legs
     # go to the 10x probe only — drains are excluded here on purpose)
-    "m6_dedup_compact",
+    "m6_dedup_compact", "m6_span_scrub",
 ])
 
 
