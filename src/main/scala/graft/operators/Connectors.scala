@@ -850,6 +850,91 @@ object Connectors {
         col("min_value"), col("cnt"))
   }
 
+  // ---- S19: multi-dimensional clustering (Z-order) + stats skipping -------
+
+  /** 32-bit Morton code: the low 16 bits of `x` and `y` interleaved
+    * (x at even positions, y at odd). A static composition of 32
+    * shift/mask/or terms — whole-stage-codegen'd, no UDF. */
+  private[graft] def zvalue(x: org.apache.spark.sql.Column,
+                            y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** The deterministic 2-dim query box both engines replay: each dimension's
+    * envelope [min, max] shifted by span/5 (deliberately NOT dyadic-aligned —
+    * an aligned box is one contiguous Z-run, the curve's best case; this one
+    * crosses run boundaries) with side span/8. Integer division truncates
+    * identically in Scala and DuckDB's `//` for the non-negative keys. */
+  private[graft] def zorderBox(spark: SparkSession, dir: String): (Long, Long, Long, Long) = {
+    val env = Tables.lineitem(spark, dir)
+      .agg(min("l_partkey").cast("long"), max("l_partkey").cast("long"),
+        min("l_suppkey").cast("long"), max("l_suppkey").cast("long")).head()
+    val (pmin, pmax, smin, smax) =
+      (env.getLong(0), env.getLong(1), env.getLong(2), env.getLong(3))
+    val (plo, slo) = (pmin + (pmax - pmin) / 5, smin + (smax - smin) / 5)
+    (plo, plo + (pmax - pmin) / 8, slo, slo + (smax - smin) / 8)
+  }
+
+  /** Writes `lineitem` Z-ORDERED on (l_partkey, l_suppkey) into a scratch
+    * table — each dimension linearly binned to 16 bits from its measured
+    * envelope, the Morton code range-partitioned and sorted within
+    * partitions — and returns the table path. The layout, not the sort, is
+    * the product: after it, every data file covers a narrow rectangle in
+    * BOTH dimensions, so the files' ordinary per-column min/max stats become
+    * a 2-dim index. */
+  private[graft] def zorderTable(spark: SparkSession, dir: String, files: Int): String = {
+    val out = Files.createTempDirectory("graft-zorder-").toString
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey",
+      "l_suppkey", "l_quantity", "l_extendedprice", "l_returnflag")
+    val env = li.agg(min("l_partkey").cast("long"), max("l_partkey").cast("long"),
+      min("l_suppkey").cast("long"), max("l_suppkey").cast("long")).head()
+    def bin(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      if (hi == lo) lit(0L)
+      else (c.cast("long") - lit(lo)) * lit(65535L) / lit(hi - lo)
+    li.withColumn("z", zvalue(
+        bin(col("l_partkey"), env.getLong(0), env.getLong(1)),
+        bin(col("l_suppkey"), env.getLong(2), env.getLong(3))))
+      .repartitionByRange(files, col("z"))
+      .sortWithinPartitions("z")
+      .drop("z")
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** S19: Z-order (Morton-curve) data layout + multi-dimensional stats
+    * skipping — the OPTIMIZE ZORDER BY every lakehouse table format ships.
+    * A table range-partitioned on ONE column prunes that column only; a
+    * table laid out along the Morton curve of TWO columns clusters both at
+    * once, so a 2-dim box predicate touches the few files whose rectangles
+    * intersect the box instead of every file (ConnectorsSpec pins the
+    * contrast: the same box over an orderkey-laid-out control touches ~all
+    * of 64 files, over the Z-layout a handful).
+    *
+    * At 100 TB the mechanism is the point: the curve value is 32 codegen'd
+    * bit ops per row + one range shuffle (exactly a sort's cost, paid once
+    * per release), and the payoff compounds — the table format's file-level
+    * min/max manifest prunes the LISTING, parquet row-group stats prune
+    * inside survivors, and both work on the ordinary per-column stats that
+    * already exist; z-order just makes them tight in two dimensions
+    * simultaneously. The served query reads back through the layout with the
+    * box predicate pushed (PushedFilters carries all four bounds) and
+    * aggregates by return flag; the oracle replays box + aggregate on the
+    * raw table — the layout must never change an answer, only the bytes
+    * touched. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val out = zorderTable(spark, dir, files = 64)
+    val (plo, phi, slo, shi) = zorderBox(spark, dir)
+    spark.read.parquet(out)
+      .filter(col("l_partkey").between(plo, phi) &&
+        col("l_suppkey").between(slo, shi))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        Exact.sumD("l_extendedprice").as("revenue"))
+  }
+
   /** S10: catalog/DDL bootstrap — the engine-side analog of the reference's
     * topic-bootstrap script (kafka/init_topics.py:190-252: idempotent
     * infrastructure setup, verified before the pipeline starts): the
@@ -890,6 +975,7 @@ object Connectors {
     "s16_compact_roundtrip" -> compactRoundtrip,
     "s17_schema_evolution" -> schemaEvolution,
     "s18_time_travel"      -> timeTravelRead,
+    "s19_zorder_layout"    -> zorderLayout,
     "s9_sync_watermark"     -> syncWatermark,
     "s12_partitioned_output" -> partitionedOutput)
 
@@ -972,6 +1058,25 @@ object Connectors {
           ${Exact.sqlRnd(Exact.sqlSum("value"), 2)} AS total_value,
           count(*) AS cnt
           FROM events GROUP BY 2, 3""",
+    // The Z-order layout must never change an answer — only the bytes
+    // touched. The oracle replays box + aggregate on the raw table, with the
+    // box bounds derived by the same envelope arithmetic (`//` truncates like
+    // Scala's Long division for these non-negative keys).
+    "s19_zorder_layout" ->
+      s"""WITH env AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+                              min(l_suppkey) AS smin, max(l_suppkey) AS smax
+                       FROM lineitem),
+          box AS (SELECT pmin + (pmax - pmin) // 5 AS plo,
+                         pmin + (pmax - pmin) // 5 + (pmax - pmin) // 8 AS phi,
+                         smin + (smax - smin) // 5 AS slo,
+                         smin + (smax - smin) // 5 + (smax - smin) // 8 AS shi
+                  FROM env)
+          SELECT l_returnflag, count(*) AS n_rows,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                 ${Exact.sqlSum("l_extendedprice")} AS revenue
+          FROM lineitem, box
+          WHERE l_partkey BETWEEN plo AND phi AND l_suppkey BETWEEN slo AND shi
+          GROUP BY 1""",
     // The compacted read-back must equal the never-fragmented aggregation.
     "s16_compact_roundtrip" ->
       s"""SELECT user_id, CAST(ts AS DATE) AS day,

@@ -787,6 +787,68 @@ object Dedup {
       .groupBy("doc_id").agg(countDistinct(col("h")).as("n_shared"))
   }
 
+  /** M6: Bloom-prefiltered decontamination — m6_decontaminate's 100-TB
+    * shape. The exact scan broadcasts the held-out shingle set verbatim;
+    * at a real benchmark suite (~10⁸ distinct 8-grams) that exact set is
+    * gigabytes, but its Bloom sketch at 1% FPR is ~10 bits/element — small
+    * enough to ship to every task as a plan literal. The pipeline:
+    *
+    *   1. BUILD — one distributed aggregate over the held-out shingles
+    *      (Spark's own `BloomFilterAggregate`, the runtime-filter sketch,
+    *      surfaced as `graft_bloom_agg`), sized from the measured distinct
+    *      count at `BloomFilter.optimalNumOfBits(n, 0.01)` and clamped to
+    *      the runtime-filter default budget (2²⁶ bits = 8 MB).
+    *   2. PREFILTER — `graft_bloom_might_contain(lit(sketch), h)` evaluates
+    *      in the training side's scan stage (whole-stage codegen, no
+    *      shuffle): a no-FN pass, so every truly shared shingle survives
+    *      and ≥ 99% of the clean corpus drops before any exchange.
+    *   3. VERIFY — the survivors (true leaks + ~1% FPs) meet the exact
+    *      held-out set in an ordinary equi-join; false positives die here,
+    *      so the emitted rows are EXACTLY m6_decontaminate's (shared
+    *      oracle — the sketch changes the plan, never the answer).
+    *
+    * Work at scale: one linear pass over the held-out shingles, one linear
+    * codegen'd pass over the training shingles, and a shuffle that carries
+    * ~1% of the corpus's shingle volume instead of 100%. The FP-robustness
+    * property (a deliberately starved 64-bit sketch still yields the exact
+    * answer, every drop re-admitted by the verify join) is spec-pinned via
+    * the `forceBits` hook. */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    bloomDecontaminate(spark, dir, forceBits = None)
+
+  private[graft] def bloomDecontaminate(
+      spark: SparkSession, dir: String, forceBits: Option[Long]): DataFrame = {
+    import org.apache.spark.util.sketch.BloomFilter
+    graft.functions.GraftFunctions.register(spark)
+    val s8 = DedupStaging.shingle8(spark, dir)
+    val held = s8.filter(col("doc_id") % 97 === 0)
+    val heldout = held.select("h").distinct()
+    // Audit mode (Explain sets spark.graft.lazyPlans) never executes, so the
+    // sketch literal is a driver-built placeholder: identical plan shape
+    // (binary literal + might_contain in the scan stage), zero actions.
+    val sketch: Array[Byte] =
+      if (TextAnalysis.lazyPlans(spark)) {
+        val bos = new java.io.ByteArrayOutputStream()
+        BloomFilter.create(1024).writeTo(bos); bos.toByteArray
+      } else {
+        // production sizes the sketch from the release manifest's distinct
+        // shingle count; here the count is one cheap action over the staged
+        // table. Clamp to the 8 MB runtime-filter default budget — past the
+        // clamp the FPR degrades gracefully and the verify join still holds.
+        val n = math.max(heldout.count(), 1024L)
+        val bits = forceBits.getOrElse(
+          math.min(BloomFilter.optimalNumOfBits(n, 0.01), 1L << 26))
+        heldout.agg(call_function("graft_bloom_agg",
+            col("h"), lit(n), lit(bits)).as("bf"))
+          .head().getAs[Array[Byte]]("bf")
+      }
+    s8.filter(col("doc_id") % 97 =!= 0)
+      .unionAll(held.withColumn("doc_id", col("doc_id") + 2000000))
+      .filter(call_function("graft_bloom_might_contain", lit(sketch), col("h")))
+      .join(heldout, Seq("h")) // exact verify: FPs die, answers stay exact
+      .groupBy("doc_id").agg(countDistinct(col("h")).as("n_shared"))
+  }
+
   /** M6: the end-to-end corpus build — the composition every piece above
     * exists for: quality-filter (≥ 0.5), deterministic language mix
     * (downsample the dominant language), near-dup removal (drop the
@@ -995,12 +1057,29 @@ object Dedup {
     "m6_dup_clusters"  -> dupClusters,
     "m6_cluster_keep_best" -> clusterKeepBest,
     "m6_dup_density"   -> dupDensity,
-    "m6_decontaminate" -> decontaminate)
+    "m6_decontaminate" -> decontaminate,
+    "m6_bloom_decontaminate" -> ((s, d) => bloomDecontaminate(s, d)))
 
   private val shSql = s"list_distinct(${sqlShingles("string_split(text, ' ')", 3)})"
   // decontamination shingles are over canonical tokens (normTokens) — `toks`
   // is staged in a CTE so the normalization expression appears once
   private val sh8Sql = s"list_distinct(${sqlShingles("toks", 8)})"
+
+  /** Shared by m6_decontaminate and m6_bloom_decontaminate: the sketch
+    * prefilter never changes the answer, so both replay this exact scan. */
+  private lazy val decontaminateOracleSql: String =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents
+                        UNION ALL
+                        SELECT doc_id + 2000000, text FROM documents
+                        WHERE doc_id % 97 = 0),
+        tk AS (SELECT doc_id, ${TextAnalysis.sqlNormTokens("text")} AS toks FROM corpus),
+        sh AS (SELECT doc_id, $sh8Sql AS s FROM tk),
+        ex AS (SELECT doc_id, unnest(list_transform(s, x -> ${sqlMd5Fold60("x")})) AS h FROM sh),
+        held AS (SELECT DISTINCT h FROM ex WHERE doc_id % 97 = 0)
+        SELECT doc_id, count(DISTINCT h) AS n_shared
+        FROM ex JOIN held USING (h)
+        WHERE doc_id % 97 <> 0
+        GROUP BY 1"""
 
   /** The 16 XOR-seeded min-hash columns over an `(doc_id, h)`-list CTE. */
   private def sqlSigs(hsCte: String): String =
@@ -1265,19 +1344,11 @@ object Dedup {
           SELECT doc_small, doc_big, n_small, n_big, n_shared,
             ${sqlRnd("c", 4)} AS containment
           FROM sc WHERE c >= 0.8""",
-    "m6_decontaminate" ->
-      s"""WITH corpus AS (SELECT doc_id, text FROM documents
-                          UNION ALL
-                          SELECT doc_id + 2000000, text FROM documents
-                          WHERE doc_id % 97 = 0),
-          tk AS (SELECT doc_id, ${TextAnalysis.sqlNormTokens("text")} AS toks FROM corpus),
-          sh AS (SELECT doc_id, $sh8Sql AS s FROM tk),
-          ex AS (SELECT doc_id, unnest(list_transform(s, x -> ${sqlMd5Fold60("x")})) AS h FROM sh),
-          held AS (SELECT DISTINCT h FROM ex WHERE doc_id % 97 = 0)
-          SELECT doc_id, count(DISTINCT h) AS n_shared
-          FROM ex JOIN held USING (h)
-          WHERE doc_id % 97 <> 0
-          GROUP BY 1""",
+    "m6_decontaminate" -> decontaminateOracleSql,
+    // The Bloom prefilter is a plan optimization, not a semantics change:
+    // false positives die in the exact verify join, false negatives don't
+    // exist — so the sketch-prefiltered scan answers the SAME oracle.
+    "m6_bloom_decontaminate" -> decontaminateOracleSql,
     // Full replay of the MinHash pipeline: same folds, same XOR seeds, same
     // banding, same verification — every intermediate is portable by
     // construction.

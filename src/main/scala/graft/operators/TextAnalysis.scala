@@ -45,7 +45,7 @@ object TextAnalysis {
     * operators that eagerly scope an internal persist (postings) return
     * their full lazy plan for the EXPLAINS artifact instead — audit
     * sessions only print plans, never execute them. */
-  private def lazyPlans(spark: SparkSession): Boolean =
+  private[operators] def lazyPlans(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.lazyPlans").contains("true")
 
   /** Memoized documents cardinality per fixture — the Similarity.corpusN

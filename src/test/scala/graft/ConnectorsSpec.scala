@@ -439,6 +439,36 @@ class ConnectorsSpec extends AnyFunSuite with SparkFixture {
       .collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("s19: the z-order layout confines a 2-dim box to few files; a 1-dim layout spreads it everywhere") {
+    val (plo, phi, slo, shi) = Connectors.zorderBox(spark, dir)
+    def box = col("l_partkey").between(plo, phi) && col("l_suppkey").between(slo, shi)
+    def filesTouched(path: String): Long =
+      spark.read.parquet(path).filter(box)
+        .select(input_file_name()).distinct().count()
+    val z = Connectors.zorderTable(spark, dir, files = 64)
+    val zTouched = filesTouched(z)
+    // control: same rows, same file count, laid out by ingest order
+    // (l_orderkey) — both box dimensions are uniform WITHIN every file, so
+    // every file's min/max envelope intersects the box and nothing prunes
+    val ctl = Files.createTempDirectory("graft-zorder-ctl-").toString
+    Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_returnflag")
+      .repartitionByRange(64, col("l_orderkey"))
+      .write.mode("overwrite").parquet(ctl)
+    val cTouched = filesTouched(ctl)
+    // ~75 of 6000 rows match at sf0.001; contiguous along the curve they fit
+    // a handful of ~94-row files, scattered by orderkey they hit nearly all
+    assert(spark.read.parquet(z).filter(box).count() > 0)
+    assert(zTouched <= 12, s"z-layout touched $zTouched of 64 files")
+    assert(cTouched >= 30, s"control layout touched only $cTouched of 64 files")
+    assert(cTouched >= 3 * zTouched,
+      s"expected a sharp clustering contrast: z=$zTouched control=$cTouched")
+    // the layout never changes an answer: identical box rows either way
+    val zRows = spark.read.parquet(z).filter(box)
+    val cRows = spark.read.parquet(ctl).filter(box)
+    assert(zRows.exceptAll(cRows).isEmpty && cRows.exceptAll(zRows).isEmpty)
+  }
+
   test("kafka envelope serializes gated rows only, keyed and partitioned by sensor") {
     val env = Connectors.kafkaEnvelope(spark, dir)
     val gate = operators.Validation.producerGate(spark, dir).count()

@@ -146,6 +146,24 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("bloom-prefiltered decontamination answers the exact scan verbatim, even sketch-starved") {
+    val exact = Dedup.decontaminate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(exact.nonEmpty)
+    // the properly-sized sketch: identical rows, pair for pair
+    val bloom = Dedup.bloomDecontaminate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(bloom.sameElements(exact))
+    // FP-robustness: a 64-bit sketch over thousands of shingles saturates —
+    // nearly every probe is a false positive — and the verify join still
+    // recovers the exact answer. The Bloom side can only ever ADD candidate
+    // rows (no false negatives by construction); this pins that the exact
+    // join is what decides.
+    val starved = Dedup.bloomDecontaminate(spark, dir, forceBits = Some(64L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(starved.sameElements(exact))
+  }
+
   test("leak-scan normalization matches case-mangled and re-punctuated plants") {
     import graft.operators.{Exact, TextAnalysis}
     import TextAnalysis.{normTokens, shingles}

@@ -460,6 +460,26 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
       s"spans census must not cross-join:\n$spans")
   }
 
+  test("round-16: bloom decontamination prefilters in the scan stage, below the verify join") {
+    // audit mode: the sketch literal is driver-built, no actions
+    spark.conf.set("spark.graft.lazyPlans", "true")
+    val p =
+      try plan("m6_bloom_decontaminate")
+      finally spark.conf.unset("spark.graft.lazyPlans")
+    // the probe is Spark's native runtime-filter predicate (codegen'd, no
+    // UDF), and it must sit on the JOIN INPUT side — a prefilter that runs
+    // after the join would ship the full shingle volume through the
+    // exchange, which is the cost the sketch exists to remove
+    assert(p.contains("might_contain"),
+      s"bloom probe missing from the plan:\n$p")
+    val probeAt = p.indexOf("might_contain")
+    val joinAt = p.indexOf("SortMergeJoin") max p.indexOf("ShuffledHashJoin") max
+      p.indexOf("BroadcastHashJoin")
+    assert(joinAt >= 0, s"verify join missing:\n$p")
+    assert(probeAt > joinAt, // executed plans print top-down: later = deeper
+      s"bloom probe must be below the verify join (prefilter, not postfilter):\n$p")
+  }
+
   test("round-14: source divergence is window-free and never doc-keyed") {
     val p = plan("m6_source_divergence")
     // the pair join is term-keyed and the totals broadcast — a window or a
