@@ -139,7 +139,7 @@ object Bench {
       "m6_rrf_fusion_ann", "m6_index_compact", "m6_index_forget",
       "m6_index_purge", "m4p_stream_forget", "m6_dedup_forget",
       "m6_dedup_purge", "m6_dedup_compact", "m4q_stream_dedup_admit",
-      "m4s_stream_dedup_forget")
+      "m4s_stream_dedup_forget", "m6_bloom_decontaminate", "m4t_stream_decon")
     val annFamily = Set("m6_ann_ivf", "m6_ann_ivf2", "m6_ivf_stats", "m6_ann_pq",
       "m6_ann_ivfpq", "m6_ann_ivfpq_rerank", "m6_ann_eval", "m6_rrf_fusion_ann",
       "m6_incremental_ivf", "m6_ann_forget", "m6_ann_purge", "m6_ann_compact",

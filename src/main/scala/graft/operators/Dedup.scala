@@ -818,35 +818,44 @@ object Dedup {
 
   private[graft] def bloomDecontaminate(
       spark: SparkSession, dir: String, forceBits: Option[Long]): DataFrame = {
-    import org.apache.spark.util.sketch.BloomFilter
     graft.functions.GraftFunctions.register(spark)
     val s8 = DedupStaging.shingle8(spark, dir)
     val held = s8.filter(col("doc_id") % 97 === 0)
     val heldout = held.select("h").distinct()
-    // Audit mode (Explain sets spark.graft.lazyPlans) never executes, so the
-    // sketch literal is a driver-built placeholder: identical plan shape
-    // (binary literal + might_contain in the scan stage), zero actions.
-    val sketch: Array[Byte] =
-      if (TextAnalysis.lazyPlans(spark)) {
-        val bos = new java.io.ByteArrayOutputStream()
-        BloomFilter.create(1024).writeTo(bos); bos.toByteArray
-      } else {
-        // production sizes the sketch from the release manifest's distinct
-        // shingle count; here the count is one cheap action over the staged
-        // table. Clamp to the 8 MB runtime-filter default budget — past the
-        // clamp the FPR degrades gracefully and the verify join still holds.
-        val n = math.max(heldout.count(), 1024L)
-        val bits = forceBits.getOrElse(
-          math.min(BloomFilter.optimalNumOfBits(n, 0.01), 1L << 26))
-        heldout.agg(call_function("graft_bloom_agg",
-            col("h"), lit(n), lit(bits)).as("bf"))
-          .head().getAs[Array[Byte]]("bf")
-      }
+    val sketch = heldoutSketch(spark, dir, forceBits)
     s8.filter(col("doc_id") % 97 =!= 0)
       .unionAll(held.withColumn("doc_id", col("doc_id") + 2000000))
       .filter(call_function("graft_bloom_might_contain", lit(sketch), col("h")))
       .join(heldout, Seq("h")) // exact verify: FPs die, answers stay exact
       .groupBy("doc_id").agg(countDistinct(col("h")).as("n_shared"))
+  }
+
+  /** The serialized Bloom sketch over the held-out shingle set — built once
+    * per release (or per streaming JOB: the m4t gate binds it before the
+    * stream starts, the m4o frozen-quantizer discipline). Audit mode
+    * (Explain sets spark.graft.lazyPlans) never executes, so the sketch is
+    * a driver-built placeholder: identical plan shape (binary literal +
+    * might_contain in the scan stage), zero actions. */
+  private[graft] def heldoutSketch(
+      spark: SparkSession, dir: String, forceBits: Option[Long] = None): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    graft.functions.GraftFunctions.register(spark)
+    if (TextAnalysis.lazyPlans(spark)) {
+      val bos = new java.io.ByteArrayOutputStream()
+      BloomFilter.create(1024).writeTo(bos); return bos.toByteArray
+    }
+    val heldout = DedupStaging.shingle8(spark, dir)
+      .filter(col("doc_id") % 97 === 0).select("h").distinct()
+    // production sizes the sketch from the release manifest's distinct
+    // shingle count; here the count is one cheap action over the staged
+    // table. Clamp to the 8 MB runtime-filter default budget — past the
+    // clamp the FPR degrades gracefully and the verify join still holds.
+    val n = math.max(heldout.count(), 1024L)
+    val bits = forceBits.getOrElse(
+      math.min(BloomFilter.optimalNumOfBits(n, 0.01), 1L << 26))
+    heldout.agg(call_function("graft_bloom_agg",
+        col("h"), lit(n), lit(bits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
   }
 
   /** M6: the end-to-end corpus build — the composition every piece above

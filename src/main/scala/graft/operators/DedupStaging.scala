@@ -321,18 +321,23 @@ object DedupStaging {
   def shingle8(spark: SparkSession, dir: String): DataFrame =
     materialize(spark, dir, "shingle8") {
       graft.functions.GraftFunctions.register(spark)
-      // three staged projections: canonical tokens, then shingles, then
-      // hash-inside-array + explode. Inlining normTokens (itself a HOF)
-      // into the shingle constructor re-evaluates it per element_at in
-      // interpreted eval — measured 40× on this build (Dedup.withShingles
-      // has the full story).
-      Tables.fanout(Tables.documents(spark, dir))
-        .select(col("doc_id"), normTokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          array_distinct(shingles(col("toks"), 8)).as("sh"))
-        .select(col("doc_id"),
-          explode(transform(col("sh"), s => md5Fold60(s))).as("h"))
+      shingle8Of(Tables.fanout(Tables.documents(spark, dir)))
     }
+
+  /** The (doc_id, h) 8-shingle projection over an arbitrary (doc_id, text)
+    * frame — shingle8's body, shared with the streaming decontamination
+    * gate's per-micro-batch pass. Three staged projections: canonical
+    * tokens, then shingles, then hash-inside-array + explode. Inlining
+    * normTokens (itself a HOF) into the shingle constructor re-evaluates it
+    * per element_at in interpreted eval — measured 40× on this build
+    * (Dedup.withShingles has the full story). */
+  private[graft] def shingle8Of(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), normTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(shingles(col("toks"), 8)).as("sh"))
+      .select(col("doc_id"),
+        explode(transform(col("sh"), s => md5Fold60(s))).as("h"))
 
   /** The verified MinHash near-dup decisions (doc_a, doc_b, jaccard) — the
     * dedup pipeline's end product, materialized like production does:
@@ -468,8 +473,8 @@ object DedupStaging {
         "m6_incremental_dedup", "m6_incremental_commit",
         "m6_source_overlap"))("minhash_sigs"),
       Option.when(need("m6_simhash_pairs"))("simhash_sigs"),
-      Option.when(need("m6_decontaminate",
-        "m6_contamination_score"))("shingle8"),
+      Option.when(need("m6_decontaminate", "m6_bloom_decontaminate",
+        "m4t_stream_decon", "m6_contamination_score"))("shingle8"),
       Option.when(need("m6_corpus_build", "m6_dup_clusters",
         "m6_dup_density", "m6_cluster_keep_best"))("minhash_pairs"),
       Option.when(need("m6_bpe_encode", "m6_bpe_fertility",

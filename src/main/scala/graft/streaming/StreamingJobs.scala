@@ -1081,6 +1081,83 @@ object StreamingJobs {
     Dedup.catalogDecisions(spark, dir, sigsT, shT)
   }
 
+  /** Staged bounded replay of the training-corpus ingestion (doc_id order)
+    * — clean docs plus the verbatim benchmark plants, for m4t. */
+  def stagedTrainingDocs(spark: SparkSession, dir: String, nFiles: Int): String =
+    stagedDirs.getOrElseUpdate((dir, nFiles, "decon_train"), {
+      val src = Files.createTempDirectory("graft-stream-src-").toString
+      val docs = Tables.documents(spark, dir)
+      val bucketed = docs.filter(col("doc_id") % 97 =!= 0)
+        .unionAll(docs.filter(col("doc_id") % 97 === 0)
+          .withColumn("doc_id", col("doc_id") + 2000000))
+        .select("doc_id", "text")
+        .withColumn("_file", ntile(nFiles).over(Window.orderBy(col("doc_id"))))
+        .persist()
+      try {
+        (1 to nFiles).foreach { i =>
+          bucketed.filter(col("_file") === i).drop("_file")
+            .coalesce(1).write.mode("append").parquet(src)
+        }
+      } finally bucketed.unpersist()
+      src
+    })
+
+  /** M4t: streaming benchmark-decontamination gate — the eval-leak scan run
+    * AT INGESTION instead of per release: documents arrive in micro-batches,
+    * each batch shingles ONLY ITSELF (O(batch) — the corpus is never
+    * rescanned), prefilters against the FROZEN held-out Bloom sketch (built
+    * once before the stream starts and bound into every batch's plan as a
+    * literal — the m4o frozen-quantizer discipline; a gate whose sketch
+    * drifted mid-stream could flag the same document differently on retry),
+    * exact-verifies the few survivors against the held-out shingle table,
+    * and commits the flagged (doc_id, n_shared) evidence rows through
+    * `Connectors.appendKeyed` on the micro-batch id — a foreachBatch retry
+    * re-flags idempotently.
+    *
+    * Decisions are independent of the micro-batch partitioning because a
+    * document's shingles travel whole with it (n_shared is per-doc evidence,
+    * no cross-doc state), so the drained evidence table is the batch scan's
+    * output VERBATIM — the oracle is m6_decontaminate's replay, unchanged.
+    * At 100 TB this is the shape that matters: the batch scan re-shingles
+    * the whole corpus per release, the gate pays one sketch probe per
+    * arriving shingle and never touches history. */
+  def streamDeconQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Connectors, Dedup, DedupStaging}
+    configureStreaming(spark)
+    graft.functions.GraftFunctions.register(spark)
+    // bind the gate: the sketch freezes before the first batch
+    val sketch = Dedup.heldoutSketch(spark, dir)
+    val heldout = DedupStaging.shingle8(spark, dir)
+      .filter(col("doc_id") % 97 === 0).select("h").distinct()
+    val evidenceT = Connectors.scratchCatalog("graft-stream-decon-") + "/evidence"
+    val src = stagedTrainingDocs(spark, dir, 3)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt-").toString
+    withShufflePartitions(spark, 8) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.persist()
+          try if (!batch.isEmpty) {
+            val flagged = DedupStaging.shingle8Of(batch)
+              .filter(call_function("graft_bloom_might_contain",
+                lit(sketch), col("h")))
+              .join(heldout, Seq("h"))
+              .groupBy("doc_id").agg(countDistinct(col("h")).as("n_shared"))
+            Connectors.appendKeyed(spark, evidenceT,
+              flagged.coalesce(1), s"b$batchId")
+          } finally batch.unpersist()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    Connectors.readTable(spark, evidenceT).select("doc_id", "n_shared")
+  }
+
   /** Staged bounded replay of the dense forget request (vec_id order) —
     * embedding-erasure ids arriving as a stream, for m4r. */
   def stagedAnnForget(spark: SparkSession, dir: String, nFiles: Int): String =
@@ -1203,6 +1280,7 @@ object StreamingJobs {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m4q_stream_dedup_admit" -> streamDedupAdmissionQuery,
+    "m4t_stream_decon"     -> streamDeconQuery,
     "m4r_stream_ann_forget" -> streamAnnForgetQuery,
     "m4s_stream_dedup_forget" -> streamDedupForgetQuery,
     "m4p_stream_forget"    -> streamForgetQuery,
@@ -1246,6 +1324,13 @@ object StreamingJobs {
     // the batch commit's admissions (see streamDedupAdmissionQuery).
     "m4q_stream_dedup_admit" ->
       graft.operators.Dedup.oracles("m6_incremental_commit"),
+    // Identical to the batch decontamination oracle: n_shared is per-doc
+    // evidence with no cross-doc state and each document's shingles travel
+    // whole with it, so the drained evidence table is independent of the
+    // micro-batch partitioning (and the Bloom prefilter never changes an
+    // answer — FPs die in the exact verify, FNs don't exist).
+    "m4t_stream_decon" ->
+      graft.operators.Dedup.oracles("m6_decontaminate"),
     // Identical to the batch ANN-forget oracle: tombstones are a set, so
     // the served ranking is independent of the request micro-batching.
     "m4r_stream_ann_forget" ->

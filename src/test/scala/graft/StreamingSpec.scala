@@ -478,6 +478,41 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       "stream-maintained dedup catalog diverged from the batch commit")
   }
 
+  test("streaming decontamination gate is retry-idempotent and flags the batch scan's rows") {
+    import graft.operators.{Connectors, Dedup, DedupStaging}
+    val dir = "/root/testdata/sf0.001"
+    val sketch = Dedup.heldoutSketch(spark, dir)
+    val heldout = DedupStaging.shingle8(spark, dir)
+      .filter(col("doc_id") % 97 === 0).select("h").distinct()
+    val evidenceT = Connectors.scratchCatalog("graft-stream-decon-spec-") + "/evidence"
+    // the m4t foreachBatch body
+    def gate(batch: org.apache.spark.sql.DataFrame, key: String): Unit = {
+      val flagged = DedupStaging.shingle8Of(batch)
+        .filter(call_function("graft_bloom_might_contain", lit(sketch), col("h")))
+        .join(heldout, Seq("h"))
+        .groupBy("doc_id").agg(countDistinct(col("h")).as("n_shared"))
+      Connectors.appendKeyed(spark, evidenceT, flagged.coalesce(1), key)
+    }
+    val docs = Tables.documents(spark, dir)
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+      .unionAll(docs.filter(col("doc_id") % 97 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000))
+      .select("doc_id", "text")
+    // two micro-batches; batch 0 commits TWICE with the same key — the
+    // foreachBatch retry must not duplicate evidence rows
+    gate(train.filter(col("doc_id") % 2 === 0), "b0")
+    gate(train.filter(col("doc_id") % 2 === 0), "b0")
+    gate(train.filter(col("doc_id") % 2 =!= 0), "b1")
+    val served = Connectors.readTable(spark, evidenceT).select("doc_id", "n_shared")
+    assert(served.count() == served.select("doc_id").distinct().count(),
+      "retried micro-batch double-flagged a document")
+    // the gate's drained evidence is the batch scan's output verbatim
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(m(served).sameElements(m(Dedup.decontaminate(spark, dir))),
+      "streaming gate diverged from the batch leak scan")
+  }
+
   test("streaming ANN forget is retry-idempotent and serves the batch retraction") {
     import graft.operators.{Connectors, Similarity}
     val dir = "/root/testdata/sf0.001"

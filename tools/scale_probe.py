@@ -92,6 +92,9 @@ QUERIES = ",".join([
     # lifecycle legs (dedup admission, dense forget, dedup forget)
     "m6_dedup_compact", "m6_span_scrub", "m4q_stream_dedup_admit", "m4r_stream_ann_forget",
     "m4s_stream_dedup_forget",
+    # round-16 batch 4: sketch-prefiltered decontamination (batch + the
+    # streaming ingestion gate) and the z-order layout write+box read
+    "m6_bloom_decontaminate", "m4t_stream_decon", "s19_zorder_layout",
 ])
 
 

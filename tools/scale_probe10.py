@@ -81,6 +81,9 @@ QUERIES = ",".join([
     # round-16 batch 3: dedup-catalog compact (the streaming lifecycle legs
     # go to the 10x probe only — drains are excluded here on purpose)
     "m6_dedup_compact", "m6_span_scrub",
+    # round-16 batch 4: sketch-prefiltered decontamination and the z-order
+    # layout (the m4t streaming gate rides the 10x probe only)
+    "m6_bloom_decontaminate", "s19_zorder_layout",
 ])
 
 
