@@ -333,6 +333,28 @@ object Connectors {
     sweepStale(targetDir, prev)
   }
 
+  /** OPTIMIZE ZORDER BY — the compact rewrite with the Morton-curve layout:
+    * the live snapshot is rewritten into ONE owned generation whose files
+    * each cover a narrow rectangle in BOTH clustering dimensions (zvalue of
+    * the two columns' 16-bit envelope bins, range-partitioned and sorted),
+    * committed behind the same atomic pointer flip with the same one-commit
+    * retention. Same bytes-level contract as compact — the layout verb must
+    * never change an answer — plus the s19 clustering payoff: after the
+    * rewrite, ordinary per-column min/max stats prune 2-dim box predicates.
+    * This is the maintenance shape at 100 TB: ingest appends land in arrival
+    * order (fast, unclustered), and the curve layout is restored by the
+    * periodic OPTIMIZE instead of being paid on the write path. */
+  def compactZorder(spark: SparkSession, targetDir: String,
+      xCol: String, yCol: String, files: Int): Unit = {
+    val prev = currentRef(targetDir)
+    val gen = newGenName()
+    zlayout(readTable(spark, targetDir), xCol, yCol, files)
+      .write.parquet(s"$targetDir/$gen")
+    requireGenAlive(targetDir, gen)
+    commitPointer(targetDir, gen)
+    sweepStale(targetDir, prev)
+  }
+
   /** Whether a commit ever published this table (readable via the pointer). */
   def isCommitted(targetDir: String): Boolean = currentRef(targetDir).isDefined
 
@@ -886,21 +908,31 @@ object Connectors {
     * a 2-dim index. */
   private[graft] def zorderTable(spark: SparkSession, dir: String, files: Int): String = {
     val out = Files.createTempDirectory("graft-zorder-").toString
-    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey",
-      "l_suppkey", "l_quantity", "l_extendedprice", "l_returnflag")
-    val env = li.agg(min("l_partkey").cast("long"), max("l_partkey").cast("long"),
-      min("l_suppkey").cast("long"), max("l_suppkey").cast("long")).head()
+    zlayout(Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey",
+        "l_suppkey", "l_quantity", "l_extendedprice", "l_returnflag"),
+      "l_partkey", "l_suppkey", files)
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** Re-lays a frame out along the Morton curve of (xCol, yCol): each
+    * dimension linearly binned to 16 bits from its measured envelope, the
+    * curve value range-partitioned into `files` buckets and sorted within
+    * partitions, then dropped — the layout survives as file order, not as a
+    * column. One envelope action + one range shuffle (a sort's cost). */
+  private[graft] def zlayout(df: DataFrame, xCol: String, yCol: String,
+      files: Int): DataFrame = {
+    val env = df.agg(min(xCol).cast("long"), max(xCol).cast("long"),
+      min(yCol).cast("long"), max(yCol).cast("long")).head()
     def bin(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
       if (hi == lo) lit(0L)
       else (c.cast("long") - lit(lo)) * lit(65535L) / lit(hi - lo)
-    li.withColumn("z", zvalue(
-        bin(col("l_partkey"), env.getLong(0), env.getLong(1)),
-        bin(col("l_suppkey"), env.getLong(2), env.getLong(3))))
-      .repartitionByRange(files, col("z"))
-      .sortWithinPartitions("z")
-      .drop("z")
-      .write.mode("overwrite").parquet(out)
-    out
+    df.withColumn("_z", zvalue(
+        bin(col(xCol), env.getLong(0), env.getLong(1)),
+        bin(col(yCol), env.getLong(2), env.getLong(3))))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
   }
 
   /** S19: Z-order (Morton-curve) data layout + multi-dimensional stats
@@ -927,6 +959,37 @@ object Connectors {
     val out = zorderTable(spark, dir, files = 64)
     val (plo, phi, slo, shi) = zorderBox(spark, dir)
     spark.read.parquet(out)
+      .filter(col("l_partkey").between(plo, phi) &&
+        col("l_suppkey").between(slo, shi))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        Exact.sumD("l_extendedprice").as("revenue"))
+  }
+
+  /** S20: append → OPTIMIZE ZORDER → box read — the s16 lifecycle with the
+    * s19 layout as the rewrite: three ingest batches land in ARRIVAL order
+    * (append cost only — no clustering tax on the write path; every batch
+    * spreads both box dimensions across all its files), then `compactZorder`
+    * restores the curve layout in one owned generation behind the atomic
+    * pointer flip. The served box read must equal s19's direct-layout
+    * answers (shared oracle): OPTIMIZE ZORDER is correct only if it is
+    * byte-equivalent to having clustered at write time — the layout verb
+    * changes bytes touched, never answers. ConnectorsSpec pins the payoff
+    * (box-files before ≈ all, after ≤ a handful) and the single-generation
+    * pointer. */
+  def zorderOptimize(spark: SparkSession, dir: String): DataFrame = {
+    val target = Files.createTempDirectory("graft-zopt-target-").toString
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey",
+      "l_suppkey", "l_quantity", "l_extendedprice", "l_returnflag")
+    // three arrival-ordered ingest tranches keyed on orderkey — disjoint by
+    // construction, so the appended table carries every row exactly once
+    (0 to 2).foreach { i =>
+      appendTo(spark, target, li.filter(pmod(col("l_orderkey"), lit(3)) === i))
+    }
+    compactZorder(spark, target, "l_partkey", "l_suppkey", files = 64)
+    val (plo, phi, slo, shi) = zorderBox(spark, dir)
+    readTable(spark, target)
       .filter(col("l_partkey").between(plo, phi) &&
         col("l_suppkey").between(slo, shi))
       .groupBy("l_returnflag")
@@ -976,8 +1039,27 @@ object Connectors {
     "s17_schema_evolution" -> schemaEvolution,
     "s18_time_travel"      -> timeTravelRead,
     "s19_zorder_layout"    -> zorderLayout,
+    "s20_zorder_optimize"  -> zorderOptimize,
     "s9_sync_watermark"     -> syncWatermark,
     "s12_partitioned_output" -> partitionedOutput)
+
+  /** Shared by s19 and s20: the layout (direct write or OPTIMIZE rewrite)
+    * never changes an answer, so both replay box + aggregate on raw rows. */
+  private lazy val zorderOracleSql: String =
+    s"""WITH env AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+                            min(l_suppkey) AS smin, max(l_suppkey) AS smax
+                     FROM lineitem),
+        box AS (SELECT pmin + (pmax - pmin) // 5 AS plo,
+                       pmin + (pmax - pmin) // 5 + (pmax - pmin) // 8 AS phi,
+                       smin + (smax - smin) // 5 AS slo,
+                       smin + (smax - smin) // 5 + (smax - smin) // 8 AS shi
+                FROM env)
+        SELECT l_returnflag, count(*) AS n_rows,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               ${Exact.sqlSum("l_extendedprice")} AS revenue
+        FROM lineitem, box
+        WHERE l_partkey BETWEEN plo AND phi AND l_suppkey BETWEEN slo AND shi
+        GROUP BY 1"""
 
   val oracles: Map[String, String] = Map(
     // Aggregates the a3 mart oracle per day: the catalog table's partition
@@ -1062,21 +1144,10 @@ object Connectors {
     // touched. The oracle replays box + aggregate on the raw table, with the
     // box bounds derived by the same envelope arithmetic (`//` truncates like
     // Scala's Long division for these non-negative keys).
-    "s19_zorder_layout" ->
-      s"""WITH env AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
-                              min(l_suppkey) AS smin, max(l_suppkey) AS smax
-                       FROM lineitem),
-          box AS (SELECT pmin + (pmax - pmin) // 5 AS plo,
-                         pmin + (pmax - pmin) // 5 + (pmax - pmin) // 8 AS phi,
-                         smin + (smax - smin) // 5 AS slo,
-                         smin + (smax - smin) // 5 + (smax - smin) // 8 AS shi
-                  FROM env)
-          SELECT l_returnflag, count(*) AS n_rows,
-                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-                 ${Exact.sqlSum("l_extendedprice")} AS revenue
-          FROM lineitem, box
-          WHERE l_partkey BETWEEN plo AND phi AND l_suppkey BETWEEN slo AND shi
-          GROUP BY 1""",
+    "s19_zorder_layout" -> zorderOracleSql,
+    // OPTIMIZE ZORDER must be byte-equivalent to having clustered at write
+    // time — the append→rewrite lifecycle serves the direct layout's oracle.
+    "s20_zorder_optimize" -> zorderOracleSql,
     // The compacted read-back must equal the never-fragmented aggregation.
     "s16_compact_roundtrip" ->
       s"""SELECT user_id, CAST(ts AS DATE) AS day,

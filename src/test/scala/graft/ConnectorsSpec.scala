@@ -469,6 +469,38 @@ class ConnectorsSpec extends AnyFunSuite with SparkFixture {
     assert(zRows.exceptAll(cRows).isEmpty && cRows.exceptAll(zRows).isEmpty)
   }
 
+  test("s20: OPTIMIZE ZORDER restores box pruning on an append-fragmented table") {
+    val dir2 = dir
+    val (plo, phi, slo, shi) = Connectors.zorderBox(spark, dir2)
+    def box = col("l_partkey").between(plo, phi) && col("l_suppkey").between(slo, shi)
+    val target = Files.createTempDirectory("graft-zopt-spec-").toString
+    val li = Tables.lineitem(spark, dir2).select("l_orderkey", "l_partkey",
+      "l_suppkey", "l_quantity", "l_extendedprice", "l_returnflag")
+    (0 to 2).foreach { i =>
+      Connectors.appendTo(spark, target,
+        li.filter(pmod(col("l_orderkey"), lit(3)) === i))
+    }
+    def touched = Connectors.readTable(spark, target).filter(box)
+      .select(input_file_name()).distinct().count()
+    def total = Connectors.readTable(spark, target)
+      .select(input_file_name()).distinct().count()
+    // appended state: arrival order spreads both dimensions across every
+    // member file — the box touches (nearly) everything
+    val (beforeTouched, beforeTotal) = (touched, total)
+    assert(beforeTouched >= beforeTotal / 2,
+      s"append-fragmented box read should hit most files: $beforeTouched/$beforeTotal")
+    val pre = Connectors.readTable(spark, target).filter(box)
+    val preRows = pre.collect().length
+    Connectors.compactZorder(spark, target, "l_partkey", "l_suppkey", files = 64)
+    // the rewrite owns one generation, and the box confines to a handful
+    assert(Connectors.currentSnapshot(target).exists(_.startsWith("_gen-")),
+      "OPTIMIZE ZORDER must commit a single owned generation")
+    assert(total == 64L, s"expected the 64 rewritten files, saw $total")
+    assert(touched <= 12, s"z-rewritten box read touched $touched of 64 files")
+    // the layout verb never changes an answer
+    assert(Connectors.readTable(spark, target).filter(box).count() == preRows)
+  }
+
   test("kafka envelope serializes gated rows only, keyed and partitioned by sensor") {
     val env = Connectors.kafkaEnvelope(spark, dir)
     val gate = operators.Validation.producerGate(spark, dir).count()

@@ -95,6 +95,7 @@ QUERIES = ",".join([
     # round-16 batch 4: sketch-prefiltered decontamination (batch + the
     # streaming ingestion gate) and the z-order layout write+box read
     "m6_bloom_decontaminate", "m4t_stream_decon", "s19_zorder_layout",
+    "s20_zorder_optimize",
 ])
 
 

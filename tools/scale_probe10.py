@@ -83,7 +83,7 @@ QUERIES = ",".join([
     "m6_dedup_compact", "m6_span_scrub",
     # round-16 batch 4: sketch-prefiltered decontamination and the z-order
     # layout (the m4t streaming gate rides the 10x probe only)
-    "m6_bloom_decontaminate", "s19_zorder_layout",
+    "m6_bloom_decontaminate", "s19_zorder_layout", "s20_zorder_optimize",
 ])
 
 
