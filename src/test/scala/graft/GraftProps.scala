@@ -508,4 +508,70 @@ object GraftProps extends Properties("graft") {
         voted == naive
     }
   }
+
+  // ---- Morton curve (Connectors.zvalue — the s19/s20 z-order layout) ----
+
+  /** Reference 32-bit Morton interleave over the low 16 bits (x even
+    * positions, y odd), and its inverse. */
+  private def refZ(x: Long, y: Long): Long =
+    (0 until 16).foldLeft(0L)((acc, i) =>
+      acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+  private def unZ(z: Long): (Long, Long) =
+    (0 until 16).foldLeft((0L, 0L)) { case ((x, y), i) =>
+      (x | (((z >> (2 * i)) & 1L) << i), y | (((z >> (2 * i + 1)) & 1L) << i))
+    }
+
+  property("morton: z round-trips (injective) and dyadic cells are contiguous z-runs") =
+    forAll(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L), Gen.choose(0, 16)) {
+      (x, y, k) =>
+        val z = refZ(x, y)
+        val s = 16 - k
+        // injectivity: the interleave inverts exactly
+        unZ(z) == ((x, y)) &&
+        // locality: every point of the level-k dyadic cell containing (x, y)
+        // shares the z prefix refZ(x >> s, y >> s) — the cell IS the
+        // contiguous block [c·4^s, (c+1)·4^s), which is why an aligned box
+        // is one file run and any box decomposes into few runs
+        (z >> (2 * s)) == refZ(x >> s, y >> s)
+    }
+
+  property("zvalue: shipped Column == reference Morton on a generated batch") =
+    Prop.secure {
+      val rnd = new scala.util.Random(20260816L)
+      val cases = Seq.fill(512)(
+        (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+      val spark = SparkFixture.session
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      cases.toDF("x", "y")
+        .select(col("x"), col("y"),
+          graft.operators.Connectors.zvalue(col("x"), col("y")).as("z"))
+        .collect()
+        .forall(r => r.getLong(2) == refZ(r.getLong(0), r.getLong(1)))
+    }
+
+  // ---- Bloom gate (m6_bloom_decontaminate / m4t_stream_decon) ----
+  // The correctness of the sketch path rests on ONE property: no false
+  // negatives — every inserted element passes might_contain, whatever the
+  // sizing. (False positives are harmless by construction: the exact verify
+  // join kills them.) Exercised through the same registered functions the
+  // queries call, over both a properly-sized and a starved 64-bit sketch.
+  property("bloom: might_contain has no false negatives, sized or starved") =
+    Prop.secure {
+      val rnd = new scala.util.Random(20260817L)
+      val members = Seq.fill(500)(rnd.nextLong()).distinct
+      val spark = SparkFixture.session
+      graft.functions.GraftFunctions.register(spark)
+      import org.apache.spark.sql.functions.{call_function, col, lit}
+      import spark.implicits._
+      val df = members.toDF("h")
+      Seq(4096L, 64L).forall { bits =>
+        val sketch = df.agg(call_function("graft_bloom_agg",
+            col("h"), lit(members.size.toLong), lit(bits)).as("bf"))
+          .head().getAs[Array[Byte]]("bf")
+        df.filter(call_function("graft_bloom_might_contain",
+            lit(sketch), col("h")))
+          .count() == members.size
+      }
+    }
 }
