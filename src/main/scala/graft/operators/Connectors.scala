@@ -924,9 +924,12 @@ object Connectors {
       files: Int): DataFrame = {
     val env = df.agg(min(xCol).cast("long"), max(xCol).cast("long"),
       min(yCol).cast("long"), max(yCol).cast("long")).head()
+    // Spark's `/` is true division (double) — truncate back to the integral
+    // bin explicitly rather than leaning on the per-term implicit cast the
+    // zvalue shift ops would otherwise insert 32 times
     def bin(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
       if (hi == lo) lit(0L)
-      else (c.cast("long") - lit(lo)) * lit(65535L) / lit(hi - lo)
+      else ((c.cast("long") - lit(lo)) * lit(65535L) / lit(hi - lo)).cast("long")
     df.withColumn("_z", zvalue(
         bin(col(xCol), env.getLong(0), env.getLong(1)),
         bin(col(yCol), env.getLong(2), env.getLong(3))))

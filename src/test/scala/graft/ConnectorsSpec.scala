@@ -450,7 +450,8 @@ class ConnectorsSpec extends AnyFunSuite with SparkFixture {
     // control: same rows, same file count, laid out by ingest order
     // (l_orderkey) — both box dimensions are uniform WITHIN every file, so
     // every file's min/max envelope intersects the box and nothing prunes
-    val ctl = Files.createTempDirectory("graft-zorder-ctl-").toString
+    // (swept scratch dir — repeated test runs must not accumulate in /tmp)
+    val ctl = Connectors.scratchCatalog("graft-zorder-ctl-")
     Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey", "l_suppkey",
         "l_quantity", "l_extendedprice", "l_returnflag")
       .repartitionByRange(64, col("l_orderkey"))
@@ -470,11 +471,10 @@ class ConnectorsSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("s20: OPTIMIZE ZORDER restores box pruning on an append-fragmented table") {
-    val dir2 = dir
-    val (plo, phi, slo, shi) = Connectors.zorderBox(spark, dir2)
+    val (plo, phi, slo, shi) = Connectors.zorderBox(spark, dir)
     def box = col("l_partkey").between(plo, phi) && col("l_suppkey").between(slo, shi)
-    val target = Files.createTempDirectory("graft-zopt-spec-").toString
-    val li = Tables.lineitem(spark, dir2).select("l_orderkey", "l_partkey",
+    val target = Connectors.scratchCatalog("graft-zopt-spec-")
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey",
       "l_suppkey", "l_quantity", "l_extendedprice", "l_returnflag")
     (0 to 2).foreach { i =>
       Connectors.appendTo(spark, target,
