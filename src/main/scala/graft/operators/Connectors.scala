@@ -924,6 +924,9 @@ object Connectors {
       files: Int): DataFrame = {
     val env = df.agg(min(xCol).cast("long"), max(xCol).cast("long"),
       min(yCol).cast("long"), max(yCol).cast("long")).head()
+    // an empty snapshot has no envelope (all-null aggregates) — and nothing
+    // to cluster: pass it through instead of NPE-ing on the bounds
+    if (env.isNullAt(0)) return df
     // Spark's `/` is true division (double) — truncate back to the integral
     // bin explicitly rather than leaning on the per-term implicit cast the
     // zvalue shift ops would otherwise insert 32 times

@@ -501,6 +501,15 @@ class ConnectorsSpec extends AnyFunSuite with SparkFixture {
     assert(Connectors.readTable(spark, target).filter(box).count() == preRows)
   }
 
+  test("s20: OPTIMIZE ZORDER on an empty table is a pass-through, not an NPE") {
+    import spark.implicits._
+    val target = Connectors.scratchCatalog("graft-zopt-empty-")
+    Connectors.appendTo(spark, target,
+      Seq.empty[(Long, Long)].toDF("l_partkey", "l_suppkey"))
+    Connectors.compactZorder(spark, target, "l_partkey", "l_suppkey", files = 4)
+    assert(Connectors.readTable(spark, target).count() == 0)
+  }
+
   test("kafka envelope serializes gated rows only, keyed and partitioned by sensor") {
     val env = Connectors.kafkaEnvelope(spark, dir)
     val gate = operators.Validation.producerGate(spark, dir).count()
