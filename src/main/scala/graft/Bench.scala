@@ -139,11 +139,12 @@ object Bench {
       "m6_rrf_fusion_ann", "m6_index_compact", "m6_index_forget",
       "m6_index_purge", "m4p_stream_forget", "m6_dedup_forget",
       "m6_dedup_purge", "m6_dedup_compact", "m4q_stream_dedup_admit",
-      "m4s_stream_dedup_forget", "m6_bloom_decontaminate", "m4t_stream_decon")
+      "m4s_stream_dedup_forget", "m6_bloom_decontaminate", "m4t_stream_decon",
+      "m4n_stream_index")
     val annFamily = Set("m6_ann_ivf", "m6_ann_ivf2", "m6_ivf_stats", "m6_ann_pq",
       "m6_ann_ivfpq", "m6_ann_ivfpq_rerank", "m6_ann_eval", "m6_rrf_fusion_ann",
       "m6_incremental_ivf", "m6_ann_forget", "m6_ann_purge", "m6_ann_compact",
-      "m4r_stream_ann_forget")
+      "m4r_stream_ann_forget", "m4o_stream_ivf")
     // Staging failures degrade like query failures (logged, zero-cost entry,
     // bench continues) — a custom sf dir missing a table must not abort the
     // other ~90 entries. Builds are scoped to the selection.

@@ -907,7 +907,9 @@ object Connectors {
     * BOTH dimensions, so the files' ordinary per-column min/max stats become
     * a 2-dim index. */
   private[graft] def zorderTable(spark: SparkSession, dir: String, files: Int): String = {
-    val out = Files.createTempDirectory("graft-zorder-").toString
+    // swept scratch (shutdown-hook sweep): the layout is a full lineitem
+    // copy per invocation — repeated bench/probe JVMs must not pile them up
+    val out = scratchCatalog("graft-zorder-")
     zlayout(Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey",
         "l_suppkey", "l_quantity", "l_extendedprice", "l_returnflag"),
       "l_partkey", "l_suppkey", files)
@@ -961,10 +963,14 @@ object Connectors {
     * aggregates by return flag; the oracle replays box + aggregate on the
     * raw table — the layout must never change an answer, only the bytes
     * touched. */
-  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
-    val out = zorderTable(spark, dir, files = 64)
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame =
+    boxRead(spark, dir, spark.read.parquet(zorderTable(spark, dir, files = 64)))
+
+  /** The served 2-dim box read both z-order queries share — ONE block so
+    * s19 and s20 cannot drift apart under their shared oracle. */
+  private def boxRead(spark: SparkSession, dir: String, table: DataFrame): DataFrame = {
     val (plo, phi, slo, shi) = zorderBox(spark, dir)
-    spark.read.parquet(out)
+    table
       .filter(col("l_partkey").between(plo, phi) &&
         col("l_suppkey").between(slo, shi))
       .groupBy("l_returnflag")
@@ -985,7 +991,9 @@ object Connectors {
     * (box-files before ≈ all, after ≤ a handful) and the single-generation
     * pointer. */
   def zorderOptimize(spark: SparkSession, dir: String): DataFrame = {
-    val target = Files.createTempDirectory("graft-zopt-target-").toString
+    // swept scratch: at probe scale each generation is a full lineitem copy,
+    // so repeated bench/probe JVMs must not accumulate them in /tmp
+    val target = scratchCatalog("graft-zopt-target-")
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey",
       "l_suppkey", "l_quantity", "l_extendedprice", "l_returnflag")
     // three arrival-ordered ingest tranches keyed on orderkey — disjoint by
@@ -994,14 +1002,7 @@ object Connectors {
       appendTo(spark, target, li.filter(pmod(col("l_orderkey"), lit(3)) === i))
     }
     compactZorder(spark, target, "l_partkey", "l_suppkey", files = 64)
-    val (plo, phi, slo, shi) = zorderBox(spark, dir)
-    readTable(spark, target)
-      .filter(col("l_partkey").between(plo, phi) &&
-        col("l_suppkey").between(slo, shi))
-      .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast("long")).as("sum_qty"),
-        Exact.sumD("l_extendedprice").as("revenue"))
+    boxRead(spark, dir, readTable(spark, target))
   }
 
   /** S10: catalog/DDL bootstrap — the engine-side analog of the reference's

@@ -472,7 +472,7 @@ object Dedup {
     try {
       val admitted1 = d1.filter(col("admitted")).select(col("new_id").as("doc_id"))
       val nFiles = Connectors.deltaFiles(
-        Tables.documents(spark, dir).count() / 10)
+        TextAnalysis.docsN(spark, dir) / 10) // memoized — no per-call count job
       Connectors.appendTo(spark, sigsT,
         sigsOf(b1base).join(admitted1, Seq("doc_id")).coalesce(nFiles))
       Connectors.appendTo(spark, shT,
@@ -547,9 +547,20 @@ object Dedup {
     * erased-means-never-indexed statement m6_index_forget makes. */
   def dedupForget(spark: SparkSession, dir: String): DataFrame = {
     val (sigsT, shT) = refDedupCatalog(spark, dir, "graft-dedup-forget-")
-    val tombT = s"${sigsT.stripSuffix("/sigs")}/tombstones"
+    val tombT = dedupTombstoneDirOf(sigsT)
     Connectors.appendTo(spark, tombT, dedupForgetIds(spark, dir))
     forgetDecisions(spark, dir, sigsT, shT, tombT)
+  }
+
+  /** Tombstones live BESIDE the sigs table in the catalog root — fail fast
+    * if the caller hands something that is not a .../sigs table dir (a
+    * silent stripSuffix no-op would land the tombstones INSIDE the sigs
+    * table; the tombstoneDirOf / annTombstoneDirOf discipline applied to
+    * the third index family). */
+  private[graft] def dedupTombstoneDirOf(sigsT: String): String = {
+    require(sigsT.endsWith("/sigs"),
+      s"dedupTombstoneDirOf expects a .../sigs table dir, got: $sigsT")
+    s"${sigsT.stripSuffix("/sigs")}/tombstones"
   }
 
   /** The dedup forget-request fixture (corpus doc_id % 20 == 0 — exactly
@@ -585,28 +596,19 @@ object Dedup {
     * after — the oracle is m6_dedup_forget's replay VERBATIM, the
     * bytes-not-answers statement all three purge legs now make. */
   def dedupPurge(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    DedupStaging.minhashSigs(spark, dir); DedupStaging.shingleBase(spark, dir)
-    val cat = Connectors.scratchCatalog("graft-dedup-purge-")
-    val sigsT = s"$cat/sigs"; val shT = s"$cat/shingles"
-    val tombT = s"$cat/tombstones"
-    Connectors.appendMemberRef(spark, sigsT,
-      DedupStaging.committedDataDir(dir, "minhash_sigs").get)
-    Connectors.appendMemberRef(spark, shT,
-      DedupStaging.committedDataDir(dir, "shingle3").get)
-    Connectors.appendTo(spark, tombT,
-      Tables.documents(spark, dir).filter(col("doc_id") % 20 === 0)
-        .select("doc_id"))
+    // the forget leg's catalog + fixture, verbatim (shared helpers — purge
+    // must never drift from the decisions it claims to serve)
+    val (sigsT, shT) = refDedupCatalog(spark, dir, "graft-dedup-purge-")
+    val tombT = dedupTombstoneDirOf(sigsT)
+    Connectors.appendTo(spark, tombT, dedupForgetIds(spark, dir))
     val tomb = Connectors.readTable(spark, tombT)
     Seq(sigsT, shT).foreach { t =>
       Connectors.replaceTable(spark, t, Connectors.readTable(spark, t)
         .join(broadcast(tomb), Seq("doc_id"), "left_anti"))
     }
-    val catSigs = Connectors.readTable(spark, sigsT)
-      .select(col("doc_id") +: (0 until MinhashK).map(j => col(s"h$j")): _*)
-    val catShingles = Connectors.readTable(spark, shT).select("doc_id", "hs")
     val batch = arrivingBatch(spark, dir, 3000000, halfAll = false)
-    admissionDecisions(batch, batchBaseOf(batch), catSigs, catShingles)
+    admissionDecisions(batch, batchBaseOf(batch),
+      catSigsOf(spark, sigsT), catShinglesOf(spark, shT))
   }
 
   /** M6: near-dup CONNECTED COMPONENTS — what production dedup actually
@@ -844,18 +846,23 @@ object Dedup {
       val bos = new java.io.ByteArrayOutputStream()
       BloomFilter.create(1024).writeTo(bos); return bos.toByteArray
     }
+    // SCOPED persist: the sizing count and the sketch aggregate are two
+    // actions over the same distinct frame — one evaluation, not two;
+    // unpersisted before returning (the postings discipline)
     val heldout = DedupStaging.shingle8(spark, dir)
-      .filter(col("doc_id") % 97 === 0).select("h").distinct()
-    // production sizes the sketch from the release manifest's distinct
-    // shingle count; here the count is one cheap action over the staged
-    // table. Clamp to the 8 MB runtime-filter default budget — past the
-    // clamp the FPR degrades gracefully and the verify join still holds.
-    val n = math.max(heldout.count(), 1024L)
-    val bits = forceBits.getOrElse(
-      math.min(BloomFilter.optimalNumOfBits(n, 0.01), 1L << 26))
-    heldout.agg(call_function("graft_bloom_agg",
-        col("h"), lit(n), lit(bits)).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
+      .filter(col("doc_id") % 97 === 0).select("h").distinct().persist()
+    try {
+      // production sizes the sketch from the release manifest's distinct
+      // shingle count; here the count is one cheap action over the staged
+      // table. Clamp to the 8 MB runtime-filter default budget — past the
+      // clamp the FPR degrades gracefully and the verify join still holds.
+      val n = math.max(heldout.count(), 1024L)
+      val bits = forceBits.getOrElse(
+        math.min(BloomFilter.optimalNumOfBits(n, 0.01), 1L << 26))
+      heldout.agg(call_function("graft_bloom_agg",
+          col("h"), lit(n), lit(bits)).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+    } finally heldout.unpersist()
   }
 
   /** M6: the end-to-end corpus build — the composition every piece above

@@ -467,11 +467,17 @@ object DedupStaging {
       Option.when(need("m6_ngram_jaccard", "m6_minhash_dedup",
         "m6_corpus_build", "m6_incremental_dedup",
         "m6_incremental_commit", "m6_containment",
-        "m6_source_overlap"))("shingle3"),
+        "m6_source_overlap",
+        // the dedup-catalog lifecycle (refDedupCatalog references both
+        // shingle3 and minhash_sigs zero-copy)
+        "m6_dedup_forget", "m6_dedup_purge", "m6_dedup_compact",
+        "m4q_stream_dedup_admit", "m4s_stream_dedup_forget"))("shingle3"),
       Option.when(need("m6_ngram_jaccard"))("prefix3"),
       Option.when(need("m6_minhash_dedup", "m6_corpus_build",
         "m6_incremental_dedup", "m6_incremental_commit",
-        "m6_source_overlap"))("minhash_sigs"),
+        "m6_source_overlap",
+        "m6_dedup_forget", "m6_dedup_purge", "m6_dedup_compact",
+        "m4q_stream_dedup_admit", "m4s_stream_dedup_forget"))("minhash_sigs"),
       Option.when(need("m6_simhash_pairs"))("simhash_sigs"),
       Option.when(need("m6_decontaminate", "m6_bloom_decontaminate",
         "m4t_stream_decon", "m6_contamination_score"))("shingle8"),
@@ -483,7 +489,11 @@ object DedupStaging {
       // manifest (whose build itself reads bpe_vocab — hence the order)
       Option.when(need("m6_bpe_fertility", "m6_pack_bpe"))("bpe_manifest"),
       Option.when(need("m6_bm25_topk", "m6_rrf_fusion", "m6_rrf_fusion_ann",
-        "m6_incremental_index"))("bm25_index"),
+        "m6_incremental_index",
+        // the BM25-index lifecycle (admittedCatalog references the release
+        // index zero-copy)
+        "m6_index_compact", "m6_index_forget", "m6_index_purge",
+        "m4n_stream_index", "m4p_stream_forget"))("bm25_index"),
       Option.when(need("m6_phrase_search"))("phrase_index"),
       Option.when(need("m6_dsir_weights"))("dsir_ratios")
     ).flatten
@@ -499,7 +509,11 @@ object DedupStaging {
     Seq(
       Option.when(need("m6_ann_ivf", "m6_ann_ivf2", "m6_ivf_stats",
         "m6_ann_ivfpq", "m6_ann_ivfpq_rerank", "m6_ann_eval",
-        "m6_rrf_fusion_ann", "m6_incremental_ivf"))("ivf_cells"),
+        "m6_rrf_fusion_ann", "m6_incremental_ivf",
+        // the dense-index lifecycle (the admitted catalog references the
+        // release cells zero-copy)
+        "m6_ann_forget", "m6_ann_purge", "m6_ann_compact",
+        "m4o_stream_ivf", "m4r_stream_ann_forget"))("ivf_cells"),
       Option.when(need("m6_ann_pq"))("pq_codebook"),
       Option.when(need("m6_ann_pq"))("pq_codes"),
       Option.when(need("m6_ann_ivfpq", "m6_ann_ivfpq_rerank",

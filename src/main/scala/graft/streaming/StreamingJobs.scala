@@ -1254,7 +1254,7 @@ object StreamingJobs {
     configureStreaming(spark)
     graft.functions.GraftFunctions.register(spark)
     val (sigsT, shT) = Dedup.refDedupCatalog(spark, dir, "graft-stream-dedupfg-")
-    val tombT = s"${sigsT.stripSuffix("/sigs")}/tombstones"
+    val tombT = Dedup.dedupTombstoneDirOf(sigsT)
     val src = stagedDedupForget(spark, dir, 2)
     val schema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(schema)
