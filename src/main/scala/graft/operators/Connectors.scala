@@ -926,9 +926,13 @@ object Connectors {
       files: Int): DataFrame = {
     val env = df.agg(min(xCol).cast("long"), max(xCol).cast("long"),
       min(yCol).cast("long"), max(yCol).cast("long")).head()
-    // an empty snapshot has no envelope (all-null aggregates) — and nothing
-    // to cluster: pass it through instead of NPE-ing on the bounds
-    if (env.isNullAt(0)) return df
+    // a degenerate snapshot has no envelope in one or both dimensions
+    // (empty frame → all four aggregates null; an all-null key column →
+    // that dimension's pair null) — and nothing to cluster on: pass it
+    // through instead of NPE-ing on the bounds. Rows whose key is null in
+    // a NON-degenerate frame still lay out fine: bin() casts null to a
+    // null _z, which range-partitions and sorts first — no special case.
+    if (env.isNullAt(0) || env.isNullAt(2)) return df
     // Spark's `/` is true division (double) — truncate back to the integral
     // bin explicitly rather than leaning on the per-term implicit cast the
     // zvalue shift ops would otherwise insert 32 times

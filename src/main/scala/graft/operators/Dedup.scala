@@ -854,9 +854,17 @@ object Dedup {
     try {
       // production sizes the sketch from the release manifest's distinct
       // shingle count; here the count is one cheap action over the staged
-      // table. Clamp to the 8 MB runtime-filter default budget — past the
-      // clamp the FPR degrades gracefully and the verify join still holds.
-      val n = math.max(heldout.count(), 1024L)
+      // table. BOTH parameters are clamped to the runtime-filter default
+      // budgets — and clamped HERE, visibly, because BloomFilterAggregate
+      // clamps them anyway (spark.sql.optimizer.runtime.bloomFilter
+      // .maxNumItems = 4M, .maxNumBits = 2^26 = 8 MB) and does it
+      // silently: passing the raw count past 4M would build a sketch
+      // sized for fewer items than inserted with no signal. Past either
+      // clamp the 1% FPR design point degrades (the prefilter drops less;
+      // answers stay exact via the verify join); a production deployment
+      // with ~10^8 held-out shingles raises both confs and this clamp
+      // with them to keep the measured ~98% scan-stage drop.
+      val n = math.min(math.max(heldout.count(), 1024L), 4000000L)
       val bits = forceBits.getOrElse(
         math.min(BloomFilter.optimalNumOfBits(n, 0.01), 1L << 26))
       heldout.agg(call_function("graft_bloom_agg",
@@ -1029,21 +1037,41 @@ object Dedup {
     * the regime this operator exists for. The hit set rides a broadcast
     * (held-out benchmarks stay small in production by definition); the two
     * distinct counts are branches of ONE keyed aggregation pass. */
-  def contaminationScore(spark: SparkSession, dir: String): DataFrame = {
-    val s8 = DedupStaging.shingle8(spark, dir)
+  def contaminationScore(spark: SparkSession, dir: String): DataFrame =
+    contaminationScoreOf(contaminationProbeSide(spark, dir),
+      contaminationBench(spark, dir))
+
+  /** The PARTIAL-plant branch of the contamination probe side — held-out
+    * text with every 16th token mutated, re-shingled raw (the plants are
+    * new documents, so they cannot ride the staged table). Exposed
+    * per-stage so ProfContam can attribute the operator's 100×-probe cost
+    * (plants tokenization vs broadcast build vs probe-side hash table);
+    * the composition in `contaminationScore` is unchanged. */
+  private[graft] def contaminationPlants(spark: SparkSession, dir: String): DataFrame = {
     val mutated = transform(
       TextAnalysis.normTokens(col("text")),
       (t, i) => when(i % 16 === 0, concat(t, lit("x"))).otherwise(t))
-    val plants = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .filter(col("doc_id") % 97 === 0)
       .select((col("doc_id") + 3000000).as("doc_id"),
         array_distinct(shingles(mutated, 8)).as("sh"))
       .select(col("doc_id"),
         explode(transform(col("sh"), s => md5Fold60(s))).as("h"))
-    val bench = s8.filter(col("doc_id") % 97 === 0)
+  }
+
+  /** Training-corpus shingles + partial plants — the rows that probe the
+    * broadcast hit set. */
+  private[graft] def contaminationProbeSide(spark: SparkSession, dir: String): DataFrame =
+    DedupStaging.shingle8(spark, dir).filter(col("doc_id") % 97 =!= 0)
+      .unionAll(contaminationPlants(spark, dir))
+
+  /** The held-out hit set that rides the broadcast. */
+  private[graft] def contaminationBench(spark: SparkSession, dir: String): DataFrame =
+    DedupStaging.shingle8(spark, dir).filter(col("doc_id") % 97 === 0)
       .select("h").distinct().withColumn("hit", lit(1))
-    s8.filter(col("doc_id") % 97 =!= 0)
-      .unionAll(plants)
+
+  private[graft] def contaminationScoreOf(probeSide: DataFrame, bench: DataFrame): DataFrame = {
+    probeSide
       .join(broadcast(bench), Seq("h"), "left")
       .groupBy("doc_id")
       // (doc_id, h) rows are UNIQUE by construction — shingle8 distincts at

@@ -867,9 +867,8 @@ object TextAnalysis {
     graft.functions.GraftFunctions.register(spark)
     import org.apache.spark.sql.expressions.Window
     val W = SpanW
-    val base = spansBase(spark, dir)
-    val wh0 = spanWindowHashes(spark, base.filter(col("n") >= W))
-    def census(wh: DataFrame): DataFrame = {
+    val base0 = spansBase(spark, dir)
+    def census(wh: DataFrame, base: DataFrame): DataFrame = {
       val flood = wh.groupBy("h1", "h2")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2).select("h1", "h2")
@@ -891,10 +890,19 @@ object TextAnalysis {
             .otherwise(lit(0.0)).as("dup_frac"),
           coalesce(col("longest_run") + (W - 1), lit(0L)).as("longest_span"))
     }
-    if (lazyPlans(spark)) return census(wh0)
-    val p = wh0.persist()
-    try census(p).localCheckpoint(true)
-    finally p.unpersist()
+    if (lazyPlans(spark))
+      return census(spanWindowHashes(spark, base0.filter(col("n") >= W)), base0)
+    // base feeds BOTH the window-hash pass and the final doc-level join —
+    // without a persist each consumer re-runs the fanout+normTokens subtree,
+    // so the corpus was tokenized TWICE per query (the r16 residual, now
+    // closed): scope-persist the skinny (doc_id, toks, n) frame so
+    // tokenization happens once, gone before return (the releaseDiff
+    // discipline). wh persists too: it feeds the flood census AND the runs
+    // join, and is wider (one row per window).
+    val base = base0.persist()
+    val p = spanWindowHashes(spark, base.filter(col("n") >= W)).persist()
+    try census(p, base).localCheckpoint(true)
+    finally { p.unpersist(); base.unpersist() }
   }
 
   /** M6: exact repeated-span SCRUB — the production leg of the span census
@@ -923,8 +931,8 @@ object TextAnalysis {
   def spanScrub(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val W = SpanW
-    val base = spansBase(spark, dir)
-    def served(wh: DataFrame): DataFrame = {
+    val base0 = spansBase(spark, dir)
+    def served(wh: DataFrame, base: DataFrame): DataFrame = {
       val flood = wh.groupBy("h1", "h2")
         .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("owner"))
         .filter(col("nd") >= 2)
@@ -957,13 +965,16 @@ object TextAnalysis {
           (id, toks.length.toLong, toks.length - nKept, kept.result())
         }.toDF("doc_id", "n_tokens", "n_scrubbed", "kept_text")
     }
-    val wh0 = spanWindowHashes(spark, base.filter(col("n") >= W))
-    if (lazyPlans(spark)) return served(wh0)
-    // wh feeds both the flood census and the foreign-window join — persist
-    // scoped, gone before return (the repeatedSpans discipline)
-    val p = wh0.persist()
-    try served(p).localCheckpoint(true)
-    finally p.unpersist()
+    if (lazyPlans(spark))
+      return served(spanWindowHashes(spark, base0.filter(col("n") >= W)), base0)
+    // base feeds the window-hash pass AND the typed rebuild join — persist
+    // scoped so the corpus is tokenized once per query (the r16 residual,
+    // closed with repeatedSpans); wh feeds both the flood census and the
+    // foreign-window join — persist scoped, gone before return
+    val base = base0.persist()
+    val p = spanWindowHashes(spark, base.filter(col("n") >= W)).persist()
+    try served(p, base).localCheckpoint(true)
+    finally { p.unpersist(); base.unpersist() }
   }
 
   /** M6: inverted-index postings — the index-release artifact behind

@@ -510,6 +510,26 @@ class ConnectorsSpec extends AnyFunSuite with SparkFixture {
     assert(Connectors.readTable(spark, target).count() == 0)
   }
 
+  test("s20: OPTIMIZE ZORDER with one all-null dimension passes through (r16 ADVICE)") {
+    import spark.implicits._
+    // non-empty frame, yCol entirely null: the x envelope exists but the y
+    // envelope is (null, null) — must pass through, not NPE on the bounds
+    val target = Connectors.scratchCatalog("graft-zopt-nully-")
+    Connectors.appendTo(spark, target,
+      Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]), (3L, None))
+        .toDF("l_partkey", "l_suppkey"))
+    Connectors.compactZorder(spark, target, "l_partkey", "l_suppkey", files = 4)
+    assert(Connectors.readTable(spark, target).count() == 3)
+    // and null keys inside a NON-degenerate frame still lay out (null _z
+    // sorts first — no special case, no NPE)
+    val mixed = Connectors.scratchCatalog("graft-zopt-mixed-")
+    Connectors.appendTo(spark, mixed,
+      Seq((1L, Option(5L)), (2L, None), (3L, Option(9L)))
+        .toDF("l_partkey", "l_suppkey"))
+    Connectors.compactZorder(spark, mixed, "l_partkey", "l_suppkey", files = 2)
+    assert(Connectors.readTable(spark, mixed).count() == 3)
+  }
+
   test("kafka envelope serializes gated rows only, keyed and partitioned by sensor") {
     val env = Connectors.kafkaEnvelope(spark, dir)
     val gate = operators.Validation.producerGate(spark, dir).count()

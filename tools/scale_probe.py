@@ -96,6 +96,10 @@ QUERIES = ",".join([
     # streaming ingestion gate) and the z-order layout write+box read
     "m6_bloom_decontaminate", "m4t_stream_decon", "s19_zorder_layout",
     "s20_zorder_optimize",
+    # round-17: the pinned-generation metadata read (trivially scale-flat,
+    # listed so no registered query is absent from any artifact) and the
+    # audio near-dup leg
+    "s18_time_travel", "m7_pcm_neardup",
 ])
 
 

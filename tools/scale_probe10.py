@@ -84,6 +84,10 @@ QUERIES = ",".join([
     # round-16 batch 4: sketch-prefiltered decontamination and the z-order
     # layout (the m4t streaming gate rides the 10x probe only)
     "m6_bloom_decontaminate", "s19_zorder_layout", "s20_zorder_optimize",
+    # round-17: the pinned-generation metadata read (trivially scale-flat,
+    # listed so no registered query is absent from any artifact) and the
+    # audio near-dup leg
+    "s18_time_travel", "m7_pcm_neardup",
 ])
 
 
