@@ -1051,10 +1051,20 @@ object Dedup {
     val mutated = transform(
       TextAnalysis.normTokens(col("text")),
       (t, i) => when(i % 16 === 0, concat(t, lit("x"))).otherwise(t))
+    // `mutated` materializes as its OWN projection before the shingle
+    // transform — the withShingles/postings discipline, relearned by
+    // measurement a third time (ProfContam, r17): inlined, shingles()'s
+    // element_at(mutated, i+j) references re-evaluate the whole
+    // tokenize+mutate subtree once per element access in interpreted HOF
+    // eval, making per-document cost quadratic in text length. The census
+    // measured the inlined form at 93% of the query's 100×-leg CPU (2461
+    // of 2638 cpu-s); this split is the difference between the operator's
+    // 301× CPU ratio and its scan-class peers.
     Tables.documents(spark, dir)
       .filter(col("doc_id") % 97 === 0)
-      .select((col("doc_id") + 3000000).as("doc_id"),
-        array_distinct(shingles(mutated, 8)).as("sh"))
+      .select((col("doc_id") + 3000000).as("doc_id"), mutated.as("mtoks"))
+      .select(col("doc_id"),
+        array_distinct(shingles(col("mtoks"), 8)).as("sh"))
       .select(col("doc_id"),
         explode(transform(col("sh"), s => md5Fold60(s))).as("h"))
   }

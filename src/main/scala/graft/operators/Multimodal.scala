@@ -532,7 +532,118 @@ object Multimodal {
     within.unionAll(cross)
   }
 
+  /** M7: audio near-dup fingerprinting — the PCM twin of the image aHash
+    * family, completing dedup across text, image, and audio modalities:
+    * a 64-bit frame-energy-band signature from REAL decoded samples (the
+    * m7_pcm_energy 16-bit-LE decode, same mapPartitions batch shape)
+    * through the SAME Manku chunk machinery as the image path
+    * (`ahashPairs`: signature-collapse first, w-bit chunk buckets with the
+    * corpus-adaptive width, exact bit_count verification — candidate
+    * volume blocked by construction, never all-pairs).
+    *
+    * The signature is DELTA-CODED, not mean-thresholded: the clip's
+    * samples split into 64 floor-boundary segments (the aHash block
+    * geometry — segment k spans [k·n/64, (k+1)·n/64), nonempty whenever
+    * n ≥ 64) and bit k compares NEIGHBORING segment energies around the
+    * ring — the energy-difference sign coding audio fingerprinting uses
+    * (Haitsma & Kalker's robust-hash shape), cross-multiplied exactly
+    * (`acc_k·size_{k+1} > acc_{k+1}·size_k`, every product < 2⁶⁰ for any
+    * clip this side of hours) so the oracle replays every bit. Delta
+    * coding makes the plant guarantee STRUCTURAL: a perturbation confined
+    * to segment 0 can only flip bits 0 and 63 (its two neighboring
+    * comparisons), so the planted near-dups (every 23rd eligible clip
+    * with its first sample overwritten) sit at Hamming ≤ 2 BY
+    * CONSTRUCTION — inside the ≤ 3 verify bound at every corpus size,
+    * where a global-mean threshold could flip any near-threshold bit.
+    * Verbatim plants (every 31st clip) sit at Hamming 0 and ride the
+    * identical-signature leg.
+    *
+    * Degenerate-clip quarantine (the letterbox lesson, applied from the
+    * start): a constant-energy clip — silence, test tones, the audio
+    * analog of the all-pad frame — delta-codes to the all-zeros signature
+    * (strict > around a ring is all-false iff all normalized energies are
+    * equal), so those clips route to the exact-signature path only and
+    * never enter the chunk join, keeping perceptual buckets un-degenerate.
+    * Eligibility: ASCII docs of ≥ 128 chars (= 64 16-bit samples, the
+    * minimum for nonempty segments); the byte-length = char-length test
+    * excludes non-ASCII up front, same fixture precondition as the image
+    * path (real audio takes binary payloads and never faces this). */
+  def pcmNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = pcmCorpus(spark, dir)
+    val w = Dedup.simhashChunkBits(corpus.count())
+    ahashPairs(pcmSigOf(spark, corpus), w)
+  }
+
+  /** The audio-corpus fixture behind pcmNearDup: eligible ASCII clips plus
+    * the two plant families (every 31st verbatim at Hamming 0, every 23rd
+    * with its first sample — two leading chars — overwritten, confining
+    * the perturbation to segment 0). */
+  private[graft] def pcmCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .filter(octet_length(col("text")) === length(col("text")))
+      .filter(length(col("text")) >= 128)
+    val perturbed = docs.filter(col("doc_id") % 23 === 0)
+      .select((col("doc_id") + 4000000).as("doc_id"),
+        concat(lit("qq"), expr("substring(text, 3)")).as("text"))
+    val verbatim = docs.filter(col("doc_id") % 31 === 0)
+      .select((col("doc_id") + 5000000).as("doc_id"), col("text"))
+    docs.unionAll(perturbed).unionAll(verbatim)
+  }
+
+  /** PCM decode + 64-bit delta-sign energy signature — the narrow map
+    * stage (mapPartitions, no shuffle), emitting the (doc_id, hash_hi,
+    * hash_lo, letterboxed) frame `ahashPairs` blocks on; `letterboxed`
+    * carries the quarantine contract (here: the all-zeros constant-energy
+    * signature). Bits pack as two 32-bit halves in aHash's convention
+    * (bit k of the low half ↔ signature bit k). */
+  private[graft] def pcmSigOf(spark: SparkSession,
+      corpus: DataFrame): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaIn] = corpus
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaIn]
+    media.mapPartitions { rows =>
+      val decoder = PcmDecoder // per-partition init point for a real codec
+      val _ = decoder // (signature decode inlined below at segment width)
+      rows.map { m =>
+        val b = m.payload
+        val n = b.length / 2
+        if (n < 64) AHashRow(m.doc_id, ok = false, 0L, 0L, letterboxed = false)
+        else {
+          val acc = new Array[Long](64)
+          val sz = new Array[Long](64)
+          var k = 0
+          while (k < 64) {
+            val st = (k.toLong * n / 64).toInt
+            val en = ((k + 1).toLong * n / 64).toInt
+            var a = 0L
+            var j = st
+            while (j < en) {
+              val s = ((b(2 * j + 1): Int) << 8) | (b(2 * j) & 0xff) // LE, signed hi
+              a += s.toLong * s
+              j += 1
+            }
+            acc(k) = a; sz(k) = en - st
+            k += 1
+          }
+          var hi = 0L; var lo = 0L
+          k = 0
+          while (k < 64) {
+            val kn = (k + 1) % 64
+            if (acc(k) * sz(kn) > acc(kn) * sz(k)) {
+              if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+            }
+            k += 1
+          }
+          AHashRow(m.doc_id, ok = true, hi, lo, letterboxed = hi == 0L && lo == 0L)
+        }
+      }
+    }.toDF().filter(col("ok"))
+      .select("doc_id", "hash_hi", "hash_lo", "letterboxed")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_pcm_neardup"    -> pcmNearDup,
     "m7_ahash_neardup"  -> ahashNearDup,
     "m7_binary_meta"    -> binaryMeta,
     "m7_frame_sample"   -> frameSample,
@@ -543,6 +654,67 @@ object Multimodal {
     "m7_letterbox_detect" -> letterboxDetect)
 
   val oracles: Map[String, String] = Map(
+    // Full PCM-fingerprint replay: same eligibility (ASCII, >= 128 chars =
+    // 64 16-bit samples), same plants, same floor-boundary segment
+    // geometry, the same cross-multiplied delta-sign bits (exact integer —
+    // DuckDB squares and sums in HUGEINT, Spark in overflow-safe longs),
+    // the same adaptive chunk geometry, quarantine (all-zero signature)
+    // excluded from the chunk join, identical-signature pairs from a
+    // bv-equality leg over ALL clips. Samples decode little-endian:
+    // char 2j+1 (1-indexed) is the low byte, char 2j+2 the high.
+    "m7_pcm_neardup" ->
+      """WITH eligible AS (
+           SELECT doc_id, text FROM documents
+           WHERE octet_length(encode(text)) = length(text)
+             AND length(text) >= 128),
+         corpus AS (
+           SELECT doc_id, text FROM eligible
+           UNION ALL
+           SELECT doc_id + 4000000, 'qq' || substring(text, 3)
+           FROM eligible WHERE doc_id % 23 = 0
+           UNION ALL
+           SELECT doc_id + 5000000, text FROM eligible WHERE doc_id % 31 = 0),
+         geom AS (SELECT CASE WHEN count(*) >= 4096 THEN 16 ELSE 8 END AS w,
+                         CASE WHEN count(*) >= 4096 THEN 4 ELSE 8 END AS nchunks
+                  FROM corpus),
+         smp AS (SELECT doc_id, length(text) // 2 AS n,
+                   list_transform(range(0, length(text) // 2), j ->
+                     CAST(unicode(text[CAST(2*j+2 AS INTEGER)]) * 256
+                          + unicode(text[CAST(2*j+1 AS INTEGER)]) AS BIGINT)) AS s
+                 FROM corpus),
+         acc AS (SELECT doc_id,
+                   list_transform(range(0, 64), k ->
+                     list_sum(list_transform(
+                       s[CAST(k*n//64 + 1 AS INTEGER) : CAST((k+1)*n//64 AS INTEGER)],
+                       v -> v*v))) AS e,
+                   list_transform(range(0, 64), k ->
+                     (k+1)*n//64 - k*n//64) AS sz
+                 FROM smp),
+         bits AS (SELECT doc_id,
+                    list_transform(range(0, 64), k ->
+                      CASE WHEN e[CAST(k+1 AS INTEGER)] * sz[CAST((k+1)%64+1 AS INTEGER)]
+                                > e[CAST((k+1)%64+1 AS INTEGER)] * sz[CAST(k+1 AS INTEGER)]
+                           THEN 1 ELSE 0 END) AS bv
+                  FROM acc),
+         chunks AS (SELECT doc_id, bv, c,
+                      list_sum(list_transform(range(0, w), tt ->
+                        bv[CAST(c*w + tt + 1 AS INTEGER)] * (1 << CAST(tt AS INTEGER)))) AS chunk
+                    FROM bits, geom,
+                         (SELECT unnest(range(0, 8)) AS c) cl
+                    WHERE c < nchunks AND list_sum(bv) <> 0),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                  FROM chunks x JOIN chunks y ON x.c = y.c AND x.chunk = y.chunk
+                  WHERE x.doc_id < y.doc_id),
+         ham AS (SELECT doc_a, doc_b,
+                   len(list_filter(range(0, 64), t ->
+                     a.bv[CAST(t + 1 AS INTEGER)] <> b.bv[CAST(t + 1 AS INTEGER)])) AS hamming
+                 FROM cand JOIN bits a ON a.doc_id = cand.doc_a
+                           JOIN bits b ON b.doc_id = cand.doc_b)
+         SELECT doc_a, doc_b, hamming
+         FROM ham, geom WHERE hamming <= nchunks - 1 AND hamming > 0
+         UNION ALL
+         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, 0 AS hamming
+         FROM bits x JOIN bits y ON x.bv = y.bv AND x.doc_id < y.doc_id""",
     // Full aHash replay: same framing, same exact integer block-mean bits,
     // same adaptive chunk geometry (count >= 4096, the simhashChunkBits
     // rule), candidate chunks re-assembled from the bit vector, Hamming as

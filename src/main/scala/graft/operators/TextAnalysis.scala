@@ -364,8 +364,13 @@ object TextAnalysis {
     * (single-split test file). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // the token array ALSO materializes first (the same discipline one
+    // level down): inlined, shingles()'s element_at(tokens(text), i+j)
+    // re-runs the split per element access — O(k·T) re-tokenizations per
+    // document in interpreted HOF eval (the ProfContam-measured trap)
     Tables.fanout(Tables.documents(spark, dir))
-      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingles(col("toks"), 3).as("sh"))
       .select(col("doc_id"),
         array_min(transform(col("sh"), s => Exact.fold60(s))).as("fingerprint"))
   }

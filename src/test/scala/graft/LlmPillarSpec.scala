@@ -1619,6 +1619,72 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     } finally out.unpersist()
   }
 
+  test("PCM near-dup: delta-sign fingerprint recalls every clean plant at the bound") {
+    val corpus = Multimodal.pcmCorpus(spark, dir)
+    val hashed = Multimodal.pcmSigOf(spark, corpus).cache()
+    val out = Multimodal.pcmNearDup(spark, dir).cache()
+    try {
+      val sigs = hashed.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)), r.getBoolean(3)))
+        .toMap
+      val pairs = out.select("doc_a", "doc_b", "hamming").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+      // every verbatim re-encode collides with its source at distance 0 —
+      // the identical-signature path covers quarantined clips too
+      val exactIds = sigs.keys.filter(id => id < 4000000 && id % 31 == 0)
+        .filter(id => sigs.contains(id + 5000000)).toSeq
+      assert(exactIds.nonEmpty, "no verbatim plants in the fixture — vacuous")
+      exactIds.foreach { id =>
+        assert(pairs.get((id, id + 5000000)).contains(0),
+          s"verbatim re-encode of $id not found at Hamming 0")
+      }
+      // the STRUCTURAL claim delta coding buys: a perturbation confined to
+      // segment 0 can only flip signature bits 0 and 63 (its two
+      // neighboring ring comparisons) — so every perturbed plant sits at
+      // Hamming <= 2, provably inside the verify bound, and recall for
+      // quarantine-free pairs is 100%, not a measured fraction
+      val mutIds = sigs.keys.filter(id => id < 4000000 && id % 23 == 0)
+        .filter(id => sigs.contains(id + 4000000)).toSeq
+      assert(mutIds.nonEmpty, "no perturbed plants in the fixture — vacuous")
+      mutIds.foreach { id =>
+        val ((ahi, alo), aq) = sigs(id)
+        val ((bhi, blo), bq) = sigs(id + 4000000)
+        assert(((alo ^ blo) & ~1L) == 0L && ((ahi ^ bhi) & ~(1L << 31)) == 0L,
+          s"perturbed pair $id differs outside signature bits {0, 63}")
+        if (!aq && !bq)
+          assert(pairs.contains((id, id + 4000000)),
+            s"clean perturbed pair $id not recalled")
+      }
+      // pigeonhole radius of the adaptive chunk geometry (corpus < 4096
+      // here: 8-bit chunks, bound 7) and the quarantine contract: no
+      // cross-signature pair touches an all-zero-signature endpoint
+      assert(pairs.values.forall(_ <= 7), "pair beyond the Hamming bound")
+      pairs.foreach { case ((a, b), h) =>
+        if (h > 0) assert(!sigs(a)._2 && !sigs(b)._2,
+          s"cross pair ($a,$b) has a quarantined endpoint")
+      }
+    } finally { hashed.unpersist(); out.unpersist() }
+  }
+
+  test("PCM fingerprint quarantines constant-energy clips as all-zero signatures") {
+    import spark.implicits._
+    // clip 1: one repeated 2-char sample — constant energy, delta-codes to
+    // the all-zeros signature (silence / test-tone analog); clip 2: same
+    // head with a louder tail — energy varies, must NOT quarantine
+    val clips = Seq((1L, "ab" * 80), (2L, "ab" * 70 + "XY" * 10))
+      .toDF("doc_id", "text")
+    val sig = Multimodal.pcmSigOf(spark, clips).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)), r.getBoolean(3)))
+      .toMap
+    assert(sig(1L) == ((0L, 0L), true), "constant clip must quarantine")
+    assert(!sig(2L)._2 && sig(2L)._1 != ((0L, 0L)),
+      "varying clip must carry a live signature")
+    // sub-minimum clips (< 64 samples) emit nothing, like the image path
+    val short = Multimodal.pcmSigOf(spark,
+      Seq((3L, "ab" * 10)).toDF("doc_id", "text"))
+    assert(short.count() == 0)
+  }
+
   test("shard manifest covers the corpus exactly and bounds hash skew") {
     val m = TextAnalysis.shardManifest(spark, dir).cache()
     try {
