@@ -418,10 +418,25 @@ object DedupStaging {
     * is paid once here, and a search is the cell-keyed equi-join alone.
     * Correctness is unchanged by construction: the build is the same
     * deterministic assignment, and the oracles still replay it from raw
-    * embeddings. */
+    * embeddings.
+    *
+    * Laid out along the Morton curve of (cell, vec_id) at staging commit
+    * (r17 — the s19/s20 layout verb composed with the warehouse that
+    * serves searches): the index has TWO access patterns — a serving-path
+    * probe reads by CELL (an nprobe-confined scan; FAISS's inverted lists
+    * are exactly cell-clustered storage) while the retraction lifecycle
+    * (forget/purge/compact) operates by VEC_ID range — and the z-layout
+    * makes the files' ordinary per-column min/max stats tight in both
+    * dimensions at once, where a 1-dim sort serves one pattern and
+    * spreads the other across every file. One range shuffle (a sort's
+    * cost) per index RELEASE; layout changes bytes touched, never
+    * answers — the staged rows are identical, DedupStagingSpec pins the
+    * files-touched contrast on both read shapes, and every ANN oracle
+    * replays unchanged. */
   def ivfCells(spark: SparkSession, dir: String): DataFrame =
     materialize(spark, dir, "ivf_cells") {
-      Similarity.ivfIndexBuild(spark, dir)
+      Connectors.zlayout(Similarity.ivfIndexBuild(spark, dir),
+        "cell", "vec_id", files = 64)
     }
 
   /** The Lloyd-refined PQ codebook (c, s, cs) — M·K rows, kilobytes; the

@@ -40,6 +40,36 @@ class DedupStagingSpec extends AnyFunSuite with SparkFixture {
     assert(!Files.exists(Paths.get(table).getParent), "stale fixture version swept")
   }
 
+  test("ivf_cells stages z-laid-out: cell probes AND vec_id ranges read few files") {
+    import org.apache.spark.sql.functions._
+    // a private fixture copy — fresh fingerprint, fresh warehouse table,
+    // so the layout under test is the one THIS code commits
+    val fix = Files.createTempDirectory("staging-zivf-").toString
+    Files.copy(Paths.get("/root/testdata/sf0.1/embeddings.parquet"),
+      Paths.get(fix, "embeddings.parquet"), StandardCopyOption.COPY_ATTRIBUTES)
+    DedupStaging.resetMemo()
+    val cells = DedupStaging.ivfCells(spark, fix)
+    def touched(df: org.apache.spark.sql.DataFrame) =
+      df.select(input_file_name()).distinct().count()
+    val total = touched(cells)
+    // serving-path read: an nprobe=2 probe confines to two cells
+    val twoCells = cells.select("cell").distinct().limit(2)
+      .collect().map(_.getLong(0))
+    val probe = touched(cells.filter(col("cell").isin(twoCells.map(Long.box): _*)))
+    // lifecycle read: a vec_id range (the forget/compact tombstone shape)
+    val env = cells.agg(min("vec_id").cast("long"), max("vec_id").cast("long")).head()
+    val (lo, hi) = (env.getLong(0), env.getLong(1))
+    val range = touched(cells.filter(col("vec_id") <= lo + (hi - lo) / 8))
+    info(s"files: total=$total probe2cells=$probe vecRange=$range")
+    // measured on the deterministic sf0.1 fixture: 19 and 11 of 64; the
+    // pins carry slack for range-partitioner sampling variance. The point
+    // is BOTH patterns confine at once — a 1-dim cell sort would serve the
+    // probe perfectly and spread every vec_id range across all 64 files.
+    assert(total >= 32, s"layout should spread across files, saw $total")
+    assert(probe <= 28, s"2-cell probe touched $probe of $total files")
+    assert(range <= 20, s"vec_id range read touched $range of $total files")
+  }
+
   test("a live build heartbeats its lock so stale-lock breaking never hits it") {
     // a slow build must keep bumping the lock's mtime: staleness is judged
     // on mtime, so without the heartbeat any build longer than LockStaleMs
