@@ -923,28 +923,41 @@ object Connectors {
     * partitions, then dropped — the layout survives as file order, not as a
     * column. One envelope action + one range shuffle (a sort's cost). */
   private[graft] def zlayout(df: DataFrame, xCol: String, yCol: String,
-      files: Int): DataFrame = {
-    val env = df.agg(min(xCol).cast("long"), max(xCol).cast("long"),
-      min(yCol).cast("long"), max(yCol).cast("long")).head()
-    // a degenerate snapshot has no envelope in one or both dimensions
-    // (empty frame → all four aggregates null; an all-null key column →
-    // that dimension's pair null) — and nothing to cluster on: pass it
-    // through instead of NPE-ing on the bounds. Rows whose key is null in
-    // a NON-degenerate frame still lay out fine: bin() casts null to a
-    // null _z, which range-partitions and sorts first — no special case.
-    if (env.isNullAt(0) || env.isNullAt(2)) return df
-    // Spark's `/` is true division (double) — truncate back to the integral
-    // bin explicitly rather than leaning on the per-term implicit cast the
-    // zvalue shift ops would otherwise insert 32 times
-    def bin(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
-      if (hi == lo) lit(0L)
-      else ((c.cast("long") - lit(lo)) * lit(65535L) / lit(hi - lo)).cast("long")
-    df.withColumn("_z", zvalue(
-        bin(col(xCol), env.getLong(0), env.getLong(1)),
-        bin(col(yCol), env.getLong(2), env.getLong(3))))
-      .repartitionByRange(files, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
+      files: Int,
+      envOpt: Option[(Long, Long, Long, Long)] = None): DataFrame = {
+    // envOpt: a caller-supplied CONSERVATIVE envelope (any superset of the
+    // true bounds bins correctly, just at slightly coarser resolution) —
+    // for frames whose construction is expensive, measuring the envelope
+    // with an agg action would evaluate the build subtree twice (once for
+    // the bounds, once for the write); a caller that can bound the keys
+    // cheaply (ivf_cells does it from one vec_id column scan) skips that.
+    val bounds = envOpt.orElse {
+      val env = df.agg(min(xCol).cast("long"), max(xCol).cast("long"),
+        min(yCol).cast("long"), max(yCol).cast("long")).head()
+      // a degenerate snapshot has no envelope in one or both dimensions
+      // (empty frame → all four aggregates null; an all-null key column →
+      // that dimension's pair null) — and nothing to cluster on: pass it
+      // through instead of NPE-ing on the bounds. Rows whose key is null
+      // in a NON-degenerate frame still lay out fine: bin() casts null to
+      // a null _z, which range-partitions and sorts first — no special
+      // case.
+      if (env.isNullAt(0) || env.isNullAt(2)) None
+      else Some((env.getLong(0), env.getLong(1), env.getLong(2), env.getLong(3)))
+    }
+    bounds match {
+      case None => df
+      case Some((xlo, xhi, ylo, yhi)) =>
+        // Spark's `/` is true division (double) — truncate back to the
+        // integral bin explicitly rather than leaning on the per-term
+        // implicit cast the zvalue shift ops would otherwise insert 32 times
+        def bin(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+          if (hi == lo) lit(0L)
+          else ((c.cast("long") - lit(lo)) * lit(65535L) / lit(hi - lo)).cast("long")
+        df.withColumn("_z", zvalue(bin(col(xCol), xlo, xhi), bin(col(yCol), ylo, yhi)))
+          .repartitionByRange(files, col("_z"))
+          .sortWithinPartitions("_z")
+          .drop("_z")
+    }
   }
 
   /** S19: Z-order (Morton-curve) data layout + multi-dimensional stats

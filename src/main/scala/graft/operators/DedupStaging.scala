@@ -435,8 +435,11 @@ object DedupStaging {
     * replays unchanged. */
   def ivfCells(spark: SparkSession, dir: String): DataFrame =
     materialize(spark, dir, "ivf_cells") {
+      // envelope precomputed from one vec_id-column scan so the N×√N
+      // assignment runs ONCE (the write), not twice (bounds + write)
       Connectors.zlayout(Similarity.ivfIndexBuild(spark, dir),
-        "cell", "vec_id", files = 64)
+        "cell", "vec_id", files = 64,
+        envOpt = Similarity.ivfLayoutEnvelope(spark, dir))
     }
 
   /** The Lloyd-refined PQ codebook (c, s, cs) — M·K rows, kilobytes; the

@@ -603,8 +603,8 @@ object Multimodal {
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[MediaIn]
     media.mapPartitions { rows =>
-      val decoder = PcmDecoder // per-partition init point for a real codec
-      val _ = decoder // (signature decode inlined below at segment width)
+      // the decode loop is inlined at segment width (PcmDecoder frames at a
+      // fixed 256 samples; the fingerprint needs adaptive n/64 segments)
       rows.map { m =>
         val b = m.payload
         val n = b.length / 2

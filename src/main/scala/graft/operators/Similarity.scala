@@ -325,6 +325,28 @@ object Similarity {
   private[operators] def ivfIndexBuild(spark: SparkSession, dir: String): DataFrame =
     ivfAssign(spark, dir, base(spark, dir), 1)
 
+  /** Conservative (cell, vec_id) envelope for the staged index's z-layout,
+    * from ONE cheap vec_id-column scan: cells are centroid ids (the vec_ids
+    * at stride multiples), so the centroid-id bounds bound every
+    * assignment. Measuring the envelope on the built frame instead would
+    * run the O(N·√N) assignment twice per staging commit — once for the
+    * bounds action, once for the write (the ProfContam double-evaluation
+    * class, avoided here by construction). A superset envelope bins
+    * correctly, just at coarser resolution. */
+  private[operators] def ivfLayoutEnvelope(spark: SparkSession,
+      dir: String): Option[(Long, Long, Long, Long)] = {
+    val env = base(spark, dir)
+      .agg(min("vec_id").cast("long"), max("vec_id").cast("long")).head()
+    if (env.isNullAt(0)) None
+    else {
+      val (lo, hi) = (env.getLong(0), env.getLong(1))
+      val stride = strideOf(spark, dir)
+      val clo = ((lo + stride - 1) / stride) * stride // smallest centroid id
+      val chi = (hi / stride) * stride                // largest centroid id
+      if (clo > chi) None else Some((clo, chi, lo, hi))
+    }
+  }
+
   /** The IVF coarse assignment shared by the index build and the QUERY-side
     * probe routing: centroids at every `ivfStride`-th id, broadcast; each
     * vector keeps its k nearest cells. */

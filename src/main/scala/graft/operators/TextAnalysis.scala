@@ -1281,7 +1281,12 @@ object TextAnalysis {
     val steps = (1 to 8).map { i =>
       if (!lzy) w = w.localCheckpoint(true)
       val top = w
-        .select(col("f"), explode(shingles(tokens(col("seq")), 2)).as("pr"))
+        // seq's token array materializes before the shingle transform —
+        // the ProfContam-measured discipline; bounded here (a word's
+        // symbol sequence, ≤ ~30 tokens) but the split costs one narrow
+        // projection and removes the per-element re-tokenization entirely
+        .select(col("f"), tokens(col("seq")).as("stoks"))
+        .select(col("f"), explode(shingles(col("stoks"), 2)).as("pr"))
         .groupBy("pr").agg(sum("f").as("freq"))
         .orderBy(col("freq").desc, col("pr")).limit(1)
       w = w.crossJoin(broadcast(top.select(col("pr").as("mpr"))))
