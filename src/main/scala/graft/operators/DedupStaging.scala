@@ -469,10 +469,16 @@ object DedupStaging {
 
   /** The IVF-PQ inverted-list payload (vec_id, cell, codes[M]) — cell id +
     * 16-byte residual code per vector, the entire search-time corpus
-    * footprint of m6_ann_ivfpq. */
+    * footprint of m6_ann_ivfpq. Z-laid-out on (cell, vec_id) like
+    * ivf_cells — it serves the same two access patterns (cell-probed ADC
+    * search, vec_id-ranged lifecycle) and shares the same precomputed
+    * envelope (cells are centroid ids in both tables). */
   def ivfPqCodes(spark: SparkSession, dir: String): DataFrame =
     materialize(spark, dir, "ivfpq_codes") {
-      Similarity.ivfPqCodesBuild(spark, dir, ivfPqCodebook(spark, dir))
+      Connectors.zlayout(
+        Similarity.ivfPqCodesBuild(spark, dir, ivfPqCodebook(spark, dir)),
+        "cell", "vec_id", files = 64,
+        envOpt = Similarity.ivfLayoutEnvelope(spark, dir))
     }
 
   /** Staged tables the named queries read, in dependency order (shingle3

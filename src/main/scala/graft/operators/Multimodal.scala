@@ -603,43 +603,56 @@ object Multimodal {
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[MediaIn]
     media.mapPartitions { rows =>
-      // the decode loop is inlined at segment width (PcmDecoder frames at a
-      // fixed 256 samples; the fingerprint needs adaptive n/64 segments)
       rows.map { m =>
-        val b = m.payload
-        val n = b.length / 2
-        if (n < 64) AHashRow(m.doc_id, ok = false, 0L, 0L, letterboxed = false)
-        else {
-          val acc = new Array[Long](64)
-          val sz = new Array[Long](64)
-          var k = 0
-          while (k < 64) {
-            val st = (k.toLong * n / 64).toInt
-            val en = ((k + 1).toLong * n / 64).toInt
-            var a = 0L
-            var j = st
-            while (j < en) {
-              val s = ((b(2 * j + 1): Int) << 8) | (b(2 * j) & 0xff) // LE, signed hi
-              a += s.toLong * s
-              j += 1
-            }
-            acc(k) = a; sz(k) = en - st
-            k += 1
-          }
-          var hi = 0L; var lo = 0L
-          k = 0
-          while (k < 64) {
-            val kn = (k + 1) % 64
-            if (acc(k) * sz(kn) > acc(kn) * sz(k)) {
-              if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
-            }
-            k += 1
-          }
-          AHashRow(m.doc_id, ok = true, hi, lo, letterboxed = hi == 0L && lo == 0L)
+        pcmSignature(m.payload) match {
+          case Some((hi, lo)) =>
+            AHashRow(m.doc_id, ok = true, hi, lo, letterboxed = hi == 0L && lo == 0L)
+          case None => AHashRow(m.doc_id, ok = false, 0L, 0L, letterboxed = false)
         }
       }
     }.toDF().filter(col("ok"))
       .select("doc_id", "hash_hi", "hash_lo", "letterboxed")
+  }
+
+  /** The pure signature kernel behind pcmSigOf (decode loop inlined at
+    * segment width — PcmDecoder frames at a fixed 256 samples, the
+    * fingerprint needs adaptive n/64 segments): 16-bit-LE samples, 64
+    * floor-boundary segments, cross-multiplied delta-sign bits around the
+    * ring, packed as two 32-bit halves (aHash's convention). Extracted so
+    * GraftProps can pin the STRUCTURAL plant guarantee — a perturbation
+    * confined to segment 0 flips only bits 0 and 63 — on arbitrary
+    * generated clips, not just the fixture. None below 64 samples. */
+  private[graft] def pcmSignature(b: Array[Byte]): Option[(Long, Long)] = {
+    val n = b.length / 2
+    if (n < 64) None
+    else {
+      val acc = new Array[Long](64)
+      val sz = new Array[Long](64)
+      var k = 0
+      while (k < 64) {
+        val st = (k.toLong * n / 64).toInt
+        val en = ((k + 1).toLong * n / 64).toInt
+        var a = 0L
+        var j = st
+        while (j < en) {
+          val s = ((b(2 * j + 1): Int) << 8) | (b(2 * j) & 0xff) // LE, signed hi
+          a += s.toLong * s
+          j += 1
+        }
+        acc(k) = a; sz(k) = en - st
+        k += 1
+      }
+      var hi = 0L; var lo = 0L
+      k = 0
+      while (k < 64) {
+        val kn = (k + 1) % 64
+        if (acc(k) * sz(kn) > acc(kn) * sz(k)) {
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+        k += 1
+      }
+      Some((hi, lo))
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

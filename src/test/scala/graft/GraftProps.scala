@@ -574,4 +574,39 @@ object GraftProps extends Properties("graft") {
           .count() == members.size
       }
     }
+
+  // The PCM fingerprint's STRUCTURAL plant guarantee, on arbitrary clips
+  // rather than the fixture: delta-sign bits compare neighboring segment
+  // energies around the ring, so a perturbation confined to segment 0 can
+  // only change the two comparisons that touch segment 0 — signature bits
+  // 0 and 63. This is what puts every planted near-dup inside the ≤ 3
+  // verify bound BY CONSTRUCTION at any corpus size.
+  private val pcmClip: Gen[Array[Byte]] = for {
+    n <- Gen.choose(64, 400) // samples; 64 is the kernel's minimum
+    bytes <- Gen.listOfN(2 * n, Gen.choose(32, 126)) // printable ASCII
+  } yield bytes.map(_.toByte).toArray
+
+  property("pcm signature: a first-sample perturbation flips only bits {0, 63}") =
+    forAll(pcmClip, Gen.choose(32, 126), Gen.choose(32, 126)) { (b, c1, c2) =>
+      import graft.operators.Multimodal
+      val mut = b.clone(); mut(0) = c1.toByte; mut(1) = c2.toByte
+      (Multimodal.pcmSignature(b), Multimodal.pcmSignature(mut)) match {
+        case (Some((ahi, alo)), Some((bhi, blo))) =>
+          ((alo ^ blo) & ~1L) == 0L && ((ahi ^ bhi) & ~(1L << 31)) == 0L
+        case _ => false
+      }
+    }
+
+  property("pcm signature: constant-energy clips delta-code to all-zeros (the quarantine key)") =
+    forAll(Gen.choose(32, 126), Gen.choose(32, 126), Gen.choose(64, 300)) { (a, b, reps) =>
+      import graft.operators.Multimodal
+      val clip = Array.fill(reps)(Array(a.toByte, b.toByte)).flatten
+      Multimodal.pcmSignature(clip).contains((0L, 0L))
+    }
+
+  property("pcm signature: sub-minimum clips (< 64 samples) emit nothing") =
+    forAll(Gen.choose(0, 127)) { nBytesHalf =>
+      import graft.operators.Multimodal
+      Multimodal.pcmSignature(Array.fill(nBytesHalf)('a'.toByte)).isEmpty
+    }
 }
