@@ -1081,6 +1081,72 @@ object StreamingJobs {
     Dedup.catalogDecisions(spark, dir, sigsT, shT)
   }
 
+  /** Staged bounded replay of the perceptual-audio corpus (doc_id order) —
+    * the m7_pcm_neardup corpus as an arrival stream, for m4u. */
+  def stagedPcmClips(spark: SparkSession, dir: String, nFiles: Int): String =
+    stagedDirs.getOrElseUpdate((dir, nFiles, "pcm_clips"), {
+      val src = Files.createTempDirectory("graft-stream-src-").toString
+      val bucketed = graft.operators.Multimodal.pcmCorpus(spark, dir)
+        .withColumn("_file", ntile(nFiles).over(Window.orderBy(col("doc_id"))))
+        .persist()
+      try {
+        (1 to nFiles).foreach { i =>
+          bucketed.filter(col("_file") === i).drop("_file")
+            .coalesce(1).write.mode("append").parquet(src)
+        }
+      } finally bucketed.unpersist()
+      src
+    })
+
+  /** M4u: streaming perceptual-signature admission — the keyed-commit
+    * ingestion topology applied to the AUDIO modality (m4n maintains the
+    * BM25 index, m4o the IVF index, m4q the text near-dup catalog; this
+    * maintains the perceptual-signature catalog): clips arrive in
+    * micro-batches, each batch decodes and fingerprints ONLY ITSELF (the
+    * pcmSignature kernel through the same mapPartitions map the batch
+    * operator runs — O(batch), the corpus is never rescanned, no
+    * cross-batch state at all since a clip's signature is a pure function
+    * of its bytes), and the signature rows commit through
+    * `Connectors.appendKeyed` on the micro-batch id — a foreachBatch retry
+    * re-fingerprints and no-op-commits idempotently.
+    *
+    * The near-dup PAIR search then runs over the drained catalog (the
+    * search-at-release shape every index family here ends with): the same
+    * signature-collapsed Manku blocking as the batch operator, over the
+    * same signatures — so the drained output is m7_pcm_neardup's VERBATIM
+    * and the oracle is shared, unchanged. At 100 TB this is the shape that
+    * matters: ingestion pays one decode + 64-segment pass per arriving
+    * clip, and the quadratic-prone pair stage only ever runs at release
+    * time over distinct signatures. */
+  def streamPcmAdmissionQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Connectors, Dedup, Multimodal}
+    configureStreaming(spark)
+    val sigT = Connectors.scratchCatalog("graft-stream-pcm-")
+    val src = stagedPcmClips(spark, dir, 3)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt-").toString
+    withShufflePartitions(spark, 8) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.persist()
+          try if (!batch.isEmpty) {
+            Connectors.appendKeyed(spark, sigT,
+              Multimodal.pcmSigOf(spark, batch)
+                .coalesce(Connectors.deltaFiles(batch.count())), s"b$batchId")
+          } finally batch.unpersist()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val sigs = Connectors.readTable(spark, sigT)
+    Multimodal.ahashPairs(sigs, Dedup.simhashChunkBits(sigs.count()))
+  }
+
   /** Staged bounded replay of the training-corpus ingestion (doc_id order)
     * — clean docs plus the verbatim benchmark plants, for m4t. */
   def stagedTrainingDocs(spark: SparkSession, dir: String, nFiles: Int): String =
@@ -1279,6 +1345,7 @@ object StreamingJobs {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m4u_stream_pcm_admit" -> streamPcmAdmissionQuery,
     "m4q_stream_dedup_admit" -> streamDedupAdmissionQuery,
     "m4t_stream_decon"     -> streamDeconQuery,
     "m4r_stream_ann_forget" -> streamAnnForgetQuery,
@@ -1324,6 +1391,12 @@ object StreamingJobs {
     // the batch commit's admissions (see streamDedupAdmissionQuery).
     "m4q_stream_dedup_admit" ->
       graft.operators.Dedup.oracles("m6_incremental_commit"),
+    // Identical to the batch audio near-dup oracle: a clip's signature is a
+    // pure function of its bytes (no cross-batch state), so the drained
+    // catalog holds exactly the batch operator's signatures and the
+    // release-time pair search is its output verbatim.
+    "m4u_stream_pcm_admit" ->
+      graft.operators.Multimodal.oracles("m7_pcm_neardup"),
     // Identical to the batch decontamination oracle: n_shared is per-doc
     // evidence with no cross-doc state and each document's shingles travel
     // whole with it, so the drained evidence table is independent of the

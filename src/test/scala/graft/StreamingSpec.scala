@@ -559,6 +559,32 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       "stream-retracted dedup catalog diverged from the batch forget")
   }
 
+  test("streaming PCM admission is retry-idempotent and serves the batch pair search") {
+    import graft.operators.{Connectors, Dedup, Multimodal}
+    val dir = "/root/testdata/sf0.001"
+    val sigT = Connectors.scratchCatalog("graft-stream-pcm-spec-") + "/sigs"
+    // the m4u foreachBatch body
+    def admit(batch: org.apache.spark.sql.DataFrame, key: String): Unit =
+      Connectors.appendKeyed(spark, sigT,
+        Multimodal.pcmSigOf(spark, batch).coalesce(1), key)
+    val corpus = Multimodal.pcmCorpus(spark, dir)
+    // two micro-batches; batch 0 commits TWICE with the same key — the
+    // foreachBatch retry must not duplicate signature rows
+    admit(corpus.filter(col("doc_id") % 2 === 0), "b0")
+    admit(corpus.filter(col("doc_id") % 2 === 0), "b0")
+    admit(corpus.filter(col("doc_id") % 2 =!= 0), "b1")
+    val sigs = Connectors.readTable(spark, sigT)
+    assert(sigs.count() == sigs.select("doc_id").distinct().count(),
+      "retried micro-batch double-admitted a clip's signature")
+    // the release-time pair search over the drained catalog is the batch
+    // operator's output verbatim (same signatures, same blocking)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    val served = Multimodal.ahashPairs(sigs, Dedup.simhashChunkBits(sigs.count()))
+    assert(pairs(served).sameElements(pairs(Multimodal.pcmNearDup(spark, dir))),
+      "streamed signature catalog diverged from the batch pair search")
+  }
+
   test("sink retry backs off and succeeds after transient failures") {
     import spark.implicits._
     val sink = tmp("retry-sink-")

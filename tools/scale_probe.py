@@ -97,9 +97,9 @@ QUERIES = ",".join([
     "m6_bloom_decontaminate", "m4t_stream_decon", "s19_zorder_layout",
     "s20_zorder_optimize",
     # round-17: the pinned-generation metadata read (trivially scale-flat,
-    # listed so no registered query is absent from any artifact) and the
-    # audio near-dup leg
-    "s18_time_travel", "m7_pcm_neardup",
+    # listed so no registered query is absent from any artifact), the audio
+    # near-dup leg, and the streaming audio-signature admission drain
+    "s18_time_travel", "m7_pcm_neardup", "m4u_stream_pcm_admit",
 ])
 
 
