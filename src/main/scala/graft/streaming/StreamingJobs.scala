@@ -1147,6 +1147,65 @@ object StreamingJobs {
     Multimodal.ahashPairs(sigs, Dedup.simhashChunkBits(sigs.count()))
   }
 
+  /** Staged bounded replay of the image corpus (doc_id order) — the
+    * m7_ahash_neardup corpus as an arrival stream, for m4v. */
+  def stagedImageClips(spark: SparkSession, dir: String, nFiles: Int): String =
+    stagedDirs.getOrElseUpdate((dir, nFiles, "image_clips"), {
+      val src = Files.createTempDirectory("graft-stream-src-").toString
+      val bucketed = graft.operators.Multimodal.ahashCorpus(spark, dir)
+        .withColumn("_file", ntile(nFiles).over(Window.orderBy(col("doc_id"))))
+        .persist()
+      try {
+        (1 to nFiles).foreach { i =>
+          bucketed.filter(col("_file") === i).drop("_file")
+            .coalesce(1).write.mode("append").parquet(src)
+        }
+      } finally bucketed.unpersist()
+      src
+    })
+
+  /** M4v: streaming perceptual-IMAGE admission — m4u's topology for the
+    * image modality, which closes the streaming-ingestion matrix across
+    * every near-dup family the engine ships (text catalog m4q, ANN m4o,
+    * audio m4u, image here): frames arrive in micro-batches, each batch
+    * decodes and aHashes ONLY ITSELF (PpmDecoder through the same
+    * mapPartitions map as the batch operator, the letterbox quarantine
+    * flag computed from the same decoded pixels — a pure per-frame
+    * function, no cross-batch state), and the signature rows commit
+    * through `Connectors.appendKeyed` on the micro-batch id — retries
+    * no-op idempotently. The release-time pair search over the drained
+    * catalog is the batch operator's signature-collapsed blocking over the
+    * same signatures, so the drained output is m7_ahash_neardup's VERBATIM
+    * and the oracle is shared, unchanged. */
+  def streamAhashAdmissionQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Connectors, Dedup, Multimodal}
+    configureStreaming(spark)
+    val sigT = Connectors.scratchCatalog("graft-stream-ahash-")
+    val src = stagedImageClips(spark, dir, 3)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt-").toString
+    withShufflePartitions(spark, 8) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.persist()
+          try if (!batch.isEmpty) {
+            Connectors.appendKeyed(spark, sigT,
+              Multimodal.ahashHashedOf(spark, batch)
+                .coalesce(Connectors.deltaFiles(batch.count())), s"b$batchId")
+          } finally batch.unpersist()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val sigs = Connectors.readTable(spark, sigT)
+    Multimodal.ahashPairs(sigs, Dedup.simhashChunkBits(sigs.count()))
+  }
+
   /** Staged bounded replay of the training-corpus ingestion (doc_id order)
     * — clean docs plus the verbatim benchmark plants, for m4t. */
   def stagedTrainingDocs(spark: SparkSession, dir: String, nFiles: Int): String =
@@ -1346,6 +1405,7 @@ object StreamingJobs {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m4u_stream_pcm_admit" -> streamPcmAdmissionQuery,
+    "m4v_stream_ahash_admit" -> streamAhashAdmissionQuery,
     "m4q_stream_dedup_admit" -> streamDedupAdmissionQuery,
     "m4t_stream_decon"     -> streamDeconQuery,
     "m4r_stream_ann_forget" -> streamAnnForgetQuery,
@@ -1397,6 +1457,10 @@ object StreamingJobs {
     // release-time pair search is its output verbatim.
     "m4u_stream_pcm_admit" ->
       graft.operators.Multimodal.oracles("m7_pcm_neardup"),
+    // Identical to the batch image near-dup oracle, for the same reason
+    // (the aHash + quarantine flag are per-frame pure functions).
+    "m4v_stream_ahash_admit" ->
+      graft.operators.Multimodal.oracles("m7_ahash_neardup"),
     // Identical to the batch decontamination oracle: n_shared is per-doc
     // evidence with no cross-doc state and each document's shingles travel
     // whole with it, so the drained evidence table is independent of the

@@ -585,6 +585,27 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       "streamed signature catalog diverged from the batch pair search")
   }
 
+  test("streaming image admission is retry-idempotent and serves the batch pair search") {
+    import graft.operators.{Connectors, Dedup, Multimodal}
+    val dir = "/root/testdata/sf0.001"
+    val sigT = Connectors.scratchCatalog("graft-stream-ahash-spec-") + "/sigs"
+    def admit(batch: org.apache.spark.sql.DataFrame, key: String): Unit =
+      Connectors.appendKeyed(spark, sigT,
+        Multimodal.ahashHashedOf(spark, batch).coalesce(1), key)
+    val corpus = Multimodal.ahashCorpus(spark, dir)
+    admit(corpus.filter(col("doc_id") % 2 === 0), "b0")
+    admit(corpus.filter(col("doc_id") % 2 === 0), "b0") // the retry
+    admit(corpus.filter(col("doc_id") % 2 =!= 0), "b1")
+    val sigs = Connectors.readTable(spark, sigT)
+    assert(sigs.count() == sigs.select("doc_id").distinct().count(),
+      "retried micro-batch double-admitted a frame's signature")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    val served = Multimodal.ahashPairs(sigs, Dedup.simhashChunkBits(sigs.count()))
+    assert(pairs(served).sameElements(pairs(Multimodal.ahashNearDup(spark, dir))),
+      "streamed signature catalog diverged from the batch pair search")
+  }
+
   test("sink retry backs off and succeeds after transient failures") {
     import spark.implicits._
     val sink = tmp("retry-sink-")

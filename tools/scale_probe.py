@@ -100,6 +100,7 @@ QUERIES = ",".join([
     # listed so no registered query is absent from any artifact), the audio
     # near-dup leg, and the streaming audio-signature admission drain
     "s18_time_travel", "m7_pcm_neardup", "m4u_stream_pcm_admit",
+    "m4v_stream_ahash_admit",
 ])
 
 
