@@ -547,8 +547,10 @@ object Multimodal {
     * n ≥ 64) and bit k compares NEIGHBORING segment energies around the
     * ring — the energy-difference sign coding audio fingerprinting uses
     * (Haitsma & Kalker's robust-hash shape), cross-multiplied exactly
-    * (`acc_k·size_{k+1} > acc_{k+1}·size_k`, every product < 2⁶⁰ for any
-    * clip this side of hours) so the oracle replays every bit. Delta
+    * (`acc_k·size_{k+1} > acc_{k+1}·size_k`; the long product is exact up
+    * to ~5.9M samples and the kernel widens to a BigInt comparison past
+    * that) so the oracle — which computes in HUGEINT at every length —
+    * replays every bit at any clip length. Delta
     * coding makes the plant guarantee STRUCTURAL: a perturbation confined
     * to segment 0 can only flip bits 0 and 63 (its two neighboring
     * comparisons), so the planted near-dups (every 23rd eligible clip
@@ -643,10 +645,21 @@ object Multimodal {
         k += 1
       }
       var hi = 0L; var lo = 0L
+      // cross-multiplied comparison: acc ≤ sz·32767², so the long product
+      // acc·sz' is exact while ceil(n/64)² · 2^30 < 2^63 — i.e. n below
+      // ~5.93M samples (≈ 2 min at 44.1 kHz). Past that the comparison
+      // widens to BigInt: the ORACLE computes in HUGEINT at every length,
+      // so a silently wrapping long here would diverge engine-vs-oracle
+      // on long clips, exactly the overflow class the silence-segment sum
+      // already pays decimal for.
+      val wide = n >= 5900000
       k = 0
       while (k < 64) {
         val kn = (k + 1) % 64
-        if (acc(k) * sz(kn) > acc(kn) * sz(k)) {
+        val gt =
+          if (wide) BigInt(acc(k)) * sz(kn) > BigInt(acc(kn)) * sz(k)
+          else acc(k) * sz(kn) > acc(kn) * sz(k)
+        if (gt) {
           if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
         }
         k += 1

@@ -1685,6 +1685,24 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     assert(short.count() == 0)
   }
 
+  test("PCM fingerprint stays exact past the long-product overflow bound") {
+    // 6.4M samples (sz = 100k): a loud first half (32767 amplitude) and a
+    // silent second half. The cross-multiplied long product acc_hi·sz =
+    // 1.07e19 WRAPS Long (max 9.22e18) — a wrapping comparison would read
+    // negative, drop the loud→silent boundary bit, and diverge from the
+    // oracle's HUGEINT replay; the kernel's BigInt branch must keep it.
+    val n = 6400000
+    val b = new Array[Byte](2 * n)
+    var j = 0
+    while (j < n / 2) { b(2 * j) = 0xFF.toByte; b(2 * j + 1) = 0x7F.toByte; j += 1 }
+    // second half stays zero-initialized (silence)
+    val Some((hi, lo)) = Multimodal.pcmSignature(b)
+    assert(((lo >> 31) & 1L) == 1L,
+      "the loud-to-silent boundary bit (31) vanished — the long product wrapped")
+    assert(hi == 0L && lo == (1L << 31),
+      s"expected exactly bit 31 set, got hi=$hi lo=$lo")
+  }
+
   test("shard manifest covers the corpus exactly and bounds hash skew") {
     val m = TextAnalysis.shardManifest(spark, dir).cache()
     try {
