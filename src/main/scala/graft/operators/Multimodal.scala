@@ -490,7 +490,22 @@ object Multimodal {
     * Hamming 0 through the identical-signature path that covers ALL
     * images. The production shape letterboxDetect's docstring names:
     * quarantine BEFORE blocking keeps perceptual buckets un-degenerate. */
-  private[graft] def ahashPairs(hashed: DataFrame, w: Int): DataFrame = {
+  private[graft] def ahashPairs(hashed0: DataFrame, w: Int): DataFrame = {
+    // the signature frame is a mapPartitions DECODE output feeding four
+    // plan branches (the distinct-signature build, both membership joins,
+    // and the identical-signature self-join) — unpersisted, each branch
+    // re-decoded the whole corpus (r17 verdict #3: four MapPartitions
+    // subtrees per query plan). Persist SCOPED: 4 machine words + a flag
+    // per doc, the cheapest possible cache; the lazyPlans escape keeps the
+    // Explain artifact on the full lazy plan.
+    if (TextAnalysis.lazyPlans(hashed0.sparkSession))
+      return ahashPairsOn(hashed0, w)
+    val hashed = hashed0.persist()
+    try ahashPairsOn(hashed, w).localCheckpoint(true)
+    finally hashed.unpersist()
+  }
+
+  private def ahashPairsOn(hashed: DataFrame, w: Int): DataFrame = {
     val nchunks = 64 / w
     // one row per distinct signature OF THE CLEAN (non-letterboxed) docs,
     // keyed for the candidate join by its smallest clean member doc_id
@@ -592,12 +607,28 @@ object Multimodal {
     docs.unionAll(perturbed).unionAll(verbatim)
   }
 
+  /** Marker bit for quarantined-clip CONTENT-KEY signatures: a constant-
+    * energy clip delta-codes to all-zeros — a content-free signature — so
+    * it routes to the exact-signature path with a SUBSTITUTED key (fold60
+    * of the payload, the house content hash), not the collapsed zeros:
+    * before r18 every constant-energy clip shared the one (0,0) signature
+    * and the identical-signature leg reported silence and a loud constant
+    * tone as "verbatim dups" (r17 ADVICE). The marker sits above the
+    * 32-bit half-word range real signatures occupy, so a substituted key
+    * can never collide with a live content signature in the
+    * identical-signature join; quarantined clips now pair iff their
+    * PAYLOADS match (fold60-injective, the documented house argument) —
+    * verbatim re-encodes of degenerate clips still surface at Hamming 0,
+    * silence no longer pairs with tones. */
+  private[graft] val QuarantineKeyMark = 1L << 62
+
   /** PCM decode + 64-bit delta-sign energy signature — the narrow map
     * stage (mapPartitions, no shuffle), emitting the (doc_id, hash_hi,
     * hash_lo, letterboxed) frame `ahashPairs` blocks on; `letterboxed`
-    * carries the quarantine contract (here: the all-zeros constant-energy
-    * signature). Bits pack as two 32-bit halves in aHash's convention
-    * (bit k of the low half ↔ signature bit k). */
+    * carries the quarantine contract (here: constant-energy clips, whose
+    * delta signature is all-zeros — substituted with the payload content
+    * key, see `QuarantineKeyMark`). Bits pack as two 32-bit halves in
+    * aHash's convention (bit k of the low half ↔ signature bit k). */
   private[graft] def pcmSigOf(spark: SparkSession,
       corpus: DataFrame): DataFrame = {
     import spark.implicits._
@@ -608,7 +639,13 @@ object Multimodal {
       rows.map { m =>
         pcmSignature(m.payload) match {
           case Some((hi, lo)) =>
-            AHashRow(m.doc_id, ok = true, hi, lo, letterboxed = hi == 0L && lo == 0L)
+            if (hi == 0L && lo == 0L) {
+              val f = graft.functions.Fold60.fold(
+                org.apache.spark.unsafe.types.UTF8String.fromBytes(m.payload))
+              AHashRow(m.doc_id, ok = true,
+                QuarantineKeyMark | (f >>> 32), f & 0xffffffffL,
+                letterboxed = true)
+            } else AHashRow(m.doc_id, ok = true, hi, lo, letterboxed = false)
           case None => AHashRow(m.doc_id, ok = false, 0L, 0L, letterboxed = false)
         }
       }
@@ -685,11 +722,16 @@ object Multimodal {
     // geometry, the same cross-multiplied delta-sign bits (exact integer —
     // DuckDB squares and sums in HUGEINT, Spark in overflow-safe longs),
     // the same adaptive chunk geometry, quarantine (all-zero signature)
-    // excluded from the chunk join, identical-signature pairs from a
-    // bv-equality leg over ALL clips. Samples decode little-endian:
-    // char 2j+1 (1-indexed) is the low byte, char 2j+2 the high.
+    // excluded from the chunk join. Identical-signature pairs come from a
+    // pairing-key leg over ALL clips where a quarantined clip's key is its
+    // payload content hash ([-1, fold60] — a 2-element list can never
+    // equal a 64-element live bit vector), mirroring the engine's
+    // QuarantineKeyMark substitution: quarantined clips pair iff payloads
+    // match, never on the collapsed zero signature (r17 ADVICE). Samples
+    // decode little-endian: char 2j+1 (1-indexed) is the low byte, char
+    // 2j+2 the high.
     "m7_pcm_neardup" ->
-      """WITH eligible AS (
+      s"""WITH eligible AS (
            SELECT doc_id, text FROM documents
            WHERE octet_length(encode(text)) = length(text)
              AND length(text) >= 128),
@@ -735,12 +777,17 @@ object Multimodal {
                    len(list_filter(range(0, 64), t ->
                      a.bv[CAST(t + 1 AS INTEGER)] <> b.bv[CAST(t + 1 AS INTEGER)])) AS hamming
                  FROM cand JOIN bits a ON a.doc_id = cand.doc_a
-                           JOIN bits b ON b.doc_id = cand.doc_b)
+                           JOIN bits b ON b.doc_id = cand.doc_b),
+         pk AS (SELECT b.doc_id,
+                  CASE WHEN list_sum(b.bv) = 0
+                       THEN [CAST(-1 AS BIGINT), ${Exact.sqlFold60("c.text")}]
+                       ELSE list_transform(b.bv, x -> CAST(x AS BIGINT)) END AS key
+                FROM bits b JOIN corpus c USING (doc_id))
          SELECT doc_a, doc_b, hamming
          FROM ham, geom WHERE hamming <= nchunks - 1 AND hamming > 0
          UNION ALL
          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, 0 AS hamming
-         FROM bits x JOIN bits y ON x.bv = y.bv AND x.doc_id < y.doc_id""",
+         FROM pk x JOIN pk y ON x.key = y.key AND x.doc_id < y.doc_id""",
     // Full aHash replay: same framing, same exact integer block-mean bits,
     // same adaptive chunk geometry (count >= 4096, the simhashChunkBits
     // rule), candidate chunks re-assembled from the bit vector, Hamming as

@@ -327,12 +327,15 @@ object Similarity {
 
   /** Conservative (cell, vec_id) envelope for the staged index's z-layout,
     * from ONE cheap vec_id-column scan: cells are centroid ids (the vec_ids
-    * at stride multiples), so the centroid-id bounds bound every
-    * assignment. Measuring the envelope on the built frame instead would
-    * run the O(N·√N) assignment twice per staging commit — once for the
-    * bounds action, once for the write (the ProfContam double-evaluation
-    * class, avoided here by construction). A superset envelope bins
-    * correctly, just at coarser resolution. */
+    * at `ivfStride` multiples — the CELL stride, not the query-probe
+    * stride: r17 ADVICE caught the envelope computed at probeStride, which
+    * exceeds ivfStride past N = 1600 and would exclude the extreme centroid
+    * ids, wrapping their cells' z-bins), so the centroid-id bounds bound
+    * every assignment. Measuring the envelope on the built frame instead
+    * would run the O(N·√N) assignment twice per staging commit — once for
+    * the bounds action, once for the write (the ProfContam
+    * double-evaluation class, avoided here by construction). A superset
+    * envelope bins correctly, just at coarser resolution. */
   private[operators] def ivfLayoutEnvelope(spark: SparkSession,
       dir: String): Option[(Long, Long, Long, Long)] = {
     val env = base(spark, dir)
@@ -340,7 +343,7 @@ object Similarity {
     if (env.isNullAt(0)) None
     else {
       val (lo, hi) = (env.getLong(0), env.getLong(1))
-      val stride = strideOf(spark, dir)
+      val stride = ivfStride(corpusN(spark, dir))
       val clo = ((lo + stride - 1) / stride) * stride // smallest centroid id
       val chi = (hi / stride) * stride                // largest centroid id
       if (clo > chi) None else Some((clo, chi, lo, hi))

@@ -688,14 +688,29 @@ object TextAnalysis {
     * correctly-rounded divide, so it is bit-portable while ranking the
     * same degenerate tails a perplexity cut targets.
     *
-    * 100 TB shape: one bigram explode (corpus-token volume), one
+    * 100 TB shape: ONE bigram explode (corpus-token volume) — the skinny
+    * (doc_id, n_bigrams, w1, w2) frame persists SCOPED because it feeds
+    * BOTH the count build and the position-side join probe, and the count
+    * side broadcasts, so no exchange is shared between the two consumers:
+    * unpersisted, each re-ran the fanout + normTokens + explode subtree
+    * and the corpus was tokenized TWICE per query (the r16/r17 spansBase
+    * class, the 100× probe's worst leg until r18). Then one
     * map-side-combined (w1, w2) count, one hash join of positions against
     * that count table (keyed shuffle, near-uniform bigram keys), one
     * doc-keyed integer aggregation. No windows, no sorts, no driver state;
     * the count table is itself useful release metadata (bigramLm serves
     * its head). */
   def lmSupport(spark: SparkSession, dir: String): DataFrame = {
-    val bg = Tables.fanout(Tables.documents(spark, dir))
+    def served(bg: DataFrame): DataFrame = {
+      val cnts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+      bg.join(cnts, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(max("n_bigrams").as("n_bigrams"), sum("cab").as("support"))
+        .select(col("doc_id"), col("n_bigrams"),
+          rnd(col("support").cast("double") / col("n_bigrams").cast("double"), 4)
+            .as("support_score"))
+    }
+    val bg0 = Tables.fanout(Tables.documents(spark, dir))
       .select(col("doc_id"), normTokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), (size(col("t")) - 1).cast("long").as("n_bigrams"),
@@ -705,13 +720,10 @@ object TextAnalysis {
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .select(col("doc_id"), col("n_bigrams"),
         col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val cnts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
-    bg.join(cnts, Seq("w1", "w2"))
-      .groupBy("doc_id")
-      .agg(max("n_bigrams").as("n_bigrams"), sum("cab").as("support"))
-      .select(col("doc_id"), col("n_bigrams"),
-        rnd(col("support").cast("double") / col("n_bigrams").cast("double"), 4)
-          .as("support_score"))
+    if (lazyPlans(spark)) return served(bg0)
+    val bg = bg0.persist()
+    try served(bg).localCheckpoint(true)
+    finally bg.unpersist()
   }
 
   /** M6: passage-level boilerplate scrub — the paragraph-granularity dedup
@@ -727,25 +739,42 @@ object TextAnalysis {
     * passages in order + the sub-passage tail, which is never a dedup
     * candidate), passage counts, and how many were removed.
     *
-    * 100 TB shape: one explode to corpus-tokens/10 passage rows; the flood
-    * set is a map-side-combined (hash, distinct-doc) count — never a list;
-    * the scrub is a hash-keyed LEFT ANTI join (no flood row ever carries a
-    * posting list, the m6_postings df-first lesson); reassembly is one
-    * shuffle keyed by doc_id with array_sort inside the group — no window,
-    * no skew (passage hashes are near-uniform, reassembly partitions are
-    * documents). Work is linear in corpus tokens at every stage. */
+    * 100 TB shape: one tokenize, one explode to corpus-tokens/10 passage
+    * rows; the flood set is a map-side-combined (hash, distinct-doc)
+    * count — never a list; the scrub is a hash-keyed LEFT ANTI join (no
+    * flood row ever carries a posting list, the m6_postings df-first
+    * lesson); reassembly is one shuffle keyed by doc_id with array_sort
+    * inside the group — no window, no skew (passage hashes are
+    * near-uniform, reassembly partitions are documents). Work is linear in
+    * corpus tokens at every stage. `base` feeds the passage explode AND
+    * the final doc-level join, and `passages` feeds the flood census AND
+    * the anti-join probe — both persist SCOPED (the spansBase :907/:979
+    * precedent; the flood side broadcasts so no exchange is shared):
+    * unpersisted, the corpus was scanned and tokenized THREE times per
+    * query, the 100× probe's #2 leg until r18. */
   def passageScrub(spark: SparkSession, dir: String): DataFrame = {
     val P = 10
     val minDocs = 3
-    val base = Tables.fanout(Tables.documents(spark, dir))
-      .select(col("doc_id"), normTokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
-      .filter(col("n") >= 1)
-      .withColumn("n_passages", expr(s"n div $P"))
-      .withColumn("tail_txt",
-        array_join(slice(col("toks"),
-          (col("n_passages") * P + 1).cast("int"), lit(P)), " "))
-    val passages = base
+    def served(base: DataFrame, passages: DataFrame): DataFrame = {
+      val flood = passages.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= minDocs)
+        .select(col("h"))
+      val rebuilt = passages.join(flood, Seq("h"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("p_idx"), col("passage")))),
+            s => s.getField("passage")), " ").as("kept_txt"))
+      base.join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          array_join(filter(array(
+            coalesce(col("kept_txt"), lit("")), col("tail_txt")),
+            t => t =!= ""), " ").as("clean_text"),
+          col("n_passages"),
+          (col("n_passages") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+    }
+    def passagesOf(base: DataFrame): DataFrame = base
       .filter(col("n_passages") >= 1)
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0L), col("n_passages") - 1)).as("p_idx"))
@@ -753,23 +782,19 @@ object TextAnalysis {
         array_join(slice(col("toks"),
           (col("p_idx") * P + 1).cast("int"), lit(P)), " ").as("passage"))
       .withColumn("h", Exact.fold60(col("passage")))
-    val flood = passages.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select(col("h"))
-    val rebuilt = passages.join(flood, Seq("h"), "left_anti")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("p_idx"), col("passage")))),
-          s => s.getField("passage")), " ").as("kept_txt"))
-    base.join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        array_join(filter(array(
-          coalesce(col("kept_txt"), lit("")), col("tail_txt")),
-          t => t =!= ""), " ").as("clean_text"),
-        col("n_passages"),
-        (col("n_passages") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+    val base0 = Tables.fanout(Tables.documents(spark, dir))
+      .select(col("doc_id"), normTokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
+      .filter(col("n") >= 1)
+      .withColumn("n_passages", expr(s"n div $P"))
+      .withColumn("tail_txt",
+        array_join(slice(col("toks"),
+          (col("n_passages") * P + 1).cast("int"), lit(P)), " "))
+    if (lazyPlans(spark)) return served(base0, passagesOf(base0))
+    val base = base0.persist()
+    val passages = passagesOf(base).persist()
+    try served(base, passages).localCheckpoint(true)
+    finally { passages.unpersist(); base.unpersist() }
   }
 
   /** M6: exact repeated-span census — substring-level duplication, the

@@ -1143,8 +1143,15 @@ object StreamingJobs {
         .start()
       q.awaitTermination()
     }
+    // chunk width derives from the CORPUS count (the staged replay's row
+    // count), exactly as the batch operator and the shared oracle derive it
+    // — not from the drained signature rows: they agree only while no clip
+    // fails decode/eligibility inside pcmSigOf, and one dropped clip near
+    // the 4096 threshold would flip the chunk geometry against the oracle
+    // (r17 ADVICE).
     val sigs = Connectors.readTable(spark, sigT)
-    Multimodal.ahashPairs(sigs, Dedup.simhashChunkBits(sigs.count()))
+    Multimodal.ahashPairs(sigs,
+      Dedup.simhashChunkBits(spark.read.parquet(src).count()))
   }
 
   /** Staged bounded replay of the image corpus (doc_id order) — the
@@ -1202,8 +1209,10 @@ object StreamingJobs {
         .start()
       q.awaitTermination()
     }
+    // corpus-count chunk width, the m4u rationale (r17 ADVICE)
     val sigs = Connectors.readTable(spark, sigT)
-    Multimodal.ahashPairs(sigs, Dedup.simhashChunkBits(sigs.count()))
+    Multimodal.ahashPairs(sigs,
+      Dedup.simhashChunkBits(spark.read.parquet(src).count()))
   }
 
   /** Staged bounded replay of the training-corpus ingestion (doc_id order)

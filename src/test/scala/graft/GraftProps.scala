@@ -597,7 +597,7 @@ object GraftProps extends Properties("graft") {
       }
     }
 
-  property("pcm signature: constant-energy clips delta-code to all-zeros (the quarantine key)") =
+  property("pcm signature: constant-energy clips delta-code to all-zeros (the quarantine trigger)") =
     forAll(Gen.choose(32, 126), Gen.choose(32, 126), Gen.choose(64, 300)) { (a, b, reps) =>
       import graft.operators.Multimodal
       val clip = Array.fill(reps)(Array(a.toByte, b.toByte)).flatten

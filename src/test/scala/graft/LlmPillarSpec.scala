@@ -1666,22 +1666,31 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     } finally { hashed.unpersist(); out.unpersist() }
   }
 
-  test("PCM fingerprint quarantines constant-energy clips as all-zero signatures") {
+  test("PCM fingerprint quarantines constant-energy clips under content keys") {
     import spark.implicits._
     // clip 1: one repeated 2-char sample — constant energy, delta-codes to
-    // the all-zeros signature (silence / test-tone analog); clip 2: same
-    // head with a louder tail — energy varies, must NOT quarantine
-    val clips = Seq((1L, "ab" * 80), (2L, "ab" * 70 + "XY" * 10))
+    // all-zeros and must quarantine; clip 2: same head with a louder tail —
+    // energy varies, must NOT quarantine; clips 3/4: a DIFFERENT constant
+    // tone, twice — quarantined clips pair iff payloads match (the r18
+    // content-key substitution), so 3 and 4 share a key that differs from
+    // clip 1's, and silence-vs-tone can never read as a verbatim dup
+    val clips = Seq((1L, "ab" * 80), (2L, "ab" * 70 + "XY" * 10),
+        (3L, "cd" * 80), (4L, "cd" * 80))
       .toDF("doc_id", "text")
     val sig = Multimodal.pcmSigOf(spark, clips).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)), r.getBoolean(3)))
       .toMap
-    assert(sig(1L) == ((0L, 0L), true), "constant clip must quarantine")
+    assert(sig(1L)._2, "constant clip must quarantine")
+    assert((sig(1L)._1._1 & Multimodal.QuarantineKeyMark) != 0L,
+      "quarantined signature must carry the content-key marker")
     assert(!sig(2L)._2 && sig(2L)._1 != ((0L, 0L)),
       "varying clip must carry a live signature")
+    assert(sig(3L) == sig(4L), "identical constant payloads share a key")
+    assert(sig(3L)._1 != sig(1L)._1,
+      "different constant tones must NOT share the quarantine key")
     // sub-minimum clips (< 64 samples) emit nothing, like the image path
     val short = Multimodal.pcmSigOf(spark,
-      Seq((3L, "ab" * 10)).toDF("doc_id", "text"))
+      Seq((5L, "ab" * 10)).toDF("doc_id", "text"))
     assert(short.count() == 0)
   }
 
