@@ -705,7 +705,164 @@ object Multimodal {
     }
   }
 
+  /** M7: temporal VIDEO near-dup fingerprinting — the clip-level member of
+    * the perceptual family, completing the modality matrix (text MinHash/
+    * SimHash, image aHash, audio PCM, video here): each clip decodes to a
+    * SEQUENCE of frames through the real PPM decoder (one 16×1 P6 scanline
+    * per `VideoFrameChars` bytes — the m7_frame_sample fixed-stride
+    * geometry made concrete; trailing partial frame dropped, the
+    * PcmDecoder convention), and the signature delta-codes ENERGY ALONG
+    * TIME: the frames' gray pixels concatenate in temporal order and 64
+    * floor-boundary segments of that stream compare neighboring energies
+    * around the ring — the PCM delta-sign coding applied across frame
+    * boundaries. Per-frame-only delta bits were considered and REJECTED on
+    * measurement grounds: this fixture's clips carry ≤ 12 scanline frames
+    * (longest doc 577 chars), so an F-bit frame-delta signature collapses
+    * hundreds of clips into a handful of classes and the identical-
+    * signature leg degenerates into a near-cartesian false-pair generator;
+    * the 64-segment form keeps the fixed 64-bit width (and the Manku chunk
+    * geometry) at ANY clip length, exactly like the audio path, while
+    * still crossing frames — a re-encode that shifts one frame's content
+    * moves every segment boundary comparison that frame participates in.
+    *
+    * Same machinery end to end: `ahashPairs` signature-collapsed Manku
+    * blocking with the corpus-adaptive chunk width, exact bit_count
+    * verification, constant-energy quarantine under payload content keys
+    * (`QuarantineKeyMark` — silence-analog clips pair iff payloads match).
+    * Plants: every 31st eligible clip verbatim (Hamming 0, the identical-
+    * signature leg) and every 23rd with its FIRST PIXEL overwritten
+    * (chars 1-3, one decoded pixel) — the perturbation is confined to
+    * segment 0, so it can only flip ring bits 0 and 63: Hamming ≤ 2 BY
+    * CONSTRUCTION (GraftProps pins this on arbitrary generated clips),
+    * inside the verify bound at every corpus size. Eligibility: ASCII
+    * clips of ≥ 192 chars = 4 scanline frames = 64 pixels, the minimum for
+    * nonempty segments.
+    *
+    * 100 TB shape: decode + signature is one narrow mapPartitions pass
+    * (O(clip bytes), no shuffle); everything after runs over 4-machine-
+    * word signature rows through the same blocked pair search as the
+    * image/audio paths — candidate volume bounded by distinct-signature
+    * chunks, never all-pairs. */
+  def videoNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = videoCorpus(spark, dir)
+    val w = Dedup.simhashChunkBits(corpus.count())
+    ahashPairs(videoSigOf(spark, corpus), w)
+  }
+
+  /** One decoded video frame = one 16×1 P6 scanline per 48 payload bytes
+    * (16 RGB pixels); global pixel j therefore reads payload bytes
+    * 3j..3j+2, which is what the oracle replays arithmetically. */
+  private[graft] val VideoFrameChars = 48
+
+  /** The video-corpus fixture behind videoNearDup: eligible ASCII clips
+    * (≥ 192 chars = 4 frames) plus the two plant families (every 31st
+    * verbatim at Hamming 0, every 23rd with its first decoded pixel —
+    * three leading chars — overwritten, confining the perturbation to
+    * segment 0). */
+  private[graft] def videoCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .filter(octet_length(col("text")) === length(col("text")))
+      .filter(length(col("text")) >= 192)
+    val perturbed = docs.filter(col("doc_id") % 23 === 0)
+      .select((col("doc_id") + 4000000).as("doc_id"),
+        concat(lit("qqq"), expr("substring(text, 4)")).as("text"))
+    val verbatim = docs.filter(col("doc_id") % 31 === 0)
+      .select((col("doc_id") + 5000000).as("doc_id"), col("text"))
+    docs.unionAll(perturbed).unionAll(verbatim)
+  }
+
+  /** Per-frame PPM decode + 64-bit temporal delta-sign signature — the
+    * narrow map stage (mapPartitions, no shuffle), emitting the frame
+    * `ahashPairs` blocks on. Every frame decodes through the REAL
+    * PpmDecoder (one header + scanline payload per frame — the per-
+    * partition decoder binding a real codec rides); a clip with any
+    * undecodable frame takes the typed ok=false channel, never throws. */
+  private[graft] def videoSigOf(spark: SparkSession,
+      corpus: DataFrame): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaIn] = corpus
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaIn]
+    media.mapPartitions { rows =>
+      val decoder = PpmDecoder // per-partition init point for a real codec
+      val header = "P6\n16 1\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      rows.map { m =>
+        val nFrames = m.payload.length / VideoFrameChars
+        val grays = new Array[Int](nFrames * 16)
+        var ok = nFrames >= 1
+        var f = 0
+        while (ok && f < nFrames) {
+          val fb = new Array[Byte](header.length + VideoFrameChars)
+          System.arraycopy(header, 0, fb, 0, header.length)
+          System.arraycopy(m.payload, f * VideoFrameChars,
+            fb, header.length, VideoFrameChars)
+          decoder.grayPixels(MediaIn(m.doc_id, fb)) match {
+            case Some(g) => System.arraycopy(g, 0, grays, f * 16, 16)
+            case None => ok = false
+          }
+          f += 1
+        }
+        if (!ok) AHashRow(m.doc_id, ok = false, 0L, 0L, letterboxed = false)
+        else videoSignature(grays) match {
+          case Some((hi, lo)) =>
+            if (hi == 0L && lo == 0L) {
+              val f60 = graft.functions.Fold60.fold(
+                org.apache.spark.unsafe.types.UTF8String.fromBytes(m.payload))
+              AHashRow(m.doc_id, ok = true,
+                QuarantineKeyMark | (f60 >>> 32), f60 & 0xffffffffL,
+                letterboxed = true)
+            } else AHashRow(m.doc_id, ok = true, hi, lo, letterboxed = false)
+          case None => AHashRow(m.doc_id, ok = false, 0L, 0L, letterboxed = false)
+        }
+      }
+    }.toDF().filter(col("ok"))
+      .select("doc_id", "hash_hi", "hash_lo", "letterboxed")
+  }
+
+  /** The pure temporal-signature kernel behind videoSigOf: the decoded
+    * gray-pixel stream in frame order, 64 floor-boundary segments,
+    * cross-multiplied delta-sign bits around the ring (segment sizes
+    * differ by at most one when n is not a multiple of 64), packed as two
+    * 32-bit halves (aHash's convention). The long products are exact for
+    * ANY reachable input: acc ≤ 765·sz (gray ≤ 3·255) so acc·sz' ≤
+    * 765·sz·sz' ≤ 765·(n/64+1)², and n is a JVM array length < 2³¹ —
+    * the product tops out near 8.6e17 < 2⁶³, so no BigInt widening is
+    * needed where the PCM kernel (acc ≤ 32767²·sz) does need it. None
+    * below 64 pixels. GraftProps pins the structural plant guarantee (a
+    * perturbation confined to segment 0 flips only bits 0 and 63) on
+    * arbitrary generated clips. */
+  private[graft] def videoSignature(gray: Array[Int]): Option[(Long, Long)] = {
+    val n = gray.length
+    if (n < 64) None
+    else {
+      val acc = new Array[Long](64)
+      val sz = new Array[Long](64)
+      var k = 0
+      while (k < 64) {
+        val st = (k.toLong * n / 64).toInt
+        val en = ((k + 1).toLong * n / 64).toInt
+        var a = 0L
+        var j = st
+        while (j < en) { a += gray(j); j += 1 }
+        acc(k) = a; sz(k) = en - st
+        k += 1
+      }
+      var hi = 0L; var lo = 0L
+      k = 0
+      while (k < 64) {
+        val kn = (k + 1) % 64
+        if (acc(k) * sz(kn) > acc(kn) * sz(k)) {
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+        k += 1
+      }
+      Some((hi, lo))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_video_neardup"  -> videoNearDup,
     "m7_pcm_neardup"    -> pcmNearDup,
     "m7_ahash_neardup"  -> ahashNearDup,
     "m7_binary_meta"    -> binaryMeta,
@@ -717,6 +874,72 @@ object Multimodal {
     "m7_letterbox_detect" -> letterboxDetect)
 
   val oracles: Map[String, String] = Map(
+    // Full temporal video-fingerprint replay: same eligibility (ASCII,
+    // >= 192 chars = 4 scanline frames = 64 pixels), same plants, the same
+    // frame framing replayed arithmetically (frame f's scanline is payload
+    // bytes 48f..48f+47, so global pixel j grays as the code-point sum of
+    // chars 3j+1..3j+3 — trailing partial frame dropped via n = 16*(len//48)),
+    // the same 64 floor-boundary segments over the temporal pixel stream,
+    // cross-multiplied delta-sign ring bits, adaptive chunk geometry,
+    // quarantine excluded from the chunk join, and the content-key pairing
+    // leg for quarantined clips (the m7_pcm_neardup convention).
+    "m7_video_neardup" ->
+      s"""WITH eligible AS (
+           SELECT doc_id, text FROM documents
+           WHERE octet_length(encode(text)) = length(text)
+             AND length(text) >= 192),
+         corpus AS (
+           SELECT doc_id, text FROM eligible
+           UNION ALL
+           SELECT doc_id + 4000000, 'qqq' || substring(text, 4)
+           FROM eligible WHERE doc_id % 23 = 0
+           UNION ALL
+           SELECT doc_id + 5000000, text FROM eligible WHERE doc_id % 31 = 0),
+         geom AS (SELECT CASE WHEN count(*) >= 4096 THEN 16 ELSE 8 END AS w,
+                         CASE WHEN count(*) >= 4096 THEN 4 ELSE 8 END AS nchunks
+                  FROM corpus),
+         px AS (SELECT doc_id, 16 * (length(text) // 48) AS n,
+                  list_transform(range(0, 16 * (length(text) // 48)), j ->
+                    unicode(text[CAST(3*j+1 AS INTEGER)])
+                    + unicode(text[CAST(3*j+2 AS INTEGER)])
+                    + unicode(text[CAST(3*j+3 AS INTEGER)])) AS gr
+                FROM corpus),
+         acc AS (SELECT doc_id,
+                   list_transform(range(0, 64), k ->
+                     list_sum(gr[CAST(k*n//64 + 1 AS INTEGER) : CAST((k+1)*n//64 AS INTEGER)])) AS e,
+                   list_transform(range(0, 64), k ->
+                     (k+1)*n//64 - k*n//64) AS sz
+                 FROM px),
+         bits AS (SELECT doc_id,
+                    list_transform(range(0, 64), k ->
+                      CASE WHEN e[CAST(k+1 AS INTEGER)] * sz[CAST((k+1)%64+1 AS INTEGER)]
+                                > e[CAST((k+1)%64+1 AS INTEGER)] * sz[CAST(k+1 AS INTEGER)]
+                           THEN 1 ELSE 0 END) AS bv
+                  FROM acc),
+         chunks AS (SELECT doc_id, bv, c,
+                      list_sum(list_transform(range(0, w), tt ->
+                        bv[CAST(c*w + tt + 1 AS INTEGER)] * (1 << CAST(tt AS INTEGER)))) AS chunk
+                    FROM bits, geom,
+                         (SELECT unnest(range(0, 8)) AS c) cl
+                    WHERE c < nchunks AND list_sum(bv) <> 0),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                  FROM chunks x JOIN chunks y ON x.c = y.c AND x.chunk = y.chunk
+                  WHERE x.doc_id < y.doc_id),
+         ham AS (SELECT doc_a, doc_b,
+                   len(list_filter(range(0, 64), t ->
+                     a.bv[CAST(t + 1 AS INTEGER)] <> b.bv[CAST(t + 1 AS INTEGER)])) AS hamming
+                 FROM cand JOIN bits a ON a.doc_id = cand.doc_a
+                           JOIN bits b ON b.doc_id = cand.doc_b),
+         pk AS (SELECT b.doc_id,
+                  CASE WHEN list_sum(b.bv) = 0
+                       THEN [CAST(-1 AS BIGINT), ${Exact.sqlFold60("c.text")}]
+                       ELSE list_transform(b.bv, x -> CAST(x AS BIGINT)) END AS key
+                FROM bits b JOIN corpus c USING (doc_id))
+         SELECT doc_a, doc_b, hamming
+         FROM ham, geom WHERE hamming <= nchunks - 1 AND hamming > 0
+         UNION ALL
+         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, 0 AS hamming
+         FROM pk x JOIN pk y ON x.key = y.key AND x.doc_id < y.doc_id""",
     // Full PCM-fingerprint replay: same eligibility (ASCII, >= 128 chars =
     // 64 16-bit samples), same plants, same floor-boundary segment
     // geometry, the same cross-multiplied delta-sign bits (exact integer —

@@ -1215,6 +1215,68 @@ object StreamingJobs {
       Dedup.simhashChunkBits(spark.read.parquet(src).count()))
   }
 
+  /** Staged bounded replay of the video corpus (doc_id order) — the
+    * m7_video_neardup corpus as an arrival stream, for m4w. */
+  def stagedVideoClips(spark: SparkSession, dir: String, nFiles: Int): String =
+    stagedDirs.getOrElseUpdate((dir, nFiles, "video_clips"), {
+      val src = Files.createTempDirectory("graft-stream-src-").toString
+      val bucketed = graft.operators.Multimodal.videoCorpus(spark, dir)
+        .withColumn("_file", ntile(nFiles).over(Window.orderBy(col("doc_id"))))
+        .persist()
+      try {
+        (1 to nFiles).foreach { i =>
+          bucketed.filter(col("_file") === i).drop("_file")
+            .coalesce(1).write.mode("append").parquet(src)
+        }
+      } finally bucketed.unpersist()
+      src
+    })
+
+  /** M4w: streaming perceptual-VIDEO admission — m4u's keyed-commit
+    * topology for the video modality, closing the streaming-ingestion row
+    * of the modality matrix (text m4q, ANN m4o, audio m4u, image m4v,
+    * video here): clips arrive in micro-batches, each batch decodes its
+    * frame sequences and temporal signatures ONLY FOR ITSELF (the
+    * videoSignature kernel through the same per-frame PpmDecoder map the
+    * batch operator runs — O(batch bytes), no cross-batch state: a clip's
+    * signature is a pure function of its bytes), and the signature rows
+    * commit through `Connectors.appendKeyed` on the micro-batch id —
+    * foreachBatch retries re-fingerprint and no-op-commit idempotently.
+    * The release-time pair search over the drained catalog is the batch
+    * operator's signature-collapsed blocking over the same signatures, so
+    * the drained output is m7_video_neardup's VERBATIM and the oracle is
+    * shared, unchanged. */
+  def streamVideoAdmissionQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Connectors, Dedup, Multimodal}
+    configureStreaming(spark)
+    val sigT = Connectors.scratchCatalog("graft-stream-video-")
+    val src = stagedVideoClips(spark, dir, 3)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt-").toString
+    withShufflePartitions(spark, 8) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.persist()
+          try if (!batch.isEmpty) {
+            Connectors.appendKeyed(spark, sigT,
+              Multimodal.videoSigOf(spark, batch)
+                .coalesce(Connectors.deltaFiles(batch.count())), s"b$batchId")
+          } finally batch.unpersist()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    // corpus-count chunk width, the m4u rationale (r17 ADVICE)
+    val sigs = Connectors.readTable(spark, sigT)
+    Multimodal.ahashPairs(sigs,
+      Dedup.simhashChunkBits(spark.read.parquet(src).count()))
+  }
+
   /** Staged bounded replay of the training-corpus ingestion (doc_id order)
     * — clean docs plus the verbatim benchmark plants, for m4t. */
   def stagedTrainingDocs(spark: SparkSession, dir: String, nFiles: Int): String =
@@ -1413,6 +1475,7 @@ object StreamingJobs {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m4w_stream_video_admit" -> streamVideoAdmissionQuery,
     "m4u_stream_pcm_admit" -> streamPcmAdmissionQuery,
     "m4v_stream_ahash_admit" -> streamAhashAdmissionQuery,
     "m4q_stream_dedup_admit" -> streamDedupAdmissionQuery,
@@ -1466,6 +1529,11 @@ object StreamingJobs {
     // release-time pair search is its output verbatim.
     "m4u_stream_pcm_admit" ->
       graft.operators.Multimodal.oracles("m7_pcm_neardup"),
+    // Identical to the batch video near-dup oracle, for the same reason
+    // (the temporal signature + quarantine key are per-clip pure
+    // functions of the payload bytes).
+    "m4w_stream_video_admit" ->
+      graft.operators.Multimodal.oracles("m7_video_neardup"),
     // Identical to the batch image near-dup oracle, for the same reason
     // (the aHash + quarantine flag are per-frame pure functions).
     "m4v_stream_ahash_admit" ->

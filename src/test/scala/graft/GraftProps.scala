@@ -609,4 +609,37 @@ object GraftProps extends Properties("graft") {
       import graft.operators.Multimodal
       Multimodal.pcmSignature(Array.fill(nBytesHalf)('a'.toByte)).isEmpty
     }
+
+  // The video fingerprint's STRUCTURAL plant guarantee — the PCM argument
+  // applied to the temporal gray-pixel stream: ring delta-sign bits compare
+  // neighboring segment energies, so a perturbation confined to the first
+  // decoded pixel (segment 0 is never empty at n >= 64) flips only
+  // signature bits 0 and 63.
+  private val videoGrays: Gen[Array[Int]] = for {
+    n <- Gen.choose(64, 600) // pixels; 64 is the kernel's minimum
+    gs <- Gen.listOfN(n, Gen.choose(0, 765)) // gray = r+g+b of byte pixels
+  } yield gs.toArray
+
+  property("video signature: a first-pixel perturbation flips only bits {0, 63}") =
+    forAll(videoGrays, Gen.choose(0, 765)) { (g, p) =>
+      import graft.operators.Multimodal
+      val mut = g.clone(); mut(0) = p
+      (Multimodal.videoSignature(g), Multimodal.videoSignature(mut)) match {
+        case (Some((ahi, alo)), Some((bhi, blo))) =>
+          ((alo ^ blo) & ~1L) == 0L && ((ahi ^ bhi) & ~(1L << 31)) == 0L
+        case _ => false
+      }
+    }
+
+  property("video signature: constant-gray clips delta-code to all-zeros (the quarantine trigger)") =
+    forAll(Gen.choose(0, 765), Gen.choose(64, 500)) { (gray, n) =>
+      import graft.operators.Multimodal
+      Multimodal.videoSignature(Array.fill(n)(gray)).contains((0L, 0L))
+    }
+
+  property("video signature: sub-minimum clips (< 64 pixels) emit nothing") =
+    forAll(Gen.choose(0, 63)) { n =>
+      import graft.operators.Multimodal
+      Multimodal.videoSignature(Array.fill(n)(100)).isEmpty
+    }
 }

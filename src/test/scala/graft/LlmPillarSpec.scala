@@ -1666,6 +1666,82 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     } finally { hashed.unpersist(); out.unpersist() }
   }
 
+  test("video near-dup: temporal fingerprint recalls every clean plant at the bound") {
+    val corpus = Multimodal.videoCorpus(spark, dir)
+    val hashed = Multimodal.videoSigOf(spark, corpus).cache()
+    val out = Multimodal.videoNearDup(spark, dir).cache()
+    try {
+      val sigs = hashed.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)), r.getBoolean(3)))
+        .toMap
+      assert(sigs.nonEmpty, "no eligible clips — vacuous")
+      val pairs = out.select("doc_a", "doc_b", "hamming").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+      // every verbatim re-encode collides with its source at distance 0 —
+      // the identical-signature path covers quarantined clips too (their
+      // content keys match by construction)
+      val exactIds = sigs.keys.filter(id => id < 4000000 && id % 31 == 0)
+        .filter(id => sigs.contains(id + 5000000)).toSeq
+      assert(exactIds.nonEmpty, "no verbatim plants in the fixture — vacuous")
+      exactIds.foreach { id =>
+        assert(pairs.get((id, id + 5000000)).contains(0),
+          s"verbatim re-encode of $id not found at Hamming 0")
+      }
+      // the STRUCTURAL claim: a first-pixel perturbation is confined to
+      // temporal segment 0 and flips only ring bits {0, 63} — Hamming <= 2,
+      // inside the verify bound, so clean-pair recall is 100% by pigeonhole
+      val mutIds = sigs.keys.filter(id => id < 4000000 && id % 23 == 0)
+        .filter(id => sigs.contains(id + 4000000)).toSeq
+      assert(mutIds.nonEmpty, "no perturbed plants in the fixture — vacuous")
+      mutIds.foreach { id =>
+        val ((ahi, alo), aq) = sigs(id)
+        val ((bhi, blo), bq) = sigs(id + 4000000)
+        if (!aq && !bq) {
+          assert(((alo ^ blo) & ~1L) == 0L && ((ahi ^ bhi) & ~(1L << 31)) == 0L,
+            s"perturbed pair $id differs outside signature bits {0, 63}")
+          assert(pairs.contains((id, id + 4000000)),
+            s"clean perturbed pair $id not recalled")
+        }
+      }
+      assert(mutIds.exists { id => !sigs(id)._2 && !sigs(id + 4000000)._2 },
+        "every perturbed plant got quarantined — vacuous recall")
+      // pigeonhole radius of the adaptive chunk geometry (corpus < 4096
+      // here: 8-bit chunks, bound 7) and the quarantine contract: no
+      // cross-signature pair touches a quarantined endpoint
+      assert(pairs.values.forall(_ <= 7), "pair beyond the Hamming bound")
+      pairs.foreach { case ((a, b), h) =>
+        if (h > 0) assert(!sigs(a)._2 && !sigs(b)._2,
+          s"cross pair ($a,$b) has a quarantined endpoint")
+      }
+    } finally { hashed.unpersist(); out.unpersist() }
+  }
+
+  test("video fingerprint quarantines constant-gray clips under content keys") {
+    import spark.implicits._
+    // clip 1: one repeated char — constant gray stream, must quarantine
+    // under its payload content key; clip 2: a louder tail — varies, live
+    // signature; clips 3/4: a different constant char, twice — shared key
+    // distinct from clip 1's (quarantined clips pair iff payloads match)
+    val clips = Seq((1L, "a" * 240), (2L, "a" * 200 + "Z" * 40),
+        (3L, "b" * 240), (4L, "b" * 240))
+      .toDF("doc_id", "text")
+    val sig = Multimodal.videoSigOf(spark, clips).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)), r.getBoolean(3)))
+      .toMap
+    assert(sig(1L)._2, "constant clip must quarantine")
+    assert((sig(1L)._1._1 & Multimodal.QuarantineKeyMark) != 0L,
+      "quarantined signature must carry the content-key marker")
+    assert(!sig(2L)._2 && sig(2L)._1 != ((0L, 0L)),
+      "varying clip must carry a live signature")
+    assert(sig(3L) == sig(4L), "identical constant payloads share a key")
+    assert(sig(3L)._1 != sig(1L)._1,
+      "different constant clips must NOT share the quarantine key")
+    // sub-minimum clips (< 4 frames) emit nothing
+    val short = Multimodal.videoSigOf(spark,
+      Seq((5L, "a" * 100)).toDF("doc_id", "text"))
+    assert(short.count() == 0)
+  }
+
   test("PCM fingerprint quarantines constant-energy clips under content keys") {
     import spark.implicits._
     // clip 1: one repeated 2-char sample — constant energy, delta-codes to

@@ -13,10 +13,18 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
   private val dir = "/root/testdata/sf0.001"
 
   private def plan(name: String): String = {
-    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
-    val s = df.queryExecution.executedPlan.toString
-    spark.catalog.clearCache()
-    s
+    // audit the FULL lazy plan (the Explain convention): operators with an
+    // eagerly-scoped internal persist (passage scrub, lm support, the
+    // span census/scrub, the perceptual pair searches) would otherwise
+    // return a localCheckpoint-truncated ExistingRDD scan with nothing to
+    // assert on
+    spark.conf.set("spark.graft.lazyPlans", "true")
+    try {
+      val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+      val s = df.queryExecution.executedPlan.toString
+      spark.catalog.clearCache()
+      s
+    } finally spark.conf.unset("spark.graft.lazyPlans")
   }
 
   test("pushdown: filters reach the parquet scan") {

@@ -8,6 +8,16 @@ token-salted docs, 60M lineitem, 200k embeddings), runs graft.Bench over the
 heaviest scale-sensitive queries at both scale factors, and writes per-query
 wall/CPU ratios against a linear-plus-overhead bound.
 
+PROBE-LIST SELECTION RULE: see tools/scale_probe.py's header — a query
+earns a leg when any stage could scale super-linearly (candidate pairs,
+corpus-sized state, index lifecycles, growing joins/windows); the
+trivially-linear families (v*/p*/w1-w8, small aggregates, m5 serving,
+fixed-dim broadcast joins) are excluded by long convention. Streaming
+drains are additionally excluded HERE (they ride the 10x list only): at
+100x the bounded-drain harness measures micro-batch scheduling overhead,
+not operator scaling — their per-batch operators are the same code the
+batch legs probe.
+
 Usage: python3 tools/scale_probe10.py [sf0.1-dir] [sf10-dir]
 Dev tooling only — the shipped Scala library has no Python dependency.
 """
@@ -88,6 +98,9 @@ QUERIES = ",".join([
     # listed so no registered query is absent from any artifact) and the
     # audio near-dup leg
     "s18_time_travel", "m7_pcm_neardup",
+    # round-18: the temporal video near-dup leg (its m4w drain rides the
+    # 10x probe only)
+    "m7_video_neardup",
 ])
 
 
