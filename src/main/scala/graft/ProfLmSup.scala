@@ -72,11 +72,17 @@ object ProfLmSup {
     }
     def v0 = TextAnalysis.lmSupport(spark, dir)
 
+    // `v1only`: the thread-sweep leg (the ProfClassifier/BENCH_THREADS
+    // discipline) — re-run just the scan stage at a smaller thread count
+    // to separate bandwidth-stall CPU accounting from per-row plan cost
+    val v1only = args.contains("v1only")
     for (i <- 1 to 2) {
       run(s"V1 explode+global agg #$i")(v1)
-      run(s"V2 count-table build #$i")(v2)
-      run(s"V3 tiny-join control #$i")(v3)
-      run(s"V0 shipped lm_support #$i")(v0)
+      if (!v1only) {
+        run(s"V2 count-table build #$i")(v2)
+        run(s"V3 tiny-join control #$i")(v3)
+        run(s"V0 shipped lm_support #$i")(v0)
+      }
     }
     spark.stop()
   }
