@@ -820,6 +820,79 @@ object Multimodal {
       .select("doc_id", "hash_hi", "hash_lo", "letterboxed")
   }
 
+  final case class FrameEnergy(doc_id: Long, frame_no: Int, energy: Long)
+
+  /** M7: video scene-cut segmentation — the shot-boundary pass a video
+    * pipeline runs before clip extraction (the silenceSegments analog for
+    * the visual modality, completing the per-modality segmentation row:
+    * audio VAD there, shot detection here): each clip's scanline-frame
+    * sequence (the m7_video_neardup framing, REAL per-frame PPM decode
+    * through the same mapPartitions batch shape) reduces to per-frame
+    * integer energies, a CUT lands between consecutive frames whose
+    * absolute energy delta is at least twice the clip's mean absolute
+    * delta — a per-clip adaptive threshold (a global constant
+    * misclassifies uniformly busy footage), compared EXACTLY in integer
+    * space (`|d|·n_deltas ≥ 2·Σ|d|`; |d| ≤ 12240 and frames ≤ clip
+    * bytes/48, so the products sit far inside Long while the oracle's
+    * HUGEINT replays them bit-for-bit) — and scenes are the maximal runs
+    * between cuts, one row per scene with its start frame, length, and
+    * peak frame energy. A constant clip is one scene; a single-frame clip
+    * has no deltas and is likewise one scene.
+    *
+    * 100 TB shape: decode is a narrow flatMap (one row per frame, work ∝
+    * video duration); the threshold is two doc-partitioned window sums and
+    * the scene id is a running cut count — every window partitions by
+    * doc_id, so no sort ever sees more than one clip's frames (the
+    * silenceSegments islands discipline, cut-count form). */
+  def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val media: Dataset[MediaIn] = Tables.documents(spark, dir)
+      .filter(octet_length(col("text")) === length(col("text")))
+      .filter(length(col("text")) >= VideoFrameChars)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaIn]
+    val frames = media.mapPartitions { rows =>
+      val decoder = PpmDecoder // per-partition init point for a real codec
+      val header = "P6\n16 1\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      rows.flatMap { m =>
+        val nFrames = m.payload.length / VideoFrameChars
+        (0 until nFrames).iterator.flatMap { f =>
+          val fb = new Array[Byte](header.length + VideoFrameChars)
+          System.arraycopy(header, 0, fb, 0, header.length)
+          System.arraycopy(m.payload, f * VideoFrameChars,
+            fb, header.length, VideoFrameChars)
+          decoder.grayPixels(MediaIn(m.doc_id, fb)).map { g =>
+            var e = 0L; var i = 0
+            while (i < g.length) { e += g(i); i += 1 }
+            FrameEnergy(m.doc_id, f, e)
+          }
+        }
+      }
+    }.toDF()
+    val dw = Window.partitionBy("doc_id")
+    val ow = Window.partitionBy("doc_id").orderBy("frame_no")
+    val scenes = frames
+      .withColumn("d", abs(col("energy") - lag(col("energy"), 1).over(ow)))
+      // n_deltas = frames − 1; Σ|d| over the clip — both doc-partitioned
+      .withColumn("nd", count(col("d")).over(dw))
+      .withColumn("sumd", sum(col("d")).over(dw))
+      // a cut opens a new scene AT this frame; frame 0 opens scene 1
+      .withColumn("is_cut",
+        when(col("d").isNotNull && col("sumd") > 0 &&
+          col("d") * col("nd") >= col("sumd") * 2, 1L).otherwise(0L))
+      .withColumn("scene_no",
+        (sum(col("is_cut")).over(ow.rowsBetween(Window.unboundedPreceding, 0))
+          + 1).as("scene_no"))
+    scenes.groupBy(col("doc_id"), col("scene_no"))
+      .agg(min(col("frame_no")).as("start_frame"),
+        count(lit(1)).as("n_frames"),
+        max(col("energy")).as("peak_energy"))
+      .select(col("doc_id"), col("scene_no").cast("long").as("scene_no"),
+        col("start_frame"), col("n_frames"), col("peak_energy"))
+  }
+
   /** The pure temporal-signature kernel behind videoSigOf: the decoded
     * gray-pixel stream in frame order, 64 floor-boundary segments,
     * cross-multiplied delta-sign bits around the ring (segment sizes
@@ -862,6 +935,7 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_scene_cuts"     -> sceneCuts,
     "m7_video_neardup"  -> videoNearDup,
     "m7_pcm_neardup"    -> pcmNearDup,
     "m7_ahash_neardup"  -> ahashNearDup,
@@ -874,6 +948,46 @@ object Multimodal {
     "m7_letterbox_detect" -> letterboxDetect)
 
   val oracles: Map[String, String] = Map(
+    // Replays the scanline framing arithmetically (frame f's energy is the
+    // code-point sum of chars 48f+1..48f+48), the same lag-delta, the same
+    // exact integer adaptive-threshold cut (HUGEINT on the oracle side,
+    // in-range longs on the engine side), the same running cut-count scene
+    // id, and one group per scene.
+    "m7_scene_cuts" ->
+      """WITH d AS (
+           SELECT doc_id, text FROM documents
+           WHERE octet_length(encode(text)) = length(text)
+             AND length(text) >= 48),
+         fr AS (
+           SELECT doc_id, CAST(u.fn AS INTEGER) AS frame_no,
+             CAST(list_sum(list_transform(range(0, 48), j ->
+               unicode(text[CAST(48*u.fn + j + 1 AS INTEGER)]))) AS BIGINT) AS energy
+           FROM d, LATERAL unnest(range(0, length(text) // 48)) AS u(fn)),
+         dd AS (
+           SELECT doc_id, frame_no, energy,
+             abs(energy - lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_no)) AS dlt
+           FROM fr),
+         s AS (
+           SELECT doc_id, frame_no, energy, dlt,
+             count(dlt) OVER (PARTITION BY doc_id) AS nd,
+             sum(dlt) OVER (PARTITION BY doc_id) AS sumd
+           FROM dd),
+         c AS (
+           SELECT doc_id, frame_no, energy,
+             CASE WHEN dlt IS NOT NULL AND sumd > 0
+                       AND CAST(dlt AS HUGEINT) * nd >= CAST(sumd AS HUGEINT) * 2
+                  THEN 1 ELSE 0 END AS is_cut
+           FROM s),
+         sc AS (
+           SELECT doc_id, frame_no, energy,
+             sum(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_no
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS scene_no
+           FROM c)
+         SELECT doc_id, CAST(scene_no AS BIGINT) AS scene_no,
+           CAST(min(frame_no) AS INTEGER) AS start_frame,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           max(energy) AS peak_energy
+         FROM sc GROUP BY doc_id, scene_no""",
     // Full temporal video-fingerprint replay: same eligibility (ASCII,
     // >= 192 chars = 4 scanline frames = 64 pixels), same plants, the same
     // frame framing replayed arithmetically (frame f's scanline is payload

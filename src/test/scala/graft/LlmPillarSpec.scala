@@ -1716,6 +1716,50 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     } finally { hashed.unpersist(); out.unpersist() }
   }
 
+  test("scene cuts: adaptive threshold segments clips, covers every frame once") {
+    import spark.implicits._
+    val out = Multimodal.sceneCuts(spark, dir).cache()
+    try {
+      val rows = out.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getLong(3), r.getLong(4)))
+      assert(rows.nonEmpty, "no scenes — vacuous")
+      // frame conservation: per doc, scene lengths sum to the clip's frame
+      // count and scenes tile [0, F) without overlap
+      val docs = Tables.documents(spark, dir)
+        .filter(octet_length(col("text")) === length(col("text")))
+        .filter(length(col("text")) >= 48)
+        .select(col("doc_id"), (length(col("text")) / 48).cast("long").as("f"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rows.groupBy(_._1).foreach { case (id, ss) =>
+        assert(ss.map(_._4).sum == docs(id),
+          s"doc $id: scene frames ${ss.map(_._4).sum} != ${docs(id)}")
+        val sorted = ss.sortBy(_._3)
+        assert(sorted.map(_._2).toSeq == (1L to ss.length).toSeq,
+          s"doc $id: scene numbering not dense")
+        sorted.foldLeft(0L) { case (next, (_, _, start, n, _)) =>
+          assert(start == next, s"doc $id: gap/overlap at frame $start")
+          start + n
+        }
+      }
+      // a synthetic clip with one sharp mid-clip change must split into
+      // exactly two scenes at the boundary; a constant clip stays one scene
+      val synth = Seq((1L, "a" * 480 + "Z" * 480), (2L, "a" * 480))
+        .toDF("doc_id", "text")
+      // route the synthetic corpus through the same operator shape by
+      // staging it as a one-table fixture dir
+      val tmp = java.nio.file.Files.createTempDirectory("scenefix-").toString
+      synth.coalesce(1).write.parquet(s"$tmp/documents.parquet")
+      val s2 = Multimodal.sceneCuts(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      val clip1 = s2.filter(_._1 == 1L).sortBy(_._2)
+      assert(clip1.length == 2 && clip1(0)._3 == 0 && clip1(1)._3 == 10,
+        s"sharp mid-change must cut at frame 10: ${clip1.toSeq}")
+      val clip2 = s2.filter(_._1 == 2L)
+      assert(clip2.length == 1 && clip2(0)._4 == 10L,
+        s"constant clip must stay one 10-frame scene: ${clip2.toSeq}")
+    } finally out.unpersist()
+  }
+
   test("video fingerprint quarantines constant-gray clips under content keys") {
     import spark.implicits._
     // clip 1: one repeated char — constant gray stream, must quarantine

@@ -118,9 +118,9 @@ QUERIES = ",".join([
     # near-dup leg, and the streaming audio-signature admission drain
     "s18_time_travel", "m7_pcm_neardup", "m4u_stream_pcm_admit",
     "m4v_stream_ahash_admit",
-    # round-18: the temporal video near-dup leg and its streaming
-    # signature-admission drain
-    "m7_video_neardup", "m4w_stream_video_admit",
+    # round-18: the temporal video near-dup leg, its streaming
+    # signature-admission drain, and the shot-boundary segmentation
+    "m7_video_neardup", "m4w_stream_video_admit", "m7_scene_cuts",
 ])
 
 

@@ -99,8 +99,8 @@ QUERIES = ",".join([
     # audio near-dup leg
     "s18_time_travel", "m7_pcm_neardup",
     # round-18: the temporal video near-dup leg (its m4w drain rides the
-    # 10x probe only)
-    "m7_video_neardup",
+    # 10x probe only) and the shot-boundary segmentation
+    "m7_video_neardup", "m7_scene_cuts",
 ])
 
 
