@@ -502,4 +502,25 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
         || p.contains("ReadSchema: struct<source:string,text:string>"),
       s"documents scan must read only (source, text):\n$p")
   }
+
+  test("round-18: scene cuts partition every window by clip; video pair search stays blocked") {
+    // every window in the shot-boundary pass is doc-partitioned — a
+    // SinglePartition exchange would funnel all clips' frames through one
+    // task (the silenceSegments discipline, cut-count form)
+    val sc = plan("m7_scene_cuts")
+    assert(sc.contains("hashpartitioning(doc_id"),
+      s"scene-cut windows must partition by doc_id:\n$sc")
+    assert(!sc.contains("Exchange SinglePartition"),
+      s"scene cuts must never funnel frames through one partition:\n$sc")
+    assert(!sc.contains("CartesianProduct"),
+      s"scene cuts must not cross-join:\n$sc")
+    // the video pair search is the shared blocked shape: equi-keyed chunk
+    // join over distinct signatures, never all-pairs, with the quarantine
+    // flag reaching the plan as a filter
+    val vn = plan("m7_video_neardup")
+    assert(!vn.contains("CartesianProduct"),
+      s"video near-dup must stay chunk-blocked (no cartesian):\n$vn")
+    assert(vn.contains("letterboxed"),
+      s"the quarantine flag must gate the chunk join:\n$vn")
+  }
 }
