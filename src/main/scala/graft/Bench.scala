@@ -271,8 +271,16 @@ object Bench {
     // SPARK_GRAFT_BENCH_OUT persists the full JSON to a committable
     // artifact; when unset (the driver's own runs) it defaults to
     // BENCH_DRIVER_LAST.json in the repo so the full map still lands in a
-    // file the round can commit.
-    locally {
+    // file the round can commit. The default path is CWD-relative, so it
+    // only fires when CWD is a repo root (build.sbt present) — an ad-hoc
+    // run from elsewhere skips the write instead of scattering artifacts
+    // (r18 ADVICE); stdout line 2 still carries the full JSON either way.
+    val defaultOutOk = sys.env.contains("SPARK_GRAFT_BENCH_OUT") ||
+      java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt"))
+    if (!defaultOutOk)
+      System.err.println(s"[bench] skipping default $fullOut write: CWD is " +
+        "not a repo root (set SPARK_GRAFT_BENCH_OUT to persist the full map)")
+    if (defaultOutOk) {
       val p = fullOut
       // a bad path must not fail the run AFTER all measurements completed —
       // the stdout JSON above is already the primary record

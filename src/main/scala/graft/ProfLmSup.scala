@@ -22,9 +22,13 @@ import scala.jdk.CollectionConverters._
 
 object ProfLmSup {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val parts = if (args.length > 1) args(1) else "32"
-    val threads = if (args.length > 2) args(2) else "32"
+    // the v1only flag is positional-agnostic: strip it before parsing the
+    // numeric args (r18 ADVICE — `ProfLmSup <dir> v1only` used to feed the
+    // flag into shufflePartitions and crash Spark config parsing)
+    val pos = args.filterNot(_ == "v1only")
+    val dir = pos.headOption.getOrElse("/root/testdata/sf0.1")
+    val parts = if (pos.length > 1) pos(1) else "32"
+    val threads = if (pos.length > 2) pos(2) else "32"
     val spark = SparkSession.builder()
       .master(s"local[$threads]")
       .config("spark.sql.shuffle.partitions", parts)

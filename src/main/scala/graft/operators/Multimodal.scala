@@ -497,7 +497,12 @@ object Multimodal {
     // re-decoded the whole corpus (r17 verdict #3: four MapPartitions
     // subtrees per query plan). Persist SCOPED: 4 machine words + a flag
     // per doc, the cheapest possible cache; the lazyPlans escape keeps the
-    // Explain artifact on the full lazy plan.
+    // Explain artifact on the full lazy plan. Cluster note (r18 ADVICE):
+    // localCheckpoint(true) executes EAGERLY at construction and its blocks
+    // are unrecoverable on executor loss — a multi-executor deployment that
+    // builds frames it may never consume should set spark.graft.lazyPlans
+    // (or swap in reliable checkpoint under a checkpoint dir); the scoped
+    // eager form is the single-JVM bench/serving shape.
     if (TextAnalysis.lazyPlans(hashed0.sparkSession))
       return ahashPairsOn(hashed0, w)
     val hashed = hashed0.persist()
@@ -617,7 +622,10 @@ object Multimodal {
     * 32-bit half-word range real signatures occupy, so a substituted key
     * can never collide with a live content signature in the
     * identical-signature join; quarantined clips now pair iff their
-    * PAYLOADS match (fold60-injective, the documented house argument) —
+    * payload CONTENT KEYS match — a collision-negligible 60-bit digest
+    * (fold60 is a truncation, not an injection: two distinct payloads
+    * collide with probability ~2⁻⁶⁰, and the oracle replays the same
+    * digest, so the two engines can never disagree about a pair) —
     * verbatim re-encodes of degenerate clips still surface at Hamming 0,
     * silence no longer pairs with tones. */
   private[graft] val QuarantineKeyMark = 1L << 62
@@ -820,7 +828,71 @@ object Multimodal {
       .select("doc_id", "hash_hi", "hash_lo", "letterboxed")
   }
 
-  final case class FrameEnergy(doc_id: Long, frame_no: Int, energy: Long)
+  final case class ClipFrame(doc_id: Long, frame_no: Int, energy: Long,
+      chars: String)
+
+  /** Per-frame REAL PPM decode over a (doc_id, text) clip corpus — the one
+    * narrow flatMap stage (one row per decodable scanline frame, work ∝
+    * video bytes, no shuffle) shared by sceneCuts and keyframeAhash so
+    * segmentation and keyframe extraction can never diverge. Each row
+    * carries the frame's integer energy (the cut signal) and its raw
+    * 48-char payload slice (the keyframe re-encode source — the decoder
+    * already holds the bytes, so carrying them costs nothing extra). */
+  private[graft] def clipFrames(spark: SparkSession,
+      corpus: DataFrame): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaIn] = corpus
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaIn]
+    media.mapPartitions { rows =>
+      val decoder = PpmDecoder // per-partition init point for a real codec
+      val header = "P6\n16 1\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      rows.flatMap { m =>
+        val nFrames = m.payload.length / VideoFrameChars
+        (0 until nFrames).iterator.flatMap { f =>
+          val fb = new Array[Byte](header.length + VideoFrameChars)
+          System.arraycopy(header, 0, fb, 0, header.length)
+          System.arraycopy(m.payload, f * VideoFrameChars,
+            fb, header.length, VideoFrameChars)
+          decoder.grayPixels(MediaIn(m.doc_id, fb)).map { g =>
+            var e = 0L; var i = 0
+            while (i < g.length) { e += g(i); i += 1 }
+            ClipFrame(m.doc_id, f, e,
+              new String(m.payload, f * VideoFrameChars, VideoFrameChars,
+                java.nio.charset.StandardCharsets.US_ASCII))
+          }
+        }
+      }
+    }.toDF()
+  }
+
+  /** The adaptive shot-boundary labeling over a decoded frame frame: a CUT
+    * lands between consecutive frames whose absolute energy delta is at
+    * least twice the clip's mean absolute delta, compared EXACTLY in
+    * integer space (`|d|·n_deltas ≥ 2·Σ|d|` — |d| ≤ 12240 and frames ≤
+    * clip bytes/48, so the products sit far inside Long while the oracle's
+    * HUGEINT replays them bit-for-bit), and `scene_no` is the running cut
+    * count + 1. Every window partitions by doc_id — no sort ever sees more
+    * than one clip's frames (the silenceSegments islands discipline).
+    * Extra input columns (e.g. the keyframe payload) ride through. */
+  private[graft] def sceneLabeledFrames(frames: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dw = Window.partitionBy("doc_id")
+    val ow = Window.partitionBy("doc_id").orderBy("frame_no")
+    frames
+      .withColumn("d", abs(col("energy") - lag(col("energy"), 1).over(ow)))
+      // n_deltas = frames − 1; Σ|d| over the clip — both doc-partitioned
+      .withColumn("nd", count(col("d")).over(dw))
+      .withColumn("sumd", sum(col("d")).over(dw))
+      // a cut opens a new scene AT this frame; frame 0 opens scene 1
+      .withColumn("is_cut",
+        when(col("d").isNotNull && col("sumd") > 0 &&
+          col("d") * col("nd") >= col("sumd") * 2, 1L).otherwise(0L))
+      .withColumn("scene_no",
+        sum(col("is_cut")).over(ow.rowsBetween(Window.unboundedPreceding, 0))
+          + 1)
+  }
 
   /** M7: video scene-cut segmentation — the shot-boundary pass a video
     * pipeline runs before clip extraction (the silenceSegments analog for
@@ -845,52 +917,237 @@ object Multimodal {
     * doc_id, so no sort ever sees more than one clip's frames (the
     * silenceSegments islands discipline, cut-count form). */
   def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
-    val media: Dataset[MediaIn] = Tables.documents(spark, dir)
+    val corpus = Tables.documents(spark, dir)
       .filter(octet_length(col("text")) === length(col("text")))
       .filter(length(col("text")) >= VideoFrameChars)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaIn]
-    val frames = media.mapPartitions { rows =>
-      val decoder = PpmDecoder // per-partition init point for a real codec
-      val header = "P6\n16 1\n255\n"
-        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-      rows.flatMap { m =>
-        val nFrames = m.payload.length / VideoFrameChars
-        (0 until nFrames).iterator.flatMap { f =>
-          val fb = new Array[Byte](header.length + VideoFrameChars)
-          System.arraycopy(header, 0, fb, 0, header.length)
-          System.arraycopy(m.payload, f * VideoFrameChars,
-            fb, header.length, VideoFrameChars)
-          decoder.grayPixels(MediaIn(m.doc_id, fb)).map { g =>
-            var e = 0L; var i = 0
-            while (i < g.length) { e += g(i); i += 1 }
-            FrameEnergy(m.doc_id, f, e)
-          }
-        }
-      }
-    }.toDF()
-    val dw = Window.partitionBy("doc_id")
-    val ow = Window.partitionBy("doc_id").orderBy("frame_no")
-    val scenes = frames
-      .withColumn("d", abs(col("energy") - lag(col("energy"), 1).over(ow)))
-      // n_deltas = frames − 1; Σ|d| over the clip — both doc-partitioned
-      .withColumn("nd", count(col("d")).over(dw))
-      .withColumn("sumd", sum(col("d")).over(dw))
-      // a cut opens a new scene AT this frame; frame 0 opens scene 1
-      .withColumn("is_cut",
-        when(col("d").isNotNull && col("sumd") > 0 &&
-          col("d") * col("nd") >= col("sumd") * 2, 1L).otherwise(0L))
-      .withColumn("scene_no",
-        (sum(col("is_cut")).over(ow.rowsBetween(Window.unboundedPreceding, 0))
-          + 1).as("scene_no"))
+      .select(col("doc_id"), col("text"))
+    val scenes = sceneLabeledFrames(
+      clipFrames(spark, corpus).select("doc_id", "frame_no", "energy"))
     scenes.groupBy(col("doc_id"), col("scene_no"))
       .agg(min(col("frame_no")).as("start_frame"),
         count(lit(1)).as("n_frames"),
         max(col("energy")).as("peak_energy"))
       .select(col("doc_id"), col("scene_no").cast("long").as("scene_no"),
         col("start_frame"), col("n_frames"), col("peak_energy"))
+  }
+
+  /** Keyframe-id packing: kf_id = clip_id · 2²¹ + scene_no. scene_no ≤
+    * frames = clip bytes / 48, and the 100× fixture's doc ids top out near
+    * 10¹⁰, so the packed id sits under 2·10¹⁶ ≪ 2⁶³ for any reachable
+    * clip; the pair output unpacks with DIV/MOD. */
+  private[graft] val KeyframeStride = 1L << 21
+
+  /** The clip corpus behind keyframeAhash: eligible ASCII clips (≥ 48
+    * chars = 1 scanline frame) plus the RE-CUT plant family — every 37th
+    * clip re-published with its opening frame intact and the rest of its
+    * footage replaced (reversed), the "same cold-open, different edit"
+    * case whole-clip temporal signatures miss by construction. */
+  private[graft] def keyframeClipCorpus(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .filter(octet_length(col("text")) === length(col("text")))
+      .filter(length(col("text")) >= VideoFrameChars)
+    val recut = docs.filter(col("doc_id") % 37 === 0)
+      .select((col("doc_id") + 6000000).as("doc_id"),
+        concat(substring(col("text"), 1, VideoFrameChars),
+          reverse(expr(s"substring(text, ${VideoFrameChars + 1})"))).as("text"))
+    docs.unionAll(recut)
+  }
+
+  /** One keyframe image per scene: the scene's FIRST frame (arg-min by
+    * frame_no via the min(struct) keyed agg — frame 0 always opens scene
+    * 1, which is what makes shared-cold-open recall structural), its 16×1
+    * scanline upsampled 4× horizontally (nearest neighbor — each payload
+    * char quadrupled, the m7_resize_plan step made concrete) to the aHash
+    * minimum 64-pixel geometry. The upsample is what keeps the signature
+    * CONTENT-RICH: feeding the raw 48-char scanline through the image
+    * path's ≥4-row padding would letterbox-quarantine every keyframe (75%
+    * pad), and a vertical 4× tile carries only 16 effective bits — the
+    * measured signature-collapse class where identical-signature groups
+    * grow with the corpus over a fixed key space; the horizontal form's
+    * 64 pixels mix neighboring source pixels (j reads chars ⌊3j/4⌋,
+    * ⌊(3j+1)/4⌋, ⌊(3j+2)/4⌋) and group sizes stay O(1) at every measured
+    * scale. */
+  private[graft] def keyframeCorpus(spark: SparkSession,
+      dir: String): DataFrame = {
+    val frames = clipFrames(spark, keyframeClipCorpus(spark, dir))
+    sceneLabeledFrames(frames)
+      .groupBy(col("doc_id"), col("scene_no"))
+      .agg(min(struct(col("frame_no"), col("chars"))).as("m"))
+      .select(
+        (col("doc_id") * KeyframeStride + col("scene_no")).as("doc_id"),
+        expr(s"array_join(transform(sequence(1, $VideoFrameChars), " +
+          "i -> repeat(substring(m.chars, i, 1), 4)), '')").as("text"))
+  }
+
+  /** M7: keyframe-level video dedup — the production video-dedup shape
+    * (dedup KEYFRAMES, not clips): each clip segments into scenes
+    * (`sceneCuts`'s adaptive shot-boundary pass, shared code), each scene
+    * contributes one representative-frame image, and those keyframes run
+    * through the EXISTING image-signature machinery verbatim
+    * (`ahashHashedOf` real PPM decode + letterbox quarantine →
+    * `ahashPairs` signature-collapsed Manku blocking with the
+    * corpus-adaptive chunk width) — so a re-cut clip that shares scenes
+    * with a known clip surfaces at the keyframe level even when the
+    * whole-clip temporal signatures (`m7_video_neardup`) differ. Pairs
+    * unpack to (clip, scene) on both sides; same-clip pairs (adjacent
+    * scenes of one video resembling each other) are dropped — cross-clip
+    * matches are the dedup signal.
+    *
+    * Recall guarantee (plant): frame 0 opens scene 1 in EVERY clip, so a
+    * plant sharing the original's opening frame shares scene 1's keyframe
+    * payload verbatim → identical signature → Hamming-0 pair, regardless
+    * of where the re-cut moved every later scene boundary. aHash's known
+    * constant-image trait carries over: constant-gray scanlines all hash
+    * to all-ones and pair via the identical-signature leg (the image
+    * path's adjudicated semantics; the oracle replays it bit-for-bit).
+    *
+    * 100 TB shape: decode + segmentation is the narrow clipFrames pass +
+    * doc-partitioned windows; keyframes are 4-machine-word signature rows
+    * (one per scene, ∝ content length); the pair search is the shared
+    * blocked shape — candidate volume bounded by distinct-signature
+    * chunks, never all-pairs. The keyframe frame is scope-persisted: it
+    * feeds the corpus-count (chunk geometry) and the hash path, and
+    * re-deriving it would re-run decode + segmentation per consumer. */
+  def keyframeAhash(spark: SparkSession, dir: String): DataFrame = {
+    def result(kf: DataFrame): DataFrame = {
+      val w = Dedup.simhashChunkBits(kf.count())
+      ahashPairs(ahashHashedOf(spark, kf), w)
+        .select(
+          expr(s"doc_a DIV $KeyframeStride").as("clip_a"),
+          pmod(col("doc_a"), lit(KeyframeStride)).as("scene_a"),
+          expr(s"doc_b DIV $KeyframeStride").as("clip_b"),
+          pmod(col("doc_b"), lit(KeyframeStride)).as("scene_b"),
+          col("hamming"))
+        .filter(col("clip_a") =!= col("clip_b"))
+    }
+    val kfc = keyframeCorpus(spark, dir)
+    if (TextAnalysis.lazyPlans(spark)) return result(kfc)
+    val kf = kfc.persist()
+    try result(kf)
+    finally kf.unpersist()
+  }
+
+  /** The caption-pair fixture behind pairCuration: even documents act as
+    * the image leg, odd documents as the caption leg, paired on the shared
+    * derived key ⌊doc_id/2⌋ — assembled in ONE corpus pass (a keyed
+    * aggregation pivots both legs out of the single scan; a self-join on
+    * the pair key would read the corpus twice for the same frame). ASCII
+    * eligibility applies to the image leg only (the image-fixture
+    * precondition — see the ahashNearDup docstring). Plants: every 41st
+    * pair re-published with the SAME image under a distinct caption
+    * (reversed), every 43rd with the SAME caption over a distinct image —
+    * the two duplication axes a crawl actually produces (one image scraped
+    * with many alt-texts; one boilerplate caption across many images). */
+  private[graft] def pairFixture(spark: SparkSession,
+      dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .groupBy(expr("doc_id DIV 2").as("pair_id"))
+      .agg(
+        max(when(col("doc_id") % 2 === 0, col("doc_id"))).as("image_id"),
+        max(when(col("doc_id") % 2 === 0, col("text"))).as("img_text"),
+        max(when(col("doc_id") % 2 === 1, col("doc_id"))).as("caption_id"),
+        max(when(col("doc_id") % 2 === 1, col("text"))).as("cap_text"))
+      .filter(col("image_id").isNotNull && col("caption_id").isNotNull)
+      .filter(octet_length(col("img_text")) === length(col("img_text")))
+    val dupImage = base.filter(col("pair_id") % 41 === 0)
+      .select((col("pair_id") + 10000000).as("pair_id"),
+        (col("image_id") + 20000000).as("image_id"),
+        (col("caption_id") + 20000000).as("caption_id"),
+        col("img_text"), reverse(col("cap_text")).as("cap_text"))
+    val dupCaption = base.filter(col("pair_id") % 43 === 0)
+      .select((col("pair_id") + 11000000).as("pair_id"),
+        (col("image_id") + 22000000).as("image_id"),
+        (col("caption_id") + 22000000).as("caption_id"),
+        reverse(col("img_text")).as("img_text"), col("cap_text"))
+    base.select("pair_id", "image_id", "caption_id", "img_text", "cap_text")
+      .unionAll(dupImage).unionAll(dupCaption)
+  }
+
+  /** M7: cross-modal caption-pair curation — the LAION shape: the curated
+    * UNIT is the (image, caption) pair, not either modality alone. Three
+    * existing components compose, each verbatim:
+    *
+    *   - pair-level gate = text quality (`TextAnalysis.classifyFrame`, the
+    *     m6_quality_classifier inference core, over the caption leg) AND
+    *     image non-degeneracy (`ahashHashedOf`'s letterbox quarantine flag
+    *     over the image leg — a mostly-pad image is a broken scrape, not
+    *     training signal);
+    *   - pair near-dup clustering: either side duplicated ⇒ the pairs are
+    *     one content group. Side duplication is exact-content (fold60
+    *     keys); each side key contributes STAR edges to its group's min
+    *     pair (blocked — never within-group all-pairs), and
+    *     `Dedup.connectedComponents` closes transitively (pair A shares an
+    *     image with B, B shares a caption with C ⇒ {A,B,C} — the
+    *     large-star/small-star contraction, reused);
+    *   - keep-best = the m6_cluster_keep_best rule at pair granularity:
+    *     among a cluster's GATE-PASSING pairs, keep the highest caption
+    *     quality (ties to the smaller pair id, min(struct) keyed agg — no
+    *     window). A cluster with no passing pair keeps nothing
+    *     (keeper_pair = −1).
+    *
+    * Output: one audit row per pair — gates, cluster, keeper, kept.
+    *
+    * 100 TB shape: one corpus scan builds the pair frame (scope-persisted:
+    * it feeds both gate legs, both side-key frames, and the output
+    * scaffold); the caption gate is explode + one keyed agg, the image
+    * gate one narrow mapPartitions decode; edges are key-grouped mins
+    * (dup-group-sized, ∝ duplication rate, not corpus²); CC is
+    * round-logarithmic; everything else is pair_id/cluster-keyed
+    * equi-joins. No windows, no cartesians, no driver state. */
+  def pairCuration(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val pf = pairFixture(spark, dir)
+    if (TextAnalysis.lazyPlans(spark)) return pairCurationOn(spark, pf)
+    val p = pf.persist()
+    try pairCurationOn(spark, p).localCheckpoint(true)
+    finally p.unpersist()
+  }
+
+  private def pairCurationOn(spark: SparkSession, px: DataFrame): DataFrame = {
+    // side-duplication star edges: per (side, content-key) group, everyone
+    // links to the group min — connectivity-preserving and linear in the
+    // group size (the within-group all-pairs form is quadratic in
+    // duplication depth for zero extra information)
+    val sides = px.select(col("pair_id"), lit(0).as("side"),
+        Exact.fold60(col("img_text")).as("key"))
+      .unionAll(px.select(col("pair_id"), lit(1).as("side"),
+        Exact.fold60(col("cap_text")).as("key")))
+    val roots = sides.groupBy("side", "key")
+      .agg(min("pair_id").as("root"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+    val edges = sides.join(roots.select("side", "key", "root"),
+        Seq("side", "key"))
+      .filter(col("pair_id") =!= col("root"))
+      .select(col("root").as("doc_a"), col("pair_id").as("doc_b"))
+    val labels = Dedup.connectedComponents(edges, "pair_id")
+    // the two gate legs, each the existing operator core verbatim
+    val capGate = TextAnalysis.classifyFrame(
+        px.select(col("pair_id").as("doc_id"), col("cap_text").as("text")))
+      .select(col("doc_id").as("pair_id"), col("score"), col("keep"))
+    val imgGate = ahashHashedOf(spark,
+        px.select(col("pair_id").as("doc_id"), col("img_text").as("text")))
+      .select(col("doc_id").as("pair_id"), (!col("letterboxed")).as("ok"))
+    val gated = px.select("pair_id", "image_id", "caption_id")
+      .join(imgGate, Seq("pair_id"), "left")
+      .join(capGate, Seq("pair_id"), "left")
+      .join(labels, Seq("pair_id"), "left")
+      .select(col("pair_id"), col("image_id"), col("caption_id"),
+        coalesce(col("cluster_id"), col("pair_id")).as("cluster_id"),
+        coalesce(col("ok"), lit(false)).as("img_ok"),
+        coalesce(col("keep"), lit(false)).as("cap_keep"),
+        col("score"))
+    val best = gated.filter(col("img_ok") && col("cap_keep"))
+      .groupBy("cluster_id")
+      .agg(min(struct((-col("score")).as("negq"), col("pair_id"))).as("m"))
+      .select(col("cluster_id"), col("m.pair_id").as("keeper_pair"))
+    val keeper = coalesce(col("keeper_pair"), lit(-1L))
+    gated.join(best, Seq("cluster_id"), "left")
+      .select(col("pair_id"), col("image_id"), col("caption_id"),
+        col("cluster_id"), col("img_ok"), col("cap_keep"),
+        keeper.as("keeper_pair"),
+        (col("img_ok") && col("cap_keep") &&
+          col("pair_id") === keeper).as("kept"))
   }
 
   /** The pure temporal-signature kernel behind videoSigOf: the decoded
@@ -936,6 +1193,8 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m7_scene_cuts"     -> sceneCuts,
+    "m7_keyframe_ahash" -> keyframeAhash,
+    "m7_pair_curation"  -> pairCuration,
     "m7_video_neardup"  -> videoNearDup,
     "m7_pcm_neardup"    -> pcmNearDup,
     "m7_ahash_neardup"  -> ahashNearDup,
@@ -988,6 +1247,212 @@ object Multimodal {
            CAST(count(*) AS BIGINT) AS n_frames,
            max(energy) AS peak_energy
          FROM sc GROUP BY doc_id, scene_no""",
+    // Full keyframe-dedup replay: the scene segmentation above (on the
+    // plant-extended clip corpus), arg-min representative scanline per
+    // scene, the 4x horizontal nearest-neighbor upsample replayed
+    // arithmetically (upsampled pixel j grays as the code-point sum of
+    // scanline chars ⌊3j/4⌋, ⌊(3j+1)/4⌋, ⌊(3j+2)/4⌋ — no string build
+    // needed), the image path's aHash bits at n=64 (block k = pixel k, so
+    // bit k is gr[k]·64 ≥ total), the letterbox rule at h=4 over tiled
+    // rows (letterboxed ⟺ every scanline pixel grays to 3·'x' = 360), the
+    // adaptive chunk geometry over the KEYFRAME count, quarantine excluded
+    // from the chunk join, the identical-signature leg over all keyframes,
+    // and the (clip, scene) unpack with same-clip pairs dropped.
+    "m7_keyframe_ahash" ->
+      s"""WITH d AS (
+           SELECT doc_id, text FROM documents
+           WHERE octet_length(encode(text)) = length(text)
+             AND length(text) >= 48),
+         corpus AS (
+           SELECT doc_id, text FROM d
+           UNION ALL
+           SELECT doc_id + 6000000,
+                  substring(text, 1, 48) || reverse(substring(text, 49))
+           FROM d WHERE doc_id % 37 = 0),
+         fr AS (
+           SELECT doc_id, CAST(u.fn AS INTEGER) AS frame_no,
+             substring(text, CAST(48*u.fn + 1 AS INTEGER), 48) AS chars,
+             CAST(list_sum(list_transform(range(0, 48), j ->
+               unicode(text[CAST(48*u.fn + j + 1 AS INTEGER)]))) AS BIGINT) AS energy
+           FROM corpus, LATERAL unnest(range(0, length(text) // 48)) AS u(fn)),
+         dd AS (
+           SELECT doc_id, frame_no, chars, energy,
+             abs(energy - lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_no)) AS dlt
+           FROM fr),
+         s AS (
+           SELECT doc_id, frame_no, chars, dlt,
+             count(dlt) OVER (PARTITION BY doc_id) AS nd,
+             sum(dlt) OVER (PARTITION BY doc_id) AS sumd
+           FROM dd),
+         c AS (
+           SELECT doc_id, frame_no, chars,
+             CASE WHEN dlt IS NOT NULL AND sumd > 0
+                       AND CAST(dlt AS HUGEINT) * nd >= CAST(sumd AS HUGEINT) * 2
+                  THEN 1 ELSE 0 END AS is_cut
+           FROM s),
+         sc AS (
+           SELECT doc_id, frame_no, chars,
+             sum(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_no
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS scene_no
+           FROM c),
+         kf AS (
+           SELECT doc_id, CAST(scene_no AS BIGINT) AS scene_no,
+             arg_min(chars, frame_no) AS scanline
+           FROM sc GROUP BY doc_id, scene_no),
+         img AS (
+           SELECT doc_id * $KeyframeStride + scene_no AS kf_id, scanline
+           FROM kf),
+         geom AS (SELECT CASE WHEN count(*) >= 4096 THEN 16 ELSE 8 END AS w,
+                         CASE WHEN count(*) >= 4096 THEN 4 ELSE 8 END AS nchunks
+                  FROM img),
+         g AS (
+           SELECT kf_id,
+             list_transform(range(0, 64), j ->
+               unicode(scanline[CAST((3*j)//4 + 1 AS INTEGER)])
+               + unicode(scanline[CAST((3*j+1)//4 + 1 AS INTEGER)])
+               + unicode(scanline[CAST((3*j+2)//4 + 1 AS INTEGER)])) AS gr
+           FROM img),
+         lb AS (
+           SELECT kf_id,
+             len(list_filter(gr[1:16], x -> x = 360)) = 16 AS letterboxed
+           FROM g),
+         t AS (SELECT kf_id, gr, list_sum(gr) AS tot FROM g),
+         bits AS (
+           SELECT kf_id,
+             list_transform(range(0, 64), k ->
+               CASE WHEN gr[CAST(k+1 AS INTEGER)] * 64 >= tot
+                    THEN 1 ELSE 0 END) AS bv
+           FROM t),
+         chunks AS (
+           SELECT kf_id, bv, c,
+             list_sum(list_transform(range(0, w), tt ->
+               bv[CAST(c*w + tt + 1 AS INTEGER)] * (1 << CAST(tt AS INTEGER)))) AS chunk
+           FROM bits JOIN lb USING (kf_id), geom,
+                (SELECT unnest(range(0, 8)) AS c) cl
+           WHERE c < nchunks AND NOT letterboxed),
+         cand AS (
+           SELECT DISTINCT x.kf_id AS kf_a, y.kf_id AS kf_b
+           FROM chunks x JOIN chunks y ON x.c = y.c AND x.chunk = y.chunk
+           WHERE x.kf_id < y.kf_id),
+         ham AS (
+           SELECT kf_a, kf_b,
+             len(list_filter(range(0, 64), t ->
+               a.bv[CAST(t + 1 AS INTEGER)] <> b.bv[CAST(t + 1 AS INTEGER)])) AS hamming
+           FROM cand JOIN bits a ON a.kf_id = cand.kf_a
+                     JOIN bits b ON b.kf_id = cand.kf_b),
+         allp AS (
+           SELECT kf_a, kf_b, hamming
+           FROM ham, geom WHERE hamming <= nchunks - 1 AND hamming > 0
+           UNION ALL
+           SELECT x.kf_id AS kf_a, y.kf_id AS kf_b, 0 AS hamming
+           FROM bits x JOIN bits y ON x.bv = y.bv AND x.kf_id < y.kf_id)
+         SELECT kf_a // $KeyframeStride AS clip_a,
+                kf_a % $KeyframeStride AS scene_a,
+                kf_b // $KeyframeStride AS clip_b,
+                kf_b % $KeyframeStride AS scene_b, hamming
+         FROM allp WHERE kf_a // $KeyframeStride <> kf_b // $KeyframeStride""",
+    // Full pair-curation replay: the one-pass pair pivot with both plant
+    // families, star edges per (side, fold60 content key), the recursive
+    // transitive-closure CC (min reachable pair id — the contraction fixed
+    // point), the m6_quality_classifier inference replay over captions,
+    // the image-path letterbox replay over images, and the keep-best rule
+    // (row_number replays min(struct) exactly — score is rounded on both
+    // sides before comparison).
+    "m7_pair_curation" ->
+      s"""WITH RECURSIVE base AS (
+           SELECT doc_id // 2 AS pair_id,
+             max(CASE WHEN doc_id % 2 = 0 THEN doc_id END) AS image_id,
+             max(CASE WHEN doc_id % 2 = 0 THEN text END) AS img_text,
+             max(CASE WHEN doc_id % 2 = 1 THEN doc_id END) AS caption_id,
+             max(CASE WHEN doc_id % 2 = 1 THEN text END) AS cap_text
+           FROM documents GROUP BY 1),
+         eligible AS (
+           SELECT pair_id, image_id, caption_id, img_text, cap_text FROM base
+           WHERE image_id IS NOT NULL AND caption_id IS NOT NULL
+             AND octet_length(encode(img_text)) = length(img_text)),
+         px AS (
+           SELECT pair_id, image_id, caption_id, img_text, cap_text
+           FROM eligible
+           UNION ALL
+           SELECT pair_id + 10000000, image_id + 20000000,
+                  caption_id + 20000000, img_text, reverse(cap_text)
+           FROM eligible WHERE pair_id % 41 = 0
+           UNION ALL
+           SELECT pair_id + 11000000, image_id + 22000000,
+                  caption_id + 22000000, reverse(img_text), cap_text
+           FROM eligible WHERE pair_id % 43 = 0),
+         sides AS (
+           SELECT 0 AS side, pair_id, ${Exact.sqlFold60("img_text")} AS key
+           FROM px
+           UNION ALL
+           SELECT 1, pair_id, ${Exact.sqlFold60("cap_text")} AS key FROM px),
+         roots AS (SELECT side, key, min(pair_id) AS root
+                   FROM sides GROUP BY 1, 2 HAVING count(*) > 1),
+         pairs AS (SELECT root AS doc_a, pair_id AS doc_b
+                   FROM sides JOIN roots USING (side, key)
+                   WHERE pair_id <> root),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         verts AS (SELECT DISTINCT u AS pair_id FROM edges),
+         reach(pair_id, r) AS (
+           SELECT pair_id, pair_id FROM verts
+           UNION
+           SELECT e.u, reach.r FROM reach JOIN edges e ON e.v = reach.pair_id),
+         cl AS (SELECT pair_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         cl2 AS (SELECT p.pair_id, COALESCE(cl.cluster_id, p.pair_id) AS cluster_id
+                 FROM px p LEFT JOIN cl ON cl.pair_id = p.pair_id),
+         tk AS (SELECT pair_id, ${TextAnalysis.sqlNormTokens("cap_text")} AS t
+                FROM px),
+         f AS (SELECT pair_id,
+                 unnest(t || ${TextAnalysis.sqlShingles("t", 2)}) AS feat
+               FROM tk),
+         b AS (SELECT pair_id,
+                 ${Exact.sqlFold60("feat || '|qc'")} % 4096 AS bucket FROM f),
+         w AS (SELECT pair_id,
+                 ${Exact.sqlFold60("CAST(bucket AS VARCHAR) || '|qw'")} % 2001 - 1000 AS w
+               FROM b),
+         qa AS (SELECT pair_id, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(w) AS BIGINT) AS sw
+                FROM w GROUP BY 1),
+         q AS (SELECT pair_id,
+                 ${Exact.sqlRnd("0.1 + CAST(sw AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0", 4)} AS score,
+                 sw >= -100 * n AS keep FROM qa),
+         im AS (SELECT pair_id, 16 * greatest(4, length(img_text) // 48) AS n,
+                  substring(rpad(img_text, CAST(greatest(4, length(img_text) // 48) * 48 AS INTEGER), 'x'),
+                            1, CAST(greatest(4, length(img_text) // 48) * 48 AS INTEGER)) AS ipx
+                FROM px),
+         gi AS (SELECT pair_id, n,
+                  list_transform(range(0, n), j ->
+                    unicode(ipx[CAST(3*j+1 AS INTEGER)])
+                    + unicode(ipx[CAST(3*j+2 AS INTEGER)])
+                    + unicode(ipx[CAST(3*j+3 AS INTEGER)])) AS gr
+                FROM im),
+         lb AS (SELECT pair_id,
+                  (n // 16 - 1 - (list_max(list_transform(range(0, n), j ->
+                     CASE WHEN gr[CAST(j+1 AS INTEGER)] <> 360 THEN j ELSE -1 END)) // 16))
+                    * 4 >= n // 16 AS letterboxed
+                FROM gi),
+         gate AS (SELECT p.pair_id,
+                    COALESCE(NOT lb.letterboxed, FALSE) AS img_ok,
+                    COALESCE(q.keep, FALSE) AS cap_keep, q.score
+                  FROM px p LEFT JOIN lb USING (pair_id)
+                            LEFT JOIN q ON q.pair_id = p.pair_id),
+         gated AS (SELECT g.pair_id, c.cluster_id, g.score
+                   FROM gate g JOIN cl2 c USING (pair_id)
+                   WHERE img_ok AND cap_keep),
+         bk AS (SELECT cluster_id, pair_id AS keeper_pair FROM (
+                  SELECT cluster_id, pair_id,
+                    row_number() OVER (PARTITION BY cluster_id
+                      ORDER BY score DESC, pair_id) AS rn
+                  FROM gated) t WHERE rn = 1)
+         SELECT p.pair_id, p.image_id, p.caption_id, c.cluster_id,
+           g.img_ok, g.cap_keep,
+           COALESCE(bk.keeper_pair, -1) AS keeper_pair,
+           g.img_ok AND g.cap_keep
+             AND p.pair_id = COALESCE(bk.keeper_pair, -1) AS kept
+         FROM px p JOIN cl2 c USING (pair_id)
+                   JOIN gate g ON g.pair_id = p.pair_id
+         LEFT JOIN bk ON bk.cluster_id = c.cluster_id""",
     // Full temporal video-fingerprint replay: same eligibility (ASCII,
     // >= 192 chars = 4 scanline frames = 64 pixels), same plants, the same
     // frame framing replayed arithmetically (frame f's scanline is payload

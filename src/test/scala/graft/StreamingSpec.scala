@@ -577,10 +577,13 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(sigs.count() == sigs.select("doc_id").distinct().count(),
       "retried micro-batch double-admitted a clip's signature")
     // the release-time pair search over the drained catalog is the batch
-    // operator's output verbatim (same signatures, same blocking)
+    // operator's output verbatim (same signatures, same blocking); the
+    // chunk width derives from the staged CORPUS count, the production
+    // drains' convention (r17 ADVICE) — never the drained-signature count,
+    // which can diverge from it around the 4096 threshold
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
-    val served = Multimodal.ahashPairs(sigs, Dedup.simhashChunkBits(sigs.count()))
+    val served = Multimodal.ahashPairs(sigs, Dedup.simhashChunkBits(corpus.count()))
     assert(pairs(served).sameElements(pairs(Multimodal.pcmNearDup(spark, dir))),
       "streamed signature catalog diverged from the batch pair search")
   }
@@ -601,7 +604,8 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       "retried micro-batch double-admitted a frame's signature")
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
-    val served = Multimodal.ahashPairs(sigs, Dedup.simhashChunkBits(sigs.count()))
+    // chunk width from the staged corpus count (the production convention)
+    val served = Multimodal.ahashPairs(sigs, Dedup.simhashChunkBits(corpus.count()))
     assert(pairs(served).sameElements(pairs(Multimodal.ahashNearDup(spark, dir))),
       "streamed signature catalog diverged from the batch pair search")
   }
