@@ -1832,6 +1832,108 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
       s"expected exactly bit 31 set, got hi=$hi lo=$lo")
   }
 
+  test("keyframe dedup: a re-cut clip sharing only its cold open is recalled at the keyframe level") {
+    import spark.implicits._
+    // clips 1 and 2 share ONLY frame 0 (identical cold open, different
+    // footage after); clip 3 is unrelated, with a constant opening frame
+    // (all-ones aHash — structurally distinct from the split-frame
+    // signature of the shared open). The whole-clip temporal signatures of
+    // 1 and 2 differ — exactly the case clip-level near-dup misses and
+    // keyframe dedup exists to catch.
+    val f0 = "a" * 24 + "Z" * 24
+    val clips = Seq(
+      (1L, f0 + "b" * 48 + "Q" * 48 + "c" * 48),
+      (2L, f0 + "R" * 48 + "d" * 48 + "S" * 48),
+      (3L, "b" * 48 + "e" * 48 + "T" * 48 + "f" * 48))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("kffix-").toString
+    clips.coalesce(1).write.parquet(s"$tmp/documents.parquet")
+    val out = Multimodal.keyframeAhash(spark, tmp).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)),
+        r.getInt(4)))
+    // frame 0 opens scene 1 in EVERY clip, so the shared cold open IS both
+    // clips' scene-1 keyframe: recalled at Hamming 0 by construction, no
+    // matter where the re-cut moved every later scene boundary
+    assert(out.exists { case ((ca, sa, cb, sb), h) =>
+      ca == 1L && cb == 2L && sa == 1L && sb == 1L && h == 0 },
+      s"shared cold open not recalled: ${out.toSeq}")
+    // cross-clip only (same-clip scene pairs are dropped), and clip 3's
+    // constant opening never reads as the split opening of clips 1/2
+    assert(out.forall { case ((ca, _, cb, _), _) => ca != cb },
+      "same-clip keyframe pair leaked through")
+    assert(!out.exists { case ((_, sa, cb, sb), h) =>
+      cb == 3L && sa == 1L && sb == 1L && h == 0 },
+      "unrelated opening frame read as a cold-open dup")
+    // and on the real fixture: every eligible re-cut plant (doc % 37) is
+    // recalled scene-1-to-scene-1 at Hamming 0 against its original
+    val real = Multimodal.keyframeAhash(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)),
+        r.getInt(4))).toMap
+    val planted = Tables.documents(spark, dir)
+      .filter(octet_length(col("text")) === length(col("text")))
+      .filter(length(col("text")) >= 48)
+      .filter(col("doc_id") % 37 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(planted.nonEmpty, "no re-cut plants in the fixture — vacuous")
+    planted.foreach { id =>
+      assert(real.get((id, 1L, id + 6000000L, 1L)).contains(0),
+        s"re-cut plant of clip $id not recalled at the keyframe level")
+    }
+  }
+
+  test("pair curation: either-side duplication clusters transitively; gate and keep-best per cluster") {
+    import spark.implicits._
+    // five pairs (ids 50-54, clear of the %41/%43 plant residues):
+    //   50 = (img0, capA)   51 = (img0, capS)   -> shared image
+    //   52 = (imgX, capS)                       -> shared caption with 51
+    //   53 = (imgY, capB)                       -> clean singleton
+    //   54 = (imgLB, capC)                      -> letterboxed image (48
+    //        content chars in the >=4-row frame: 3 trailing pad rows)
+    // so {50, 51, 52} must close TRANSITIVELY (50 never shares anything
+    // with 52 directly) while 53 and 54 stay singletons
+    val img0 = ("the very same image payload scraped twice " * 5).take(192)
+    val imgX = ("a completely different first photograph!! " * 5).take(192)
+    val imgY = ("yet another unrelated picture of a thing " * 5).take(192)
+    val imgLB = "tiny real content then the scrape truncated?".padTo(48, '.')
+    val docs = Seq(
+      (100L, img0), (101L, "a perfectly fine caption about one thing"),
+      (102L, img0), (103L, "one boilerplate caption reused everywhere"),
+      (104L, imgX), (105L, "one boilerplate caption reused everywhere"),
+      (106L, imgY), (107L, "an unremarkable but healthy description"),
+      (108L, imgLB), (109L, "caption of the broken scrape")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("pcfix-").toString
+    docs.coalesce(1).write.parquet(s"$tmp/documents.parquet")
+    val out = Multimodal.pairCuration(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4),
+        r.getBoolean(5), r.getLong(6), r.getBoolean(7)))).toMap
+    assert(out.keySet == Set(50L, 51L, 52L, 53L, 54L))
+    // transitive closure: one cluster rooted at the min pair id
+    Seq(50L, 51L, 52L).foreach { p =>
+      assert(out(p)._1 == 50L, s"pair $p not in the transitive cluster") }
+    assert(out(53L)._1 == 53L && out(54L)._1 == 54L,
+      "independent pairs must stay singleton clusters")
+    // the image gate: only the truncated scrape fails
+    assert(Seq(50L, 51L, 52L, 53L).forall(out(_)._2), "full image gated out")
+    assert(!out(54L)._2 && !out(54L)._5 && out(54L)._4 == -1L,
+      "letterboxed image must fail the gate, keep nothing, have no keeper")
+    // keep-best: exactly one kept pair in the dup cluster — the highest
+    // caption-classifier score among its gate-passing members (recomputed
+    // here through the same inference core), ties to the smaller pair id
+    val scores = graft.operators.TextAnalysis.classifyFrame(
+        Multimodal.pairFixture(spark, tmp)
+          .select(col("pair_id").as("doc_id"), col("cap_text").as("text")))
+      .collect().map(r => r.getLong(0) -> (
+        r.getDouble(2), r.getBoolean(3))).toMap
+    val gatedCluster = Seq(50L, 51L, 52L).filter(p => out(p)._2 && scores(p)._2)
+    assert(gatedCluster.nonEmpty, "no gated member in the cluster — vacuous")
+    val expectKeeper = gatedCluster.minBy(p => (-scores(p)._1, p))
+    Seq(50L, 51L, 52L).foreach { p =>
+      assert(out(p)._4 == expectKeeper, s"pair $p keeper diverged") }
+    assert(out.count { case (p, v) => v._1 == 50L && v._5 } ==
+      (if (gatedCluster.isEmpty) 0 else 1), "cluster must keep exactly one")
+    assert(out(expectKeeper)._5, "the keeper itself must be marked kept")
+  }
+
   test("shard manifest covers the corpus exactly and bounds hash skew") {
     val m = TextAnalysis.shardManifest(spark, dir).cache()
     try {

@@ -523,4 +523,30 @@ class PlanContractSpec extends AnyFunSuite with SparkFixture {
     assert(vn.contains("letterboxed"),
       s"the quarantine flag must gate the chunk join:\n$vn")
   }
+
+  test("round-19: keyframe windows stay doc-partitioned; pair curation is window-free and blocked") {
+    // keyframe dedup = scene segmentation (doc-partitioned windows only)
+    // feeding the shared blocked pair search — never a clip funnel, never
+    // all-pairs, with the quarantine flag gating the chunk join
+    val kf = plan("m7_keyframe_ahash")
+    assert(kf.contains("hashpartitioning(doc_id"),
+      s"keyframe scene windows must partition by doc_id:\n$kf")
+    assert(!kf.contains("Exchange SinglePartition"),
+      s"keyframe extraction must never funnel frames through one partition:\n$kf")
+    assert(!kf.contains("CartesianProduct"),
+      s"keyframe pair search must stay chunk-blocked:\n$kf")
+    assert(kf.contains("letterboxed"),
+      s"the image-path quarantine must gate the keyframe chunk join:\n$kf")
+    // pair curation: keep-best is a keyed min(struct) agg and the side-dup
+    // edges are key-grouped mins — no window over the pair corpus, no
+    // cartesian anywhere; the image gate is the real decode path (its
+    // quarantine flag reaches the plan)
+    val pc = plan("m7_pair_curation")
+    assert(!pc.contains("CartesianProduct"),
+      s"pair curation must not cross-join:\n$pc")
+    assert(!pc.contains("WindowExec"),
+      s"pair keep-best must be a keyed agg, not a window:\n$pc")
+    assert(pc.contains("letterboxed"),
+      s"the image gate must ride the real decode path:\n$pc")
+  }
 }
