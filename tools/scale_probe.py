@@ -121,6 +121,10 @@ QUERIES = ",".join([
     # round-18: the temporal video near-dup leg, its streaming
     # signature-admission drain, and the shot-boundary segmentation
     "m7_video_neardup", "m4w_stream_video_admit", "m7_scene_cuts",
+    # round-19: keyframe-level video dedup (scene segmentation feeding the
+    # image aHash path) and cross-modal caption-pair curation (pair-keyed
+    # gate + keep-best over a derived pair table)
+    "m7_keyframe_ahash", "m7_pair_curation",
 ])
 
 

@@ -101,6 +101,8 @@ QUERIES = ",".join([
     # round-18: the temporal video near-dup leg (its m4w drain rides the
     # 10x probe only) and the shot-boundary segmentation
     "m7_video_neardup", "m7_scene_cuts",
+    # round-19: keyframe-level video dedup and cross-modal pair curation
+    "m7_keyframe_ahash", "m7_pair_curation",
 ])
 
 
