@@ -966,8 +966,12 @@ object Multimodal {
     * measured signature-collapse class where identical-signature groups
     * grow with the corpus over a fixed key space; the horizontal form's
     * 64 pixels mix neighboring source pixels (j reads chars ⌊3j/4⌋,
-    * ⌊(3j+1)/4⌋, ⌊(3j+2)/4⌋) and group sizes stay O(1) at every measured
-    * scale. */
+    * ⌊(3j+1)/4⌋, ⌊(3j+2)/4⌋), which keeps groups 92%-unique at sf0.1 —
+    * but even this form collapses as the corpus grows (ProfKeyframe at
+    * the 100× fixture: 829 k keyframes over 31 k distinct signatures,
+    * max group 653 — near-identical opening frames are a property of the
+    * DATA, not the hash), which is why keyframeAhash emits cluster star
+    * edges rather than within-group pairs. */
   private[graft] def keyframeCorpus(spark: SparkSession,
       dir: String): DataFrame = {
     val frames = clipFrames(spark, keyframeClipCorpus(spark, dir))
@@ -984,35 +988,55 @@ object Multimodal {
     * (dedup KEYFRAMES, not clips): each clip segments into scenes
     * (`sceneCuts`'s adaptive shot-boundary pass, shared code), each scene
     * contributes one representative-frame image, and those keyframes run
-    * through the EXISTING image-signature machinery verbatim
-    * (`ahashHashedOf` real PPM decode + letterbox quarantine →
-    * `ahashPairs` signature-collapsed Manku blocking with the
-    * corpus-adaptive chunk width) — so a re-cut clip that shares scenes
-    * with a known clip surfaces at the keyframe level even when the
-    * whole-clip temporal signatures (`m7_video_neardup`) differ. Pairs
-    * unpack to (clip, scene) on both sides; same-clip pairs (adjacent
-    * scenes of one video resembling each other) are dropped — cross-clip
-    * matches are the dedup signal.
+    * through the image-signature machinery (`ahashHashedOf` real PPM
+    * decode + letterbox quarantine, `ahashChunksOf` Manku blocking with
+    * the corpus-adaptive chunk width) — so a re-cut clip that shares
+    * scenes with a known clip surfaces at the keyframe level even when
+    * the whole-clip temporal signatures (`m7_video_neardup`) differ.
+    *
+    * Output = duplicate-CLUSTER edges, not all pairs (round 19): one star
+    * edge per keyframe to its identical-signature group's hub (the min
+    * member, Hamming 0), plus one representative-level edge per chunk-
+    * blocked near-dup signature pair (1 ≤ Hamming ≤ nchunks−1). Edges
+    * unpack to (clip, scene); same-clip edges (adjacent scenes of one
+    * video resembling each other) are dropped — cross-clip matches are
+    * the dedup signal, and cluster membership (what dedup consumes —
+    * the m6_dup_clusters star-edge convention, also used by
+    * pairCuration's side-dup edges) is identical to the all-pairs form.
+    * All-pairs output was REJECTED on measured grounds (ProfKeyframe,
+    * round 19): opening frames collapse onto few signatures as the corpus
+    * grows — at the 100× fixture 829,094 keyframes share only 31,174
+    * distinct signatures (92% unique at sf0.1; max group 653), so the
+    * identical-signature pair leg alone held 37.8 M rows and the probe
+    * read 40× wall. The real-corpus analog is black frames / studio
+    * logos / intro cards: million-member signature groups whose pairwise
+    * listing is quadratic and useless, while star edges stay one row per
+    * keyframe. This is the r15 m7_ahash signature-collapse class, caught
+    * by the same census discipline at the next scale up.
     *
     * Recall guarantee (plant): frame 0 opens scene 1 in EVERY clip, so a
     * plant sharing the original's opening frame shares scene 1's keyframe
-    * payload verbatim → identical signature → Hamming-0 pair, regardless
-    * of where the re-cut moved every later scene boundary. aHash's known
-    * constant-image trait carries over: constant-gray scanlines all hash
-    * to all-ones and pair via the identical-signature leg (the image
-    * path's adjudicated semantics; the oracle replays it bit-for-bit).
+    * payload verbatim → identical signature → same cluster via the group
+    * hub (a DIRECT Hamming-0 edge when the group is exactly the pair),
+    * regardless of where the re-cut moved every later scene boundary.
+    * aHash's known constant-image trait carries over: constant-gray
+    * scanlines all hash to all-ones and cluster via their group's star
+    * edges (the image path's adjudicated semantics; the oracle replays
+    * the hub rule bit-for-bit).
     *
     * 100 TB shape: decode + segmentation is the narrow clipFrames pass +
     * doc-partitioned windows; keyframes are 4-machine-word signature rows
-    * (one per scene, ∝ content length); the pair search is the shared
-    * blocked shape — candidate volume bounded by distinct-signature
-    * chunks, never all-pairs. The keyframe frame is scope-persisted: it
-    * feeds the corpus-count (chunk geometry) and the hash path, and
-    * re-deriving it would re-run decode + segmentation per consumer. */
+    * (one per scene, ∝ content length); star edges are one keyed agg +
+    * one equi-join (O(keyframes)); the near-dup leg is chunk-blocked over
+    * DISTINCT signatures with no member fan-out — output is
+    * O(keyframes + verified signature pairs), never quadratic in group
+    * size. The keyframe frame is scope-persisted: it feeds the
+    * corpus-count (chunk geometry) and the hash path, and re-deriving it
+    * would re-run decode + segmentation per consumer. */
   def keyframeAhash(spark: SparkSession, dir: String): DataFrame = {
     def result(kf: DataFrame): DataFrame = {
       val w = Dedup.simhashChunkBits(kf.count())
-      ahashPairs(ahashHashedOf(spark, kf), w)
+      keyframeClusterEdges(ahashHashedOf(spark, kf), w)
         .select(
           expr(s"doc_a DIV $KeyframeStride").as("clip_a"),
           pmod(col("doc_a"), lit(KeyframeStride)).as("scene_a"),
@@ -1026,6 +1050,40 @@ object Multimodal {
     val kf = kfc.persist()
     try result(kf)
     finally kf.unpersist()
+  }
+
+  /** Cluster-edge pair search over hashed keyframe signatures (see the
+    * keyframeAhash docstring for the measured all-pairs rejection): star
+    * edges hub → member within each identical-signature group (quarantined
+    * rows join by their own signature and never cross-pair, the ahashPairs
+    * convention), plus ONE representative-level edge per verified
+    * chunk-blocked near-dup signature pair. Hub = min member, so edges are
+    * always (smaller, larger)-oriented and a two-member group degenerates
+    * to the direct pair. */
+  private[graft] def keyframeClusterEdges(hashed: DataFrame, w: Int): DataFrame = {
+    val nchunks = 64 / w
+    val groups = hashed.groupBy("hash_hi", "hash_lo")
+      .agg(min("doc_id").as("hub"))
+    val star = hashed.join(groups, Seq("hash_hi", "hash_lo"))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(0).as("hamming"))
+    // representative-level near-dup edges: the chunk join and the
+    // bit_count verify run over CLEAN distinct signatures only (the
+    // letterbox quarantine gates blocking exactly as in ahashPairs), and
+    // the verified pair is emitted once at its representatives — no
+    // member fan-out
+    val reps = hashed.filter(!col("letterboxed"))
+      .groupBy("hash_hi", "hash_lo").agg(min("doc_id").as("doc_id"))
+    val chunks = ahashChunksOf(reps, w)
+    val near = chunks.as("x").join(chunks.as("y"), Seq("c", "chunk"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        (bit_count(col("x.hash_hi").bitwiseXOR(col("y.hash_hi"))) +
+         bit_count(col("x.hash_lo").bitwiseXOR(col("y.hash_lo")))).as("hamming"))
+      .filter(col("hamming") <= nchunks - 1)
+      .dropDuplicates("doc_a", "doc_b")
+    star.unionAll(near)
   }
 
   /** The caption-pair fixture behind pairCuration: even documents act as
@@ -1256,8 +1314,10 @@ object Multimodal {
     // bit k is gr[k]·64 ≥ total), the letterbox rule at h=4 over tiled
     // rows (letterboxed ⟺ every scanline pixel grays to 3·'x' = 360), the
     // adaptive chunk geometry over the KEYFRAME count, quarantine excluded
-    // from the chunk join, the identical-signature leg over all keyframes,
-    // and the (clip, scene) unpack with same-clip pairs dropped.
+    // from the chunk join, star edges to each signature group's min-member
+    // hub, representative-level near-dup edges over clean distinct
+    // signatures, and the (clip, scene) unpack with same-clip edges
+    // dropped.
     "m7_keyframe_ahash" ->
       s"""WITH d AS (
            SELECT doc_id, text FROM documents
@@ -1323,29 +1383,37 @@ object Multimodal {
                CASE WHEN gr[CAST(k+1 AS INTEGER)] * 64 >= tot
                     THEN 1 ELSE 0 END) AS bv
            FROM t),
+         hubs AS (
+           SELECT bv, min(kf_id) AS hub FROM bits GROUP BY bv),
+         star AS (
+           SELECT hub AS kf_a, kf_id AS kf_b, 0 AS hamming
+           FROM bits JOIN hubs USING (bv) WHERE kf_id <> hub),
+         reps AS (
+           SELECT bv, min(kf_id) AS kf_id
+           FROM bits JOIN lb USING (kf_id) WHERE NOT letterboxed
+           GROUP BY bv),
          chunks AS (
            SELECT kf_id, bv, c,
              list_sum(list_transform(range(0, w), tt ->
                bv[CAST(c*w + tt + 1 AS INTEGER)] * (1 << CAST(tt AS INTEGER)))) AS chunk
-           FROM bits JOIN lb USING (kf_id), geom,
+           FROM reps, geom,
                 (SELECT unnest(range(0, 8)) AS c) cl
-           WHERE c < nchunks AND NOT letterboxed),
+           WHERE c < nchunks),
          cand AS (
-           SELECT DISTINCT x.kf_id AS kf_a, y.kf_id AS kf_b
+           SELECT DISTINCT x.kf_id AS kf_a, x.bv AS bva,
+                           y.kf_id AS kf_b, y.bv AS bvb
            FROM chunks x JOIN chunks y ON x.c = y.c AND x.chunk = y.chunk
            WHERE x.kf_id < y.kf_id),
          ham AS (
            SELECT kf_a, kf_b,
              len(list_filter(range(0, 64), t ->
-               a.bv[CAST(t + 1 AS INTEGER)] <> b.bv[CAST(t + 1 AS INTEGER)])) AS hamming
-           FROM cand JOIN bits a ON a.kf_id = cand.kf_a
-                     JOIN bits b ON b.kf_id = cand.kf_b),
+               bva[CAST(t + 1 AS INTEGER)] <> bvb[CAST(t + 1 AS INTEGER)])) AS hamming
+           FROM cand),
          allp AS (
            SELECT kf_a, kf_b, hamming
-           FROM ham, geom WHERE hamming <= nchunks - 1 AND hamming > 0
+           FROM ham, geom WHERE hamming <= nchunks - 1
            UNION ALL
-           SELECT x.kf_id AS kf_a, y.kf_id AS kf_b, 0 AS hamming
-           FROM bits x JOIN bits y ON x.bv = y.bv AND x.kf_id < y.kf_id)
+           SELECT kf_a, kf_b, hamming FROM star)
          SELECT kf_a // $KeyframeStride AS clip_a,
                 kf_a % $KeyframeStride AS scene_a,
                 kf_b // $KeyframeStride AS clip_b,

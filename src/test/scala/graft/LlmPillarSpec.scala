@@ -1865,10 +1865,19 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
       cb == 3L && sa == 1L && sb == 1L && h == 0 },
       "unrelated opening frame read as a cold-open dup")
     // and on the real fixture: every eligible re-cut plant (doc % 37) is
-    // recalled scene-1-to-scene-1 at Hamming 0 against its original
-    val real = Multimodal.keyframeAhash(spark, dir).collect()
-      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)),
-        r.getInt(4))).toMap
+    // recalled against its original at the CLUSTER level — the shared
+    // scene-1 keyframes carry one signature, so both sit in that group's
+    // star (a direct edge when the group is exactly the pair; connected
+    // through the hub when other clips share the opening signature)
+    val edges = Multimodal.keyframeAhash(spark, dir).collect()
+      .filter(_.getInt(4) == 0)
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+    val parent = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+    def find(x: (Long, Long)): (Long, Long) = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) => parent(find(a)) = find(b) }
     val planted = Tables.documents(spark, dir)
       .filter(octet_length(col("text")) === length(col("text")))
       .filter(length(col("text")) >= 48)
@@ -1876,8 +1885,8 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
       .select("doc_id").collect().map(_.getLong(0))
     assert(planted.nonEmpty, "no re-cut plants in the fixture — vacuous")
     planted.foreach { id =>
-      assert(real.get((id, 1L, id + 6000000L, 1L)).contains(0),
-        s"re-cut plant of clip $id not recalled at the keyframe level")
+      assert(find((id, 1L)) == find((id + 6000000L, 1L)),
+        s"re-cut plant of clip $id not in its original's keyframe cluster")
     }
   }
 
