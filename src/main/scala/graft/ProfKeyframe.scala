@@ -30,17 +30,22 @@ object ProfKeyframe {
     val n = kf.count()
     val w = Dedup.simhashChunkBits(n)
     val hashed = Multimodal.ahashHashedOf(spark, kf).persist()
-    kf.unpersist()
 
-    // the `within` leg joins ALL hashed rows (quarantined rows carry a
-    // substituted content key), so its exact pair volume is sum g(g-1)/2
-    // over signature groups of the FULL hashed frame
+    // the `within` leg joins ALL hashed rows (the image path keeps the real
+    // aHash for letterboxed rows — key substitution is the PCM/video
+    // convention only — so quarantined keyframes can and do share signature
+    // groups with clean ones through the star leg), and its exact pair
+    // volume is sum g(g-1)/2 over signature groups of the FULL hashed frame
     val groupsAll = hashed.groupBy("hash_hi", "hash_lo")
       .agg(count(lit(1)).as("g")).persist()
     val shapeAll = groupsAll.agg(
       count(lit(1)).as("distinct_keys"),
       sum((col("g") * (col("g") - 1) / 2).cast("long")).as("within_pairs"),
       max("g").as("max_group")).head
+    // hashed is materialized now (shapeAll forced it through its cache) —
+    // releasing the keyframe corpus earlier would have evicted the cache
+    // before hashed's first action and re-run decode + segmentation
+    kf.unpersist()
     println(s"## keyframes=$n chunk_bits=$w quarantined=" +
       s"${hashed.filter(col("letterboxed")).count()}")
     println(s"## all: distinct_keys=${shapeAll.getLong(0)} " +
@@ -51,20 +56,14 @@ object ProfKeyframe {
 
     // Manku chunk-bucket candidate volume over the CLEAN docs' DISTINCT
     // signatures — the sigPairs join's exact input: sum m(m-1)/2 per
-    // (chunk index, chunk value) bucket, chunked per 32-bit half exactly
-    // like ahashChunksOf
-    val nchunks = 64 / w
-    val perHalf = 32 / w
-    val mask = (1L << w) - 1
+    // (chunk index, chunk value) bucket, through the PRODUCTION chunk
+    // explode itself (ahashChunksOf — a re-implementation here would
+    // silently measure a different candidate volume if the lo/hi chunk
+    // geometry ever moved)
     val sigs = hashed.filter(!col("letterboxed"))
-      .select("hash_hi", "hash_lo").distinct()
-    val chunkCols = (0 until nchunks).map { c =>
-      val src = if (c < perHalf) col("hash_lo") else col("hash_hi")
-      struct(lit(c).as("ci"),
-        shiftright(src, w * (c % perHalf)).bitwiseAND(lit(mask)).as("cv"))
-    }
-    val chunks = sigs.select(explode(array(chunkCols: _*)).as("c"))
-      .groupBy(col("c.ci"), col("c.cv")).agg(count(lit(1)).as("m"))
+      .groupBy("hash_hi", "hash_lo").agg(min("doc_id").as("doc_id"))
+    val chunks = Multimodal.ahashChunksOf(sigs, w)
+      .groupBy(col("c"), col("chunk")).agg(count(lit(1)).as("m"))
     val cand = chunks.agg(sum((col("m") * (col("m") - 1) / 2).cast("long")).as("cands"),
       max("m").as("max_bucket")).head
     println(s"## clean distinct sigs=${sigs.count()} " +

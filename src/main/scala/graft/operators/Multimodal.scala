@@ -835,11 +835,14 @@ object Multimodal {
     * narrow flatMap stage (one row per decodable scanline frame, work ∝
     * video bytes, no shuffle) shared by sceneCuts and keyframeAhash so
     * segmentation and keyframe extraction can never diverge. Each row
-    * carries the frame's integer energy (the cut signal) and its raw
-    * 48-char payload slice (the keyframe re-encode source — the decoder
-    * already holds the bytes, so carrying them costs nothing extra). */
+    * carries the frame's integer energy (the cut signal) and, when the
+    * consumer asks for it, its raw 48-char payload slice (the keyframe
+    * re-encode source). `withChars=false` skips the per-frame String
+    * allocation + row encoding for energy-only consumers (sceneCuts
+    * projects the column away, but a mapPartitions output can't be
+    * column-pruned, so the saving has to happen at construction). */
   private[graft] def clipFrames(spark: SparkSession,
-      corpus: DataFrame): DataFrame = {
+      corpus: DataFrame, withChars: Boolean = true): DataFrame = {
     import spark.implicits._
     val media: Dataset[MediaIn] = corpus
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
@@ -859,8 +862,10 @@ object Multimodal {
             var e = 0L; var i = 0
             while (i < g.length) { e += g(i); i += 1 }
             ClipFrame(m.doc_id, f, e,
-              new String(m.payload, f * VideoFrameChars, VideoFrameChars,
-                java.nio.charset.StandardCharsets.US_ASCII))
+              if (withChars)
+                new String(m.payload, f * VideoFrameChars, VideoFrameChars,
+                  java.nio.charset.StandardCharsets.US_ASCII)
+              else "")
           }
         }
       }
@@ -922,7 +927,8 @@ object Multimodal {
       .filter(length(col("text")) >= VideoFrameChars)
       .select(col("doc_id"), col("text"))
     val scenes = sceneLabeledFrames(
-      clipFrames(spark, corpus).select("doc_id", "frame_no", "energy"))
+      clipFrames(spark, corpus, withChars = false)
+        .select("doc_id", "frame_no", "energy"))
     scenes.groupBy(col("doc_id"), col("scene_no"))
       .agg(min(col("frame_no")).as("start_frame"),
         count(lit(1)).as("n_frames"),
@@ -1047,8 +1053,12 @@ object Multimodal {
     }
     val kfc = keyframeCorpus(spark, dir)
     if (TextAnalysis.lazyPlans(spark)) return result(kfc)
+    // the ahashPairs scope-persist convention: localCheckpoint(true)
+    // EXECUTES the edge frame while the keyframe corpus is still cached —
+    // returning the lazy frame and unpersisting first would re-run decode +
+    // segmentation once per plan branch (three consumers) at action time
     val kf = kfc.persist()
-    try result(kf)
+    try result(kf).localCheckpoint(true)
     finally kf.unpersist()
   }
 
@@ -1373,8 +1383,14 @@ object Multimodal {
                + unicode(scanline[CAST((3*j+2)//4 + 1 AS INTEGER)])) AS gr
            FROM img),
          lb AS (
+           -- trailing-pad-row rule, matching ahashHashedOf exactly: the
+           -- keyframe image is a fixed 16x4 geometry (192 chars, never
+           -- rpad'd), so "trailing all-pad rows * 4 >= h" degenerates to
+           -- "the LAST row (pixels 49..64) is all pad-gray" — the same
+           -- last-content-row convention the m7_ahash oracle replays in
+           -- its general-h form
            SELECT kf_id,
-             len(list_filter(gr[1:16], x -> x = 360)) = 16 AS letterboxed
+             len(list_filter(gr[49:64], x -> x = 360)) = 16 AS letterboxed
            FROM g),
          t AS (SELECT kf_id, gr, list_sum(gr) AS tot FROM g),
          bits AS (
