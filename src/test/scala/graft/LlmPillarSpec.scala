@@ -1890,6 +1890,28 @@ class LlmPillarSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("letterbox quarantine keys off TRAILING pad rows, not leading ones") {
+    import spark.implicits._
+    // The rule every replay oracle must mirror (a round-19 review caught
+    // the keyframe oracle testing the FIRST row instead — divergent on
+    // exactly these two shapes): ahashHashedOf counts trailing all-pad
+    // rows from the bottom, so a pad-like HEAD with a content tail is
+    // clean while a content head with a pad TAIL quarantines. 192 chars =
+    // the un-padded 16x4 keyframe geometry.
+    val content = "A" * 48
+    val pad = "x" * 48
+    val corpus = Seq(
+      (1L, content * 3 + pad), // trailing pad row    -> quarantined
+      (2L, pad + content * 3), // leading pad row only -> clean
+      (3L, pad * 4))           // fully pad            -> quarantined
+      .toDF("doc_id", "text")
+    val lb = Multimodal.ahashHashedOf(spark, corpus).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(lb(1L), "content head with an all-pad last row must quarantine")
+    assert(!lb(2L), "pad head with a content tail must stay clean")
+    assert(lb(3L), "fully padded frame must quarantine")
+  }
+
   test("pair curation: either-side duplication clusters transitively; gate and keep-best per cluster") {
     import spark.implicits._
     // five pairs (ids 50-54, clear of the %41/%43 plant residues):
