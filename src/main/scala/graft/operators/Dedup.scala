@@ -384,8 +384,13 @@ object Dedup {
     * reference is only ever READ (staged parquet / catalog members) — work
     * is O(increment), never O(corpus). */
   private[graft] def admissionDecisions(batchDocs: DataFrame, batchBase: DataFrame,
-      refSigs: DataFrame, refShingles: DataFrame): DataFrame = {
-    val cands = bandsOf(sigsOf(batchBase), "new_id")
+      refSigs: DataFrame, refShingles: DataFrame,
+      batchSigs: Option[DataFrame] = None): DataFrame = {
+    // batchSigs: a caller that ALSO commits the batch signatures
+    // (admittedDedupCatalog) passes its persisted signature frame so the
+    // minhash aggregation over the batch shingles runs once, not once per
+    // consumer — same rows either way (sigsOf is deterministic).
+    val cands = bandsOf(batchSigs.getOrElse(sigsOf(batchBase)), "new_id")
       .join(bandsOf(refSigs, "corpus_id"), Seq("band", "k1", "k2"))
       .select("new_id", "corpus_id").dropDuplicates("new_id", "corpus_id")
     val verified = cands
@@ -467,20 +472,25 @@ object Dedup {
     val (sigsT, shT) = refDedupCatalog(spark, dir, prefix)
     val batch1 = arrivingBatch(spark, dir, 3000000, halfAll = false)
     val b1base = batchBaseOf(batch1)
+    // the batch signature frame feeds the decision pass (band explode) AND
+    // the signature append; unpersisted, the minhash aggregation over the
+    // batch shingles ran twice per lifecycle query (guide §1.2). 17 longs
+    // per batch doc — the cheapest possible cache, scoped to this function.
+    val s1 = sigsOf(b1base).persist()
     val d1 = admissionDecisions(batch1, b1base,
-      catSigsOf(spark, sigsT), catShinglesOf(spark, shT)).persist()
+      catSigsOf(spark, sigsT), catShinglesOf(spark, shT), Some(s1)).persist()
     try {
       val admitted1 = d1.filter(col("admitted")).select(col("new_id").as("doc_id"))
       val nFiles = Connectors.deltaFiles(
         TextAnalysis.docsN(spark, dir) / 10) // memoized — no per-call count job
       Connectors.appendTo(spark, sigsT,
-        sigsOf(b1base).join(admitted1, Seq("doc_id")).coalesce(nFiles))
+        s1.join(admitted1, Seq("doc_id")).coalesce(nFiles))
       Connectors.appendTo(spark, shT,
         b1base.join(admitted1, Seq("doc_id")).coalesce(nFiles))
     } finally {
       // batch 1's frames are fully consumed by the appends above — only
       // the catalog leaves this function
-      d1.unpersist(); b1base.unpersist()
+      d1.unpersist(); b1base.unpersist(); s1.unpersist()
     }
     (sigsT, shT)
   }

@@ -1813,10 +1813,18 @@ object TextAnalysis {
     // whole query's cost), exactly the "a production batch keeps its
     // partitioning" caveat the old comment deferred.
     val deltaFiles = Connectors.deltaFiles(
-      Tables.documents(spark, dir).count() / 10)
-    val delta = bm25IndexOf(arrivingDocTokens(spark, dir))
-    Connectors.appendTo(spark, post, delta.coalesce(deltaFiles))
-    Connectors.appendTo(spark, stats, memberStatsOf(delta))
+      docsN(spark, dir) / 10) // memoized — no per-call count job
+    // the delta posting frame feeds TWO commits (the generation write and
+    // the member stats row); unpersisted, the whole O(batch) index build
+    // (explode + two keyed shuffles + a per-doc window) ran twice per
+    // lifecycle query — guide §1.2's "don't compute things twice". Persist
+    // SCOPED: the frame is batch-sized (one row per distinct (doc, term)),
+    // and both consumers are drained before the unpersist.
+    val delta = bm25IndexOf(arrivingDocTokens(spark, dir)).persist()
+    try {
+      Connectors.appendTo(spark, post, delta.coalesce(deltaFiles))
+      Connectors.appendTo(spark, stats, memberStatsOf(delta))
+    } finally delta.unpersist()
     (post, stats)
   }
 
@@ -1896,12 +1904,19 @@ object TextAnalysis {
   private def tombstoneAdmit(spark: SparkSession, dir: String,
       post: String, stats: String): String = {
     val tomb = tombstoneDirOf(post)
-    val forgotten = forgetRequest(spark, dir)
-    Connectors.appendTo(spark, tomb, forgotten.select("doc_id"))
-    Connectors.appendTo(spark, stats, forgotten
-      .filter(col("n_tokens") > 0) // nd never counted token-less docs
-      .agg((-count(lit(1))).as("n_docs"),
-        (-coalesce(sum(col("n_tokens")), lit(0L))).as("tot_tokens")))
+    // the request frame feeds TWO commits (tombstone ids and the negative
+    // stats row); unpersisted, the request derivation (corpus filter +
+    // normTokens over the forget slice, twice over — original and batch
+    // legs) ran twice per query. Persist SCOPED: two longs per forgotten
+    // doc, both consumers drained before the unpersist (guide §1.2).
+    val forgotten = forgetRequest(spark, dir).persist()
+    try {
+      Connectors.appendTo(spark, tomb, forgotten.select("doc_id"))
+      Connectors.appendTo(spark, stats, forgotten
+        .filter(col("n_tokens") > 0) // nd never counted token-less docs
+        .agg((-count(lit(1))).as("n_docs"),
+          (-coalesce(sum(col("n_tokens")), lit(0L))).as("tot_tokens")))
+    } finally forgotten.unpersist()
     tomb
   }
 
