@@ -628,7 +628,13 @@ object Connectors {
     // cutoffs bound the raw scan column → pushed scans per batch
     val events = Tables.eventsWithRawTs(spark, dir)
     val cutoffN = graft.Tables.rawTs(SyncCutoff)
+    // route each day's rows to one task before the partitioned write (the
+    // catalogBootstrap pattern, guide §6 small-files): a 32-task aggregate
+    // fanned out to ~21 day dirs otherwise writes task×day tiny files that
+    // every later read (the merge's pruned scan, the served read-back) pays
+    // to list and open
     dailyTotals(events.filter(col("ts_raw") < lit(cutoffN)))
+      .repartition(col("day"))
       .write.partitionBy("day").mode("overwrite").parquet(target)
     mergeInto(spark, target,
       dailyTotals(events.filter(col("ts_raw") >= lit(cutoffN))),
@@ -1014,7 +1020,10 @@ object Connectors {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey",
       "l_suppkey", "l_quantity", "l_extendedprice", "l_returnflag")
     // three arrival-ordered ingest tranches keyed on orderkey — disjoint by
-    // construction, so the appended table carries every row exactly once
+    // construction, so the appended table carries every row exactly once.
+    // (Deliberately NOT persisted across the tranches: at scale each ingest
+    // batch is its own arrival scan, and caching a table-sized snapshot to
+    // save two test-scale scans would be a local-only win — r19 opt notes.)
     (0 to 2).foreach { i =>
       appendTo(spark, target, li.filter(pmod(col("l_orderkey"), lit(3)) === i))
     }

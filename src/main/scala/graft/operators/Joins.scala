@@ -209,14 +209,29 @@ object Joins {
     if (!spark.catalog.tableExists(s"$db.lineitem_b") ||
         BucketedTables.dirFor.get(spark) != dir) {
       val loc = java.nio.file.Files.createTempDirectory("graft-buckets-").toString
-      Tables.lineitem(spark, dir).write
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$loc/lineitem_b")
-        .mode("overwrite").saveAsTable(s"$db.lineitem_b")
-      Tables.orders(spark, dir).write
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$loc/orders_b")
-        .mode("overwrite").saveAsTable(s"$db.orders_b")
+      // the two table builds are independent jobs — submit them from two
+      // driver threads so the second build's tasks back-fill the cores the
+      // first build's write tail leaves idle (guide §2.6: actions are only
+      // sequential because driver code calls them sequentially). Each write
+      // targets its own path and catalog entry; saveAsTable's catalog
+      // commits are driver-side metadata and the in-memory catalog is
+      // thread-safe, so the only shared state is the pre-created database.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val builds = Seq(
+          () => Tables.lineitem(spark, dir).write
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .option("path", s"$loc/lineitem_b")
+            .mode("overwrite").saveAsTable(s"$db.lineitem_b"),
+          () => Tables.orders(spark, dir).write
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .option("path", s"$loc/orders_b")
+            .mode("overwrite").saveAsTable(s"$db.orders_b"))
+          .map(b => pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = b()
+          }))
+        builds.foreach(_.get()) // propagate the first failure, wait for both
+      } finally pool.shutdown()
       BucketedTables.dirFor.put(spark, dir)
     }
   }

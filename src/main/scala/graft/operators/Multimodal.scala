@@ -1040,9 +1040,9 @@ object Multimodal {
     * corpus-count (chunk geometry) and the hash path, and re-deriving it
     * would re-run decode + segmentation per consumer. */
   def keyframeAhash(spark: SparkSession, dir: String): DataFrame = {
-    def result(kf: DataFrame): DataFrame = {
+    def result(kf: DataFrame, hashed: DataFrame): DataFrame = {
       val w = Dedup.simhashChunkBits(kf.count())
-      keyframeClusterEdges(ahashHashedOf(spark, kf), w)
+      keyframeClusterEdges(hashed, w)
         .select(
           expr(s"doc_a DIV $KeyframeStride").as("clip_a"),
           pmod(col("doc_a"), lit(KeyframeStride)).as("scene_a"),
@@ -1052,14 +1052,22 @@ object Multimodal {
         .filter(col("clip_a") =!= col("clip_b"))
     }
     val kfc = keyframeCorpus(spark, dir)
-    if (TextAnalysis.lazyPlans(spark)) return result(kfc)
+    if (TextAnalysis.lazyPlans(spark))
+      return result(kfc, ahashHashedOf(spark, kfc))
     // the ahashPairs scope-persist convention: localCheckpoint(true)
     // EXECUTES the edge frame while the keyframe corpus is still cached —
     // returning the lazy frame and unpersisting first would re-run decode +
-    // segmentation once per plan branch (three consumers) at action time
+    // segmentation once per plan branch (three consumers) at action time.
+    // The HASHED frame is scope-persisted too (the ahashPairs discipline —
+    // keyframeClusterEdges consumes it in three branches: hub groups, the
+    // star join, and the clean-representative chunk path; unpersisted, the
+    // keyframe aHash decode ran three times per query).
     val kf = kfc.persist()
-    try result(kf).localCheckpoint(true)
-    finally kf.unpersist()
+    try {
+      val hashed = ahashHashedOf(spark, kf).persist()
+      try result(kf, hashed).localCheckpoint(true)
+      finally hashed.unpersist()
+    } finally kf.unpersist()
   }
 
   /** Cluster-edge pair search over hashed keyframe signatures (see the
