@@ -547,35 +547,71 @@ object DedupStaging {
     ).flatten
   }
 
+  /** Run one dependency wave's builds as concurrent driver threads (guide
+    * §2.6: actions are only sequential because driver code calls them
+    * sequentially — each staged build underfills the cluster with a few
+    * small-shuffle jobs, so a cold multi-table build otherwise serializes
+    * idle capacity). Tables in one wave are independent by construction
+    * (the wave lists below encode the real read-dependencies); each build
+    * targets its own table path and lock file, and `materialize`'s memo is
+    * a concurrent map. Single-element waves run inline. */
+  private def runWave(builds: Seq[() => Unit]): Unit =
+    if (builds.sizeIs <= 1) builds.foreach(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(builds.size)
+      try builds.map(b => pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = b()
+        })).foreach(_.get()) // propagate the first failure, wait for all
+      finally pool.shutdown()
+    }
+
   /** Build only the staged tables the named queries read — Bench's
     * pre-stage hook, scoped so a one-query dev loop doesn't pay for the
     * whole staging area (minhashPairs in particular runs the full LSH
-    * band-join pipeline). */
-  def ensureFor(spark: SparkSession, dir: String, names: Set[String]): Unit =
-    neededTables(names).foreach {
-      case "shingle3"      => shingleBase(spark, dir)
-      case "prefix3"       => prefixIndex(spark, dir)
-      case "minhash_sigs"  => minhashSigs(spark, dir)
-      case "simhash_sigs"  => simhashSigs(spark, dir)
-      case "shingle8"      => shingle8(spark, dir)
-      case "minhash_pairs" => minhashPairs(spark, dir)
-      case "bpe_vocab"     => bpeVocab(spark, dir)
-      case "bpe_manifest"  => bpeManifest(spark, dir)
-      case "bm25_index"    => bm25Index(spark, dir)
-      case "phrase_index"  => phraseIndex(spark, dir)
-      case "dsir_ratios"   => dsirRatios(spark, dir)
-    }
+    * band-join pipeline). Builds run in dependency WAVES, concurrent
+    * within a wave: shingle3 feeds prefix3/minhash_sigs, bpe_vocab feeds
+    * bpe_manifest, and minhash_pairs reads both shingle3 and minhash_sigs;
+    * everything else derives from the raw corpus alone. */
+  def ensureFor(spark: SparkSession, dir: String, names: Set[String]): Unit = {
+    val tables = neededTables(names).toSet
+    val build: Map[String, () => Unit] = Map(
+      "shingle3"      -> (() => shingleBase(spark, dir)),
+      "prefix3"       -> (() => prefixIndex(spark, dir)),
+      "minhash_sigs"  -> (() => minhashSigs(spark, dir)),
+      "simhash_sigs"  -> (() => simhashSigs(spark, dir)),
+      "shingle8"      -> (() => shingle8(spark, dir)),
+      "minhash_pairs" -> (() => minhashPairs(spark, dir)),
+      "bpe_vocab"     -> (() => bpeVocab(spark, dir)),
+      "bpe_manifest"  -> (() => bpeManifest(spark, dir)),
+      "bm25_index"    -> (() => bm25Index(spark, dir)),
+      "phrase_index"  -> (() => phraseIndex(spark, dir)),
+      "dsir_ratios"   -> (() => dsirRatios(spark, dir)))
+    Seq(
+      Seq("shingle3", "simhash_sigs", "shingle8", "bpe_vocab", "bm25_index",
+        "phrase_index", "dsir_ratios"),
+      Seq("prefix3", "minhash_sigs", "bpe_manifest"),
+      Seq("minhash_pairs"))
+      .foreach(wave => runWave(wave.filter(tables).map(build)))
+  }
 
   /** Build the ANN index tables the named queries read (Bench's
-    * `m6_stage_ann` hook). */
-  def ensureAnnFor(spark: SparkSession, dir: String, names: Set[String]): Unit =
-    annTables(names).foreach {
-      case "ivf_cells"      => ivfCells(spark, dir)
-      case "pq_codebook"    => pqCodebook(spark, dir)
-      case "pq_codes"       => pqCodes(spark, dir)
-      case "ivfpq_codebook" => ivfPqCodebook(spark, dir)
-      case "ivfpq_codes"    => ivfPqCodes(spark, dir)
-    }
+    * `m6_stage_ann` hook) — same wave discipline: pq_codes reads
+    * pq_codebook, and the IVF-PQ pair reads ivf_cells (residual training)
+    * then ivfpq_codebook. */
+  def ensureAnnFor(spark: SparkSession, dir: String, names: Set[String]): Unit = {
+    val tables = annTables(names).toSet
+    val build: Map[String, () => Unit] = Map(
+      "ivf_cells"      -> (() => ivfCells(spark, dir)),
+      "pq_codebook"    -> (() => pqCodebook(spark, dir)),
+      "pq_codes"       -> (() => pqCodes(spark, dir)),
+      "ivfpq_codebook" -> (() => ivfPqCodebook(spark, dir)),
+      "ivfpq_codes"    -> (() => ivfPqCodes(spark, dir)))
+    Seq(
+      Seq("ivf_cells", "pq_codebook"),
+      Seq("pq_codes", "ivfpq_codebook"),
+      Seq("ivfpq_codes"))
+      .foreach(wave => runWave(wave.filter(tables).map(build)))
+  }
 
   /** Stage-temperature probe for the ANN index tables. */
   def isAnnStagedFor(dir: String, names: Set[String]): Boolean =
