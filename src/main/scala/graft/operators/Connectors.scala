@@ -355,6 +355,23 @@ object Connectors {
     sweepStale(targetDir, prev)
   }
 
+  /** Run independent TABLE commits from concurrent driver threads (guide
+    * §2.6 — each rewrite is a few small jobs that underfill the session,
+    * and actions are only sequential because driver code calls them
+    * sequentially). Callers must pass commits against DIFFERENT tables:
+    * the protocol is single-writer per table, and that contract is
+    * per-table, not global. Propagates the first failure after all
+    * submitted commits settle. */
+  private[operators] def commitInParallel(jobs: Seq[() => Unit]): Unit =
+    if (jobs.sizeIs <= 1) jobs.foreach(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(jobs.size)
+      try jobs.map(j => pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = j()
+        })).foreach(_.get())
+      finally pool.shutdown()
+    }
+
   /** Whether a commit ever published this table (readable via the pointer). */
   def isCommitted(targetDir: String): Boolean = currentRef(targetDir).isDefined
 

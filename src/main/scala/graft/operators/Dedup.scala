@@ -532,8 +532,11 @@ object Dedup {
     * one-per-admission. */
   def dedupCompact(spark: SparkSession, dir: String): DataFrame = {
     val (sigsT, shT) = admittedDedupCatalog(spark, dir, "graft-dedup-compact-")
-    Connectors.compact(spark, sigsT)
-    Connectors.compact(spark, shT)
+    // the two catalog tables compact independently (single-writer is a
+    // per-table contract) — overlap the rewrites, guide §2.6
+    Connectors.commitInParallel(Seq(
+      () => Connectors.compact(spark, sigsT),
+      () => Connectors.compact(spark, shT)))
     catalogDecisions(spark, dir, sigsT, shT)
   }
 
@@ -612,10 +615,10 @@ object Dedup {
     val tombT = dedupTombstoneDirOf(sigsT)
     Connectors.appendTo(spark, tombT, dedupForgetIds(spark, dir))
     val tomb = Connectors.readTable(spark, tombT)
-    Seq(sigsT, shT).foreach { t =>
+    // independent per-table rewrites — overlap them (guide §2.6)
+    Connectors.commitInParallel(Seq(sigsT, shT).map(t => () =>
       Connectors.replaceTable(spark, t, Connectors.readTable(spark, t)
-        .join(broadcast(tomb), Seq("doc_id"), "left_anti"))
-    }
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti"))))
     val batch = arrivingBatch(spark, dir, 3000000, halfAll = false)
     admissionDecisions(batch, batchBaseOf(batch),
       catSigsOf(spark, sigsT), catShinglesOf(spark, shT))

@@ -1846,9 +1846,13 @@ object TextAnalysis {
     * one-per-admission, and the external base ref's lifetime ends. */
   def indexCompact(spark: SparkSession, dir: String): DataFrame = {
     val (post, stats) = admittedCatalog(spark, dir)
-    Connectors.compact(spark, post)
-    Connectors.replaceTable(spark, stats, Connectors.readTable(spark, stats)
-      .agg(sum("n_docs").as("n_docs"), sum("tot_tokens").as("tot_tokens")))
+    // postings compaction and the stats-manifest collapse rewrite
+    // DIFFERENT tables — overlap them (guide §2.6)
+    Connectors.commitInParallel(Seq(
+      () => Connectors.compact(spark, post),
+      () => Connectors.replaceTable(spark, stats,
+        Connectors.readTable(spark, stats)
+          .agg(sum("n_docs").as("n_docs"), sum("tot_tokens").as("tot_tokens")))))
     bm25CatalogSearch(spark, post, stats)
       .withColumn("from_batch", col("doc_id") >= 3000000L)
   }
@@ -1936,11 +1940,15 @@ object TextAnalysis {
   def indexPurge(spark: SparkSession, dir: String): DataFrame = {
     val (post, stats) = admittedCatalog(spark, dir)
     val tomb = tombstoneAdmit(spark, dir, post, stats)
-    Connectors.replaceTable(spark, post,
-      Connectors.readTable(spark, post).join(
-        broadcast(Connectors.readTable(spark, tomb)), Seq("doc_id"), "left_anti"))
-    Connectors.replaceTable(spark, stats, Connectors.readTable(spark, stats)
-      .agg(sum("n_docs").as("n_docs"), sum("tot_tokens").as("tot_tokens")))
+    // the postings purge and the stats collapse rewrite DIFFERENT tables —
+    // overlap them (guide §2.6)
+    Connectors.commitInParallel(Seq(
+      () => Connectors.replaceTable(spark, post,
+        Connectors.readTable(spark, post).join(
+          broadcast(Connectors.readTable(spark, tomb)), Seq("doc_id"), "left_anti")),
+      () => Connectors.replaceTable(spark, stats,
+        Connectors.readTable(spark, stats)
+          .agg(sum("n_docs").as("n_docs"), sum("tot_tokens").as("tot_tokens")))))
     bm25CatalogSearch(spark, post, stats)
       .withColumn("from_batch", col("doc_id") >= 3000000L)
   }
