@@ -390,13 +390,27 @@ object Dedup {
     // (admittedDedupCatalog) passes its persisted signature frame so the
     // minhash aggregation over the batch shingles runs once, not once per
     // consumer — same rows either way (sigsOf is deterministic).
-    val cands = bandsOf(batchSigs.getOrElse(sigsOf(batchBase)), "new_id")
-      .join(bandsOf(refSigs, "corpus_id"), Seq("band", "k1", "k2"))
+    //
+    // Join strategy is pinned DELIBERATELY (guide §3.1, r19 opt round): the
+    // batch is request-sized, the reference CORPUS-sized, so the batch
+    // bands broadcast and the reference bands STREAM — the planner's
+    // unhinted choice was the inverse (BuildRight over the reference side),
+    // which works at toy scale and inverts at 100 TB where the reference
+    // bands are the one frame that can never broadcast. Same rows either
+    // way (inner equi-joins are symmetric); the streaming admission (m4q)
+    // re-plans this per micro-batch, so the pin also keeps the drain from
+    // re-broadcasting a growing catalog every batch.
+    val cands = bandsOf(refSigs, "corpus_id")
+      .join(broadcast(bandsOf(batchSigs.getOrElse(sigsOf(batchBase)), "new_id")),
+        Seq("band", "k1", "k2"))
       .select("new_id", "corpus_id").dropDuplicates("new_id", "corpus_id")
-    val verified = cands
+    // the verification join: candidate pairs (collision-sized) broadcast,
+    // the reference shingle sets stream — same inversion as the band join
+    val candsH = cands
       .join(batchBase.select(col("doc_id").as("new_id"), col("hs").as("hsn")), Seq("new_id"))
-      .join(refShingles.select(col("doc_id").as("corpus_id"), col("hs").as("hsc")),
-        Seq("corpus_id"))
+    val verified = refShingles
+      .select(col("doc_id").as("corpus_id"), col("hs").as("hsc"))
+      .join(broadcast(candsH), Seq("corpus_id"))
       .withColumn("ninter", size(array_intersect(col("hsn"), col("hsc"))))
       .withColumn("jac", jaccardFrom(col("ninter"), col("hsn"), col("hsc")))
       .filter(col("jac") >= 0.8)

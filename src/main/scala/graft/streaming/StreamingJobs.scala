@@ -1059,19 +1059,25 @@ object StreamingJobs {
           try if (!batch.isEmpty) {
             val base = Dedup.batchBaseOf(batch) // persists internally
             try {
+              // the batch signature frame feeds the decision bands AND the
+              // signature commit — persist scoped so the minhash aggregate
+              // runs once per micro-batch, the admittedDedupCatalog
+              // discipline (r19 opt round)
+              val sigs = Dedup.sigsOf(base).persist()
               val admitted = Dedup.admissionDecisions(batch, base,
-                  Dedup.catSigsOf(spark, sigsT), Dedup.catShinglesOf(spark, shT))
+                  Dedup.catSigsOf(spark, sigsT), Dedup.catShinglesOf(spark, shT),
+                  Some(sigs))
                 .filter(col("admitted")).select(col("new_id").as("doc_id"))
                 .persist()
               try {
                 val nFiles = Connectors.deltaFiles(batch.count())
                 Connectors.appendKeyed(spark, sigsT,
-                  Dedup.sigsOf(base).join(admitted, Seq("doc_id"))
+                  sigs.join(admitted, Seq("doc_id"))
                     .coalesce(nFiles), s"b$batchId")
                 Connectors.appendKeyed(spark, shT,
                   base.join(admitted, Seq("doc_id")).coalesce(nFiles),
                   s"b$batchId")
-              } finally admitted.unpersist()
+              } finally { admitted.unpersist(); sigs.unpersist() }
             } finally base.unpersist()
           } finally batch.unpersist()
         }
